@@ -1,0 +1,157 @@
+"""Hedonic local-moving community detection — the flagship algorithm.
+
+Distributed reconstruction of the reference's best-response dynamics
+(``/root/reference/hedonic/__init__.py``): each vertex evaluates the
+hedonic value
+
+    value(v, c) = friends(v, c) * (1 - α)  -  strangers(v, c) * α
+    strangers(v, c) = |c| - friends(v, c) - [v ∈ c]          (:69-75)
+
+over its own coalition plus every coalition holding ≥1 neighbor
+(:77-87, candidate set with ``can_create_new_clusters=False``
+semantics), and moves on STRICT improvement (:84).  Default resolution
+α = graph edge density (:78); default initial membership = singleton
+partition (:47).
+
+Semantics divergence (SURVEY §7.5, documented): the reference sweeps
+vertices sequentially (:219-227), this engine moves all improving
+vertices synchronously per superstep.  Both reach a Nash equilibrium —
+``active_vertices == 0`` is exactly the reference's ``in_equilibrium``
+scan (:89-94) — but trajectories/partitions may differ; acceptance is
+the equilibrium invariant + payoff metrics, matching the reference's
+own tolerance of run-to-run divergence (``scripts/exp.py:97-99``).
+Synchronous moves can oscillate, so the step monitors the CPM potential
+Φ = Σ_c [e_c − α·C(|c|,2)] (``scripts/robustness/meta_graph.py:20-30``)
+and, when Φ stalls, restricts movers to alternating parity classes —
+a deterministic damping that breaks swap cycles.
+
+Ties among equally-best target coalitions break to the LOWEST coalition
+id (the reference's dict-iteration order is nondeterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hedonic_ray.algos._labels import (
+    empty_label_messages,
+    gather_label_counts,
+    scatter_label_counts,
+)
+from hedonic_ray.algos.labelprop import argmax_per_vertex
+from hedonic_ray.engine.superstep import run_supersteps, RunResult
+
+
+def cpm_potential(membership: np.ndarray, friends_own: np.ndarray,
+                  resolution: float) -> float:
+    """Φ = Σ_c [e_c − α·C(n_c,2)] from per-vertex own-coalition friend
+    counts (Σ_v friends_own = 2·Σ_c e_c)."""
+    sizes = np.bincount(membership)
+    pairs = sizes * (sizes - 1) / 2.0
+    return float(friends_own.sum() / 2.0 - resolution * pairs.sum())
+
+
+class HedonicStep:
+    def __init__(self, resolution: float | None = None,
+                 init_membership: np.ndarray | None = None):
+        self.resolution = resolution
+        self.init_membership = init_membership
+        self._phi_hist: list[float] = []
+        self._parity = False
+        self._stall = 0
+
+    def _alpha(self, g) -> float:
+        return g.density() if self.resolution is None else self.resolution
+
+    def init_state(self, g) -> dict:
+        if self.init_membership is not None:
+            mem = np.asarray(self.init_membership, dtype=np.int64).copy()
+            if mem.shape != (g.n,) or mem.min() < 0 or mem.max() >= g.n:
+                raise ValueError("membership must be (n,) ints in [0, n)")
+        else:
+            mem = np.arange(g.n, dtype=np.int64)  # singleton partition (:47)
+        return {"coalition": mem}
+
+    def broadcast_state(self, state: dict):
+        return state["coalition"]
+
+    def empty_messages(self, mode: str):
+        return empty_label_messages()
+
+    def scatter(self, block, membership: np.ndarray, mode: str):
+        return scatter_label_counts(block, membership)
+
+    def gather(self, msgs_ds, mode: str, g) -> dict:
+        return gather_label_counts(msgs_ds, mode)
+
+    def apply(self, state: dict, arrs: dict, g, it: int):
+        mem = state["coalition"]
+        alpha = self._alpha(g)
+        n = g.n
+        dst = arrs["dst"].astype(np.int64)
+        lab = arrs["lab"].astype(np.int64)
+        cnt = arrs["cnt"].astype(np.float64)
+
+        sizes = np.bincount(mem, minlength=n).astype(np.float64)
+        f_own = np.zeros(n, dtype=np.float64)
+        own_row = lab == mem[dst]
+        f_own[dst[own_row]] = cnt[own_row]
+        # value of staying (computed for ALL vertices, even with 0 friends home)
+        v_own = f_own * (1 - alpha) - (sizes[mem] - f_own - 1.0) * alpha
+        # candidate values (identical arithmetic → own rows tie exactly)
+        val = cnt * (1 - alpha) - (sizes[lab] - cnt - own_row.astype(np.float64)) * alpha
+
+        improving = val > v_own[dst]
+        d, l, _ = argmax_per_vertex(dst[improving], lab[improving], val[improving])
+        active = len(d)
+
+        phi = cpm_potential(mem, f_own, alpha)
+        if not self._parity:
+            best = max(self._phi_hist) if self._phi_hist else -np.inf
+            if phi > best + 1e-12:
+                self._stall = 0
+            else:
+                self._stall = getattr(self, "_stall", 0) + 1
+                if self._stall >= 2:  # Φ stopped improving → oscillation:
+                    self._parity = True  # damp with alternating parity classes
+        self._phi_hist.append(phi)
+
+        if self._parity and active:
+            keep = (d + it) % 2 == 0
+            d, l = d[keep], l[keep]
+        new = mem.copy()
+        new[d] = l
+        extra = {"potential": phi, "resolution": alpha,
+                 "moved": int(len(d)), "parity_mode": self._parity}
+        return {"coalition": new}, active, extra
+
+
+def hedonic_communities(g, *, resolution: float | None = None,
+                        init_membership=None, max_iters: int = 200,
+                        gather: str = "auto", checkpoint_dir=None, run_id=None,
+                        checkpoint_every: int = 5, resume: bool = False) -> RunResult:
+    """Local-moving hedonic game dynamics to Nash equilibrium
+    (``community_hedonic_traversal``, hedonic/__init__.py:214-228).
+    ``result.state['coalition']`` is the final membership."""
+    if g.directed:
+        raise ValueError("hedonic_communities needs an undirected LinkGraph")
+    algo = HedonicStep(resolution=resolution, init_membership=init_membership)
+    return run_supersteps(g, algo, max_iters=max_iters, gather=gather,
+                          checkpoint_dir=checkpoint_dir, run_id=run_id,
+                          checkpoint_every=checkpoint_every, resume=resume)
+
+
+def onepass_hedonic(g, init_membership, *, gather: str = "auto") -> np.ndarray:
+    """One synchronous best-response pass at α=0 (max-friends) — the
+    distributed ``community_onepass_improvement_hedonic``
+    (hedonic/__init__.py:282-292)."""
+    algo = HedonicStep(resolution=0.0, init_membership=init_membership)
+    res = run_supersteps(g, algo, max_iters=1, gather=gather)
+    return res.state["coalition"]
+
+
+def mirror_communities(g, init_membership=None) -> np.ndarray:
+    """Identity baseline (``community_mirror``, hedonic/__init__.py:261-264)."""
+    if init_membership is None:
+        return np.zeros(g.n, dtype=np.int64)
+    return np.asarray(init_membership, dtype=np.int64).copy()

@@ -1,0 +1,177 @@
+"""Triangle counting via degree-ordered wedge generation.
+
+Not in the reference repo (required by the north rule).  Classic
+ordered-wedge algorithm, expressed in the engine's block layout:
+
+1. **orient** every undirected edge low→high by rank = (degree, id) —
+   this is the high-degree-vertex mitigation: a hub of degree D keeps
+   only its ≥-rank neighbors, bounding oriented out-degree ≈ O(√E), so
+   wedge blowup on skewed (Zipf) graphs is capped;
+2. rebuild oriented CSR blocks (same partitioned layout, one shuffle);
+3. **wedge pass**: per block, enumerate ordered pairs (a, b) of each
+   vertex's oriented neighbors (fully vectorized triangular decode) and
+   probe the oriented edge set (broadcast sorted key array +
+   ``searchsorted``) — each triangle is found exactly once;
+4. gather per-vertex partial counts (all three corners credited).
+
+Scale note: the probe set holds E/2 uint64 keys broadcast via
+``ray.put``; past driver memory the same check becomes a bucketed
+semi-join on ``key % B`` (both wedge and edge streams keyed alike).
+
+Oracle in tests: dense ``A³`` trace / brute-force enumeration.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from hedonic_ray.engine.superstep import (
+    gather_kv_driver,
+    gather_kv_shuffle,
+    iter_block_views,
+    resolve_gather,
+)
+from hedonic_ray.graph.build import build_link_graph
+
+_PAIR_CHUNK = 8_000_000
+
+
+class _Orient:
+    """CSR block → oriented arc rows (u, v) with rank(u) < rank(v)."""
+
+    def __init__(self, rankkey_ref):
+        import ray
+
+        self.rankkey = ray.get(rankkey_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for bv in iter_block_views(batch):
+            u = bv.src_per_edge()
+            v = bv.indices
+            keep = self.rankkey[u] < self.rankkey[v]
+            outs.append(pa.table({"src": pa.array(u[keep], pa.int64()),
+                                  "dst": pa.array(v[keep], pa.int64())}))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+
+
+def _ordered_pairs(indptr: np.ndarray, indices: np.ndarray, lo_u: int, hi_u: int):
+    """All pairs (i < j) within each vertex's (rank-sorted) adjacency
+    segment for local vertices [lo_u, hi_u) — vectorized triangular
+    decode.  Yields (u_local, a, b)."""
+    cnt = np.diff(indptr[lo_u:hi_u + 1])
+    npairs = cnt * (cnt - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        return (np.empty(0, np.int64),) * 3
+    u_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), npairs)
+    base = np.repeat(np.cumsum(npairs) - npairs, npairs)
+    off = np.arange(total, dtype=np.int64) - base
+    c = cnt[u_idx]
+    i = (c - 2 - np.floor(np.sqrt(-8.0 * off + 4.0 * c * (c - 1) - 7) / 2.0 - 0.5)
+         ).astype(np.int64)
+    j = off + i + 1 - c * (c - 1) // 2 + (c - i) * (c - i - 1) // 2
+    starts = indptr[lo_u + u_idx]
+    return u_idx + lo_u, indices[starts + i], indices[starts + j]
+
+
+class _Wedges:
+    """Oriented CSR block → per-vertex partial triangle counts."""
+
+    def __init__(self, keys_ref, rankkey_ref, n: int):
+        import ray
+
+        self.keys = ray.get(keys_ref)  # sorted oriented-edge keys u*n+v
+        self.rankkey = ray.get(rankkey_ref)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = np.int64(self.n)
+        acc = np.zeros(self.n, dtype=np.int64)
+        for bv in iter_block_views(batch):
+            nv = bv.hi - bv.lo
+            # rank-sort each adjacency segment (one vectorized lexsort)
+            seg = np.repeat(np.arange(nv, dtype=np.int64), np.diff(bv.indptr))
+            order = np.lexsort((self.rankkey[bv.indices], seg))
+            srt = bv.indices[order]
+            # chunk the pair expansion by vertex range
+            lo_u = 0
+            cnt = np.diff(bv.indptr)
+            while lo_u < nv:
+                hi_u = lo_u
+                pairs = 0
+                while hi_u < nv and (pairs == 0 or pairs < _PAIR_CHUNK):
+                    pairs += int(cnt[hi_u] * (cnt[hi_u] - 1) // 2)
+                    hi_u += 1
+                u_local, a, b = _ordered_pairs(bv.indptr, srt, lo_u, hi_u)
+                if len(u_local):
+                    q = a * n + b
+                    pos = np.searchsorted(self.keys, q)
+                    ok = pos < len(self.keys)
+                    hit = np.flatnonzero(ok & (self.keys[np.where(ok, pos, 0)] == q))
+                    if len(hit):
+                        np.add.at(acc, u_local[hit] + bv.lo, 1)
+                        np.add.at(acc, a[hit], 1)
+                        np.add.at(acc, b[hit], 1)
+                lo_u = hi_u
+        nz = np.flatnonzero(acc)
+        return pa.table({"dst": pa.array(nz, pa.int64()),
+                         "val": pa.array(acc[nz].astype(np.float64), pa.float64())})
+
+
+@dataclass
+class TriangleResult:
+    total: int
+    per_vertex: np.ndarray
+    seconds: float
+    edges_processed: int
+
+
+def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None) -> TriangleResult:
+    """Exact triangle count of an undirected LinkGraph.
+
+    ``per_vertex[v]`` = number of triangles containing v;
+    ``total`` = Σ/3.
+    """
+    import ray
+
+    if g.directed:
+        raise ValueError("triangle_count needs an undirected LinkGraph")
+    t0 = time.perf_counter()
+    mode = resolve_gather(gather, g.n)
+    n = g.n
+    rankkey = g.out_degree.astype(np.int64) * np.int64(n) + np.arange(n, dtype=np.int64)
+    rk_ref = ray.put(rankkey)
+
+    oriented_edges = g.blocks.map_batches(
+        _Orient, fn_constructor_args=(rk_ref,), batch_format="pyarrow",
+        batch_size=4, concurrency=actor_pool())
+    og = build_link_graph(oriented_edges, n, directed=True,
+                          num_parts=num_parts or g.num_parts)
+
+    keys = []
+    for batch in og.blocks.iter_batches(batch_size=4, batch_format="pyarrow"):
+        for bv in iter_block_views(batch):
+            keys.append(bv.src_per_edge() * np.int64(n) + bv.indices)
+    keys = np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+    keys_ref = ray.put(keys)
+
+    msgs = og.blocks.map_batches(
+        _Wedges, fn_constructor_args=(keys_ref, rk_ref, n),
+        batch_format="pyarrow", batch_size=4, concurrency=actor_pool())
+    if mode == "dense":
+        arrs = gather_kv_driver(msgs, ["dst"], "val", "sum")
+    else:
+        arrs = gather_kv_shuffle(msgs, ["dst"], "val", "sum")
+    per_vertex = np.zeros(n, dtype=np.int64)
+    if arrs["val"].size:
+        per_vertex[arrs["dst"].astype(np.int64)] = arrs["val"].astype(np.int64)
+    total = int(per_vertex.sum() // 3)
+    return TriangleResult(total=total, per_vertex=per_vertex,
+                          seconds=time.perf_counter() - t0,
+                          edges_processed=g.m)

@@ -1,0 +1,61 @@
+"""Execution-context defaults for the engine.
+
+Quiet progress bars and order-free streaming execution by default; knobs
+live on Ray Data's ``DataContext``.  Nothing here initialises Ray.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def configure_context(
+    *,
+    target_max_block_size: int | None = None,
+    preserve_order: bool = False,
+    verbose: bool = False,
+) -> None:
+    """Apply engine-wide ``DataContext`` defaults.
+
+    Called lazily by pipelines; safe to call repeatedly.  Ordering is
+    left OFF (streaming executor reorders blocks freely) — every
+    operator in this engine is defined order-insensitively and tests
+    sort before comparing.
+    """
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    if target_max_block_size is not None:
+        ctx.target_max_block_size = target_max_block_size
+    ctx.execution_options.preserve_order = preserve_order
+    ctx.enable_progress_bars = verbose
+    try:  # not present in every Ray release
+        ctx.execution_options.verbose_progress = verbose
+    except Exception:
+        pass
+
+
+def actor_pool(frac: float = 0.25) -> tuple[int, int]:
+    """Autoscaling actor-pool size ``(1, k)`` for a map_batches stage:
+    scales down to 1 on tiny inputs (cheap startup) and up to a
+    fraction of the node so several concurrent stages never starve each
+    other (an actor pool that reserves every CPU serializes the
+    pipeline)."""
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    return (1, max(1, int(cpus * frac)))
+
+
+def default_num_partitions(n_edges: int | None = None) -> int:
+    """Number of graph partitions (CSR blocks).
+
+    Sized so each block holds a bounded slice of the edge list: at
+    sandbox scale this tracks the CPU count; at cluster scale callers
+    pass an explicit value so each Arrow CSR block stays ≲256 MiB
+    (``n_edges * 16B / parts``).
+    """
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    parts = max(4, min(64, cpus))
+    if n_edges is not None:
+        # keep blocks under ~16M edges (~256 MiB of uint64 pairs)
+        parts = max(parts, -(-n_edges // 16_000_000))
+    return parts

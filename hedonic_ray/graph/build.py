@@ -1,0 +1,270 @@
+"""Graph construction: pages → edges → hash-partitioned Arrow CSR blocks.
+
+Pipeline shape (ONE all-to-all exchange end-to-end)::
+
+    read_parquet(pages, columns=[url, html])     # prune at the read
+      .map_batches(LinkExtract)                  # html → (src_url, dst_url); html dies here
+      .map_batches(IdLookup)                     # url → dense uint64 vertex id (broadcast map)
+      .map_batches(normalize)                    # self-loop drop, orient, per-batch pre-dedup
+      .groupby("part").map_groups(csr_block)     # THE shuffle: co-locate by src range,
+                                                 #   exact dedup (duplicates share src), CSR
+      .materialize()                             # CSR blocks pinned in the object store
+
+Replaces the reference's whole-graph igraph object
+(``/root/reference/hedonic/__init__.py:9-24``) and its SNAP edge-list
+reader (``scripts/utils.py:88-103``).  Exact edge dedup happens inside
+the CSR build because duplicate ``(src, dst)`` rows always hash to the
+same ``part`` — no second shuffle needed.
+
+Scale notes: vertex-id assignment broadcasts the sorted url vocabulary
+(vertex tables scale with V, not with the 100 TB page payload); at the
+10^12-document extreme the same pipeline swaps ``IdLookup`` for a
+hash-partitioned ``Dataset.join`` on ``url`` and the CSR ``part`` count
+grows so each Arrow block stays ≲256 MiB (see
+``context.default_num_partitions``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from hedonic_ray.context import actor_pool, configure_context, default_num_partitions
+from hedonic_ray.functions.extract import LinkExtract
+
+
+# ---------------------------------------------------------------- url → id
+
+
+def collect_sorted_urls(pages_ds) -> np.ndarray:
+    """Sorted unique url vocabulary (the vertex set = the page set).
+
+    Streams only the ``url`` column to the driver; V strings (the small
+    side of every later lookup — broadcast once via ``ray.put``).
+    """
+    chunks = []
+    for batch in pages_ds.select_columns(["url"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        chunks.append(batch.column("url").to_numpy(zero_copy_only=False))
+    if not chunks:
+        return np.empty(0, dtype=object)
+    return np.unique(np.concatenate(chunks))
+
+
+class IdLookup:
+    """Actor stage: map url columns to dense vertex ids via a broadcast
+    vocabulary (dict built once per actor in ``__init__``).  Link
+    targets not in the vocabulary (out-of-crawl urls) are dropped."""
+
+    def __init__(self, urls_ref, cols=("src_url", "dst_url"), out=("src", "dst")):
+        import ray
+
+        urls = ray.get(urls_ref)
+        self.idx = {u: i for i, u in enumerate(urls.tolist())}
+        self.cols, self.out = cols, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.idx
+        arrays = []
+        mask = None
+        for c in self.cols:
+            vals = batch.column(c).to_pylist()
+            ids = np.fromiter((idx.get(v, -1) for v in vals), dtype=np.int64,
+                              count=len(vals))
+            ok = ids >= 0
+            mask = ok if mask is None else (mask & ok)
+            arrays.append(ids)
+        return pa.table({name: pa.array(a[mask], pa.int64())
+                         for name, a in zip(self.out, arrays)})
+
+
+def assign_vertex_ids(pages_ds):
+    """Return (urls_ref, n): broadcastable sorted url vocabulary.
+
+    Vertex id of a url = its rank in the sorted vocabulary —
+    deterministic, dense 0..n-1 (analog of the reference's contiguous
+    igraph vertex ids)."""
+    import ray
+
+    urls = collect_sorted_urls(pages_ds)
+    return ray.put(urls), len(urls)
+
+
+# ---------------------------------------------------------------- edge tables
+
+
+def edges_from_pages(pages_ds, urls_ref) -> "ray.data.Dataset":
+    """pages → directed integer edge table (src, dst); html consumed and
+    dropped inside the extract stage."""
+    configure_context()
+    ds = pages_ds.select_columns(["url", "html"])
+    links = ds.map_batches(LinkExtract, batch_format="pyarrow",
+                           batch_size=1024, concurrency=actor_pool())
+    return links.map_batches(IdLookup, fn_constructor_args=(urls_ref,),
+                             batch_format="pyarrow", concurrency=actor_pool())
+
+
+def _normalize_batch(batch: pa.Table, *, n: int, directed: bool,
+                     symmetrize: bool, num_parts: int, span: int) -> pa.Table:
+    src = batch.column("src").to_numpy().astype(np.int64)
+    dst = batch.column("dst").to_numpy().astype(np.int64)
+    keep = src != dst  # simple graphs: self-loops dropped (scripts/utils.py:102)
+    src, dst = src[keep], dst[keep]
+    if not directed:
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        if symmetrize:  # adjacency form: both arcs
+            src = np.concatenate([lo, hi])
+            dst = np.concatenate([hi, lo])
+        else:  # canonical (min,max) form
+            src, dst = lo, hi
+    # per-batch pre-dedup (partial combine; exact dedup happens per part)
+    key = src * np.int64(n) + dst
+    uk = np.unique(key)
+    src, dst = uk // n, uk % n
+    return pa.table({"src": src, "dst": dst, "part": src // span})
+
+
+def canonicalize_edges(edges_ds, n: int, *, directed: bool = True):
+    """Standalone canonical edge table: self-loops dropped, exact dedup;
+    undirected mode normalizes to (min, max).  Uses per-batch partial
+    dedup then one groupby — the aggregation-at-scale pattern."""
+    from ray.data.aggregate import Min
+
+    span = max(1, -(-n // default_num_partitions()))
+    ds = edges_ds.map_batches(
+        lambda b: _normalize_batch(b, n=n, directed=directed, symmetrize=False,
+                                   num_parts=0, span=span),
+        batch_format="pyarrow")
+
+    def _dedup(group: dict) -> dict:
+        key = group["src"].astype(np.int64) * n + group["dst"].astype(np.int64)
+        uk = np.unique(key)
+        return {"src": uk // n, "dst": uk % n}
+
+    return ds.groupby("part").map_groups(_dedup, batch_format="numpy")
+
+
+def degree_table(edges_ds, *, col: str = "src"):
+    """Degree per vertex from an edge table (groupby shuffle — partial
+    per-block counts combine for free in Ray's hash aggregate)."""
+    from ray.data.aggregate import Count
+
+    return edges_ds.groupby(col).aggregate(Count(alias_name="degree"))
+
+
+# ---------------------------------------------------------------- CSR blocks
+
+
+@dataclass
+class LinkGraph:
+    """Hash-partitioned CSR adjacency in Arrow (the north-star layout).
+
+    ``blocks`` is a materialized Dataset with one row per partition:
+    ``part:int64, lo:int64, hi:int64, indptr:list<int64>, indices:list<int64>``
+    where ``indptr`` spans local vertices ``lo..hi`` and ``indices``
+    holds neighbor ids sorted per vertex.  Blocks live in the object
+    store and are re-scanned (zero-copy) by every superstep's scatter.
+
+    ``directed=False`` means ``indices`` is the symmetrized adjacency
+    (each undirected edge appears as both arcs); ``m`` then counts arcs
+    (2×undirected edges).
+    """
+
+    n: int
+    m: int
+    num_parts: int
+    span: int
+    directed: bool
+    blocks: object  # MaterializedDataset
+    out_degree: np.ndarray = field(repr=False)
+    urls_ref: object | None = None
+
+    @property
+    def undirected_edge_count(self) -> int:
+        return self.m if self.directed else self.m // 2
+
+    def density(self) -> float:
+        """Edge density of the simple undirected graph — the default
+        hedonic resolution (hedonic/__init__.py:78)."""
+        n = self.n
+        return 0.0 if n < 2 else self.undirected_edge_count / (n * (n - 1) / 2)
+
+
+def _list_column(values: np.ndarray) -> pa.ListArray:
+    """One-row Arrow list column wrapping a numpy array (zero-copy)."""
+    return pa.ListArray.from_arrays(
+        pa.array([0, len(values)], pa.int32()), pa.array(values, pa.int64())
+    )
+
+
+def _csr_group(group: dict, *, span: int, n: int) -> pa.Table:
+    src = group["src"].astype(np.int64)
+    dst = group["dst"].astype(np.int64)
+    part = int(group["part"][0])
+    key = src * np.int64(n) + dst
+    uk = np.unique(key)  # exact dedup: all (src,dst) dups are in this part
+    src, dst = uk // n, uk % n
+    lo = part * span
+    hi = min(n, lo + span)
+    indptr = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.add.at(indptr, src - lo + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return pa.table({
+        "part": pa.array([part], pa.int64()),
+        "lo": pa.array([lo], pa.int64()),
+        "hi": pa.array([hi], pa.int64()),
+        "indptr": _list_column(indptr),
+        "indices": _list_column(dst),
+    })
+
+
+def build_link_graph(edges_ds, n: int, *, directed: bool, num_parts: int | None = None,
+                     urls_ref=None) -> LinkGraph:
+    """Edge table → LinkGraph (CSR blocks materialized in the object
+    store).  One groupby shuffle; exact dedup and self-loop drop
+    included.  ``edges_ds`` may contain duplicates and self-loops."""
+    configure_context()
+    if num_parts is None:
+        num_parts = default_num_partitions()
+    num_parts = max(1, min(num_parts, n))
+    span = -(-n // num_parts)
+
+    norm = edges_ds.map_batches(
+        lambda b: _normalize_batch(b, n=n, directed=directed, symmetrize=True,
+                                   num_parts=num_parts, span=span),
+        batch_format="pyarrow")
+    blocks = norm.groupby("part").map_groups(
+        lambda g: _csr_group(g, span=span, n=n), batch_format="numpy"
+    ).materialize()
+
+    # degree vector: one streaming pass over the P block rows
+    out_degree = np.zeros(n, dtype=np.int64)
+    m = 0
+    for batch in blocks.iter_batches(batch_size=4, batch_format="pyarrow"):
+        for r in range(batch.num_rows):
+            lo = batch.column("lo")[r].as_py()
+            hi = batch.column("hi")[r].as_py()
+            indptr = np.asarray(batch.column("indptr")[r].values)
+            out_degree[lo:hi] = np.diff(indptr)
+            m += int(indptr[-1])
+    return LinkGraph(n=n, m=m, num_parts=num_parts, span=span, directed=directed,
+                     blocks=blocks, out_degree=out_degree, urls_ref=urls_ref)
+
+
+def graph_from_pages(pages_ds, *, directed: bool, num_parts: int | None = None) -> LinkGraph:
+    """End-to-end: pages table → LinkGraph."""
+    urls_ref, n = assign_vertex_ids(pages_ds)
+    edges = edges_from_pages(pages_ds, urls_ref)
+    return build_link_graph(edges, n, directed=directed, num_parts=num_parts,
+                            urls_ref=urls_ref)
+
+
+def edges_from_numpy(arr: np.ndarray):
+    """Test/fixture helper: (m,2) int array → edge Dataset."""
+    import ray.data as rd
+
+    arr = np.asarray(arr, dtype=np.int64).reshape(-1, 2)
+    return rd.from_arrow(pa.table({"src": arr[:, 0], "dst": arr[:, 1]}))

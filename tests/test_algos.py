@@ -1,0 +1,123 @@
+import numpy as np
+import pytest
+
+import oracles
+from fixtures import make_graph, rand_edges
+from hedonic_ray.algos.components import connected_components
+from hedonic_ray.algos.hedonic import hedonic_communities, onepass_hedonic
+from hedonic_ray.algos.labelprop import label_propagation, onepass_improvement
+from hedonic_ray.algos.pagerank import pagerank
+from hedonic_ray.algos.triangles import triangle_count
+from hedonic_ray.sources.synth import (
+    ground_truth_membership,
+    noisy_membership,
+    sbm_edges,
+)
+
+
+@pytest.mark.parametrize("gather", ["dense", "shuffle"])
+def test_pagerank_matches_numpy_oracle(gather):
+    n = 40
+    rng = np.random.default_rng(3)
+    edges = [(int(u), int(v)) for u, v in rng.integers(0, n, size=(150, 2))
+             if u != v]
+    g = make_graph(edges, n, directed=True, num_parts=4)
+    res = pagerank(g, gather=gather, max_iters=100, tol=1e-14)
+    # oracle runs on the deduped directed edge set
+    dedup = sorted({(u, v) for u, v in edges})
+    expected = oracles.pagerank_dense(n, dedup, iters=100, tol=1e-14)
+    np.testing.assert_allclose(res.state["rank"], expected, atol=1e-6)
+    assert res.converged
+    assert abs(res.state["rank"].sum() - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("gather", ["dense", "shuffle"])
+def test_connected_components_exact(gather):
+    n = 60
+    edges = rand_edges(n, 0.03, seed=11)
+    g = make_graph(edges, n, num_parts=5)
+    res = connected_components(g, gather=gather)
+    np.testing.assert_array_equal(res.state["component"],
+                                  oracles.components_uf(n, edges))
+    assert res.converged
+
+
+@pytest.mark.parametrize("gather", ["dense", "shuffle"])
+def test_lp_onepass_matches_oracle(gather):
+    n = 30
+    edges = rand_edges(n, 0.15, seed=5)
+    g = make_graph(edges, n, num_parts=4)
+    init = np.arange(n) % 5
+    out = onepass_improvement(g, init, gather=gather)
+    np.testing.assert_array_equal(out, oracles.lp_onepass(n, edges, init))
+
+
+def test_lp_full_terminates():
+    n = 50
+    edges = rand_edges(n, 0.1, seed=8)
+    g = make_graph(edges, n, num_parts=4)
+    res = label_propagation(g, max_iters=50)
+    assert res.converged
+    assert res.state["label"].min() >= 0
+
+
+@pytest.mark.parametrize("gather", ["dense", "shuffle"])
+def test_onepass_hedonic_matches_best_response(gather):
+    n = 25
+    edges = rand_edges(n, 0.2, seed=13)
+    g = make_graph(edges, n, num_parts=3)
+    init = np.arange(n) % 4
+    out = onepass_hedonic(g, init, gather=gather)
+    np.testing.assert_array_equal(
+        out, oracles.best_response(n, edges, list(init), alpha=0.0))
+
+
+@pytest.mark.parametrize("noise", [0.0, 0.5, 2.0])
+def test_hedonic_reaches_equilibrium_sbm(noise):
+    edges = sbm_edges(3, 20, p_in=0.5, multiplier=0.05, seed=4)
+    n = 60
+    g = make_graph(edges.tolist(), n, num_parts=4)
+    gt = ground_truth_membership(3, 20)
+    init = noisy_membership(gt, noise, seed=9)
+    res = hedonic_communities(g, init_membership=init, max_iters=100)
+    assert res.converged, f"not converged, active={res.metrics[-1]['active_vertices']}"
+    mem = res.state["coalition"]
+    alpha = g.density()
+    assert oracles.is_equilibrium(n, edges.tolist(), mem.tolist(), alpha)
+    # easy SBM from ground-truth start recovers the planted partition
+    if noise == 0.0:
+        assert oracles.adjusted_rand_index(mem, gt) == pytest.approx(1.0)
+
+
+def test_hedonic_potential_monotone_on_easy_graph():
+    edges = sbm_edges(2, 15, p_in=0.6, multiplier=0.05, seed=2)
+    g = make_graph(edges.tolist(), 30, num_parts=3)
+    res = hedonic_communities(g, max_iters=100)  # singleton init
+    assert res.converged
+    phis = [m["potential"] for m in res.metrics]
+    assert phis[-1] >= phis[0]
+
+
+@pytest.mark.parametrize("gather", ["dense", "shuffle"])
+def test_triangles_match_bruteforce(gather):
+    n = 40
+    edges = rand_edges(n, 0.15, seed=21)
+    g = make_graph(edges, n, num_parts=4)
+    res = triangle_count(g, gather=gather)
+    total, per = oracles.triangles_brute(n, edges)
+    assert res.total == total
+    np.testing.assert_array_equal(res.per_vertex, per)
+
+
+def test_triangles_on_sbm_with_hubs():
+    from hedonic_ray.sources.synth import zipf_hub_edges
+
+    edges = sbm_edges(2, 30, p_in=0.3, multiplier=0.1, seed=6)
+    hubs = zipf_hub_edges(60, 120, seed=7)
+    all_edges = np.concatenate([edges, hubs])
+    g = make_graph(all_edges.tolist(), 60, num_parts=5)
+    und = sorted({(min(u, v), max(u, v)) for u, v in all_edges.tolist() if u != v})
+    total, per = oracles.triangles_brute(60, und)
+    res = triangle_count(g)
+    assert res.total == total
+    np.testing.assert_array_equal(res.per_vertex, per)

@@ -1,0 +1,152 @@
+import numpy as np
+import pytest
+
+import oracles
+from fixtures import (
+    CYCLE8_E,
+    CYCLE8_EDGES,
+    PATH5_C,
+    PATH5_D,
+    PATH5_EDGES,
+    T_EDGES,
+    T_PART_A,
+    T_PART_B,
+    TWO_TRI_EDGES,
+    TWO_TRI_PART,
+    make_graph,
+    rand_edges,
+)
+from hedonic_ray.analytics import hedonic_stats as hs
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.2, 0.5, 0.9, 1.0])
+def test_equilibrium_fraction_matches_oracle(alpha):
+    n = 25
+    edges = rand_edges(n, 0.2, seed=17)
+    g = make_graph(edges, n, num_parts=3)
+    mem = np.arange(n) % 4
+    got = hs.equilibrium_fraction(g, mem, alpha)
+    exp = oracles.equilibrium_fraction(n, edges, list(mem), alpha)
+    assert got == pytest.approx(exp)
+
+
+def test_classification_and_robustness_match_oracle():
+    n = 20
+    edges = rand_edges(n, 0.25, seed=23)
+    g = make_graph(edges, n, num_parts=3)
+    for mem in [np.arange(n) % 3, np.zeros(n, np.int64), np.arange(n) % 7]:
+        st = hs.vertex_stats(g, mem)
+        cls = hs.classify_satisfaction(g, mem, stats=st)
+        info = oracles.nodes_info(n, edges, list(mem))
+        names = {hs.ALWAYS: "always_satisfied", hs.NEVER: "never_satisfied",
+                 hs.RELATIVE: "relatively_satisfied"}
+        for v in range(n):
+            assert names[cls[v]] == oracles.classify_satisfaction(
+                info[v], mem[v]), f"v={v} mem={mem}"
+        assert hs.partition_robustness(g, mem, stats=st) == pytest.approx(
+            oracles.partition_robustness(n, edges, list(mem)))
+
+
+def test_closed_form_equilibria_t_graph():
+    g = make_graph(T_EDGES, 6)
+    for a in [0.0, 0.3, 0.5, 0.8, 1.0]:
+        assert hs.equilibrium_fraction(g, np.array(T_PART_A), a) == 1.0
+    for a in [0.0, 0.2, 0.39]:
+        assert hs.equilibrium_fraction(g, np.array(T_PART_B), a) == 1.0
+    assert hs.equilibrium_fraction(g, np.array(T_PART_B), 0.6) < 1.0
+
+
+def test_closed_form_equilibria_path_and_cycle():
+    g = make_graph(PATH5_EDGES, 5)
+    for a in [0.0, 0.5, 1.0]:
+        assert hs.equilibrium_fraction(g, np.array(PATH5_C), a) == 1.0
+    for a in [0.0, 1 / 7 - 0.01]:
+        assert hs.equilibrium_fraction(g, np.array(PATH5_D), a) == 1.0
+    assert hs.equilibrium_fraction(g, np.array(PATH5_D), 0.5) < 1.0
+
+    g8 = make_graph(CYCLE8_EDGES, 8)
+    assert hs.equilibrium_fraction(g8, np.array(CYCLE8_E), 1.0) == 1.0
+    assert hs.equilibrium_fraction(g8, np.array(CYCLE8_E), 0.3) < 1.0
+
+
+def test_two_triangles_robust_partition():
+    g = make_graph(TWO_TRI_EDGES, 6)
+    mem = np.array(TWO_TRI_PART)
+    assert hs.partition_robustness(g, mem) == 1.0
+
+
+def test_resolution_spectrum_matches_pointwise_equilibrium():
+    n = 18
+    edges = rand_edges(n, 0.3, seed=31)
+    g = make_graph(edges, n, num_parts=3)
+    mem = np.arange(n) % 3
+    res, fracs, rob = hs.resolution_spectrum(g, mem)
+    st = hs.vertex_stats(g, mem)
+    cls = hs.classify_satisfaction(g, mem, stats=st)
+    always = (cls == hs.ALWAYS).sum()
+    assert rob == pytest.approx(always / n)
+    # reference semantics: fractions count always + doubtful-in-eq only
+    for a, fr in zip(res, fracs):
+        eq = hs.equilibrium_flags(g, mem, a, stats=st)
+        expected = (always + (eq & (cls == hs.RELATIVE)).sum()) / n
+        assert fr == pytest.approx(expected)
+
+
+def test_best_response_matches_oracle():
+    n = 22
+    edges = rand_edges(n, 0.25, seed=41)
+    g = make_graph(edges, n, num_parts=3)
+    mem = np.arange(n) % 5
+    for a in [0.0, 0.13, 0.5, 1.0]:
+        got = hs.best_response(g, mem, a)
+        exp = oracles.best_response(n, edges, list(mem), a)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_potential_matches_oracle():
+    n = 20
+    edges = rand_edges(n, 0.3, seed=47)
+    g = make_graph(edges, n, num_parts=3)
+    mem = np.arange(n) % 4
+    for a in [0.0, 0.2, 0.7]:
+        assert hs.partition_potential(g, mem, a) == pytest.approx(
+            oracles.cpm_potential(n, edges, list(mem), a))
+
+
+def test_ari_matches_oracle():
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        a = rng.integers(0, 4, 30)
+        b = rng.integers(0, 3, 30)
+        assert hs.adjusted_rand_index(a, b) == pytest.approx(
+            oracles.adjusted_rand_index(a, b))
+    x = rng.integers(0, 4, 30)
+    assert hs.adjusted_rand_index(x, x) == pytest.approx(1.0)
+
+
+def test_exhaustive_tiny_oracle_sweep():
+    """F5: all connected graphs on 4 vertices x all partitions —
+    robustness, equilibrium, potential exact vs enumeration oracles."""
+    n = 4
+    parts = oracles.all_partitions_membership(n)
+    graphs = oracles.connected_graphs(n)[::9]  # sample for runtime
+    for edges in graphs:
+        g = make_graph(edges, n, num_parts=2)
+        for mem in parts:
+            m = np.array(mem)
+            st = hs.vertex_stats(g, m)  # ONE gather, reused by every check
+            assert hs.partition_robustness(g, m, stats=st) == pytest.approx(
+                oracles.partition_robustness(n, edges, list(mem)))
+            for a in [0.0, 0.33, 1.0]:
+                assert hs.equilibrium_fraction(g, m, a, stats=st) == pytest.approx(
+                    oracles.equilibrium_fraction(n, edges, list(mem), a))
+                assert hs.partition_potential(g, m, a, stats=st) == pytest.approx(
+                    oracles.cpm_potential(n, edges, list(mem), a))
+
+
+def test_community_stability():
+    g = make_graph(TWO_TRI_EDGES, 6)
+    out = hs.evaluate_community_stability(g, [0, 4, 5])
+    assert set(out) == {"fraction_want_to_leave", "fraction_want_to_join"}
+    assert 0.0 <= out["fraction_want_to_leave"] <= 1.0
+    assert 0.0 <= out["fraction_want_to_join"] <= 1.0

@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+from hedonic_ray.engine.superstep import iter_block_views
+from hedonic_ray.graph.build import (
+    build_link_graph,
+    canonicalize_edges,
+    edges_from_numpy,
+)
+
+
+def _adjacency_from_blocks(g):
+    nb = {v: set() for v in range(g.n)}
+    for batch in g.blocks.iter_batches(batch_size=4, batch_format="pyarrow"):
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            for u, v in zip(src.tolist(), bv.indices.tolist()):
+                nb[u].add(v)
+    return nb
+
+
+def test_undirected_build_dedup_selfloops():
+    # duplicates, self loops, both orientations
+    edges = np.array([[0, 1], [1, 0], [0, 1], [2, 2], [1, 2], [3, 4]])
+    g = build_link_graph(edges_from_numpy(edges), 5, directed=False, num_parts=2)
+    nb = _adjacency_from_blocks(g)
+    assert nb == {0: {1}, 1: {0, 2}, 2: {1}, 3: {4}, 4: {3}}
+    assert g.m == 6  # arcs
+    assert g.undirected_edge_count == 3
+    np.testing.assert_array_equal(g.out_degree, [1, 2, 1, 1, 1])
+    assert g.density() == pytest.approx(3 / 10)
+
+
+def test_directed_build():
+    edges = np.array([[0, 1], [0, 1], [1, 0], [2, 0], [4, 4]])
+    g = build_link_graph(edges_from_numpy(edges), 5, directed=True, num_parts=3)
+    nb = _adjacency_from_blocks(g)
+    assert nb == {0: {1}, 1: {0}, 2: {0}, 3: set(), 4: set()}
+    assert g.m == 3
+    np.testing.assert_array_equal(g.out_degree, [1, 1, 1, 0, 0])
+
+
+def test_canonicalize_edges_minmax():
+    edges = np.array([[3, 1], [1, 3], [1, 3], [2, 2], [0, 4]])
+    out = canonicalize_edges(edges_from_numpy(edges), 5, directed=False)
+    rows = sorted((r["src"], r["dst"]) for r in out.take_all())
+    assert rows == [(0, 4), (1, 3)]
+
+
+def test_partition_ranges_cover():
+    rng = np.random.default_rng(7)
+    edges = rng.integers(0, 50, size=(300, 2))
+    g = build_link_graph(edges_from_numpy(edges), 50, directed=False, num_parts=7)
+    seen = []
+    for batch in g.blocks.iter_batches(batch_size=8, batch_format="pyarrow"):
+        for bv in iter_block_views(batch):
+            assert bv.hi - bv.lo <= g.span
+            assert len(bv.indptr) == bv.hi - bv.lo + 1
+            assert np.all(np.diff(bv.indptr) >= 0)
+            seen.append((bv.lo, bv.hi))
+    # blocks must not overlap
+    seen.sort()
+    for (l1, h1), (l2, h2) in zip(seen, seen[1:]):
+        assert h1 <= l2
