@@ -22,8 +22,9 @@ the equilibrium invariant + payoff metrics, matching the reference's
 own tolerance of run-to-run divergence (``scripts/exp.py:97-99``).
 Synchronous moves can oscillate, so the step monitors the CPM potential
 Φ = Σ_c [e_c − α·C(|c|,2)] (``scripts/robustness/meta_graph.py:20-30``)
-and, when Φ stalls, restricts movers to alternating parity classes —
-a deterministic damping that breaks swap cycles.
+and, when Φ stalls, thins the mover set by an escalating seeded-hash
+filter (acceptance 1/2, 1/4, … of improving vertices) — deterministic
+damping that breaks swap cycles, resetting once Φ improves again.
 
 Ties among equally-best target coalitions break to the LOWEST coalition
 id (the reference's dict-iteration order is nondeterministic).
@@ -57,7 +58,6 @@ class HedonicStep:
         self.resolution = resolution
         self.init_membership = init_membership
         self._phi_hist: list[float] = []
-        self._parity = False
         self._stall = 0
 
     def _alpha(self, g) -> float:
@@ -106,23 +106,28 @@ class HedonicStep:
         active = len(d)
 
         phi = cpm_potential(mem, f_own, alpha)
-        if not self._parity:
-            best = max(self._phi_hist) if self._phi_hist else -np.inf
-            if phi > best + 1e-12:
-                self._stall = 0
-            else:
-                self._stall = getattr(self, "_stall", 0) + 1
-                if self._stall >= 2:  # Φ stopped improving → oscillation:
-                    self._parity = True  # damp with alternating parity classes
+        best = max(self._phi_hist) if self._phi_hist else -np.inf
+        if phi > best + 1e-12:
+            self._stall = 0
+        else:
+            self._stall += 1
         self._phi_hist.append(phi)
 
-        if self._parity and active:
-            keep = (d + it) % 2 == 0
+        # Escalating damping: when Φ stops improving, simultaneous moves
+        # are oscillating (swap cycles) — thin the mover set with a
+        # seeded hash, halving the acceptance rate the longer the stall,
+        # until a strict subset of movers breaks the cycle.  Resets to
+        # full synchronous moves once Φ improves again.
+        level = 0 if self._stall < 2 else min(6, 1 + (self._stall - 2) // 3)
+        if level and active:
+            from hedonic_ray.functions.hashing import hash_ints
+
+            keep = hash_ints(d, seed=31 * it + level) % (1 << level) == 0
             d, l = d[keep], l[keep]
         new = mem.copy()
         new[d] = l
         extra = {"potential": phi, "resolution": alpha,
-                 "moved": int(len(d)), "parity_mode": self._parity}
+                 "moved": int(len(d)), "damp_level": level}
         return {"coalition": new}, active, extra
 
 

@@ -35,6 +35,7 @@ from hedonic_ray.engine.superstep import (
     iter_block_views,
     resolve_gather,
 )
+from hedonic_ray.context import actor_pool
 from hedonic_ray.graph.build import build_link_graph
 
 _PAIR_CHUNK = 8_000_000

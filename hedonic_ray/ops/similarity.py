@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`topk_cosine` — brute-force baseline: every batch does one
+  numpy matmul against the broadcast query matrix (``ray.put`` once,
+  zero-copy read per task), emits its LOCAL top-k per query (the
+  combiner), and a tiny final merge keeps the global top-k — no
+  shuffle, O(N·Q/parallelism) per task.
+* :func:`ivf_topk` — the scale path: deterministic k-means (seeded
+  init, fixed iterations, fitted on a driver sample) buckets vectors by
+  nearest centroid; queries probe only the ``nprobe`` nearest
+  centroids' buckets.  Recall is tested against the brute-force
+  baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.asarray(batch.column(vec_col).combine_chunks().flatten(),
+                      dtype=np.float32).reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def topk_cosine(emb_ds, queries: np.ndarray, k: int = 10, *,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Exact top-k by cosine for each query row.
+
+    Returns an Arrow table (query_id, rank, vec_id, score) sorted by
+    (query_id, rank); rank is 1-based; ties break to lowest vec_id
+    (deterministic).
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_batch_matrix(batch, vec_col))
+        cos = qm @ m.T  # (Q, B)
+        kk = min(k, cos.shape[1])
+        # partial top-k per query within this batch
+        idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(np.arange(cos.shape[0]), kk)
+        sel = idx.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(ids[sel], pa.int64()),
+            "score": pa.array(cos[rows_q, sel].astype(np.float64)),
+        })
+
+    partials = emb_ds.map_batches(local_topk, batch_format="pyarrow",
+                                  batch_size=4096)
+    # final merge: ≤ Q * k * num_batches rows — tiny
+    qs, vs, ss = [], [], []
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        qs.append(b.column("query_id").to_numpy())
+        vs.append(b.column("vec_id").to_numpy())
+        ss.append(b.column("score").to_numpy())
+    qa = np.concatenate(qs) if qs else np.empty(0, np.int64)
+    va = np.concatenate(vs) if vs else np.empty(0, np.int64)
+    sa = np.concatenate(ss) if ss else np.empty(0, np.float64)
+    order = np.lexsort((va, -sa, qa))
+    qa, va, sa = qa[order], va[order], sa[order]
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qid in np.unique(qa):
+        mask = qa == qid
+        out_q.append(np.full(min(k, mask.sum()), qid))
+        out_r.append(np.arange(1, len(out_q[-1]) + 1))
+        out_v.append(va[mask][:k])
+        out_s.append(sa[mask][:k])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        "rank": pa.array(np.concatenate(out_r), pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+        "score": pa.array(np.concatenate(out_s), pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------- IVF path
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
+               seed: int = 0) -> np.ndarray:
+    """Deterministic Lloyd iterations; init = seeded sample rows."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(sample.astype(np.float32))
+    init = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+    cent = x[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign(emb_ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Add a ``bucket`` column = nearest centroid (broadcast matmul)."""
+    import ray
+
+    ref = ray.put(_normalize(centroids.astype(np.float32)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        return batch.append_column(
+            "bucket", pa.array(np.argmax(m @ cent.T, axis=1).astype(np.int64)))
+
+    return emb_ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
+def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
+             nprobe: int = 4, sample_size: int = 4096, seed: int = 0,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Approximate top-k: probe only the ``nprobe`` nearest-centroid
+    buckets per query."""
+    sample = []
+    taken = 0
+    for batch in emb_ds.select_columns([vec_col]).iter_batches(
+            batch_size=2048, batch_format="pyarrow"):
+        sample.append(_batch_matrix(batch, vec_col))
+        taken += len(batch)
+        if taken >= sample_size:
+            break
+    cent = kmeans_fit(np.concatenate(sample)[:sample_size], n_clusters, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    assigned = ivf_assign(emb_ds, cent, id_col=id_col, vec_col=vec_col)
+    wanted = np.unique(probes)
+    import pyarrow.compute as pc
+
+    filtered = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("bucket"),
+                                    value_set=pa.array(wanted.tolist()))),
+        batch_format="pyarrow")
+    # brute-force within the probed subset, then drop non-probed
+    # (query, bucket) combinations
+    full = topk_cosine(filtered, q, k=len(cent) * k, id_col=id_col,
+                       vec_col=vec_col)
+    # NOTE: for exact probe semantics we'd filter per (query, bucket);
+    # probing all wanted buckets for all queries only ADDS candidates,
+    # so recall is ≥ the strict IVF — acceptable for an ANN baseline.
+    qa = full.column("query_id").to_numpy()
+    va = full.column("vec_id").to_numpy()
+    sa = full.column("score").to_numpy()
+    out_q, out_r, out_v, out_s = [], [], [], []
+    for qid in np.unique(qa):
+        mask = qa == qid
+        take = min(k, mask.sum())
+        out_q.append(np.full(take, qid))
+        out_r.append(np.arange(1, take + 1))
+        out_v.append(va[mask][:take])
+        out_s.append(sa[mask][:take])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+        "rank": pa.array(np.concatenate(out_r), pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+        "score": pa.array(np.concatenate(out_s), pa.float64()),
+    })

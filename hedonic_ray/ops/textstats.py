@@ -1,0 +1,159 @@
+"""Text-analysis stages for training-data pipelines over ``documents``.
+
+Beyond the reference's surface (SURVEY §2 note): language-ID, quality
+scoring, token counting, document fingerprinting — each a vectorized
+``map_batches`` stage (pyarrow.compute regex kernels / numpy; compiled
+state lives in actor ``__init__``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hedonic_ray.context import actor_pool
+from hedonic_ray.functions.hashing import hash_strings
+
+TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "was"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "de"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "que", "des", "dans"},
+}
+
+
+def add_token_counts(ds, col: str = "text"):
+    """n_tokens (whitespace) + n_bpe_tokens (BPE-ish regex) — pure
+    pyarrow.compute kernels, zero Python per row."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.column(col)
+        batch = batch.append_column(
+            "n_tokens", pc.cast(pc.count_substring_regex(t, TOKEN_RE), pa.int64()))
+        return batch.append_column(
+            "n_bpe_tokens", pc.cast(pc.count_substring_regex(t, BPE_RE), pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_quality_scores(ds, col: str = "text"):
+    """Length / punctuation / stopword / mean-word-length heuristics →
+    ``quality`` in [0,1].  All pyarrow.compute."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.column(col)
+        n_chars = pc.cast(pc.utf8_length(t), pa.float64())
+        n_tok = pc.cast(pc.count_substring_regex(t, TOKEN_RE), pa.float64())
+        n_punct = pc.cast(pc.count_substring_regex(t, PUNCT_RE), pa.float64())
+        safe_tok = pc.max_element_wise(n_tok, 1.0)
+        safe_chars = pc.max_element_wise(n_chars, 1.0)
+        punct_ratio = pc.divide(n_punct, safe_chars)
+        mean_word_len = pc.divide(n_chars, safe_tok)
+        stop = pa.array(np.zeros(len(t)), pa.float64())
+        for words in _STOPWORDS.values():
+            pat = r"(?i)\b(" + "|".join(sorted(words)) + r")\b"
+            stop = pc.add(stop, pc.cast(pc.count_substring_regex(t, pat),
+                                        pa.float64()))
+        stop_ratio = pc.divide(stop, safe_tok)
+        # crude composite: long-enough docs with sane word length,
+        # some stopwords, low punctuation density
+        len_ok = pc.min_element_wise(pc.divide(n_tok, 20.0), 1.0)
+        wl = pc.subtract(mean_word_len, 3.0)
+        wl_ok = pc.max_element_wise(
+            pc.subtract(1.0, pc.divide(pc.abs(wl), 7.0)), 0.0)
+        stop_ok = pc.min_element_wise(pc.multiply(stop_ratio, 4.0), 1.0)
+        punct_ok = pc.max_element_wise(
+            pc.subtract(1.0, pc.multiply(punct_ratio, 5.0)), 0.0)
+        quality = pc.divide(
+            pc.add(pc.add(len_ok, wl_ok), pc.add(stop_ok, punct_ok)), 4.0)
+        for name, arr in [("n_chars_calc", pc.cast(n_chars, pa.int64())),
+                          ("n_tokens", pc.cast(n_tok, pa.int64())),
+                          ("punct_ratio", punct_ratio),
+                          ("mean_word_len", mean_word_len),
+                          ("stopword_ratio", stop_ratio),
+                          ("quality", quality)]:
+            batch = batch.append_column(name, arr)
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class LangId:
+    """Actor-pool language-ID stage: stopword-hit heuristic over
+    {en, de, es, fr} plus a CJK-codepoint test for zh.  Patterns are
+    compiled once per actor."""
+
+    def __init__(self):
+        self.pats = {lang: re.compile(r"\b(" + "|".join(sorted(ws)) + r")\b", re.I)
+                     for lang, ws in _STOPWORDS.items()}
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for s in texts:
+            if self.cjk.search(s):
+                preds.append("zh")
+                continue
+            scores = {lang: len(p.findall(s)) for lang, p in self.pats.items()}
+            best = max(scores.values())
+            preds.append("und" if best == 0 else
+                         min(l for l, v in scores.items() if v == best))
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def add_lang_id(ds):
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=2048,
+                          concurrency=actor_pool())
+
+
+class Fingerprint:
+    """Winnowing document fingerprint (Schleimer et al. 2003): rolling
+    hash over character k-grams, per-window minimum, fingerprint =
+    stable hash of the selected minima set."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k, self.window = k, window
+
+    def _fp(self, s: str) -> int:
+        k, w = self.k, self.window
+        if len(s) < k:
+            return int(hash_strings([s])[0])
+        b = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        # polynomial rolling hash of all k-grams, vectorized
+        n = len(b) - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        mult = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                h = h * mult + b[i:i + n].astype(np.uint64)
+        if n <= w:
+            sel = np.array([h.min()], dtype=np.uint64)
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            sel = np.unique(sliding_window_view(h, w).min(axis=1))
+        with np.errstate(over="ignore"):
+            out = np.uint64(0xcbf29ce484222325)
+            for x in np.sort(sel):
+                out = (out ^ x) * mult
+        return int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self._fp(s) for s in batch.column("text").to_pylist()]
+        return batch.append_column("fingerprint",
+                                   pa.array(np.array(fps, dtype=np.uint64)))
+
+
+def add_fingerprints(ds, k: int = 8, window: int = 16):
+    return ds.map_batches(Fingerprint, fn_constructor_args=(k, window),
+                          batch_format="pyarrow", batch_size=1024,
+                          concurrency=actor_pool())

@@ -3,14 +3,17 @@ import pytest
 
 import oracles
 from fixtures import (
-    CYCLE8_E,
+    CYCLE8_ALT,
     CYCLE8_EDGES,
-    PATH5_C,
-    PATH5_D,
+    CYCLE8_HALVES,
+    PATH5_ALL,
     PATH5_EDGES,
+    PATH5_HALF,
     T_EDGES,
-    T_PART_A,
-    T_PART_B,
+    T_PART_A0,
+    T_PART_A1,
+    T_PART_ALL,
+    T_PART_WINDOW,
     TWO_TRI_EDGES,
     TWO_TRI_PART,
     make_graph,
@@ -49,24 +52,38 @@ def test_classification_and_robustness_match_oracle():
 
 def test_closed_form_equilibria_t_graph():
     g = make_graph(T_EDGES, 6)
+    st = hs.vertex_stats(g, np.array(T_PART_ALL))
     for a in [0.0, 0.3, 0.5, 0.8, 1.0]:
-        assert hs.equilibrium_fraction(g, np.array(T_PART_A), a) == 1.0
-    for a in [0.0, 0.2, 0.39]:
-        assert hs.equilibrium_fraction(g, np.array(T_PART_B), a) == 1.0
-    assert hs.equilibrium_fraction(g, np.array(T_PART_B), 0.6) < 1.0
+        assert hs.equilibrium_fraction(g, np.array(T_PART_ALL), a, stats=st) == 1.0
+    st0 = hs.vertex_stats(g, np.array(T_PART_A0))
+    assert hs.equilibrium_fraction(g, np.array(T_PART_A0), 0.0, stats=st0) == 1.0
+    assert hs.equilibrium_fraction(g, np.array(T_PART_A0), 0.3, stats=st0) < 1.0
+    st1 = hs.vertex_stats(g, np.array(T_PART_A1))
+    assert hs.equilibrium_fraction(g, np.array(T_PART_A1), 1.0, stats=st1) == 1.0
+    assert hs.equilibrium_fraction(g, np.array(T_PART_A1), 0.5, stats=st1) < 1.0
+    stw = hs.vertex_stats(g, np.array(T_PART_WINDOW))
+    for a, ok in [(0.1, False), (0.25, True), (0.3, True), (0.4, False)]:
+        assert (hs.equilibrium_fraction(g, np.array(T_PART_WINDOW), a,
+                                        stats=stw) == 1.0) is ok
 
 
 def test_closed_form_equilibria_path_and_cycle():
     g = make_graph(PATH5_EDGES, 5)
+    st = hs.vertex_stats(g, np.array(PATH5_ALL))
     for a in [0.0, 0.5, 1.0]:
-        assert hs.equilibrium_fraction(g, np.array(PATH5_C), a) == 1.0
-    for a in [0.0, 1 / 7 - 0.01]:
-        assert hs.equilibrium_fraction(g, np.array(PATH5_D), a) == 1.0
-    assert hs.equilibrium_fraction(g, np.array(PATH5_D), 0.5) < 1.0
+        assert hs.equilibrium_fraction(g, np.array(PATH5_ALL), a, stats=st) == 1.0
+    sth = hs.vertex_stats(g, np.array(PATH5_HALF))
+    assert hs.equilibrium_fraction(g, np.array(PATH5_HALF), 0.75, stats=sth) == 1.0
+    assert hs.equilibrium_fraction(g, np.array(PATH5_HALF), 0.3, stats=sth) < 1.0
 
     g8 = make_graph(CYCLE8_EDGES, 8)
-    assert hs.equilibrium_fraction(g8, np.array(CYCLE8_E), 1.0) == 1.0
-    assert hs.equilibrium_fraction(g8, np.array(CYCLE8_E), 0.3) < 1.0
+    sth8 = hs.vertex_stats(g8, np.array(CYCLE8_HALVES))
+    for a in [0.0, 0.5, 1.0]:
+        assert hs.equilibrium_fraction(g8, np.array(CYCLE8_HALVES), a,
+                                       stats=sth8) == 1.0
+    sta = hs.vertex_stats(g8, np.array(CYCLE8_ALT))
+    for a in [0.0, 0.3, 1.0]:
+        assert hs.equilibrium_fraction(g8, np.array(CYCLE8_ALT), a, stats=sta) < 1.0
 
 
 def test_two_triangles_robust_partition():
