@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the hedonic_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship link-graph pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible query (same column names; float aggregates
+rounded identically on both sides).  Iterative fixed-point algorithms
+(full PageRank / CC / hedonic / LP on the doc graph) and hash-based
+near-dup ops have no SQL equivalent → rows-only driver check, with
+exact oracles covered in pytest instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver — nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -18,27 +17,251 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Planted-link formula shared with hedonic_ray.sources.synth (LINK_A/B)
+_LINKS_CTE = """
+links AS (
+    SELECT d.doc_id AS src,
+           CAST((d.doc_id * 2654435761 + t.j * 40503)
+                % (SELECT count(*) FROM documents) AS BIGINT) AS dst
+    FROM documents d, range(4) t(j)
+    WHERE t.j <= d.doc_id % 4
+),
+e AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst)
+"""
+
+_SUPPLIER_EDGES_CTE = """
+und AS (
+    SELECT a.s_suppkey AS u, b.s_suppkey AS v
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+),
+arcs AS (SELECT u AS src, v AS dst FROM und
+         UNION ALL SELECT v, u FROM und)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from hedonic_ray.pipelines.linkgraph import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from hedonic_ray.pipelines import linkgraph as lg
+    from hedonic_ray.pipelines import textops as tx
+    from hedonic_ray.relational import queries as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- link-graph pipeline on the rendered pages table ---
+        "graph_extract_edges": lg.doc_edges_table,
+        "graph_extract_text": lg.extracted_text_table,
+        "graph_degree": lg.doc_degree_table,
+        "graph_pagerank_onestep": lambda sf: lg.doc_pagerank_table(sf, max_iters=1),
+        "graph_pagerank_full": lg.doc_pagerank_full,
+        "graph_components": lg.doc_components_table,
+        "graph_hedonic": lg.doc_hedonic_table,
+        "graph_labelprop": lg.doc_labelprop_table,
+        "graph_triangles_docs": lg.doc_triangles_table,
+        # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
+        "graph_cc_nation": lg.nation_region_components,
+        "graph_triangles_supplier": lg.supplier_triangles,
+        "graph_lp_onepass": lg.supplier_lp_onepass,
+        # --- relational operators ---
+        "rel_pricing_summary": rel.pricing_summary,
+        "rel_top_revenue_orders": rel.top_revenue_orders,
+        "rel_order_priority": rel.order_priority_count,
+        "rel_events_hourly": rel.events_hourly,
+        "rel_sessions_per_user": rel.sessions_per_user,
+        "rel_brand_price_stats": rel.brand_price_stats,
+        # --- training-data ops ---
+        "text_token_counts": tx.token_counts,
+        "text_quality": tx.quality_scores,
+        "text_exact_dedup": tx.exact_dedup_kept,
+        "text_lang_id": tx.lang_id,
+        "text_fingerprints": tx.fingerprints,
+        "dedup_minhash": tx.minhash_components,
+        "dedup_simhash": tx.simhash_dup_pairs,
+        "dedup_embedding": tx.embedding_neardup,
+        "sim_topk_cosine": tx.topk_similarity,
+        "sim_ivf_topk": tx.ivf_similarity,
+        "multimodal_decode": tx.multimodal_decode,
+        "multimodal_frames": tx.multimodal_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",
+        "graph_extract_text": "SELECT doc_id, text FROM documents",
+        "graph_degree": f"""
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+            verts AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+            SELECT v AS vertex, CAST(count(*) AS BIGINT) AS degree
+            FROM verts GROUP BY v
+        """,
+        "graph_pagerank_onestep": f"""
+            WITH {_LINKS_CTE},
+            nn AS (SELECT count(*) AS n FROM documents),
+            outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            contrib AS (
+                SELECT e.dst AS v, sum(1.0 / (nn.n * outdeg.d)) AS c
+                FROM e CROSS JOIN nn JOIN outdeg ON e.src = outdeg.src
+                GROUP BY e.dst
+            ),
+            dang AS (
+                SELECT count(*) AS cnt FROM documents d
+                WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = d.doc_id)
+            )
+            SELECT d.doc_id AS vertex,
+                   CAST(ROUND(((1 - 0.85) / nn.n
+                         + 0.85 * (COALESCE(contrib.c, 0)
+                                   + dang.cnt * 1.0 / nn.n / nn.n)) * 1e9)
+                        AS BIGINT) AS rank_e9
+            FROM documents d CROSS JOIN nn CROSS JOIN dang
+            LEFT JOIN contrib ON contrib.v = d.doc_id
+        """,
+        "graph_cc_nation": """
+            SELECT CAST(r_regionkey AS BIGINT) AS vertex,
+                   CAST(r_regionkey AS BIGINT) AS component FROM region
+            UNION ALL
+            SELECT CAST(5 + n_nationkey AS BIGINT),
+                   CAST(n_regionkey AS BIGINT) FROM nation
+        """,
+        "graph_triangles_supplier": f"""
+            WITH {_SUPPLIER_EDGES_CTE},
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM und e1 JOIN und e2 ON e2.u = e1.v
+                JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            corners AS (SELECT a AS s FROM tri UNION ALL SELECT b FROM tri
+                        UNION ALL SELECT c FROM tri)
+            SELECT s AS s_suppkey, CAST(count(*) AS BIGINT) AS triangles
+            FROM corners GROUP BY s
+        """,
+        "graph_lp_onepass": f"""
+            WITH {_SUPPLIER_EDGES_CTE}
+            SELECT dst AS s_suppkey, CAST(min(src) AS BIGINT) AS label
+            FROM arcs GROUP BY dst
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c,
+                   CAST(ROUND(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c,
+                   CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 1e4)
+                        AS BIGINT) AS sum_disc_price_c4,
+                   CAST(FLOOR(CAST(ROUND(sum(l_quantity) * 100) AS BIGINT)
+                              * 1e4 / count(*)) AS BIGINT) AS avg_qty_micro,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_top_revenue_orders": """
+            SELECT o_orderkey,
+                   CAST(ROUND(revenue * 1e4) AS BIGINT) AS revenue_c4 FROM (
+                SELECT l.l_orderkey AS o_orderkey,
+                       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                GROUP BY l.l_orderkey
+            ) ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "rel_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders WHERE o_orderstatus = 'O'
+            GROUP BY o_orderpriority
+        """,
+        "rel_events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                   count(*) AS n_events,
+                   CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
+            FROM events GROUP BY 1, 2
+        """,
+        "rel_sessions_per_user": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                                      AND epoch(ts - prev) > 1800
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM e GROUP BY user_id
+        """,
+        "rel_brand_price_stats": """
+            SELECT p.p_brand,
+                   CAST(FLOOR(ROUND(sum(l.l_extendedprice) * 100)
+                              * 1e4 / count(*)) AS BIGINT) AS avg_price_micro,
+                   CAST(FLOOR(ROUND(sum(l.l_quantity) * 100)
+                              * 1e4 / count(*)) AS BIGINT) AS avg_qty_micro,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand
+        """,
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(FLOOR(length(regexp_extract_all(text, '[!-/:-@[-`{-~]'))
+                         / greatest(length(text), 1) * 1e9) AS BIGINT) AS punct_ratio_e9,
+                   CAST(FLOOR(length(text) * 1.0
+                         / greatest(length(regexp_extract_all(text, '\\S+')), 1) * 1e9)
+                        AS BIGINT) AS mean_word_len_e9
+            FROM documents
+        """,
+        "text_exact_dedup": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY text
+        """,
+        "sim_topk_cosine": """
+            WITH qq AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                       embedding AS qv
+                FROM embeddings
+                WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT 3)
+            ),
+            scored AS (
+                SELECT qq.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(qq.qv AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS score
+                FROM qq CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                   CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
+            FROM ranked WHERE rank <= 5
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS width,
+                   CAST(16 + (doc_id * 13) % 48 AS BIGINT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8
+                             ELSE 1 END AS BIGINT) AS frames
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT d.doc_id, CAST(t.j * 2 AS BIGINT) AS frame
+            FROM documents d, range(4) t(j)
+            WHERE d.doc_id % 3 = 2 AND t.j * 2 < 1 + d.doc_id % 8
+        """,
+    }

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "throughput": {...edges/sec + iterations per superstep algo...}}
+
+``--scaling``: runs the same bench twice in fresh interpreters at
+num_cpus=8 and num_cpus=32 (the sandbox stand-in for N vs 4N cluster
+nodes) and prints both times + scaling efficiency.
+
+The superstep workload is the SBM+Zipf-hub pages graph sized off the
+sf directory (so skewed-degree gathers are actually exercised), plus
+the full doc-link pipeline, dedup, similarity and a relational query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = _num_cpus()
+    sf_dir = _sf_dir()
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from hedonic_ray.context import configure_context
+
+    configure_context()
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.algos.components import connected_components
+    from hedonic_ray.algos.hedonic import hedonic_communities
+    from hedonic_ray.algos.labelprop import label_propagation
+    from hedonic_ray.algos.pagerank import pagerank
+    from hedonic_ray.algos.triangles import triangle_count
+    from hedonic_ray.graph.build import (
+        assign_vertex_ids,
+        build_link_graph,
+        edges_from_pages,
+    )
+    from hedonic_ray.pipelines import linkgraph as lg
+    from hedonic_ray.pipelines import textops as tx
+    from hedonic_ray.relational import queries as rel
+    from hedonic_ray.sources.synth import generate_pages
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    queries: dict[str, float] = {}
+    throughput: dict[str, dict] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the page cache (untimed read)
+    pq.read_table(f"{sf_dir}/documents.parquet")
+
+    # -- superstep workload: SBM pages with Zipf hub overlay ------------
+    # sized from the sf dir: ~2x docs pages, avg degree ~16 + hubs
+    n_blocks = 10
+    block = max(200, (2 * n_docs) // n_blocks)
+    n_pages = n_blocks * block
+    p_in = min(0.5, 14.0 / block)
+
+    def build_sbm():
+        pages = generate_pages(n_blocks, block, p_in=p_in, multiplier=0.08,
+                               seed=42, hub_links=n_pages * 2)
+        pages = pages.materialize()
+        urls_ref, n = assign_vertex_ids(pages)
+        edges = edges_from_pages(pages, urls_ref)
+        return build_link_graph(edges, n, directed=False, urls_ref=urls_ref), \
+            build_link_graph(edges, n, directed=True, urls_ref=urls_ref)
+
+    g_und, g_dir = timed("sbm_build_pages_to_graph", build_sbm)
+
+    def record(name, res):
+        throughput[name] = {
+            "edges_per_sec": round(res.edges_per_second),
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "edges_per_superstep": g_und.m,
+        }
+        return res
+
+    timed("sbm_pagerank", lambda: record("pagerank", pagerank(
+        g_dir, max_iters=30, tol=1e-10)))
+    timed("sbm_components", lambda: record("components",
+                                           connected_components(g_und)))
+    timed("sbm_labelprop", lambda: record("labelprop", label_propagation(
+        g_und, max_iters=20)))
+    timed("sbm_hedonic", lambda: record("hedonic", hedonic_communities(
+        g_und, max_iters=60)))
+    tri = timed("sbm_triangles", lambda: triangle_count(g_und))
+    throughput["triangles"] = {
+        "edges_per_sec": round(g_und.m / max(tri.seconds, 1e-9)),
+        "total_triangles": tri.total,
+    }
+
+    # -- doc-link pipeline (extraction-bound) ---------------------------
+    timed("doc_flagship", lambda: lg.flagship(sf_dir))
+
+    # -- training-data + relational ops ---------------------------------
+    timed("dedup_minhash", lambda: tx.minhash_components(sf_dir))
+    timed("sim_topk", lambda: tx.topk_similarity(sf_dir))
+    timed("rel_pricing_summary",
+          lambda: rel.pricing_summary(sf_dir).to_pandas())
+    timed("text_quality", lambda: tx.quality_scores(sf_dir).to_pandas())
+
+    ray.shutdown()
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "hedonic_ray bench: superstep link-graph algos + extract "
+                  "pipeline + training-data ops",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages_sbm": n_pages,
+        "sbm_arcs": g_und.m,
+        "throughput": throughput,
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same job, num_cpus 8 vs 32, fresh sessions)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "throughput_8": r_lo["throughput"],
+        "throughput_32": r_hi["throughput"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

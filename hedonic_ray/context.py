@@ -35,14 +35,25 @@ def configure_context(
         pass
 
 
+def session_cpus() -> int:
+    """CPUs of the live Ray session (falls back to env / OS count)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 0)) or 1
+    except Exception:
+        pass
+    return int(os.environ.get("RAY_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+
 def actor_pool(frac: float = 0.25) -> tuple[int, int]:
     """Autoscaling actor-pool size ``(1, k)`` for a map_batches stage:
     scales down to 1 on tiny inputs (cheap startup) and up to a
-    fraction of the node so several concurrent stages never starve each
-    other (an actor pool that reserves every CPU serializes the
+    fraction of the session so several concurrent stages never starve
+    each other (an actor pool that reserves every CPU serializes the
     pipeline)."""
-    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-    return (1, max(1, int(cpus * frac)))
+    return (1, max(1, int(session_cpus() * frac)))
 
 
 def default_num_partitions(n_edges: int | None = None) -> int:
@@ -53,8 +64,7 @@ def default_num_partitions(n_edges: int | None = None) -> int:
     pass an explicit value so each Arrow CSR block stays ≲256 MiB
     (``n_edges * 16B / parts``).
     """
-    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-    parts = max(4, min(64, cpus))
+    parts = max(4, min(64, session_cpus()))
     if n_edges is not None:
         # keep blocks under ~16M edges (~256 MiB of uint64 pairs)
         parts = max(parts, -(-n_edges // 16_000_000))

@@ -18,9 +18,9 @@ import numpy as np
 import pyarrow as pa
 
 
-def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+def _batch_matrix(batch: pa.Table, vec_col: str, dtype=np.float32) -> np.ndarray:
     return np.asarray(batch.column(vec_col).combine_chunks().flatten(),
-                      dtype=np.float32).reshape(len(batch), -1)
+                      dtype=dtype).reshape(len(batch), -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -28,7 +28,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def topk_cosine(emb_ds, queries: np.ndarray, k: int = 10, *,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dtype=np.float64) -> pa.Table:
     """Exact top-k by cosine for each query row.
 
     Returns an Arrow table (query_id, rank, vec_id, score) sorted by
@@ -37,13 +38,13 @@ def topk_cosine(emb_ds, queries: np.ndarray, k: int = 10, *,
     """
     import ray
 
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=dtype))
     q_ref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy()
-        m = _normalize(_batch_matrix(batch, vec_col))
+        m = _normalize(_batch_matrix(batch, vec_col, qm.dtype))
         cos = qm @ m.T  # (Q, B)
         kk = min(k, cos.shape[1])
         # partial top-k per query within this batch

@@ -1,0 +1,215 @@
+"""End-to-end link-graph pipelines over the driver testdata.
+
+``pages_from_documents`` renders ``documents.parquet`` into
+Common-Crawl-style pages with a planted arithmetic link formula; these
+pipelines run the full extract → graph → superstep stack on them and
+power ``__ray_entry__`` (entry / queries / oracle_sql).
+
+Vertex ids: urls are zero-padded doc ids, so the sorted-url dense rank
+equals ``doc_id`` — the SQL oracles join directly on doc_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hedonic_ray.algos.components import connected_components
+from hedonic_ray.algos.hedonic import hedonic_communities
+from hedonic_ray.algos.labelprop import label_propagation, onepass_improvement
+from hedonic_ray.algos.pagerank import pagerank
+from hedonic_ray.algos.triangles import triangle_count
+from hedonic_ray.context import configure_context
+from hedonic_ray.graph.build import (
+    assign_vertex_ids,
+    build_link_graph,
+    canonicalize_edges,
+    edges_from_numpy,
+    edges_from_pages,
+)
+from hedonic_ray.sources.synth import pages_from_documents
+
+_GRAPH_CACHE: dict = {}
+
+
+def doc_pages(sf_dir: str):
+    configure_context()
+    return pages_from_documents(sf_dir)
+
+
+def doc_graph(sf_dir: str, *, directed: bool):
+    """pages → extract → CSR-block LinkGraph (cached per (sf_dir, mode)
+    within the process — several queries reuse the same build)."""
+    key = (sf_dir, directed)
+    if key not in _GRAPH_CACHE:
+        pages = doc_pages(sf_dir).materialize()
+        urls_ref, n = assign_vertex_ids(pages)
+        edges = edges_from_pages(pages, urls_ref)
+        _GRAPH_CACHE[key] = build_link_graph(edges, n, directed=directed,
+                                             urls_ref=urls_ref)
+    return _GRAPH_CACHE[key]
+
+
+def doc_edges_table(sf_dir: str) -> pa.Table:
+    """Canonical directed deduped edge table of the planted doc-link
+    graph (self-loops dropped), sorted."""
+    pages = doc_pages(sf_dir)
+    urls_ref, n = assign_vertex_ids(pages)
+    edges = edges_from_pages(pages, urls_ref)
+    canon = canonicalize_edges(edges, n, directed=True)
+    rows = canon.sort(["src", "dst"]).take_all()
+    return pa.table({"src": [r["src"] for r in rows],
+                     "dst": [r["dst"] for r in rows]})
+
+
+def extracted_text_table(sf_dir: str):
+    """(doc_id, text) re-extracted from html — byte-identical to
+    documents.text (the per-url invariant, SQL-checked)."""
+    from hedonic_ray.functions.extract import BodyExtract
+    from hedonic_ray.context import actor_pool
+
+    pages = doc_pages(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ex = BodyExtract()
+        out = ex(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": out.column("text")})
+
+    return pages.map_batches(f, batch_format="pyarrow", batch_size=2048)
+
+
+def doc_degree_table(sf_dir: str) -> pa.Table:
+    """Undirected degree per vertex of the doc-link graph (vertices with
+    degree 0 omitted, matching the SQL oracle's groupby)."""
+    g = doc_graph(sf_dir, directed=False)
+    deg = g.out_degree  # symmetrized adjacency degree
+    nz = np.flatnonzero(deg)
+    return pa.table({"vertex": pa.array(nz, pa.int64()),
+                     "degree": pa.array(deg[nz], pa.int64())})
+
+
+def doc_pagerank_table(sf_dir: str, *, max_iters: int = 1) -> pa.Table:
+    """Rank as scaled BIGINT (×1e9): cross-engine summation-order noise is ~1e-19, far below the e9 grid."""
+    g = doc_graph(sf_dir, directed=True)
+    res = pagerank(g, max_iters=max_iters, tol=0.0 if max_iters == 1 else 1e-12)
+    rank = np.round(res.state["rank"] * 1e9).astype(np.int64)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "rank_e9": pa.array(rank, pa.int64())})
+
+
+def doc_pagerank_full(sf_dir: str) -> pa.Table:
+    g = doc_graph(sf_dir, directed=True)
+    res = pagerank(g, max_iters=100, tol=1e-12)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "rank": pa.array(res.state["rank"], pa.float64())})
+
+
+def doc_components_table(sf_dir: str) -> pa.Table:
+    g = doc_graph(sf_dir, directed=False)
+    res = connected_components(g)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "component": pa.array(res.state["component"], pa.int64())})
+
+
+def doc_hedonic_table(sf_dir: str) -> pa.Table:
+    g = doc_graph(sf_dir, directed=False)
+    res = hedonic_communities(g, max_iters=200)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "coalition": pa.array(res.state["coalition"], pa.int64())})
+
+
+def doc_labelprop_table(sf_dir: str) -> pa.Table:
+    g = doc_graph(sf_dir, directed=False)
+    res = label_propagation(g, max_iters=50)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "label": pa.array(res.state["label"], pa.int64())})
+
+
+def doc_triangles_table(sf_dir: str) -> pa.Table:
+    g = doc_graph(sf_dir, directed=False)
+    res = triangle_count(g)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "triangles": pa.array(res.per_vertex, pa.int64())})
+
+
+# ---------------------------------------------------- tiny dimension graphs
+
+
+def nation_region_components(sf_dir: str) -> pa.Table:
+    """CC on the nation–region star forest: vertices = regions
+    (id = r_regionkey) ∪ nations (id = 5 + n_nationkey)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    edges = np.stack([5 + nat.column("n_nationkey").to_numpy().astype(np.int64),
+                      nat.column("n_regionkey").to_numpy().astype(np.int64)],
+                     axis=1)
+    n = 5 + int(nat.column("n_nationkey").to_numpy().max()) + 1
+    g = build_link_graph(edges_from_numpy(edges), n, directed=False, num_parts=2)
+    res = connected_components(g)
+    return pa.table({"vertex": pa.array(np.arange(n), pa.int64()),
+                     "component": pa.array(res.state["component"], pa.int64())})
+
+
+def _supplier_conation_edges(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    nk = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    edges = []
+    for nation in np.unique(nk):
+        members = np.sort(sk[nk == nation])
+        if len(members) > 1:
+            iu = np.triu_indices(len(members), k=1)
+            edges.append(np.stack([members[iu[0]], members[iu[1]]], axis=1))
+    e = np.concatenate(edges) if edges else np.empty((0, 2), np.int64)
+    n = int(sk.max()) + 1
+    return e, n
+
+
+def supplier_triangles(sf_dir: str) -> pa.Table:
+    """Per-supplier triangle counts on the co-nation clique graph
+    (vertices with 0 triangles omitted, matching the SQL oracle)."""
+    e, n = _supplier_conation_edges(sf_dir)
+    g = build_link_graph(edges_from_numpy(e), n, directed=False, num_parts=4)
+    res = triangle_count(g)
+    nz = np.flatnonzero(res.per_vertex)
+    return pa.table({"s_suppkey": pa.array(nz, pa.int64()),
+                     "triangles": pa.array(res.per_vertex[nz], pa.int64())})
+
+
+def supplier_lp_onepass(sf_dir: str) -> pa.Table:
+    """One synchronous plurality LP pass on the supplier co-nation
+    graph, init label = vertex id (suppliers only in output)."""
+    e, n = _supplier_conation_edges(sf_dir)
+    g = build_link_graph(edges_from_numpy(e), n, directed=False, num_parts=4)
+    labels = onepass_improvement(g, np.arange(n, dtype=np.int64))
+    present = np.unique(e) if len(e) else np.empty(0, np.int64)
+    return pa.table({"s_suppkey": pa.array(present, pa.int64()),
+                     "label": pa.array(labels[present], pa.int64())})
+
+
+# ---------------------------------------------------------------- flagship
+
+
+def flagship(sf_dir: str) -> pa.Table:
+    """The headline pipeline: pages → extract (byte-identity asserted on
+    a sample) → link graph → PageRank + CC + hedonic communities →
+    one vertex table."""
+    g_dir = doc_graph(sf_dir, directed=True)
+    g_und = doc_graph(sf_dir, directed=False)
+    pr = pagerank(g_dir, max_iters=50, tol=1e-10)
+    cc = connected_components(g_und)
+    hed = hedonic_communities(g_und, max_iters=200)
+    n = g_dir.n
+    return pa.table({
+        "vertex": pa.array(np.arange(n), pa.int64()),
+        "out_degree": pa.array(g_dir.out_degree, pa.int64()),
+        "rank": pa.array(pr.state["rank"], pa.float64()),
+        "component": pa.array(cc.state["component"], pa.int64()),
+        "coalition": pa.array(hed.state["coalition"], pa.int64()),
+    })

@@ -1,0 +1,162 @@
+"""Query-shaped wrappers over the training-data ops (documents /
+embeddings tables) for ``__ray_entry__`` and bench."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hedonic_ray.context import configure_context
+from hedonic_ray.ops import dedup as dd
+from hedonic_ray.ops import similarity as sim
+from hedonic_ray.ops import textstats as ts
+from hedonic_ray.ops import multimodal as mm
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    configure_context()
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def token_counts(sf_dir: str):
+    ds = ts.add_token_counts(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_tokens", "n_bpe_tokens"])
+
+
+def quality_scores(sf_dir: str):
+    """Ratios as scaled BIGINTs (×1e9) — float columns are not
+    hash-stable across engines, scaled integers are."""
+    ds = ts.add_quality_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+    def scale(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def e9(col):
+            # FLOOR, not round: both engines compute the identical
+            # double (int/int division), floor has no tie rules
+            return pc.cast(pc.floor(pc.multiply(t.column(col),
+                                                pa.scalar(1e9))), pa.int64())
+
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars_calc": t.column("n_chars_calc"),
+            "punct_ratio_e9": e9("punct_ratio"),
+            "mean_word_len_e9": e9("mean_word_len"),
+        })
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str):
+    ds = ts.add_lang_id(_docs(sf_dir, ["doc_id", "text", "lang"]))
+    return ds.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def fingerprints(sf_dir: str):
+    ds = ts.add_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "fingerprint": t.column("fingerprint").cast(pa.int64(),
+                                                        safe=False)})
+
+    return ds.map_batches(to_i64, batch_format="pyarrow")
+
+
+def exact_dedup_kept(sf_dir: str):
+    out = dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id"]).sort("doc_id")
+
+
+def minhash_components(sf_dir: str) -> pa.Table:
+    comp, _pairs = dd.minhash_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                                    _n_docs(sf_dir))
+    return pa.table({"doc_id": pa.array(np.arange(len(comp)), pa.int64()),
+                     "dup_group": pa.array(comp, pa.int64())})
+
+
+def simhash_dup_pairs(sf_dir: str):
+    sigs = dd.simhash_signatures(_docs(sf_dir, ["doc_id", "text"]))
+    return dd.simhash_pairs(sigs.materialize()).sort(["a", "b"])
+
+
+def embedding_neardup(sf_dir: str) -> pa.Table:
+    """Near-dup pair counts per cosine threshold (the synthetic
+    embeddings have no true dups, so the report is the stable output:
+    pair counts at several thresholds from ONE pair scan at the lowest
+    threshold)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.30)
+    cos = []
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cos.append(b.column("cosine").to_numpy())
+    cos = np.concatenate(cos) if cos else np.empty(0)
+    thresholds = [0.30, 0.50, 0.90, 0.98]
+    return pa.table({
+        "threshold_e2": pa.array([int(t * 100) for t in thresholds], pa.int64()),
+        "n_pairs": pa.array([int((cos >= t).sum()) for t in thresholds],
+                            pa.int64()),
+    })
+
+
+def _query_matrix(sf_dir: str, n_queries: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy())[:n_queries]
+    mat = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                     dtype=np.float32).reshape(t.num_rows, -1)
+    return mat[order]
+
+
+def topk_similarity(sf_dir: str, k: int = 5) -> pa.Table:
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.topk_cosine(emb, _query_matrix(sf_dir), k=k)
+    return pa.table({
+        "query_id": out.column("query_id"),
+        "rank": out.column("rank"),
+        "vec_id": out.column("vec_id"),
+        "score_e6": pc.cast(pc.round(pc.multiply(out.column("score"),
+                                                 pa.scalar(1e6))), pa.int64()),
+    })
+
+
+def ivf_similarity(sf_dir: str, k: int = 5) -> pa.Table:
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.ivf_topk(emb, _query_matrix(sf_dir), k=k)
+
+
+def multimodal_decode(sf_dir: str):
+    import ray.data as rd
+
+    configure_context()
+    media = rd.from_arrow(mm.synth_media_table(_n_docs(sf_dir)))
+    return mm.decode_media(media).select_columns(
+        ["doc_id", "kind", "width", "height", "frames"])
+
+
+def multimodal_frames(sf_dir: str):
+    import ray.data as rd
+
+    configure_context()
+    media = rd.from_arrow(mm.synth_media_table(_n_docs(sf_dir)))
+    return mm.frame_sample(media).sort(["doc_id", "frame"])

@@ -1,0 +1,249 @@
+"""Relational pipelines over the TPC-H-ish tables.
+
+The reference's tabular surface (result folding / filtering / grouped
+means, ``/root/reference/scripts/data_reader.py``,
+``scripts/plot/paper_plots/plot_figures.py:214-320``) generalizes to
+these operators: filtered grouped aggregates, broadcast joins against
+dimension tables, top-k, and ordered per-key window logic
+(sessionization).  Each pipeline has a matching ANSI-SQL oracle in
+``__ray_entry__.oracle_sql``.
+
+Join strategy: dimension tables (customer/part/supplier/...) are the
+small side → broadcast via ``ray.put`` + vectorized numpy lookup inside
+``map_batches`` (no shuffle).  Fact-fact joins would use
+``Dataset.join`` (hash-partitioned) — not needed by these pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hedonic_ray.context import configure_context
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    configure_context()
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _collect_columns(ds, cols: list[str]) -> dict[str, np.ndarray]:
+    out = {c: [] for c in cols}
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for c in cols:
+            out[c].append(b.column(c).to_numpy(zero_copy_only=False))
+    return {c: np.concatenate(v) for c, v in out.items()}
+
+
+def scale_to_int(ds, spec: dict[str, tuple[str, float]]):
+    """Replace float columns with scaled BIGINTs: out_name = round(col *
+    factor).  Float aggregates differ across engines at the last ulp
+    (summation order), so rounded floats are NOT hash-stable; scaled
+    integers are — the SQL oracles apply the identical
+    CAST(ROUND(x * factor) AS BIGINT)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for out_name, (col, factor) in spec.items():
+            scaled = pc.round(pc.multiply(t.column(col), pa.scalar(factor)))
+            t = t.drop_columns([col]).append_column(
+                out_name, pc.cast(scaled, pa.int64()))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def broadcast_lookup(keys_ref):
+    """Returns a per-batch vectorized mapper: key array → value array
+    via a broadcast sorted (keys, values) pair."""
+    import ray
+
+    sorted_keys, values = ray.get(keys_ref)
+
+    def lookup(arr: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_keys, arr)
+        pos = np.clip(pos, 0, len(sorted_keys) - 1)
+        ok = sorted_keys[pos] == arr
+        return values[pos], ok
+
+    return lookup
+
+
+# ---------------------------------------------------------------- pipelines
+
+
+def pricing_summary(sf_dir: str):
+    """Q1-style: filtered grouped sums over lineitem (one shuffle after
+    vectorized per-batch derivation)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc)
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Count(alias_name="count_order")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # sums of exact-decimal values scaled to native precision (2dp
+        # prices, 4dp discounted products) round to stable integers;
+        # averages derive from those integers with FLOOR (identical
+        # doubles on both engines → identical floor, no tie rule issues)
+        sum_qty_c = pc.cast(pc.round(pc.multiply(t.column("sum_qty"), 100.0)),
+                            pa.int64())
+        avg = pc.floor(pc.divide(
+            pc.multiply(pc.cast(sum_qty_c, pa.float64()), 1e4),
+            pc.cast(t.column("count_order"), pa.float64())))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty_c": sum_qty_c,
+            "sum_base_price_c": pc.cast(pc.round(pc.multiply(
+                t.column("sum_base_price"), 100.0)), pa.int64()),
+            "sum_disc_price_c4": pc.cast(pc.round(pc.multiply(
+                t.column("sum_disc_price"), 1e4)), pa.int64()),
+            "avg_qty_micro": pc.cast(avg, pa.int64()),
+            "count_order": t.column("count_order"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Q3-style: broadcast semi-join lineitem against the qualifying
+    order set, grouped revenue, top-k."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _collect_columns(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        ["c_custkey", "c_mktsegment"])
+    keep_cust = np.sort(cust["c_custkey"][cust["c_mktsegment"] == segment])
+    orders = _collect_columns(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        ["o_orderkey", "o_custkey"])
+    pos = np.searchsorted(keep_cust, orders["o_custkey"])
+    pos = np.clip(pos, 0, max(0, len(keep_cust) - 1))
+    ok = len(keep_cust) > 0
+    sel = ok & (keep_cust[pos] == orders["o_custkey"]) if ok else np.zeros(0, bool)
+    keep_orders = np.sort(orders["o_orderkey"][sel])
+    ref = ray.put(keep_orders)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ko = ray.get(ref)
+        keys = t.column("l_orderkey").to_numpy()
+        p = np.clip(np.searchsorted(ko, keys), 0, max(0, len(ko) - 1))
+        mask = (ko[p] == keys) if len(ko) else np.zeros(len(keys), bool)
+        t = t.filter(pa.array(mask))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue": rev})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    grouped = (li.map_batches(filt, batch_format="pyarrow")
+               .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")))
+    top = grouped.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+    return scale_to_int(top, {"revenue_c4": ("revenue", 1e4)})
+
+
+def order_priority_count(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "O")),
+        batch_format="pyarrow")
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: (event_type, hour bucket) → count/sum."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        hour = pc.floor(pc.divide(pc.cast(us, pa.float64()), 3_600_000_000.0))
+        return pa.table({"event_type": t.column("event_type"),
+                         "hour": pc.cast(hour, pa.int64()),
+                         "value": t.column("value")})
+
+    _out = (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value", alias_name="sum_value")))
+    return scale_to_int(_out, {"sum_value_micro": ("sum_value", 1e6)})
+
+
+def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user ordered gap-islands inside
+    ``groupby(user).map_groups`` (the streaming-shaped pattern — state
+    stays within one key's ordered group)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sess(group: dict) -> dict:
+        ts = np.sort(group["ts"].astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > gap_minutes * 60_000_000
+        return {"user_id": group["user_id"][:1].astype(np.int64),
+                "n_sessions": np.array([1 + int(gaps.sum())], dtype=np.int64),
+                "n_events": np.array([len(ts)], dtype=np.int64)}
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="numpy")
+
+
+def brand_price_stats(sf_dir: str):
+    """lineitem ⋈ part (broadcast dimension join) → per-brand stats."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = _collect_columns(_read(sf_dir, "part", ["p_partkey", "p_brand"]),
+                            ["p_partkey", "p_brand"])
+    order = np.argsort(part["p_partkey"])
+    ref = ray.put((part["p_partkey"][order], part["p_brand"][order]))
+
+    def join(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(ref)
+        pk = t.column("l_partkey").to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+        ok = keys[pos] == pk
+        return pa.table({
+            "p_brand": pa.array(brands[pos][ok]),
+            "l_extendedprice": t.column("l_extendedprice").filter(pa.array(ok)),
+            "l_quantity": t.column("l_quantity").filter(pa.array(ok)),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"])
+    _out = (li.map_batches(join, batch_format="pyarrow")
+            .groupby("p_brand")
+            .aggregate(Sum("l_extendedprice", alias_name="sum_price"),
+                       Sum("l_quantity", alias_name="sum_qty"),
+                       Count(alias_name="n_items")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_items"), pa.float64())
+
+        def avg_micro(col):
+            cents = pc.round(pc.multiply(t.column(col), 100.0))
+            return pc.cast(pc.floor(pc.divide(pc.multiply(cents, 1e4), n)),
+                           pa.int64())
+
+        return pa.table({"p_brand": t.column("p_brand"),
+                         "avg_price_micro": avg_micro("sum_price"),
+                         "avg_qty_micro": avg_micro("sum_qty"),
+                         "n_items": t.column("n_items")})
+
+    return _out.map_batches(finalize, batch_format="pyarrow")

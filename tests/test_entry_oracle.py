@@ -1,0 +1,111 @@
+"""Driver-gate simulation: every queries() entry with an oracle_sql()
+entry must match DuckDB exactly (row count, schema names, values) at
+sf0.001 — the same order-insensitive compare the driver runs at sf0.01.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        df = obj
+    elif isinstance(obj, pa.Table):
+        df = obj.to_pandas()
+    else:  # ray Dataset
+        df = obj.to_pandas()
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df
+
+
+@pytest.fixture(scope="module")
+def entry_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_runs(entry_module):
+    out = entry_module.entry()
+    df = _to_pandas(out)
+    assert len(df) == 500
+    assert set(df.columns) == {"vertex", "out_degree", "rank", "component",
+                               "coalition"}
+
+
+def test_oracle_keys_subset(entry_module):
+    q = entry_module.queries()
+    o = entry_module.oracle_sql()
+    assert set(o).issubset(set(q))
+
+
+SQL_CHECKED = sorted([
+    "graph_extract_edges", "graph_extract_text", "graph_degree",
+    "graph_pagerank_onestep", "graph_cc_nation", "graph_triangles_supplier",
+    "graph_lp_onepass", "rel_pricing_summary", "rel_top_revenue_orders",
+    "rel_order_priority", "rel_events_hourly", "rel_sessions_per_user",
+    "rel_brand_price_stats", "text_token_counts", "text_quality",
+    "text_exact_dedup", "sim_topk_cosine", "multimodal_decode",
+    "multimodal_frames",
+])
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(entry_module, name):
+    q = entry_module.queries()[name]
+    sql = entry_module.oracle_sql()[name]
+    got = _norm(_to_pandas(q(SF)))
+    con = _duck()
+    exp = _norm(_to_pandas(con.sql(sql).df()))
+    con.close()
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    for c in got.columns:
+        if got[c].dtype == np.float64:
+            np.testing.assert_array_equal(
+                got[c].to_numpy(), exp[c].to_numpy(),
+                err_msg=f"{name}.{c}")
+        else:
+            assert got[c].tolist() == exp[c].tolist(), f"{name}.{c}"
+
+
+ROWS_ONLY = ["graph_pagerank_full", "graph_components", "graph_hedonic",
+             "graph_labelprop", "graph_triangles_docs", "text_lang_id",
+             "text_fingerprints", "dedup_minhash", "dedup_simhash",
+             "dedup_embedding", "sim_ivf_topk"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(entry_module, name):
+    out = entry_module.queries()[name](SF)
+    df = _to_pandas(out)
+    assert len(df) >= 0 and len(df.columns) >= 1

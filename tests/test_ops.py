@@ -1,0 +1,201 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+WORDS = "the quick brown fox jumps over a lazy dog near the old river bank".split()
+
+
+def _doc(seed, n=60):
+    rng = np.random.default_rng(seed)
+    return " ".join(rng.choice(WORDS, n))
+
+
+def test_exact_dedup():
+    from hedonic_ray.ops.dedup import exact_dedup
+
+    texts = [_doc(1), _doc(2), _doc(1), _doc(3), _doc(2), _doc(1)]
+    kept = sorted(r["doc_id"] for r in exact_dedup(_docs_ds(texts)).take_all())
+    assert kept == [0, 1, 3]
+
+
+def test_minhash_finds_planted_near_dups():
+    from hedonic_ray.ops.dedup import minhash_dedup
+
+    base = _doc(7, 120)
+    mutated = base.split()
+    mutated[5] = "changed"
+    near = " ".join(mutated)  # ~99% shingle overlap
+    texts = [base, _doc(8, 120), near, _doc(9, 120), base]
+    comp, pairs = minhash_dedup(_docs_ds(texts), len(texts), threshold=0.6)
+    # exact dup 0~4 and near-dup 0~2 must cluster; distinct docs must not
+    assert comp[0] == comp[2] == comp[4]
+    assert comp[1] != comp[0] and comp[3] != comp[0] and comp[1] != comp[3]
+
+
+def test_minhash_estimate_close_to_exact_jaccard():
+    import oracles  # noqa: F401  (path setup)
+    from hedonic_ray.ops.dedup import MinHashSignatures, _word_shingles
+
+    a = _doc(11, 200)
+    w = a.split()
+    w[10:20] = ["x"] * 10
+    b = " ".join(w)
+    sa, sb = set(_word_shingles(a, 3)), set(_word_shingles(b, 3))
+    exact = len(sa & sb) / len(sa | sb)
+    m = MinHashSignatures(num_perm=128)
+    est = (m.signature(a) == m.signature(b)).mean()
+    assert abs(est - exact) < 0.15
+
+
+def test_simhash_pairs_near_dups():
+    from hedonic_ray.ops.dedup import simhash_signatures, simhash_pairs
+
+    base = _doc(21, 150)
+    w = base.split()
+    w[3] = "tweak"
+    # doc 2 uses a disjoint vocabulary (simhash over a shared tiny vocab
+    # is legitimately close for any two random docs)
+    other = " ".join(f"tok{i}word{i * 7 % 13}" for i in range(80))
+    texts = [base, " ".join(w), other, base]
+    sigs = simhash_signatures(_docs_ds(texts)).materialize()
+    rows = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(sigs).take_all()}
+    assert rows.get((0, 3)) == 0  # identical docs
+    assert (0, 2) not in rows and (2, 3) not in rows and (1, 2) not in rows
+
+
+def test_exact_ngram_verify():
+    from hedonic_ray.ops.dedup import verify_pairs_exact
+    import ray.data as rd
+
+    base = _doc(31, 100)
+    texts = [base, base, _doc(32, 100)]
+    pairs = rd.from_arrow(pa.table({"a": pa.array([0, 0], pa.int64()),
+                                    "b": pa.array([1, 2], pa.int64())}))
+    out = verify_pairs_exact(pairs, _docs_ds(texts), threshold=0.9).take_all()
+    assert [(r["a"], r["b"]) for r in out] == [(0, 1)]
+    assert out[0]["jaccard"] == 1.0
+
+
+def _emb_ds(mat):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1).astype(np.float32)), mat.shape[1]),
+    }))
+
+
+def test_topk_cosine_matches_numpy():
+    from hedonic_ray.ops.similarity import topk_cosine
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(200, 16)).astype(np.float32)
+    q = mat[:2].astype(np.float64)
+    out = topk_cosine(_emb_ds(mat), q, k=5)
+    norm = mat.astype(np.float64)
+    norm = norm / np.linalg.norm(norm, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cos = qn @ norm.T
+    for qi in range(2):
+        expected = np.argsort(-cos[qi], kind="stable")[:5]
+        got = out.filter(np.array(out.column("query_id")) == qi)
+        np.testing.assert_array_equal(got.column("vec_id").to_numpy(), expected)
+
+
+def test_ivf_recall():
+    from hedonic_ray.ops.similarity import ivf_topk, topk_cosine
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 16)) * 4
+    mat = np.concatenate([c + rng.normal(size=(50, 16)) for c in centers]
+                         ).astype(np.float32)
+    q = mat[[0, 77, 301]].astype(np.float64)
+    exact = topk_cosine(_emb_ds(mat), q, k=5)
+    approx = ivf_topk(_emb_ds(mat), q, k=5, n_clusters=8, nprobe=3)
+    # recall@5 ≥ 0.8 on well-clustered data
+    hits = 0
+    for qi in range(3):
+        e = set(exact.filter(np.array(exact.column("query_id")) == qi)
+                .column("vec_id").to_pylist())
+        a = set(approx.filter(np.array(approx.column("query_id")) == qi)
+                .column("vec_id").to_pylist())
+        hits += len(e & a)
+    assert hits / 15 >= 0.8
+
+
+def test_embedding_neardup():
+    from hedonic_ray.ops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(50, 16)).astype(np.float32)
+    mat[7] = mat[3] * 1.5  # same direction → cosine 1
+    out = embedding_neardup_pairs(_emb_ds(mat), threshold=0.999).take_all()
+    assert {(r["a"], r["b"]) for r in out} == {(3, 7)}
+
+
+def test_textstats_kernels():
+    from hedonic_ray.ops.textstats import add_quality_scores, add_token_counts
+
+    ds = add_token_counts(_docs_ds(["a bb ccc", "one, two!"]))
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert rows[0]["n_tokens"] == 3 and rows[1]["n_tokens"] == 2
+    assert rows[1]["n_bpe_tokens"] == 4  # one , two !
+    qs = sorted(add_quality_scores(_docs_ds(["aaa bbb ccc"])).take_all(),
+                key=lambda r: r["doc_id"])
+    assert qs[0]["n_chars_calc"] == 11
+    assert qs[0]["mean_word_len"] == pytest.approx(11 / 3)
+
+
+def test_langid_on_testdata_sample():
+    import ray.data as rd
+    from hedonic_ray.ops.textstats import add_lang_id
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    out = add_lang_id(docs).take_all()
+    assert all(r["lang_pred"] in {"en", "de", "es", "fr", "zh", "und"}
+               for r in out)
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    from hedonic_ray.ops.textstats import Fingerprint
+
+    fp = Fingerprint()
+    a = _doc(41, 100)
+    assert fp._fp(a) == fp._fp(a)
+    assert fp._fp(a) != fp._fp(a + " extra")
+
+
+def test_multimodal_roundtrip():
+    import ray.data as rd
+    from hedonic_ray.ops.multimodal import (
+        DecodeMedia,
+        decode_media,
+        frame_sample,
+        media_features,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(30))
+    rows = sorted(decode_media(media).take_all(), key=lambda r: r["doc_id"])
+    for r in rows:
+        assert r["decoded"]
+        assert r["width"] == 16 + (r["doc_id"] * 7) % 64
+        assert r["frames"] == (1 + r["doc_id"] % 8 if r["doc_id"] % 3 == 2 else 1)
+    feats = media_features(media).take_all()
+    assert len(feats) == 30 and len(feats[0]["feature"]) == 16
+    frames = frame_sample(media).take_all()
+    assert all(r["frame"] % 2 == 0 for r in frames)
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(fake=False)
