@@ -63,6 +63,7 @@ def run_bench() -> dict:
     from hedonic_ray.sources.synth import generate_pages
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_lineitem = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
     queries: dict[str, float] = {}
     throughput: dict[str, dict] = {}
 
@@ -72,13 +73,20 @@ def run_bench() -> dict:
         queries[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # warm the page cache (untimed read)
+    # untimed warm-up: spawn the Ray worker pool (first pipeline in a
+    # fresh session otherwise pays ~10s of worker startup) + OS page cache
+    import ray.data as rd
+
+    for _ in range(2):
+        rd.range(1_000_000, override_num_blocks=num_cpus * 2).map_batches(
+            lambda b: b, batch_format="pyarrow").materialize()
     pq.read_table(f"{sf_dir}/documents.parquet")
 
     # -- superstep workload: SBM pages with Zipf hub overlay ------------
-    # sized from the sf dir: ~2x docs pages, avg degree ~16 + hubs
+    # sized off the sf factor (lineitem rows track sf): sf0.1 → 120k
+    # pages / ~2M arcs — enough to make gathers and skew real
     n_blocks = 10
-    block = max(200, (2 * n_docs) // n_blocks)
+    block = max(200, n_lineitem // (5 * n_blocks))
     n_pages = n_blocks * block
     p_in = min(0.5, 14.0 / block)
 

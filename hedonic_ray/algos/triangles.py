@@ -41,24 +41,21 @@ from hedonic_ray.graph.build import build_link_graph
 _PAIR_CHUNK = 8_000_000
 
 
-class _Orient:
-    """CSR block → oriented arc rows (u, v) with rank(u) < rank(v)."""
+def _orient_batch(batch: pa.Table, rankkey_ref) -> pa.Table:
+    """CSR block → oriented arc rows (u, v) with rank(u) < rank(v).
+    Stateless task; the rank array arrives zero-copy via ray.get."""
+    import ray
 
-    def __init__(self, rankkey_ref):
-        import ray
-
-        self.rankkey = ray.get(rankkey_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = []
-        for bv in iter_block_views(batch):
-            u = bv.src_per_edge()
-            v = bv.indices
-            keep = self.rankkey[u] < self.rankkey[v]
-            outs.append(pa.table({"src": pa.array(u[keep], pa.int64()),
-                                  "dst": pa.array(v[keep], pa.int64())}))
-        return pa.concat_tables(outs) if outs else pa.table(
-            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    rankkey = ray.get(rankkey_ref)
+    outs = []
+    for bv in iter_block_views(batch):
+        u = bv.src_per_edge()
+        v = bv.indices
+        keep = rankkey[u] < rankkey[v]
+        outs.append(pa.table({"src": pa.array(u[keep], pa.int64()),
+                              "dst": pa.array(v[keep], pa.int64())}))
+    return pa.concat_tables(outs) if outs else pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
 
 
 def _ordered_pairs(indptr: np.ndarray, indices: np.ndarray, lo_u: int, hi_u: int):
@@ -81,48 +78,44 @@ def _ordered_pairs(indptr: np.ndarray, indices: np.ndarray, lo_u: int, hi_u: int
     return u_idx + lo_u, indices[starts + i], indices[starts + j]
 
 
-class _Wedges:
-    """Oriented CSR block → per-vertex partial triangle counts."""
+def _wedges_batch(batch: pa.Table, keys_ref, rankkey_ref, n_: int) -> pa.Table:
+    """Oriented CSR block → per-vertex partial triangle counts.
+    Stateless task; probe set + rank array read zero-copy per task."""
+    import ray
 
-    def __init__(self, keys_ref, rankkey_ref, n: int):
-        import ray
-
-        self.keys = ray.get(keys_ref)  # sorted oriented-edge keys u*n+v
-        self.rankkey = ray.get(rankkey_ref)
-        self.n = n
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = np.int64(self.n)
-        acc = np.zeros(self.n, dtype=np.int64)
-        for bv in iter_block_views(batch):
-            nv = bv.hi - bv.lo
-            # rank-sort each adjacency segment (one vectorized lexsort)
-            seg = np.repeat(np.arange(nv, dtype=np.int64), np.diff(bv.indptr))
-            order = np.lexsort((self.rankkey[bv.indices], seg))
-            srt = bv.indices[order]
-            # chunk the pair expansion by vertex range
-            lo_u = 0
-            cnt = np.diff(bv.indptr)
-            while lo_u < nv:
-                hi_u = lo_u
-                pairs = 0
-                while hi_u < nv and (pairs == 0 or pairs < _PAIR_CHUNK):
-                    pairs += int(cnt[hi_u] * (cnt[hi_u] - 1) // 2)
-                    hi_u += 1
-                u_local, a, b = _ordered_pairs(bv.indptr, srt, lo_u, hi_u)
-                if len(u_local):
-                    q = a * n + b
-                    pos = np.searchsorted(self.keys, q)
-                    ok = pos < len(self.keys)
-                    hit = np.flatnonzero(ok & (self.keys[np.where(ok, pos, 0)] == q))
-                    if len(hit):
-                        np.add.at(acc, u_local[hit] + bv.lo, 1)
-                        np.add.at(acc, a[hit], 1)
-                        np.add.at(acc, b[hit], 1)
-                lo_u = hi_u
-        nz = np.flatnonzero(acc)
-        return pa.table({"dst": pa.array(nz, pa.int64()),
-                         "val": pa.array(acc[nz].astype(np.float64), pa.float64())})
+    keys = ray.get(keys_ref)  # sorted oriented-edge keys u*n+v
+    rankkey = ray.get(rankkey_ref)
+    n = np.int64(n_)
+    acc = np.zeros(n_, dtype=np.int64)
+    for bv in iter_block_views(batch):
+        nv = bv.hi - bv.lo
+        # rank-sort each adjacency segment (one vectorized lexsort)
+        seg = np.repeat(np.arange(nv, dtype=np.int64), np.diff(bv.indptr))
+        order = np.lexsort((rankkey[bv.indices], seg))
+        srt = bv.indices[order]
+        # chunk the pair expansion by vertex range
+        lo_u = 0
+        cnt = np.diff(bv.indptr)
+        while lo_u < nv:
+            hi_u = lo_u
+            pairs = 0
+            while hi_u < nv and (pairs == 0 or pairs < _PAIR_CHUNK):
+                pairs += int(cnt[hi_u] * (cnt[hi_u] - 1) // 2)
+                hi_u += 1
+            u_local, a, b = _ordered_pairs(bv.indptr, srt, lo_u, hi_u)
+            if len(u_local):
+                q = a * n + b
+                pos = np.searchsorted(keys, q)
+                ok = pos < len(keys)
+                hit = np.flatnonzero(ok & (keys[np.where(ok, pos, 0)] == q))
+                if len(hit):
+                    np.add.at(acc, u_local[hit] + bv.lo, 1)
+                    np.add.at(acc, a[hit], 1)
+                    np.add.at(acc, b[hit], 1)
+            lo_u = hi_u
+    nz = np.flatnonzero(acc)
+    return pa.table({"dst": pa.array(nz, pa.int64()),
+                     "val": pa.array(acc[nz].astype(np.float64), pa.float64())})
 
 
 @dataclass
@@ -150,8 +143,8 @@ def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None) -> 
     rk_ref = ray.put(rankkey)
 
     oriented_edges = g.blocks.map_batches(
-        _Orient, fn_constructor_args=(rk_ref,), batch_format="pyarrow",
-        batch_size=4, concurrency=actor_pool())
+        lambda b: _orient_batch(b, rk_ref), batch_format="pyarrow",
+        batch_size=4)
     og = build_link_graph(oriented_edges, n, directed=True,
                           num_parts=num_parts or g.num_parts)
 
@@ -163,8 +156,8 @@ def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None) -> 
     keys_ref = ray.put(keys)
 
     msgs = og.blocks.map_batches(
-        _Wedges, fn_constructor_args=(keys_ref, rk_ref, n),
-        batch_format="pyarrow", batch_size=4, concurrency=actor_pool())
+        lambda b: _wedges_batch(b, keys_ref, rk_ref, n),
+        batch_format="pyarrow", batch_size=4)
     if mode == "dense":
         arrs = gather_kv_driver(msgs, ["dst"], "val", "sum")
     else:

@@ -50,35 +50,33 @@ def collect_sorted_urls(pages_ds) -> np.ndarray:
     ):
         chunks.append(batch.column("url").to_numpy(zero_copy_only=False))
     if not chunks:
-        return np.empty(0, dtype=object)
-    return np.unique(np.concatenate(chunks))
+        return np.empty(0, dtype="<U1")
+    # fixed-width string array → vectorized C-level searchsorted lookups
+    return np.unique(np.concatenate(chunks).astype(str))
 
 
-class IdLookup:
-    """Actor stage: map url columns to dense vertex ids via a broadcast
-    vocabulary (dict built once per actor in ``__init__``).  Link
-    targets not in the vocabulary (out-of-crawl urls) are dropped."""
+def _id_lookup_batch(batch: pa.Table, urls_ref,
+                     cols=("src_url", "dst_url"),
+                     out=("src", "dst")) -> pa.Table:
+    """Map url columns to dense vertex ids against the broadcast sorted
+    vocabulary (zero-copy ``ray.get`` per task + vectorized
+    ``np.searchsorted`` over a fixed-width string array — no per-actor
+    dict build, so this runs as cheap stateless tasks).  Link targets
+    not in the vocabulary (out-of-crawl urls) are dropped."""
+    import ray
 
-    def __init__(self, urls_ref, cols=("src_url", "dst_url"), out=("src", "dst")):
-        import ray
-
-        urls = ray.get(urls_ref)
-        self.idx = {u: i for i, u in enumerate(urls.tolist())}
-        self.cols, self.out = cols, out
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        idx = self.idx
-        arrays = []
-        mask = None
-        for c in self.cols:
-            vals = batch.column(c).to_pylist()
-            ids = np.fromiter((idx.get(v, -1) for v in vals), dtype=np.int64,
-                              count=len(vals))
-            ok = ids >= 0
-            mask = ok if mask is None else (mask & ok)
-            arrays.append(ids)
-        return pa.table({name: pa.array(a[mask], pa.int64())
-                         for name, a in zip(self.out, arrays)})
+    vocab = ray.get(urls_ref)
+    arrays = []
+    mask = None
+    for c in cols:
+        vals = batch.column(c).to_numpy(zero_copy_only=False).astype(vocab.dtype)
+        pos = np.searchsorted(vocab, vals)
+        pos = np.clip(pos, 0, max(0, len(vocab) - 1))
+        ok = (vocab[pos] == vals) if len(vocab) else np.zeros(len(vals), bool)
+        mask = ok if mask is None else (mask & ok)
+        arrays.append(pos.astype(np.int64))
+    return pa.table({name: pa.array(a[mask], pa.int64())
+                     for name, a in zip(out, arrays)})
 
 
 def assign_vertex_ids(pages_ds):
@@ -101,10 +99,10 @@ def edges_from_pages(pages_ds, urls_ref) -> "ray.data.Dataset":
     dropped inside the extract stage."""
     configure_context()
     ds = pages_ds.select_columns(["url", "html"])
-    links = ds.map_batches(LinkExtract, batch_format="pyarrow",
-                           batch_size=1024, concurrency=actor_pool())
-    return links.map_batches(IdLookup, fn_constructor_args=(urls_ref,),
-                             batch_format="pyarrow", concurrency=actor_pool())
+    extractor = LinkExtract()  # compiled once, shipped in the task closure
+    links = ds.map_batches(extractor, batch_format="pyarrow", batch_size=1024)
+    return links.map_batches(lambda b: _id_lookup_batch(b, urls_ref),
+                             batch_format="pyarrow")
 
 
 def _normalize_batch(batch: pa.Table, *, n: int, directed: bool,

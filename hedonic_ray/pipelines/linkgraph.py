@@ -38,13 +38,18 @@ def doc_pages(sf_dir: str):
 
 
 def doc_graph(sf_dir: str, *, directed: bool):
-    """pages → extract → CSR-block LinkGraph (cached per (sf_dir, mode)
-    within the process — several queries reuse the same build)."""
+    """pages → extract → CSR-block LinkGraph (cached per sf_dir within
+    the process; extraction runs ONCE, the materialized edge table
+    feeds both the directed and undirected builds)."""
     key = (sf_dir, directed)
     if key not in _GRAPH_CACHE:
-        pages = doc_pages(sf_dir).materialize()
-        urls_ref, n = assign_vertex_ids(pages)
-        edges = edges_from_pages(pages, urls_ref)
+        ekey = (sf_dir, "edges")
+        if ekey not in _GRAPH_CACHE:
+            pages = doc_pages(sf_dir)
+            urls_ref, n = assign_vertex_ids(pages)
+            _GRAPH_CACHE[ekey] = (
+                edges_from_pages(pages, urls_ref).materialize(), urls_ref, n)
+        edges, urls_ref, n = _GRAPH_CACHE[ekey]
         _GRAPH_CACHE[key] = build_link_graph(edges, n, directed=directed,
                                              urls_ref=urls_ref)
     return _GRAPH_CACHE[key]

@@ -220,24 +220,16 @@ def _out_csr(n: int, und_edges: np.ndarray, hub_edges: np.ndarray | None) -> tup
     return indptr, dst
 
 
-class _RenderPages:
-    """Actor-pool render stage: batch of page indices → pages rows.
+def _render_pages_batch(batch: dict, indptr_ref, indices_ref,
+                        n_blocks: int, block_size: int) -> pa.Table:
+    """Stateless render task: adjacency arrays come via ``ray.put`` refs
+    (zero-copy object-store reads per task)."""
+    import ray
 
-    Adjacency arrays come in via ``ray.put`` refs — shipped to each
-    actor once (zero-copy object-store reads), not per batch.
-    """
-
-    def __init__(self, indptr_ref, indices_ref, n_blocks: int, block_size: int):
-        import ray
-
-        self.indptr = ray.get(indptr_ref)
-        self.indices = ray.get(indices_ref)
-        self.n_blocks = n_blocks
-        self.block_size = block_size
-
-    def __call__(self, batch: dict) -> pa.Table:
-        return _pages_table(batch["id"].astype(np.int64), self.n_blocks,
-                            self.block_size, self.indptr, self.indices)
+    indptr = ray.get(indptr_ref)
+    indices = ray.get(indices_ref)
+    return _pages_table(batch["id"].astype(np.int64), n_blocks,
+                        block_size, indptr, indices)
 
 
 def generate_pages(n_blocks: int, block_size: int, p_in: float, multiplier: float,
@@ -262,11 +254,9 @@ def generate_pages(n_blocks: int, block_size: int, p_in: float, multiplier: floa
         return rd.from_arrow(_pages_table(np.arange(n), n_blocks, block_size, indptr, indices))
     ip_ref, ix_ref = ray.put(indptr), ray.put(indices)
     return rd.range(n).map_batches(
-        _RenderPages,
-        fn_constructor_args=(ip_ref, ix_ref, n_blocks, block_size),
+        lambda b: _render_pages_batch(b, ip_ref, ix_ref, n_blocks, block_size),
         batch_format="numpy",
         batch_size=4096,
-        concurrency=actor_pool(),
     )
 
 
@@ -328,7 +318,5 @@ def pages_from_documents(sf_dir: str):
     path = f"{sf_dir}/documents.parquet"
     n_docs = pq.read_metadata(path).num_rows
     ds = rd.read_parquet(path, columns=["doc_id", "text", "lang"])
-    return ds.map_batches(
-        _RenderDocPages, fn_constructor_args=(n_docs,),
-        batch_format="pyarrow", batch_size=2048, concurrency=actor_pool(),
-    )
+    render = _RenderDocPages(n_docs)
+    return ds.map_batches(render, batch_format="pyarrow", batch_size=2048)

@@ -167,3 +167,37 @@ def test_community_stability():
     assert set(out) == {"fraction_want_to_leave", "fraction_want_to_join"}
     assert 0.0 <= out["fraction_want_to_leave"] <= 1.0
     assert 0.0 <= out["fraction_want_to_join"] <= 1.0
+
+
+def test_spectra_helpers():
+    from hedonic_ray.analytics import spectra as sp
+
+    seq = sp.generate_sequence(0.3, 7)
+    assert len(seq) == 7 and seq == sorted(seq)
+    assert 0.0 in seq and 1.0 in seq and 0.3 in seq
+
+    mem = np.array([0, 5, 9, 2])
+    np.testing.assert_array_equal(sp.limit_community_count(mem, 4),
+                                  [0, 3, 3, 2])
+
+    a = np.array([0, 1, 1, 0])
+    assert sp.membership_hash(a) == sp.membership_hash(a.copy())
+    assert sp.membership_hash(a) != sp.membership_hash(np.array([0, 1, 1, 1]))
+
+
+def test_community_spectra_two_triangles():
+    from hedonic_ray.analytics import spectra as sp
+
+    g = make_graph(TWO_TRI_EDGES, 6)
+    out = sp.community_spectra(g, [[1, 2, 3], [0, 4, 5]]).to_pandas()
+    assert len(out) == 2
+    # the planted triangles are the robust partition (TWO_TRI_PART)
+    assert (out.robustness == 1.0).all()
+    assert (out.min_eq_fraction == 1.0).all()
+
+
+def test_isolated_vertices():
+    from hedonic_ray.analytics import spectra as sp
+
+    g = make_graph([(0, 1), (2, 3)], 6)
+    np.testing.assert_array_equal(sp.isolated_vertices(g), [4, 5])

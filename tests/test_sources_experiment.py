@@ -1,0 +1,77 @@
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+
+def test_snap_edgelist_reader(tmp_path):
+    from hedonic_ray.sources.readers import read_snap_edgelist
+
+    p = tmp_path / "g.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("# comment line\n0 1\n1 2\n\n2 0\n")
+    rows = sorted((r["src"], r["dst"])
+                  for r in read_snap_edgelist(str(p)).take_all())
+    assert rows == [(0, 1), (1, 2), (2, 0)]
+
+
+def test_snap_reader_to_graph(tmp_path):
+    from hedonic_ray.graph.build import build_link_graph
+    from hedonic_ray.sources.readers import read_snap_edgelist
+
+    p = tmp_path / "g.txt"
+    p.write_text("0 1\n1 2\n2 0\n3 4\n")
+    ds = read_snap_edgelist(str(p))
+    g = build_link_graph(ds, 5, directed=False, num_parts=2)
+    assert g.undirected_edge_count == 4
+
+
+def test_communities_reader(tmp_path):
+    from hedonic_ray.sources.readers import read_communities
+
+    p = tmp_path / "c.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("0 1 2\n3 4\n")
+    rows = sorted((r["coalition"], r["vertex"])
+                  for r in read_communities(str(p)).take_all())
+    assert rows == [(0, 0), (0, 1), (0, 2), (1, 3), (1, 4)]
+
+    p2 = tmp_path / "labels.txt"
+    p2.write_text("0 5\n1 5\n2 7\n")
+    rows = sorted((r["vertex"], r["coalition"]) for r in
+                  read_communities(str(p2), mode="node_labels").take_all())
+    assert rows == [(0, 5), (1, 5), (2, 7)]
+
+
+def test_membership_roundtrip(tmp_path):
+    from hedonic_ray.sources.readers import read_membership, write_membership
+
+    mem = np.array([0, 1, 1, 0, 2], dtype=np.int64)
+    p = str(tmp_path / "m.parquet")
+    write_membership(p, mem)
+    np.testing.assert_array_equal(read_membership(p), mem)
+
+
+def test_experiment_harness_tiny():
+    from hedonic_ray.pipelines.experiment import (
+        ExperimentGrid,
+        run_experiment,
+        summarize,
+    )
+
+    grid = ExperimentGrid(n_communities=[2], community_size=20,
+                          noises=[0.0, 2.0], methods=["hedonic", "mirror",
+                                                      "onepass_hedonic"])
+    t = run_experiment(grid)
+    assert t.num_rows == 1 * 1 * 1 * 1 * 3 * 2 * 1
+    df = t.to_pandas()
+    # ground-truth start on an easy SBM: hedonic keeps the planted blocks
+    hed0 = df[(df.method == "hedonic") & (df.noise == 0.0)]
+    assert (hed0.accuracy == 1.0).all()
+    assert (df.converged).all()
+    # mirror from noise=0 is the ground truth itself
+    mir0 = df[(df.method == "mirror") & (df.noise == 0.0)]
+    assert (mir0.accuracy == 1.0).all()
+    s = summarize(t).to_pandas()
+    assert {"method", "noise", "accuracy_mean", "accuracy_ci95"} <= set(s.columns)
