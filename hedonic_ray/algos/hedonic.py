@@ -84,28 +84,10 @@ class HedonicStep:
     def gather(self, msgs_ds, mode: str, g) -> dict:
         return gather_label_counts(msgs_ds, mode)
 
-    def apply(self, state: dict, arrs: dict, g, it: int):
-        mem = state["coalition"]
-        alpha = self._alpha(g)
-        n = g.n
-        dst = arrs["dst"].astype(np.int64)
-        lab = arrs["lab"].astype(np.int64)
-        cnt = arrs["cnt"].astype(np.float64)
-
-        sizes = np.bincount(mem, minlength=n).astype(np.float64)
-        f_own = np.zeros(n, dtype=np.float64)
-        own_row = lab == mem[dst]
-        f_own[dst[own_row]] = cnt[own_row]
-        # value of staying (computed for ALL vertices, even with 0 friends home)
-        v_own = f_own * (1 - alpha) - (sizes[mem] - f_own - 1.0) * alpha
-        # candidate values (identical arithmetic → own rows tie exactly)
-        val = cnt * (1 - alpha) - (sizes[lab] - cnt - own_row.astype(np.float64)) * alpha
-
-        improving = val > v_own[dst]
-        d, l, _ = argmax_per_vertex(dst[improving], lab[improving], val[improving])
-        active = len(d)
-
-        phi = cpm_potential(mem, f_own, alpha)
+    def _damp_and_move(self, mem: np.ndarray, d: np.ndarray, l: np.ndarray,
+                       phi: float, alpha: float, active: int, it: int):
+        """Shared across execution backends: track Φ, thin movers on
+        stall, apply moves."""
         best = max(self._phi_hist) if self._phi_hist else -np.inf
         if phi > best + 1e-12:
             self._stall = 0
@@ -128,6 +110,50 @@ class HedonicStep:
         new[d] = l
         extra = {"potential": phi, "resolution": alpha,
                  "moved": int(len(d)), "damp_level": level}
+        return new, extra
+
+    def apply(self, state: dict, arrs: dict, g, it: int):
+        mem = state["coalition"]
+        alpha = self._alpha(g)
+        n = g.n
+        dst = arrs["dst"].astype(np.int64)
+        lab = arrs["lab"].astype(np.int64)
+        cnt = arrs["cnt"].astype(np.float64)
+
+        sizes = np.bincount(mem, minlength=n).astype(np.float64)
+        f_own = np.zeros(n, dtype=np.float64)
+        own_row = lab == mem[dst]
+        f_own[dst[own_row]] = cnt[own_row]
+        # value of staying (computed for ALL vertices, even with 0 friends home)
+        v_own = f_own * (1 - alpha) - (sizes[mem] - f_own - 1.0) * alpha
+        # candidate values (identical arithmetic → own rows tie exactly)
+        val = cnt * (1 - alpha) - (sizes[lab] - cnt - own_row.astype(np.float64)) * alpha
+
+        improving = val > v_own[dst]
+        d, l, _ = argmax_per_vertex(dst[improving], lab[improving], val[improving])
+        active = len(d)
+
+        phi = cpm_potential(mem, f_own, alpha)
+        new, extra = self._damp_and_move(mem, d, l, phi, alpha, active, it)
+        return {"coalition": new}, active, extra
+
+    def prefers_tasks(self, g) -> bool:
+        return g.m >= 400_000
+
+    def tasks_step(self, g, state: dict, it: int):
+        """Task-exchange backend (engine/exchange.py) — same decision
+        rule, combine + argmax parallelized per destination partition."""
+        from hedonic_ray.engine.exchange import label_exchange_step
+
+        mem = state["coalition"]
+        alpha = self._alpha(g)
+        d, l, f_own_total, active = label_exchange_step(
+            g, mem, mode="hedonic", alpha=alpha)
+        sizes = np.bincount(mem)
+        phi = float(f_own_total / 2.0 - alpha * (sizes * (sizes - 1) / 2.0).sum())
+        new, extra = self._damp_and_move(mem, d.astype(np.int64),
+                                         l.astype(np.int64), phi, alpha,
+                                         active, it)
         return {"coalition": new}, active, extra
 
 

@@ -74,6 +74,21 @@ class LabelPropStep:
             active = 0  # period-2 oscillation → deterministic stop
         return {"label": new, "prev_label": label}, active, {}
 
+    def prefers_tasks(self, g) -> bool:
+        return g.m >= 400_000
+
+    def tasks_step(self, g, state: dict, it: int):
+        from hedonic_ray.engine.exchange import label_exchange_step
+
+        label = state["label"]
+        d, l, _f, _a = label_exchange_step(g, label, mode="lp")
+        new = label.copy()
+        new[d.astype(np.int64)] = l.astype(np.int64)
+        active = int((new != label).sum())
+        if active and np.array_equal(new, state["prev_label"]):
+            active = 0
+        return {"label": new, "prev_label": label}, active, {}
+
 
 def label_propagation(g, *, init_labels=None, max_iters: int = 100,
                       gather: str = "auto", checkpoint_dir=None, run_id=None,

@@ -1,0 +1,164 @@
+"""Task-based superstep exchange for label-count algorithms.
+
+The Dataset-native gathers (``groupby`` shuffle / driver combine) are
+correct at any scale but leave the per-vertex combine + argmax either
+single-threaded on the driver or behind Ray Data's sort-shuffle fixed
+costs (~2s/superstep at 3M messages).  For the iterative inner loop —
+dozens of supersteps over a FIXED partitioned graph — this module
+implements the exchange directly with Ray tasks (the one place the
+Dataset API can't express the semantics efficiently: a P×P butterfly of
+keyed partials between two stateless stages, re-run every iteration):
+
+    scatter:  one task per materialized CSR Arrow block; counts
+              (dst, label) partials with np.unique and returns P
+              splits, one per destination partition (num_returns=P) —
+              partials move through the object store exactly as a
+              distributed shuffle would move them between nodes;
+    apply:    one task per destination partition; merges its ≤P
+              partials (sort + reduceat), evaluates the per-vertex
+              decision rule (hedonic best-response or LP plurality)
+              for its vertex range, and returns only MOVERS + partial
+              stats — O(movers) back to the driver, never O(E).
+
+Both Dataset paths remain available (``gather="dense"|"shuffle"``) and
+tests assert all three produce identical states; ``"auto"`` picks this
+backend for large graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U = np.int64
+
+
+def _count_partials(table, mem: np.ndarray, n: int):
+    """(dst*n+lab, cnt) partials for every CSR row in an Arrow block."""
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    keys, cnts = [], []
+    for bv in iter_block_views(table):
+        lab = mem[bv.src_per_edge()]
+        key = bv.indices.astype(_U) * _U(n) + lab
+        uk, ct = np.unique(key, return_counts=True)
+        keys.append(uk)
+        cnts.append(ct.astype(_U))
+    if not keys:
+        return np.empty(0, _U), np.empty(0, _U)
+    return np.concatenate(keys), np.concatenate(cnts)
+
+
+def _scatter_split(table, mem, n: int, span: int, num_parts: int):
+    key, cnt = _count_partials(table, mem, n)
+    part = (key // _U(n)) // _U(span)
+    order = np.argsort(part, kind="stable")
+    k, c, p = key[order], cnt[order], part[order]
+    bounds = np.searchsorted(p, np.arange(num_parts + 1))
+    out = tuple((k[bounds[i]:bounds[i + 1]].copy(),
+                 c[bounds[i]:bounds[i + 1]].copy())
+                for i in range(num_parts))
+    return out if num_parts > 1 else out[0]
+
+
+def _merge_partials(partials, n: int):
+    keys = [p[0] for p in partials if len(p[0])]
+    cnts = [p[1] for p in partials if len(p[1])]
+    if not keys:
+        e = np.empty(0, _U)
+        return e, e, e
+    k = np.concatenate(keys)
+    c = np.concatenate(cnts)
+    order = np.argsort(k, kind="stable")
+    k, c = k[order], c[order]
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    red = np.add.reduceat(c, starts)
+    ku = k[starts]
+    return ku // _U(n), ku % _U(n), red
+
+
+def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
+                n: int, *partials):
+    """Decision rule for vertices in [lo, hi): returns
+    (movers_v, movers_lab, f_own_sum, n_improving)."""
+    dst, lab, cnt = _merge_partials(partials, n)
+    if len(dst) == 0:
+        return (np.empty(0, _U), np.empty(0, _U), 0.0, 0)
+    own_row = lab == mem[dst]
+    f_own_sum = float(cnt[own_row].sum())
+    if mode == "lp":
+        # plurality, ties → lowest label
+        order = np.lexsort((lab, -cnt, dst))
+        d, l = dst[order], lab[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        d, l = d[first], l[first]
+        changed = l != mem[d]
+        return (d[changed], l[changed], f_own_sum, int(changed.sum()))
+    # hedonic strict-improvement best response
+    f = cnt.astype(np.float64)
+    szf = sizes.astype(np.float64)
+    f_own_local = np.zeros(hi - lo, dtype=np.float64)
+    f_own_local[dst[own_row] - lo] = f[own_row]
+    v_own = f_own_local * (1 - alpha) - (szf[mem[lo:hi]] - f_own_local - 1.0) * alpha
+    val = f * (1 - alpha) - (szf[lab] - f - own_row.astype(np.float64)) * alpha
+    improving = val > v_own[dst - lo]
+    d, l, v = dst[improving], lab[improving], val[improving]
+    if len(d):
+        order = np.lexsort((l, -v, d))
+        d, l = d[order], l[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        d, l = d[first], l[first]
+    return (d, l, f_own_sum, int(len(d)))
+
+
+_REMOTES: dict = {}
+
+
+def _remotes():
+    """Lazily-created ray.remote wrappers (module import stays
+    Ray-free)."""
+    if not _REMOTES:
+        import ray
+
+        _REMOTES["scatter"] = ray.remote(_scatter_split)
+        _REMOTES["apply"] = ray.remote(_apply_part)
+    return _REMOTES
+
+
+def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0):
+    """One full scatter→exchange→apply round.  Returns
+    (movers_v, movers_lab, f_own_total, active)."""
+    import ray
+
+    r = _remotes()
+    # cap the apply fan-out: with P graph partitions the exchange makes
+    # scatter_tasks × P_ex small objects — grouping adjacent partitions
+    # keeps that quadratic product bounded while apply ranges stay
+    # aligned to CSR spans (measured optimum ~16 on one node; on a real
+    # cluster P_ex tracks node count, not total cores)
+    MAX_APPLY = 16
+    group = max(1, -(-g.num_parts // MAX_APPLY))
+    span_ex = g.span * group
+    P_ex = -(-g.n // span_ex)
+    mem_ref = ray.put(mem)
+    sizes_ref = ray.put(np.bincount(mem, minlength=g.n).astype(_U))
+    block_refs = g.arrow_refs()
+    per_block = [
+        r["scatter"].options(num_returns=P_ex if P_ex > 1 else 1).remote(
+            bref, mem_ref, g.n, span_ex, P_ex)
+        for bref in block_refs
+    ]
+    if P_ex == 1:
+        per_part = [tuple(per_block)]
+    else:
+        per_part = list(zip(*per_block))
+    futs = [
+        r["apply"].remote(mode, alpha, p * span_ex, min(g.n, (p + 1) * span_ex),
+                          mem_ref, sizes_ref, g.n, *per_part[p])
+        for p in range(P_ex)
+    ]
+    results = ray.get(futs)
+    movers_v = np.concatenate([x[0] for x in results]) if results else np.empty(0, _U)
+    movers_l = np.concatenate([x[1] for x in results]) if results else np.empty(0, _U)
+    f_own_total = float(sum(x[2] for x in results))
+    active = int(sum(x[3] for x in results))
+    return movers_v, movers_l, f_own_total, active

@@ -214,7 +214,13 @@ def run_supersteps(graph, algo, *, max_iters: int = 100, gather: str = "auto",
     import ray
 
     configure_context()
-    mode = resolve_gather(gather, graph.n)
+    if gather == "auto" and hasattr(algo, "prefers_tasks") and \
+            hasattr(algo, "tasks_step") and algo.prefers_tasks(graph):
+        mode = "tasks"
+    elif gather == "tasks":
+        mode = "tasks"
+    else:
+        mode = resolve_gather(gather, graph.n)
     start_it = 0
     state = None
     if resume and checkpoint_dir and run_id:
@@ -227,14 +233,17 @@ def run_supersteps(graph, algo, *, max_iters: int = 100, gather: str = "auto",
     result = RunResult(state=state)
     for it in range(start_it, max_iters):
         t0 = time.perf_counter()
-        bcast = algo.broadcast_state(state)
-        state_ref = ray.put(bcast)
-        msgs = graph.blocks.map_batches(
-            _Scatter(algo, state_ref, mode), batch_format="pyarrow",
-            batch_size=4,
-        )
-        gathered = algo.gather(msgs, mode, graph)
-        state, active, extra = algo.apply(state, gathered, graph, it)
+        if mode == "tasks":
+            state, active, extra = algo.tasks_step(graph, state, it)
+        else:
+            bcast = algo.broadcast_state(state)
+            state_ref = ray.put(bcast)
+            msgs = graph.blocks.map_batches(
+                _Scatter(algo, state_ref, mode), batch_format="pyarrow",
+                batch_size=4,
+            )
+            gathered = algo.gather(msgs, mode, graph)
+            state, active, extra = algo.apply(state, gathered, graph, it)
         dt = time.perf_counter() - t0
         metric = {"iteration": it, "active_vertices": int(active),
                   "edges_processed": graph.m, "seconds": dt, **extra}

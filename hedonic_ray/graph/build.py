@@ -180,6 +180,15 @@ class LinkGraph:
     out_degree: np.ndarray = field(repr=False)
     urls_ref: object | None = None
 
+    _arrow_refs: list | None = None
+
+    def arrow_refs(self) -> list:
+        """Object refs of the materialized CSR Arrow blocks (cached) —
+        the task-based superstep exchange maps over these directly."""
+        if self._arrow_refs is None:
+            self._arrow_refs = self.blocks.to_arrow_refs()
+        return self._arrow_refs
+
     @property
     def undirected_edge_count(self) -> int:
         return self.m if self.directed else self.m // 2
@@ -234,9 +243,11 @@ def build_link_graph(edges_ds, n: int, *, directed: bool, num_parts: int | None 
         lambda b: _normalize_batch(b, n=n, directed=directed, symmetrize=True,
                                    num_parts=num_parts, span=span),
         batch_format="pyarrow")
+    # one Ray block per CSR row — scatter parallelism = num_parts (the
+    # groupby otherwise packs all partition rows into one Arrow block)
     blocks = norm.groupby("part").map_groups(
         lambda g: _csr_group(g, span=span, n=n), batch_format="numpy"
-    ).materialize()
+    ).repartition(num_parts).materialize()
 
     # degree vector: one streaming pass over the P block rows
     out_degree = np.zeros(n, dtype=np.int64)

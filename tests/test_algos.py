@@ -121,3 +121,29 @@ def test_triangles_on_sbm_with_hubs():
     res = triangle_count(g)
     assert res.total == total
     np.testing.assert_array_equal(res.per_vertex, per)
+
+
+@pytest.mark.parametrize("algo_kind", ["hedonic", "lp"])
+def test_tasks_backend_matches_dataset_backends(algo_kind):
+    """The task-exchange backend must be bit-identical to both Dataset
+    gathers (same decision rules, same tie-breaks, same damping)."""
+    edges = sbm_edges(3, 15, p_in=0.4, multiplier=0.1, seed=31)
+    from fixtures import make_graph as mg
+
+    g = mg(edges.tolist(), 45, num_parts=4)
+    if algo_kind == "hedonic":
+        runs = {m: hedonic_communities(g, max_iters=60, gather=m)
+                for m in ["dense", "shuffle", "tasks"]}
+        key = "coalition"
+    else:
+        init = np.arange(45) % 6
+        runs = {m: label_propagation(g, init_labels=init, max_iters=30,
+                                     gather=m)
+                for m in ["dense", "shuffle", "tasks"]}
+        key = "label"
+    base = runs["dense"]
+    for m in ["shuffle", "tasks"]:
+        np.testing.assert_array_equal(runs[m].state[key], base.state[key],
+                                      err_msg=m)
+        assert runs[m].iterations == base.iterations
+        assert runs[m].converged == base.converged
