@@ -78,7 +78,17 @@ def sbm_edges(n_blocks: int, block_size: int, p_in: float, multiplier: float,
             cnt = rng.binomial(npairs, p)
             if cnt == 0:
                 continue
-            idx = rng.choice(npairs, size=cnt, replace=False)
+            # sample distinct pair indices WITHOUT materializing
+            # arange(npairs) (rng.choice(replace=False) permutes the full
+            # range — seconds + GBs at web scale): oversample with
+            # replacement, dedup, trim — deterministic in the seed
+            idx = np.empty(0, dtype=np.int64)
+            need = cnt
+            while need > 0:
+                cand = rng.integers(0, npairs, size=int(need * 1.05) + 8)
+                idx = np.unique(np.concatenate([idx, cand]))
+                need = cnt - len(idx)
+            idx = idx[:cnt]
             if bi == bj:
                 # decode upper-triangular index within the block
                 i = (block_size - 2 - np.floor(
