@@ -59,6 +59,16 @@ class ComponentsStep:
         acc[arrs["dst"].astype(np.int64)] = arrs["val"]
         return acc
 
+    def prefers_tasks(self, g) -> bool:
+        return g.m >= 400_000
+
+    def tasks_step(self, g, state: dict, it: int):
+        from hedonic_ray.engine.exchange import numeric_exchange_step
+
+        agg = numeric_exchange_step(g, state["component"].astype(np.float64),
+                                    mode="min")
+        return self.apply(state, agg, g, it)
+
     def apply(self, state: dict, agg: np.ndarray, g, it: int):
         comp = state["component"]
         incoming = np.where(np.isfinite(agg), agg, comp).astype(np.int64)

@@ -66,6 +66,17 @@ class PageRankStep:
         acc[arrs["dst"].astype(np.int64)] = arrs["val"]
         return acc
 
+    def prefers_tasks(self, g) -> bool:
+        return g.m >= 400_000
+
+    def tasks_step(self, g, state: dict, it: int):
+        """Task-exchange backend: dense contribution slices reduced per
+        destination range (engine/exchange.py)."""
+        from hedonic_ray.engine.exchange import numeric_exchange_step
+
+        agg = numeric_exchange_step(g, state["rank"], mode="rank_contrib")
+        return self.apply(state, agg, g, it)
+
     def apply(self, state: dict, agg: np.ndarray, g, it: int):
         rank = state["rank"]
         d, n = self.damping, g.n

@@ -148,11 +148,16 @@ def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None) -> 
     og = build_link_graph(oriented_edges, n, directed=True,
                           num_parts=num_parts or g.num_parts)
 
-    keys = []
+    # per-block key arrays are already sorted (CSR: src ascending, dst
+    # sorted per src) and blocks cover disjoint ascending src ranges →
+    # ordered concat IS the sorted probe array (no driver sort)
+    chunks = []
     for batch in og.blocks.iter_batches(batch_size=4, batch_format="pyarrow"):
         for bv in iter_block_views(batch):
-            keys.append(bv.src_per_edge() * np.int64(n) + bv.indices)
-    keys = np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+            chunks.append((bv.lo, bv.src_per_edge() * np.int64(n) + bv.indices))
+    chunks.sort(key=lambda t: t[0])
+    keys = (np.concatenate([c[1] for c in chunks]) if chunks
+            else np.empty(0, np.int64))
     keys_ref = ray.put(keys)
 
     msgs = og.blocks.map_batches(

@@ -110,6 +110,68 @@ def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
     return (d, l, f_own_sum, int(len(d)))
 
 
+# ---------------------------------------------------------------- numeric
+
+
+def _numeric_scatter(table, values, n: int, span: int, num_parts: int,
+                     mode: str):
+    """Dense per-destination partials for one Arrow block, split by
+    destination range.  mode: "rank_contrib" (Σ value/outdeg over
+    in-edges) or "min" (min source value per destination)."""
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    if mode == "rank_contrib":
+        acc = np.zeros(n, dtype=np.float64)
+        for bv in iter_block_views(table):
+            deg = np.diff(bv.indptr)
+            local = values[bv.lo:bv.hi]
+            w = np.divide(local, deg, out=np.zeros_like(local), where=deg > 0)
+            acc += np.bincount(bv.indices, weights=np.repeat(w, deg),
+                               minlength=n)
+    elif mode == "min":
+        acc = np.full(n, np.inf)
+        for bv in iter_block_views(table):
+            np.minimum.at(acc, bv.indices,
+                          values[bv.src_per_edge()].astype(np.float64))
+    else:
+        raise ValueError(mode)
+    out = tuple(acc[p * span:min(n, (p + 1) * span)].copy()
+                for p in range(num_parts))
+    return out if num_parts > 1 else out[0]
+
+
+def _numeric_apply(op: str, *slices):
+    acc = slices[0].copy()
+    for s in slices[1:]:
+        if op == "sum":
+            acc += s
+        else:
+            np.minimum(acc, s, out=acc)
+    return acc
+
+
+def numeric_exchange_step(g, values: np.ndarray, *, mode: str) -> np.ndarray:
+    """One scatter→exchange→reduce round for dense numeric messages;
+    returns the (n,) reduced message vector."""
+    import ray
+
+    r = _remotes()
+    MAX_APPLY = 16
+    group = max(1, -(-g.num_parts // MAX_APPLY))
+    span_ex = g.span * group
+    P_ex = -(-g.n // span_ex)
+    op = "sum" if mode == "rank_contrib" else "min"
+    vals_ref = ray.put(values)
+    per_block = [
+        r["nscatter"].options(num_returns=P_ex if P_ex > 1 else 1).remote(
+            bref, vals_ref, g.n, span_ex, P_ex, mode)
+        for bref in g.arrow_refs()
+    ]
+    per_part = [tuple(per_block)] if P_ex == 1 else list(zip(*per_block))
+    futs = [r["napply"].remote(op, *per_part[p]) for p in range(P_ex)]
+    return np.concatenate(ray.get(futs))
+
+
 _REMOTES: dict = {}
 
 
@@ -121,6 +183,8 @@ def _remotes():
 
         _REMOTES["scatter"] = ray.remote(_scatter_split)
         _REMOTES["apply"] = ray.remote(_apply_part)
+        _REMOTES["nscatter"] = ray.remote(_numeric_scatter)
+        _REMOTES["napply"] = ray.remote(_numeric_apply)
     return _REMOTES
 
 

@@ -222,7 +222,11 @@ def _out_csr(n: int, und_edges: np.ndarray, hub_edges: np.ndarray | None) -> tup
     if hub_edges is not None and hub_edges.size:
         src = np.concatenate([src, hub_edges[:, 0]])
         dst = np.concatenate([dst, hub_edges[:, 1]])
-    order = np.lexsort((dst, src))
+    # group by src only (stable) — within-page target order is then a
+    # deterministic function of the edge construction order, which is
+    # all the renderer needs; a full (src, dst) lexsort is a serial
+    # driver cost that grows with E
+    order = np.argsort(src, kind="stable")
     src, dst = src[order], dst[order]
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(indptr, src + 1, 1)
@@ -266,7 +270,7 @@ def generate_pages(n_blocks: int, block_size: int, p_in: float, multiplier: floa
     return rd.range(n).map_batches(
         lambda b: _render_pages_batch(b, ip_ref, ix_ref, n_blocks, block_size),
         batch_format="numpy",
-        batch_size=4096,
+        batch_size=2048,  # smaller tasks → better balance under hub skew
     )
 
 

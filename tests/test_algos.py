@@ -147,3 +147,20 @@ def test_tasks_backend_matches_dataset_backends(algo_kind):
                                       err_msg=m)
         assert runs[m].iterations == base.iterations
         assert runs[m].converged == base.converged
+
+
+@pytest.mark.parametrize("algo_kind", ["pagerank", "cc"])
+def test_numeric_tasks_backend_matches(algo_kind):
+    n = 50
+    edges = rand_edges(n, 0.1, seed=19)
+    if algo_kind == "pagerank":
+        g = make_graph(edges, n, directed=True, num_parts=4)
+        a = pagerank(g, gather="dense", max_iters=40, tol=1e-14)
+        b = pagerank(g, gather="tasks", max_iters=40, tol=1e-14)
+        np.testing.assert_allclose(b.state["rank"], a.state["rank"], atol=1e-15)
+    else:
+        g = make_graph(edges, n, num_parts=4)
+        a = connected_components(g, gather="dense")
+        b = connected_components(g, gather="tasks")
+        np.testing.assert_array_equal(b.state["component"], a.state["component"])
+    assert a.iterations == b.iterations
