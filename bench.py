@@ -183,8 +183,15 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
-    r_lo = one(lo)
-    r_hi = one(hi)
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
+    # the sandbox VM shows ±30-40% run-to-run noise (CPU steal);
+    # interleave the legs and take the best of N per leg
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": f"scaling efficiency (same job + input, num_cpus {lo} vs {hi}, fresh sessions)",

@@ -60,7 +60,10 @@ class ComponentsStep:
         return acc
 
     def prefers_tasks(self, g) -> bool:
-        return g.m >= 400_000
+        # dense Dataset gather wins for numeric messages (the driver
+        # reduce is a trivial vector sum; measured faster than the task
+        # exchange at every tested scale) — tasks backend kept available
+        return False
 
     def tasks_step(self, g, state: dict, it: int):
         from hedonic_ray.engine.exchange import numeric_exchange_step

@@ -1,24 +1,27 @@
 """Triangle counting via degree-ordered wedge generation.
 
 Not in the reference repo (required by the north rule).  Classic
-ordered-wedge algorithm, expressed in the engine's block layout:
+ordered-wedge algorithm over the engine's CSR blocks — no second graph
+build: orientation (rank = (degree, id), the high-degree mitigation
+that caps a hub's oriented out-degree ≈ O(√E)) is applied INSIDE each
+task by filtering the symmetrized adjacency, so the only passes are
 
-1. **orient** every undirected edge low→high by rank = (degree, id) —
-   this is the high-degree-vertex mitigation: a hub of degree D keeps
-   only its ≥-rank neighbors, bounding oriented out-degree ≈ O(√E), so
-   wedge blowup on skewed (Zipf) graphs is capped;
-2. rebuild oriented CSR blocks (same partitioned layout, one shuffle);
-3. **wedge pass**: per block, enumerate ordered pairs (a, b) of each
-   vertex's oriented neighbors (fully vectorized triangular decode) and
-   probe the oriented edge set (broadcast sorted key array +
-   ``searchsorted``) — each triangle is found exactly once;
-4. gather per-vertex partial counts (all three corners credited).
+1. **probe build** — one streaming driver pass over the blocks filters
+   each vertex's higher-rank neighbors; per-block key arrays are
+   already sorted (src ascending, dst sorted per src) and blocks cover
+   disjoint src ranges, so the ordered concat IS the sorted probe
+   array (no sort anywhere);
+2. **wedge pass** — ``map_batches`` over the same blocks: rank-sort
+   each filtered adjacency segment (one vectorized lexsort), enumerate
+   ordered pairs (vectorized triangular decode, chunked), probe via
+   ``searchsorted`` — each triangle found exactly once;
+3. gather per-vertex partial counts (all three corners credited).
 
 Scale note: the probe set holds E/2 uint64 keys broadcast via
 ``ray.put``; past driver memory the same check becomes a bucketed
-semi-join on ``key % B`` (both wedge and edge streams keyed alike).
+semi-join on ``key % B`` (wedge and edge streams keyed alike).
 
-Oracle in tests: dense ``A³`` trace / brute-force enumeration.
+Oracle in tests: brute-force enumeration.
 """
 
 from __future__ import annotations
@@ -35,27 +38,23 @@ from hedonic_ray.engine.superstep import (
     iter_block_views,
     resolve_gather,
 )
-from hedonic_ray.context import actor_pool
-from hedonic_ray.graph.build import build_link_graph
 
 _PAIR_CHUNK = 8_000_000
 
 
-def _orient_batch(batch: pa.Table, rankkey_ref) -> pa.Table:
-    """CSR block → oriented arc rows (u, v) with rank(u) < rank(v).
-    Stateless task; the rank array arrives zero-copy via ray.get."""
-    import ray
-
-    rankkey = ray.get(rankkey_ref)
-    outs = []
-    for bv in iter_block_views(batch):
-        u = bv.src_per_edge()
-        v = bv.indices
-        keep = rankkey[u] < rankkey[v]
-        outs.append(pa.table({"src": pa.array(u[keep], pa.int64()),
-                              "dst": pa.array(v[keep], pa.int64())}))
-    return pa.concat_tables(outs) if outs else pa.table(
-        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+def _oriented_segments(bv, rankkey: np.ndarray):
+    """Filter a block's adjacency to higher-rank neighbors, rank-sorted
+    per source.  Returns (indptr, indices) over local vertices."""
+    src = bv.src_per_edge()
+    keep = rankkey[bv.indices] > rankkey[src]
+    src_k = src[keep]
+    dst_k = bv.indices[keep]
+    nv = bv.hi - bv.lo
+    cnt = np.bincount(src_k - bv.lo, minlength=nv)
+    indptr = np.zeros(nv + 1, dtype=np.int64)
+    np.cumsum(cnt, out=indptr[1:])
+    order = np.lexsort((rankkey[dst_k], src_k))
+    return indptr, dst_k[order]
 
 
 def _ordered_pairs(indptr: np.ndarray, indices: np.ndarray, lo_u: int, hi_u: int):
@@ -79,7 +78,7 @@ def _ordered_pairs(indptr: np.ndarray, indices: np.ndarray, lo_u: int, hi_u: int
 
 
 def _wedges_batch(batch: pa.Table, keys_ref, rankkey_ref, n_: int) -> pa.Table:
-    """Oriented CSR block → per-vertex partial triangle counts.
+    """Undirected CSR block → per-vertex partial triangle counts.
     Stateless task; probe set + rank array read zero-copy per task."""
     import ray
 
@@ -88,21 +87,17 @@ def _wedges_batch(batch: pa.Table, keys_ref, rankkey_ref, n_: int) -> pa.Table:
     n = np.int64(n_)
     acc = np.zeros(n_, dtype=np.int64)
     for bv in iter_block_views(batch):
+        indptr, srt = _oriented_segments(bv, rankkey)
         nv = bv.hi - bv.lo
-        # rank-sort each adjacency segment (one vectorized lexsort)
-        seg = np.repeat(np.arange(nv, dtype=np.int64), np.diff(bv.indptr))
-        order = np.lexsort((rankkey[bv.indices], seg))
-        srt = bv.indices[order]
-        # chunk the pair expansion by vertex range
+        cnt = np.diff(indptr)
         lo_u = 0
-        cnt = np.diff(bv.indptr)
         while lo_u < nv:
             hi_u = lo_u
             pairs = 0
             while hi_u < nv and (pairs == 0 or pairs < _PAIR_CHUNK):
                 pairs += int(cnt[hi_u] * (cnt[hi_u] - 1) // 2)
                 hi_u += 1
-            u_local, a, b = _ordered_pairs(bv.indptr, srt, lo_u, hi_u)
+            u_local, a, b = _ordered_pairs(indptr, srt, lo_u, hi_u)
             if len(u_local):
                 q = a * n + b
                 pos = np.searchsorted(keys, q)
@@ -142,27 +137,22 @@ def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None) -> 
     rankkey = g.out_degree.astype(np.int64) * np.int64(n) + np.arange(n, dtype=np.int64)
     rk_ref = ray.put(rankkey)
 
-    oriented_edges = g.blocks.map_batches(
-        lambda b: _orient_batch(b, rk_ref), batch_format="pyarrow",
-        batch_size=4)
-    og = build_link_graph(oriented_edges, n, directed=True,
-                          num_parts=num_parts or g.num_parts)
-
-    # per-block key arrays are already sorted (CSR: src ascending, dst
-    # sorted per src) and blocks cover disjoint ascending src ranges →
-    # ordered concat IS the sorted probe array (no driver sort)
+    # probe array: higher-rank (oriented) edge keys, already in sorted
+    # order once blocks are walked by ascending src range
     chunks = []
-    for batch in og.blocks.iter_batches(batch_size=4, batch_format="pyarrow"):
+    for batch in g.blocks.iter_batches(batch_size=4, batch_format="pyarrow"):
         for bv in iter_block_views(batch):
-            chunks.append((bv.lo, bv.src_per_edge() * np.int64(n) + bv.indices))
+            src = bv.src_per_edge()
+            keep = rankkey[bv.indices] > rankkey[src]
+            chunks.append((bv.lo, src[keep] * np.int64(n) + bv.indices[keep]))
     chunks.sort(key=lambda t: t[0])
     keys = (np.concatenate([c[1] for c in chunks]) if chunks
             else np.empty(0, np.int64))
     keys_ref = ray.put(keys)
 
-    msgs = og.blocks.map_batches(
+    msgs = g.blocks.map_batches(
         lambda b: _wedges_batch(b, keys_ref, rk_ref, n),
-        batch_format="pyarrow", batch_size=4)
+        batch_format="pyarrow", batch_size=1)
     if mode == "dense":
         arrs = gather_kv_driver(msgs, ["dst"], "val", "sum")
     else:

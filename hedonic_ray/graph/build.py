@@ -6,8 +6,9 @@ Pipeline shape (ONE all-to-all exchange end-to-end)::
       .map_batches(LinkExtract)                  # html → (src_url, dst_url); html dies here
       .map_batches(IdLookup)                     # url → dense uint64 vertex id (broadcast map)
       .map_batches(normalize)                    # self-loop drop, orient, per-batch pre-dedup
-      .groupby("part").map_groups(csr_block)     # THE shuffle: co-locate by src range,
-                                                 #   exact dedup (duplicates share src), CSR
+      task butterfly exchange                    # THE shuffle: route keys by src range
+                                                 #   (object-store partials), exact dedup
+                                                 #   + CSR assembly per partition
       .materialize()                             # CSR blocks pinned in the object store
 
 Replaces the reference's whole-graph igraph object
@@ -31,7 +32,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from hedonic_ray.context import actor_pool, configure_context, default_num_partitions
+from hedonic_ray.context import configure_context, default_num_partitions
 from hedonic_ray.functions.extract import LinkExtract
 
 
@@ -207,15 +208,28 @@ def _list_column(values: np.ndarray) -> pa.ListArray:
     )
 
 
-def _csr_group(group: dict, *, span: int, n: int) -> pa.Table:
-    src = group["src"].astype(np.int64)
-    dst = group["dst"].astype(np.int64)
-    part = int(group["part"][0])
+def _split_edge_keys(table: pa.Table, n: int, span: int, num_parts: int):
+    """Task: normalized edge batch → per-destination-partition key
+    arrays (key = src*n + dst; routing key is SRC's partition)."""
+    src = table.column("src").to_numpy().astype(np.int64)
+    dst = table.column("dst").to_numpy().astype(np.int64)
     key = src * np.int64(n) + dst
-    uk = np.unique(key)  # exact dedup: all (src,dst) dups are in this part
-    src, dst = uk // n, uk % n
-    lo = part * span
-    hi = min(n, lo + span)
+    part = src // span
+    order = np.argsort(part, kind="stable")
+    k, p = key[order], part[order]
+    bounds = np.searchsorted(p, np.arange(num_parts + 1))
+    out = tuple(k[bounds[i]:bounds[i + 1]].copy() for i in range(num_parts))
+    return out if num_parts > 1 else out[0]
+
+
+def _assemble_csr_part(part: int, lo: int, hi: int, n: int, *key_arrays) -> pa.Table:
+    """Task: merge a partition's key partials → exact dedup → CSR row."""
+    keys = [k for k in key_arrays if len(k)]
+    if keys:
+        uk = np.unique(np.concatenate(keys))
+        src, dst = uk // n, uk % n
+    else:
+        src = dst = np.empty(0, np.int64)
     indptr = np.zeros(hi - lo + 1, dtype=np.int64)
     np.add.at(indptr, src - lo + 1, 1)
     np.cumsum(indptr, out=indptr)
@@ -231,8 +245,19 @@ def _csr_group(group: dict, *, span: int, n: int) -> pa.Table:
 def build_link_graph(edges_ds, n: int, *, directed: bool, num_parts: int | None = None,
                      urls_ref=None) -> LinkGraph:
     """Edge table → LinkGraph (CSR blocks materialized in the object
-    store).  One groupby shuffle; exact dedup and self-loop drop
-    included.  ``edges_ds`` may contain duplicates and self-loops."""
+    store).  Exact dedup and self-loop drop included; ``edges_ds`` may
+    contain duplicates and self-loops.
+
+    The one all-to-all exchange (route per-batch pre-deduped edge keys
+    to their source partition, then assemble each partition's CSR row)
+    runs as an explicit task butterfly through the object store — the
+    same data movement a ``groupby(part)`` shuffle performs, without
+    the sort-shuffle fixed costs (the keys arrive pre-partitioned and
+    ``np.unique`` per partition is the whole aggregation).
+    """
+    import ray
+    import ray.data as rd
+
     configure_context()
     if num_parts is None:
         num_parts = default_num_partitions()
@@ -242,12 +267,22 @@ def build_link_graph(edges_ds, n: int, *, directed: bool, num_parts: int | None 
     norm = edges_ds.map_batches(
         lambda b: _normalize_batch(b, n=n, directed=directed, symmetrize=True,
                                    num_parts=num_parts, span=span),
-        batch_format="pyarrow")
-    # one Ray block per CSR row — scatter parallelism = num_parts (the
-    # groupby otherwise packs all partition rows into one Arrow block)
-    blocks = norm.groupby("part").map_groups(
-        lambda g: _csr_group(g, span=span, n=n), batch_format="numpy"
-    ).repartition(num_parts).materialize()
+        batch_format="pyarrow").materialize()
+    split = ray.remote(_split_edge_keys)
+    assemble = ray.remote(_assemble_csr_part)
+    per_batch = [
+        split.options(num_returns=num_parts if num_parts > 1 else 1).remote(
+            bref, n, span, num_parts)
+        for bref in norm.to_arrow_refs()
+    ]
+    per_part = ([tuple(per_batch)] if num_parts == 1
+                else list(zip(*per_batch)))
+    row_refs = [
+        assemble.remote(p, p * span, min(n, (p + 1) * span), n, *per_part[p])
+        for p in range(num_parts)
+    ]
+    # one Ray block per CSR row — scatter parallelism = num_parts
+    blocks = rd.from_arrow_refs(row_refs).materialize()
 
     # degree vector: one streaming pass over the P block rows
     out_degree = np.zeros(n, dtype=np.int64)
