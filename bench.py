@@ -88,7 +88,7 @@ def run_bench(workload: str | None = None) -> dict:
     # pages / ~3.3M arcs full bench; 2x that for the scaling workload so
     # compute dominates per-superstep fixed costs
     n_blocks = 10
-    scale = 2 if workload == "scaling" else 1
+    scale = int(os.environ.get("BENCH_SCALE_WORKLOAD", "3")) if workload == "scaling" else 1
     block = max(200, scale * n_lineitem // (5 * n_blocks))
     n_pages = n_blocks * block
     p_in = min(0.5, 14.0 / block)
@@ -207,8 +207,67 @@ def run_scaling() -> dict:
     }
 
 
+def _hw_pyloop(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.5:
+        x += 1
+    return x
+
+
+def _hw_npsort(_):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 40, 2_000_000)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 1.5:
+        np.sort(a)
+        k += 1
+    return k
+
+
+def _hw_regex(_):
+    import re
+
+    pat = re.compile(r'<a\s+href="([^"]*)"\s*>')
+    s = '<a href="https://x/000007">to</a> word word ' * 50
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 1.5:
+        pat.findall(s)
+        k += 1
+    return k
+
+
+def run_hwprobe() -> dict:
+    """Micro-probe of the sandbox's parallel ceiling, independent of Ray
+    and of this engine: total throughput of N identical workers for a
+    pure-CPU python loop vs memory-bound numpy sort vs regex scanning.
+    The engine's superstep/extract kernels are mixes of these; their
+    measured scaling cannot exceed these substrate ratios."""
+    import multiprocessing as mp
+
+    out: dict = {"metric": "hardware parallel-ceiling probe (no Ray)"}
+    for fn, name in [(_hw_pyloop, "pyloop_cpu"), (_hw_npsort, "npsort_membound"),
+                     (_hw_regex, "regex_scan")]:
+        tot = {}
+        for n in [2, 8, 32]:
+            with mp.Pool(n) as p:
+                tot[n] = sum(p.map(fn, range(n)))
+        out[name] = {
+            "total_work": tot,
+            "speedup_2_to_8": round(tot[8] / tot[2], 2),
+            "speedup_8_to_32": round(tot[32] / tot[8], 2),
+        }
+    return out
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--hwprobe" in sys.argv:
+        print(json.dumps(run_hwprobe()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
