@@ -211,6 +211,10 @@ def _list_column(values: np.ndarray) -> pa.ListArray:
 def _split_edge_keys(table: pa.Table, n: int, span: int, num_parts: int):
     """Task: normalized edge batch → per-destination-partition key
     arrays (key = src*n + dst; routing key is SRC's partition)."""
+    if table.num_rows == 0 or "src" not in table.column_names:
+        # Ray Data may emit schema-less empty blocks
+        out = tuple(np.empty(0, np.int64) for _ in range(num_parts))
+        return out if num_parts > 1 else out[0]
     src = table.column("src").to_numpy().astype(np.int64)
     dst = table.column("dst").to_numpy().astype(np.int64)
     key = src * np.int64(n) + dst
