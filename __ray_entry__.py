@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hedonic": lg.doc_hedonic_table,
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
+        "analytics_spectrum": lg.doc_spectrum_table,
+        "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
         "graph_cc_nation": lg.nation_region_components,
         "graph_triangles_supplier": lg.supplier_triangles,

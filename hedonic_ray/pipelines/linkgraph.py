@@ -138,6 +138,56 @@ def doc_triangles_table(sf_dir: str) -> pa.Table:
                      "triangles": pa.array(res.per_vertex, pa.int64())})
 
 
+def doc_spectrum_table(sf_dir: str) -> pa.Table:
+    """Resolution spectrum of the hedonic partition on the doc graph
+    (hedonic/__init__.py:432-449): per grid resolution, the fraction of
+    satisfied vertices, plus the resolution-free robustness."""
+    from hedonic_ray.analytics.hedonic_stats import resolution_spectrum
+
+    g = doc_graph(sf_dir, directed=False)
+    res = hedonic_communities(g, max_iters=200)
+    resolutions, fractions, robustness = resolution_spectrum(
+        g, res.state["coalition"])
+    return pa.table({
+        "resolution_e6": pa.array((resolutions * 1e6).astype(np.int64)),
+        "eq_fraction_e9": pa.array(np.round(fractions * 1e9).astype(np.int64)),
+        "robustness_e9": pa.array(
+            np.full(len(resolutions), round(robustness * 1e9), dtype=np.int64)),
+    })
+
+
+def doc_analytics_table(sf_dir: str) -> pa.Table:
+    """Per-partition quality metrics of the converged hedonic state:
+    equilibrium fraction (must be 1.0 at the played resolution),
+    robustness, CPM potential, ARI vs label propagation."""
+    from hedonic_ray.analytics.hedonic_stats import (
+        adjusted_rand_index,
+        equilibrium_fraction,
+        partition_potential,
+        partition_robustness,
+        vertex_stats,
+    )
+
+    g = doc_graph(sf_dir, directed=False)
+    hed = hedonic_communities(g, max_iters=200)
+    mem = hed.state["coalition"]
+    lp = label_propagation(g, max_iters=50).state["label"]
+    st = vertex_stats(g, mem)
+    rows = [
+        ("equilibrium_fraction", equilibrium_fraction(g, mem, g.density(), stats=st)),
+        ("robustness", partition_robustness(g, mem, stats=st)),
+        ("cpm_potential", partition_potential(g, mem, stats=st)),
+        ("ari_vs_labelprop", adjusted_rand_index(mem, lp)),
+        ("n_coalitions", float(len(np.unique(mem)))),
+        ("supersteps", float(hed.iterations)),
+        ("converged", float(hed.converged)),
+    ]
+    return pa.table({
+        "metric": pa.array([r[0] for r in rows], pa.string()),
+        "value_e9": pa.array([int(round(r[1] * 1e9)) for r in rows], pa.int64()),
+    })
+
+
 # ---------------------------------------------------- tiny dimension graphs
 
 

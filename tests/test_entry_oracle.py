@@ -109,3 +109,17 @@ def test_rows_only_queries_run(entry_module, name):
     out = entry_module.queries()[name](SF)
     df = _to_pandas(out)
     assert len(df) >= 0 and len(df.columns) >= 1
+
+
+def test_analytics_queries_run_and_are_sane(entry_module):
+    q = entry_module.queries()
+    spec = q["analytics_spectrum"](SF).to_pandas()
+    assert len(spec) == 11
+    assert (spec["eq_fraction_e9"] <= 10**9).all()
+    # at the played resolution (= density, inside the grid hull) the
+    # converged state is a Nash equilibrium at SOME grid point region
+    met = q["analytics_partition_metrics"](SF).to_pandas()
+    m = dict(zip(met["metric"], met["value_e9"]))
+    assert m["equilibrium_fraction"] == 10**9  # exactly 1.0
+    assert m["converged"] == 10**9
+    assert 0 <= m["robustness"] <= 10**9
