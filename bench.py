@@ -120,7 +120,7 @@ def run_bench(workload: str | None = None) -> dict:
         return res
 
     pr_iters = 10 if workload == "scaling" else 30
-    hed_iters = 15 if workload == "scaling" else 60
+    hed_iters = 15 if workload == "scaling" else 150
     timed("sbm_pagerank", lambda: record("pagerank", pagerank(
         g_dir, max_iters=pr_iters, tol=1e-10)))
     timed("sbm_components", lambda: record("components",

@@ -23,8 +23,10 @@ own tolerance of run-to-run divergence (``scripts/exp.py:97-99``).
 Synchronous moves can oscillate, so the step monitors the CPM potential
 Φ = Σ_c [e_c − α·C(|c|,2)] (``scripts/robustness/meta_graph.py:20-30``)
 and, when Φ stalls, thins the mover set by an escalating seeded-hash
-filter (acceptance 1/2, 1/4, … of improving vertices) — deterministic
-damping that breaks swap cycles, resetting once Φ improves again.
+filter (acceptance 1/2, 1/4, … of improving vertices); once the active
+set is small the loop serializes to one max-gain move per superstep,
+which strictly increases Φ and therefore terminates — the same argument
+as the reference's sequential sweep.
 
 Ties among equally-best target coalitions break to the LOWEST coalition
 id (the reference's dict-iteration order is nondeterministic).
@@ -54,9 +56,14 @@ def cpm_potential(membership: np.ndarray, friends_own: np.ndarray,
 
 class HedonicStep:
     def __init__(self, resolution: float | None = None,
-                 init_membership: np.ndarray | None = None):
+                 init_membership: np.ndarray | None = None,
+                 serial_tail: bool = True):
         self.resolution = resolution
         self.init_membership = init_membership
+        # serial_tail only applies to the iterated convergence loop; the
+        # one-pass variants must apply ALL improving moves in their
+        # single synchronous pass (hedonic/__init__.py:282-292)
+        self.serial_tail = serial_tail
         self._phi_hist: list[float] = []
         self._stall = 0
 
@@ -84,28 +91,60 @@ class HedonicStep:
     def gather(self, msgs_ds, mode: str, g) -> dict:
         return gather_label_counts(msgs_ds, mode)
 
+    TAIL_SERIAL = 64  # active ≤ this → one best-gain mover per superstep
+
     def _damp_and_move(self, mem: np.ndarray, d: np.ndarray, l: np.ndarray,
-                       phi: float, alpha: float, active: int, it: int):
+                       gain: np.ndarray, phi: float, alpha: float,
+                       active: int, it: int):
         """Shared across execution backends: track Φ, thin movers on
-        stall, apply moves."""
+        stall, apply moves.
+
+        Near equilibrium (small active set) synchronous moves livelock:
+        micro-improvements of Φ keep resetting the damping, and each
+        reset re-ignites swap bursts.  Two safeguards:
+
+        * the stall counter DECAYS on improvement instead of resetting,
+          so damping ratchets up around a hovering Φ;
+        * when ``active ≤ TAIL_SERIAL`` the step serializes: exactly ONE
+          mover — the max-gain vertex (ties → lowest id) — moves per
+          superstep.  A single strict-improvement move raises Φ
+          strictly, so the tail terminates for the same reason the
+          reference's sequential sweep does (hedonic/__init__.py:219-227).
+        """
         best = max(self._phi_hist) if self._phi_hist else -np.inf
         if phi > best + 1e-12:
-            self._stall = 0
+            self._stall = max(0, self._stall - 2)
         else:
             self._stall += 1
         self._phi_hist.append(phi)
 
-        # Escalating damping: when Φ stops improving, simultaneous moves
-        # are oscillating (swap cycles) — thin the mover set with a
-        # seeded hash, halving the acceptance rate the longer the stall,
-        # until a strict subset of movers breaks the cycle.  Resets to
-        # full synchronous moves once Φ improves again.
-        level = 0 if self._stall < 2 else min(6, 1 + (self._stall - 2) // 3)
-        if level and active:
-            from hedonic_ray.functions.hashing import hash_ints
+        if self.serial_tail and active and active <= self.TAIL_SERIAL:
+            # Coalition-disjoint greedy tail: movers whose (source,
+            # target) coalition pairs are pairwise disjoint have
+            # additive gains — moving one does not change another's
+            # value for ITS move (friend counts only change inside the
+            # first mover's coalitions) — so Φ increases by Σ gains > 0
+            # strictly.  Greedy by gain, ties → lowest vertex id.
+            order = np.lexsort((d, -gain))
+            used: set = set()
+            sel = []
+            for i in order.tolist():
+                src_c, tgt_c = int(mem[d[i]]), int(l[i])
+                if src_c not in used and tgt_c not in used:
+                    sel.append(i)
+                    used.add(src_c)
+                    used.add(tgt_c)
+            d, l = d[sel], l[sel]
+            level = -1  # marker: serialized tail
+        else:
+            # Escalating damping: thin the mover set with a seeded hash,
+            # halving acceptance the longer Φ has stalled.
+            level = 0 if self._stall < 2 else min(6, 1 + (self._stall - 2) // 3)
+            if level and active:
+                from hedonic_ray.functions.hashing import hash_ints
 
-            keep = hash_ints(d, seed=31 * it + level) % (1 << level) == 0
-            d, l = d[keep], l[keep]
+                keep = hash_ints(d, seed=31 * it + level) % (1 << level) == 0
+                d, l = d[keep], l[keep]
         new = mem.copy()
         new[d] = l
         extra = {"potential": phi, "resolution": alpha,
@@ -130,11 +169,12 @@ class HedonicStep:
         val = cnt * (1 - alpha) - (sizes[lab] - cnt - own_row.astype(np.float64)) * alpha
 
         improving = val > v_own[dst]
-        d, l, _ = argmax_per_vertex(dst[improving], lab[improving], val[improving])
+        d, l, v = argmax_per_vertex(dst[improving], lab[improving], val[improving])
+        gain = v - v_own[d]
         active = len(d)
 
         phi = cpm_potential(mem, f_own, alpha)
-        new, extra = self._damp_and_move(mem, d, l, phi, alpha, active, it)
+        new, extra = self._damp_and_move(mem, d, l, gain, phi, alpha, active, it)
         return {"coalition": new}, active, extra
 
     def prefers_tasks(self, g) -> bool:
@@ -147,13 +187,13 @@ class HedonicStep:
 
         mem = state["coalition"]
         alpha = self._alpha(g)
-        d, l, f_own_total, active = label_exchange_step(
+        d, l, gain, f_own_total, active = label_exchange_step(
             g, mem, mode="hedonic", alpha=alpha)
         sizes = np.bincount(mem)
         phi = float(f_own_total / 2.0 - alpha * (sizes * (sizes - 1) / 2.0).sum())
         new, extra = self._damp_and_move(mem, d.astype(np.int64),
-                                         l.astype(np.int64), phi, alpha,
-                                         active, it)
+                                         l.astype(np.int64), gain, phi,
+                                         alpha, active, it)
         return {"coalition": new}, active, extra
 
 
@@ -175,8 +215,9 @@ def hedonic_communities(g, *, resolution: float | None = None,
 def onepass_hedonic(g, init_membership, *, gather: str = "auto") -> np.ndarray:
     """One synchronous best-response pass at α=0 (max-friends) — the
     distributed ``community_onepass_improvement_hedonic``
-    (hedonic/__init__.py:282-292)."""
-    algo = HedonicStep(resolution=0.0, init_membership=init_membership)
+    (hedonic/__init__.py:282-292).  All improving vertices move."""
+    algo = HedonicStep(resolution=0.0, init_membership=init_membership,
+                       serial_tail=False)
     res = run_supersteps(g, algo, max_iters=1, gather=gather)
     return res.state["coalition"]
 

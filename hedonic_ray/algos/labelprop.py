@@ -81,7 +81,7 @@ class LabelPropStep:
         from hedonic_ray.engine.exchange import label_exchange_step
 
         label = state["label"]
-        d, l, _f, _a = label_exchange_step(g, label, mode="lp")
+        d, l, _gain, _f, _a = label_exchange_step(g, label, mode="lp")
         new = label.copy()
         new[d.astype(np.int64)] = l.astype(np.int64)
         active = int((new != label).sum())

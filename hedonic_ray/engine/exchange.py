@@ -82,7 +82,8 @@ def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
     (movers_v, movers_lab, f_own_sum, n_improving)."""
     dst, lab, cnt = _merge_partials(partials, n)
     if len(dst) == 0:
-        return (np.empty(0, _U), np.empty(0, _U), 0.0, 0)
+        return (np.empty(0, _U), np.empty(0, _U), np.empty(0, np.float64),
+                0.0, 0)
     own_row = lab == mem[dst]
     f_own_sum = float(cnt[own_row].sum())
     if mode == "lp":
@@ -92,7 +93,9 @@ def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
         first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
         d, l = d[first], l[first]
         changed = l != mem[d]
-        return (d[changed], l[changed], f_own_sum, int(changed.sum()))
+        return (d[changed], l[changed],
+                np.zeros(int(changed.sum()), np.float64),
+                f_own_sum, int(changed.sum()))
     # hedonic strict-improvement best response
     f = cnt.astype(np.float64)
     szf = sizes.astype(np.float64)
@@ -102,12 +105,14 @@ def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
     val = f * (1 - alpha) - (szf[lab] - f - own_row.astype(np.float64)) * alpha
     improving = val > v_own[dst - lo]
     d, l, v = dst[improving], lab[improving], val[improving]
+    gain = np.empty(0, np.float64)
     if len(d):
         order = np.lexsort((l, -v, d))
-        d, l = d[order], l[order]
+        d, l, v = d[order], l[order], v[order]
         first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-        d, l = d[first], l[first]
-    return (d, l, f_own_sum, int(len(d)))
+        d, l, v = d[first], l[first], v[first]
+        gain = v - v_own[d - lo]
+    return (d, l, gain, f_own_sum, int(len(d)))
 
 
 # ---------------------------------------------------------------- numeric
@@ -190,7 +195,7 @@ def _remotes():
 
 def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0):
     """One full scatter→exchange→apply round.  Returns
-    (movers_v, movers_lab, f_own_total, active)."""
+    (movers_v, movers_lab, movers_gain, f_own_total, active)."""
     import ray
 
     r = _remotes()
@@ -223,6 +228,7 @@ def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0):
     results = ray.get(futs)
     movers_v = np.concatenate([x[0] for x in results]) if results else np.empty(0, _U)
     movers_l = np.concatenate([x[1] for x in results]) if results else np.empty(0, _U)
-    f_own_total = float(sum(x[2] for x in results))
-    active = int(sum(x[3] for x in results))
-    return movers_v, movers_l, f_own_total, active
+    movers_g = np.concatenate([x[2] for x in results]) if results else np.empty(0, np.float64)
+    f_own_total = float(sum(x[3] for x in results))
+    active = int(sum(x[4] for x in results))
+    return movers_v, movers_l, movers_g, f_own_total, active
