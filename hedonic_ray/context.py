@@ -56,15 +56,20 @@ def actor_pool(frac: float = 0.25) -> tuple[int, int]:
     return (1, max(1, int(session_cpus() * frac)))
 
 
-def default_num_partitions(n_edges: int | None = None) -> int:
+def default_num_partitions(n_edges: int | None = None,
+                           n_vertices: int | None = None) -> int:
     """Number of graph partitions (CSR blocks).
 
     Sized so each block holds a bounded slice of the edge list: at
-    sandbox scale this tracks the CPU count; at cluster scale callers
+    sandbox scale this tracks the CPU count, capped so tiny graphs
+    don't pay per-partition fixed costs (a 5k-vertex graph on 32 CPUs
+    wants a handful of partitions, not 32); at cluster scale callers
     pass an explicit value so each Arrow CSR block stays ≲256 MiB
     (``n_edges * 16B / parts``).
     """
     parts = max(4, min(64, session_cpus()))
+    if n_vertices is not None:
+        parts = max(1, min(parts, -(-n_vertices // 4000)))
     if n_edges is not None:
         # keep blocks under ~16M edges (~256 MiB of uint64 pairs)
         parts = max(parts, -(-n_edges // 16_000_000))

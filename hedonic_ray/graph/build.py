@@ -264,7 +264,7 @@ def build_link_graph(edges_ds, n: int, *, directed: bool, num_parts: int | None 
 
     configure_context()
     if num_parts is None:
-        num_parts = default_num_partitions()
+        num_parts = default_num_partitions(n_vertices=n)
     num_parts = max(1, min(num_parts, n))
     span = -(-n // num_parts)
 
