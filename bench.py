@@ -93,10 +93,22 @@ def run_bench(workload: str | None = None) -> dict:
     n_pages = n_blocks * block
     p_in = min(0.5, 14.0 / block)
 
+    # The north-star pipeline starts at a Parquet pages table
+    # (BASELINE.json input_hint) — synthesize it ONCE to /tmp (untimed;
+    # deterministic, reused across runs/legs) and time read_parquet →
+    # extract → build → supersteps, like a real crawl-processing job.
+    pages_dir = f"/tmp/hedonic_bench_pages/p{n_pages}_pin{p_in:.6f}"
+    done_marker = os.path.join(pages_dir, "_DONE")
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        generate_pages(n_blocks, block, p_in=p_in, multiplier=0.08,
+                       seed=42, hub_links=n_pages * 2).write_parquet(pages_dir)
+        open(done_marker, "w").close()
+
     def build_sbm():
-        pages = generate_pages(n_blocks, block, p_in=p_in, multiplier=0.08,
-                               seed=42, hub_links=n_pages * 2)
-        pages = pages.materialize()
+        pages = rd.read_parquet(pages_dir, columns=["url", "html"])
         urls_ref, n = assign_vertex_ids(pages)
         edges = edges_from_pages(pages, urls_ref).materialize()
         # fixed partition count: the data layout must be identical at
