@@ -97,7 +97,12 @@ def run_bench(workload: str | None = None) -> dict:
     # (BASELINE.json input_hint) — synthesize it ONCE to /tmp (untimed;
     # deterministic, reused across runs/legs) and time read_parquet →
     # extract → build → supersteps, like a real crawl-processing job.
-    pages_dir = f"/tmp/hedonic_bench_pages/p{n_pages}_pin{p_in:.6f}"
+    # cache key includes a generator version so renderer changes in
+    # future rounds invalidate stale fixtures
+    from hedonic_ray.sources.synth import GENERATOR_VERSION
+
+    pages_dir = (f"/tmp/hedonic_bench_pages/"
+                 f"v{GENERATOR_VERSION}_p{n_pages}_pin{p_in:.6f}")
     done_marker = os.path.join(pages_dir, "_DONE")
     if not os.path.exists(done_marker):
         import shutil

@@ -31,6 +31,7 @@ import pyarrow as pa
 from hedonic_ray.context import actor_pool
 from hedonic_ray.functions.extract import escape_html
 
+GENERATOR_VERSION = 2  # bump when rendering/link-planting changes
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 LANGS = ["en", "de", "pt"]
 _WORDS = (
