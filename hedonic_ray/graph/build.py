@@ -92,6 +92,69 @@ def assign_vertex_ids(pages_ds):
     return ray.put(urls), len(urls)
 
 
+def url_id_map(pages_ds, num_partitions: int = 8):
+    """Distributed url→dense-id map as a Dataset (url, vid) — the
+    beyond-driver-memory alternative to the broadcast vocabulary.
+
+    Dense ranks without driver materialization: distributed sort on
+    ``url``, then per-sorted-block rank assignment with driver-side
+    offsets computed from block row COUNTS only (P integers).  Assumes
+    pages have unique urls (the pages table's key).
+    """
+    import ray
+    import ray.data as rd
+
+    mat = pages_ds.select_columns(["url"]).sort("url").materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def block_rows(t) -> int:
+        return t.num_rows
+
+    counts = ray.get([block_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    @ray.remote
+    def assign(t, off: int) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "vid": pa.array(off + np.arange(t.num_rows, dtype=np.int64)),
+        })
+
+    out = [assign.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out), int(sum(counts))
+
+
+def edges_from_pages_join(pages_ds, *, num_partitions: int = 8):
+    """pages → integer edge table via hash-partitioned ``Dataset.join``
+    on url (both endpoints) — the scale path when the url vocabulary
+    exceeds driver memory.  Semantically identical to the broadcast
+    ``edges_from_pages`` (tested equal); inner joins drop out-of-crawl
+    targets exactly like the broadcast lookup."""
+    configure_context()
+    urlmap, n = url_id_map(pages_ds, num_partitions)
+    ds = pages_ds.select_columns(["url", "html"])
+    extractor = LinkExtract()
+    links = ds.map_batches(extractor, batch_format="pyarrow", batch_size=1024)
+    j1 = links.join(urlmap, "inner", num_partitions,
+                    on=("src_url",), right_on=("url",))
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["src" if c == "vid" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    j2 = j1.join(urlmap, "inner", num_partitions,
+                 on=("dst_url",), right_on=("url",),
+                 left_suffix="_l", right_suffix="_r")
+    out = j2.map_batches(
+        lambda t: pa.table({
+            "src": t.column("src"),
+            "dst": t.column("vid") if "vid" in t.column_names
+            else t.column("vid_r"),
+        }),
+        batch_format="pyarrow")
+    return out, n
+
+
 # ---------------------------------------------------------------- edge tables
 
 

@@ -164,3 +164,15 @@ def test_numeric_tasks_backend_matches(algo_kind):
         b = connected_components(g, gather="tasks")
         np.testing.assert_array_equal(b.state["component"], a.state["component"])
     assert a.iterations == b.iterations
+
+
+def test_hedonic_fully_deterministic_across_runs():
+    """Same graph + init → bit-identical trajectory and result (seeded
+    damping, deterministic tie-breaks, no wall-clock dependence)."""
+    edges = sbm_edges(4, 15, p_in=0.4, multiplier=0.15, seed=77)
+    g = make_graph(edges.tolist(), 60, num_parts=4)
+    a = hedonic_communities(g, max_iters=120)
+    b = hedonic_communities(g, max_iters=120)
+    np.testing.assert_array_equal(a.state["coalition"], b.state["coalition"])
+    assert a.iterations == b.iterations
+    assert [m["moved"] for m in a.metrics] == [m["moved"] for m in b.metrics]
