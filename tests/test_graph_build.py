@@ -62,3 +62,22 @@ def test_partition_ranges_cover():
     seen.sort()
     for (l1, h1), (l2, h2) in zip(seen, seen[1:]):
         assert h1 <= l2
+
+
+def test_join_based_id_assignment_matches_broadcast():
+    """Dataset.join scale path ≡ broadcast vocabulary path."""
+    from hedonic_ray.graph.build import (
+        assign_vertex_ids,
+        edges_from_pages,
+        edges_from_pages_join,
+    )
+    from hedonic_ray.sources.synth import generate_pages
+
+    pages = generate_pages(2, 30, p_in=0.25, multiplier=0.1, seed=9).materialize()
+    uref, n = assign_vertex_ids(pages)
+    a = sorted((r["src"], r["dst"])
+               for r in edges_from_pages(pages, uref).take_all())
+    b_ds, n2 = edges_from_pages_join(pages, num_partitions=4)
+    b = sorted((r["src"], r["dst"]) for r in b_ds.take_all())
+    assert n == n2 == 60
+    assert a == b
