@@ -17,9 +17,11 @@ task by filtering the symmetrized adjacency, so the only passes are
    ``searchsorted`` — each triangle found exactly once;
 3. gather per-vertex partial counts (all three corners credited).
 
-Scale note: the probe set holds E/2 uint64 keys broadcast via
-``ray.put``; past driver memory the same check becomes a bucketed
-semi-join on ``key % B`` (wedge and edge streams keyed alike).
+Two probe strategies, tested equal: ``broadcast`` (sorted E/2-key
+array via ``ray.put``; fastest while it fits driver memory) and
+``bucketed`` (no broadcast: wedge and edge-key streams routed by
+``key % B`` through the object store, membership-checked per bucket —
+the beyond-driver-memory path).
 
 Oracle in tests: brute-force enumeration.
 """
@@ -113,6 +115,117 @@ def _wedges_batch(batch: pa.Table, keys_ref, rankkey_ref, n_: int) -> pa.Table:
                      "val": pa.array(acc[nz].astype(np.float64), pa.float64())})
 
 
+def _bucket_edge_keys(table: pa.Table, rankkey, n: int, n_buckets: int):
+    """Task: block → oriented edge keys split by ``key % B``, each
+    bucket sorted."""
+    import ray
+
+    rk = ray.get(rankkey) if not isinstance(rankkey, np.ndarray) else rankkey
+    keys = []
+    for bv in iter_block_views(table):
+        src = bv.src_per_edge()
+        keep = rk[bv.indices] > rk[src]
+        keys.append(src[keep] * np.int64(n) + bv.indices[keep])
+    k = np.concatenate(keys) if keys else np.empty(0, np.int64)
+    b = k % n_buckets
+    order = np.argsort(b, kind="stable")
+    k, b = k[order], b[order]
+    bounds = np.searchsorted(b, np.arange(n_buckets + 1))
+    out = tuple(np.sort(k[bounds[i]:bounds[i + 1]]) for i in range(n_buckets))
+    return out if n_buckets > 1 else out[0]
+
+
+def _bucket_wedges(table: pa.Table, rankkey, n: int, n_buckets: int):
+    """Task: block → candidate wedges (u, key=a*n+b) split by
+    ``key % B``."""
+    import ray
+
+    rk = ray.get(rankkey) if not isinstance(rankkey, np.ndarray) else rankkey
+    us, ks = [], []
+    for bv in iter_block_views(table):
+        indptr, srt = _oriented_segments(bv, rk)
+        nv = bv.hi - bv.lo
+        cnt = np.diff(indptr)
+        lo_u = 0
+        while lo_u < nv:
+            hi_u = lo_u
+            pairs = 0
+            while hi_u < nv and (pairs == 0 or pairs < _PAIR_CHUNK):
+                pairs += int(cnt[hi_u] * (cnt[hi_u] - 1) // 2)
+                hi_u += 1
+            u_local, a, b = _ordered_pairs(indptr, srt, lo_u, hi_u)
+            if len(u_local):
+                us.append(u_local + bv.lo)
+                ks.append(a * np.int64(n) + b)
+            lo_u = hi_u
+    u = np.concatenate(us) if us else np.empty(0, np.int64)
+    k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+    bkt = k % n_buckets
+    order = np.argsort(bkt, kind="stable")
+    u, k, bkt = u[order], k[order], bkt[order]
+    bounds = np.searchsorted(bkt, np.arange(n_buckets + 1))
+    out = tuple((u[bounds[i]:bounds[i + 1]].copy(),
+                 k[bounds[i]:bounds[i + 1]].copy())
+                for i in range(n_buckets))
+    return out if n_buckets > 1 else out[0]
+
+
+def _bucket_probe(n: int, n_edge_parts: int, *parts):
+    """Task: one bucket — membership-check wedges against this bucket's
+    sorted edge keys; return sparse per-vertex triangle count partial.
+    (varargs so each partial is a top-level ObjectRef arg — Ray only
+    auto-dereferences top-level refs, not refs inside lists)"""
+    edge_parts = parts[:n_edge_parts]
+    wedge_parts = parts[n_edge_parts:]
+    ek = [e for e in edge_parts if len(e)]
+    keys = np.sort(np.concatenate(ek)) if ek else np.empty(0, np.int64)
+    us, ks = [], []
+    for u, k in wedge_parts:
+        if len(u):
+            us.append(u)
+            ks.append(k)
+    if not us or not len(keys):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    u = np.concatenate(us)
+    k = np.concatenate(ks)
+    pos = np.searchsorted(keys, k)
+    ok = pos < len(keys)
+    hit = np.flatnonzero(ok & (keys[np.where(ok, pos, 0)] == k))
+    if not len(hit):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    corners = np.concatenate([u[hit], k[hit] // n, k[hit] % n])
+    vals, cnts = np.unique(corners, return_counts=True)
+    return vals, cnts.astype(np.int64)
+
+
+def _triangle_count_bucketed(g, n_buckets: int) -> np.ndarray:
+    """Bucketed semi-join probe (scale path: no broadcast of the edge
+    set; wedge and edge streams are routed by ``key % B`` and checked
+    per bucket)."""
+    import ray
+
+    n = g.n
+    rankkey = g.out_degree.astype(np.int64) * np.int64(n) + np.arange(n, dtype=np.int64)
+    rk_ref = ray.put(rankkey)
+    ek = ray.remote(_bucket_edge_keys)
+    wk = ray.remote(_bucket_wedges)
+    pb = ray.remote(_bucket_probe)
+    nb = n_buckets
+    e_parts = [ek.options(num_returns=nb if nb > 1 else 1).remote(r, rk_ref, n, nb)
+               for r in g.arrow_refs()]
+    w_parts = [wk.options(num_returns=nb if nb > 1 else 1).remote(r, rk_ref, n, nb)
+               for r in g.arrow_refs()]
+    if nb == 1:
+        e_by, w_by = [tuple(e_parts)], [tuple(w_parts)]
+    else:
+        e_by, w_by = list(zip(*e_parts)), list(zip(*w_parts))
+    futs = [pb.remote(n, len(e_by[b]), *e_by[b], *w_by[b]) for b in range(nb)]
+    per_vertex = np.zeros(n, dtype=np.int64)
+    for vals, cnts in ray.get(futs):
+        per_vertex[vals] += cnts
+    return per_vertex
+
+
 @dataclass
 class TriangleResult:
     total: int
@@ -121,17 +234,28 @@ class TriangleResult:
     edges_processed: int
 
 
-def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None) -> TriangleResult:
+def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None,
+                   probe: str = "broadcast",
+                   n_buckets: int | None = None) -> TriangleResult:
     """Exact triangle count of an undirected LinkGraph.
 
     ``per_vertex[v]`` = number of triangles containing v;
-    ``total`` = Σ/3.
+    ``total`` = Σ/3.  ``probe="bucketed"`` is the beyond-driver-memory
+    path: no broadcast edge set; wedge and edge-key streams are routed
+    by ``key % B`` and membership-checked per bucket.
     """
     import ray
 
     if g.directed:
         raise ValueError("triangle_count needs an undirected LinkGraph")
     t0 = time.perf_counter()
+    if probe == "bucketed":
+        per_vertex = _triangle_count_bucketed(
+            g, n_buckets or max(4, g.num_parts))
+        return TriangleResult(total=int(per_vertex.sum() // 3),
+                              per_vertex=per_vertex,
+                              seconds=time.perf_counter() - t0,
+                              edges_processed=g.m)
     mode = resolve_gather(gather, g.n)
     n = g.n
     rankkey = g.out_degree.astype(np.int64) * np.int64(n) + np.arange(n, dtype=np.int64)

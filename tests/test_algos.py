@@ -176,3 +176,15 @@ def test_hedonic_fully_deterministic_across_runs():
     np.testing.assert_array_equal(a.state["coalition"], b.state["coalition"])
     assert a.iterations == b.iterations
     assert [m["moved"] for m in a.metrics] == [m["moved"] for m in b.metrics]
+
+
+def test_triangles_bucketed_probe_matches_broadcast():
+    from hedonic_ray.sources.synth import zipf_hub_edges
+
+    edges = sbm_edges(3, 25, p_in=0.25, multiplier=0.1, seed=14)
+    hubs = zipf_hub_edges(75, 150, seed=15)
+    g = make_graph(np.concatenate([edges, hubs]).tolist(), 75, num_parts=5)
+    a = triangle_count(g, probe="broadcast")
+    b = triangle_count(g, probe="bucketed", n_buckets=6)
+    assert b.total == a.total
+    np.testing.assert_array_equal(b.per_vertex, a.per_vertex)
