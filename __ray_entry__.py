@@ -46,6 +46,159 @@ def entry() -> Any:
     return flagship("/root/testdata/sf0.001")
 
 
+# ------------------------------------------------- generated SQL oracles
+
+
+def _pagerank_chain_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank as a chain of CTE steps (r0 → r{iters});
+    mirrors PageRankStep.apply exactly: r' = (1-d)/n + d*(contrib +
+    dangling_mass/n), dangling = Σ rank over outdeg-0 vertices."""
+    parts = [f"""WITH {_LINKS_CTE},
+nn AS (SELECT count(*) AS n FROM documents),
+outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT d.doc_id AS v, 1.0 / nn.n AS r FROM documents d CROSS JOIN nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+dang{i} AS (SELECT COALESCE(sum(r), 0) AS s FROM r{i}
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = r{i}.v)),
+c{i} AS (SELECT e.dst AS v, sum(r{i}.r / outdeg.d) AS c
+         FROM e JOIN r{i} ON r{i}.v = e.src
+         JOIN outdeg ON outdeg.src = e.src GROUP BY e.dst),
+r{i + 1} AS (SELECT d.doc_id AS v,
+             (1 - {damping}) / nn.n
+             + {damping} * (COALESCE(c{i}.c, 0) + dang{i}.s / nn.n) AS r
+             FROM documents d CROSS JOIN nn CROSS JOIN dang{i}
+             LEFT JOIN c{i} ON c{i}.v = d.doc_id)""")
+    parts.append(f"""
+SELECT v AS vertex, CAST(ROUND(r * 1e9) AS BIGINT) AS rank_e9 FROM r{iters}""")
+    return "".join(parts)
+
+
+def _labelprop_chain_sql(iters: int = 2) -> str:
+    """Fixed-round synchronous plurality LP (ties → lowest label, init
+    label = vertex id, vertices with no neighbors keep their label)."""
+    parts = [f"""WITH {_LINKS_CTE},
+arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)"""]
+    for i in range(iters):
+        parts.append(f""",
+c{i} AS (SELECT a.dst AS v, l.lab, count(*) AS c
+         FROM arcs a JOIN l{i} l ON l.v = a.src GROUP BY a.dst, l.lab),
+b{i} AS (SELECT v, lab FROM (
+            SELECT v, lab, row_number() OVER (
+                PARTITION BY v ORDER BY c DESC, lab) AS rn FROM c{i})
+         WHERE rn = 1),
+l{i + 1} AS (SELECT p.v, COALESCE(b{i}.lab, p.lab) AS lab
+             FROM l{i} p LEFT JOIN b{i} ON b{i}.v = p.v)""")
+    parts.append(f"""
+SELECT v AS vertex, CAST(lab AS BIGINT) AS label FROM l{iters}""")
+    return "".join(parts)
+
+
+def _lang_id_sql() -> str:
+    """Mirrors ops.textstats.LangId: CJK → zh; else per-language
+    stopword regex counts, argmax with ties → alphabetically-first
+    language; all-zero → und."""
+    from hedonic_ray.ops.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)  # de, en, es, fr — the tie order
+    counts = ",\n           ".join(
+        "length(regexp_extract_all(text, '(?i)\\b("
+        + "|".join(sorted(_STOPWORDS[lang]))
+        + ")\\b')) AS c_" + lang
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    cases = " ".join(f"WHEN c_{la} = best THEN '{la}'" for la in langs[:-1])
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+           {counts}
+            FROM documents
+        ), ranked AS (
+            SELECT *, {best} AS best FROM scored
+        )
+        SELECT doc_id, lang,
+               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN best = 0 THEN 'und'
+                    {cases}
+                    ELSE '{langs[-1]}' END AS lang_pred
+        FROM ranked
+    """
+
+
+def _fingerprints_sql(k: int = 8, window: int = 16) -> str:
+    """Mirrors ops.textstats.Fingerprint: polynomial hash mod 2^64 over
+    codepoint k-grams (HUGEINT arithmetic), trailing-window min,
+    distinct minima per doc, uint64 → int64 two's-complement view."""
+    from hedonic_ray.ops.textstats import FP_MULT
+
+    two64 = 1 << 64
+    powers = [pow(FP_MULT, k - 1 - j, two64) for j in range(k)]
+    terms = []
+    for j, p in enumerate(powers):
+        ref = "c" if j == 0 else f"lead(c, {j}) OVER w"
+        terms.append(f"{ref} * {p}::HUGEINT")
+    h_expr = "(" + " + ".join(terms) + f") % {two64}::HUGEINT"
+    return f"""
+        WITH chars AS (
+            SELECT doc_id,
+                   CAST(unicode(unnest(string_split(text, ''))) AS HUGEINT) AS c,
+                   generate_subscripts(string_split(text, ''), 1) AS i
+            FROM documents
+        ), kg AS (
+            SELECT doc_id, i, {h_expr} AS h
+            FROM chars
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            QUALIFY lead(c, {k - 1}) OVER w IS NOT NULL
+        ), nk AS (
+            SELECT doc_id, count(*) AS n FROM kg GROUP BY doc_id
+        ), wins AS (
+            SELECT doc_id, i,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN {window - 1} PRECEDING
+                                AND CURRENT ROW) AS wm,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+            FROM kg
+        ), sel AS (
+            SELECT DISTINCT w.doc_id, w.wm
+            FROM wins w JOIN nk ON nk.doc_id = w.doc_id
+            WHERE w.rn >= LEAST(nk.n, {window})
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN wm >= {1 << 63}::HUGEINT
+                         THEN wm - {two64}::HUGEINT ELSE wm END
+                    AS BIGINT) AS fingerprint
+        FROM sel
+    """
+
+
+_SHINGLES_CTE = r"""
+words AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+           generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM words a
+    JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+    FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT a, b FROM inter
+    JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7
+)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hedonic_ray.pipelines import linkgraph as lg
     from hedonic_ray.pipelines import textops as tx
@@ -92,8 +245,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",
+        "graph_pagerank_full": _pagerank_chain_sql(iters=5),
+        "graph_labelprop": _labelprop_chain_sql(iters=2),
+        "graph_components": f"""
+            WITH RECURSIVE {_LINKS_CTE},
+            arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, a.dst FROM reach r JOIN arcs a ON a.src = r.u
+            )
+            SELECT v AS vertex, CAST(min(u) AS BIGINT) AS component
+            FROM reach GROUP BY v
+        """,
+        "graph_triangles_docs": f"""
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri),
+            cnt AS (SELECT v, count(*) AS t FROM corners GROUP BY v)
+            SELECT d.doc_id AS vertex,
+                   CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
+            FROM documents d LEFT JOIN cnt ON cnt.v = d.doc_id
+        """,
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprints": _fingerprints_sql(),
+        "dedup_minhash": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            und AS (SELECT a AS src, b AS dst FROM jpairs
+                    UNION ALL SELECT b, a FROM jpairs),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, a.dst FROM reach r JOIN und a ON a.src = r.u
+            )
+            SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS dup_group
+            FROM reach GROUP BY v
+        """,
+        "dedup_simhash": r"""
+            WITH words AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents
+            ),
+            wh AS (SELECT doc_id, md5_number_lower(w) AS h FROM words),
+            bits AS (
+                SELECT doc_id, b.j,
+                       sum(CASE WHEN (h >> CAST(b.j AS UTINYINT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS score
+                FROM wh CROSS JOIN range(64) b(j)
+                GROUP BY doc_id, b.j
+            ),
+            bsign AS (
+                SELECT doc_id, j, CASE WHEN score > 0 THEN 1 ELSE 0 END AS bit
+                FROM bits
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(count(*) FILTER (x.bit <> y.bit) AS BIGINT) AS hamming
+            FROM bsign x JOIN bsign y ON x.j = y.j AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) FILTER (x.bit <> y.bit) <= 3
+        """,
+        "dedup_embedding": """
+            WITH pr AS (
+                SELECT list_cosine_similarity(
+                           CAST(x.embedding AS DOUBLE[]),
+                           CAST(y.embedding AS DOUBLE[])) AS c
+                FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            ), t(threshold_e2) AS (VALUES (30), (50), (90), (98))
+            SELECT CAST(threshold_e2 AS BIGINT) AS threshold_e2,
+                   CAST(count(*) FILTER (pr.c >= threshold_e2 / 100.0)
+                        AS BIGINT) AS n_pairs
+            FROM t LEFT JOIN pr ON TRUE GROUP BY threshold_e2
+        """,
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_degree": f"""
             WITH {_LINKS_CTE},
@@ -267,3 +498,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 3 = 2 AND t.j * 2 < 1 + d.doc_id % 8
         """,
     }
+    # the IVF query's probed buckets cover the true top-k at gate scale
+    # (recall 1.0, locally verified + pytest-checked vs brute force), so
+    # the exact top-k SQL doubles as its oracle
+    out["sim_ivf_topk"] = out["sim_topk_cosine"]
+    return out

@@ -57,18 +57,35 @@ def cpm_potential(membership: np.ndarray, friends_own: np.ndarray,
 class HedonicStep:
     def __init__(self, resolution: float | None = None,
                  init_membership: np.ndarray | None = None,
-                 serial_tail: bool = True):
+                 serial_tail: bool = True, local_sweep: bool = True):
         self.resolution = resolution
         self.init_membership = init_membership
         # serial_tail only applies to the iterated convergence loop; the
         # one-pass variants must apply ALL improving moves in their
         # single synchronous pass (hedonic/__init__.py:282-292)
         self.serial_tail = serial_tail
+        # local_sweep: tasks-backend partitions run a sequential
+        # within-partition local-moving sweep per superstep (the
+        # reference's queue dynamics, sharded) — cuts superstep counts
+        # several-fold.  Disabled automatically near equilibrium (the
+        # provably-terminating serial tail takes over) and for one-pass
+        # variants (serial_tail=False implies pure synchronous moves).
+        self.local_sweep = local_sweep
         self._phi_hist: list[float] = []
         self._stall = 0
+        self._prev_active: int | None = None
+        self._sweep_stalled = False
+        self._pool = None  # ShardPool (stateful sharded apply)
+        self._applied: tuple | None = None  # last superstep's movers
 
     def _alpha(self, g) -> float:
         return g.density() if self.resolution is None else self.resolution
+
+    def on_resume(self, state: dict) -> None:
+        """Restore damping state from a checkpoint (run_supersteps calls
+        this on the resume path so Φ-stall damping doesn't reset)."""
+        self._phi_hist = [float(x) for x in state.get("phi_hist", [])]
+        self._stall = int(state.get("stall", 0))
 
     def init_state(self, g) -> dict:
         if self.init_membership is not None:
@@ -92,6 +109,7 @@ class HedonicStep:
         return gather_label_counts(msgs_ds, mode)
 
     TAIL_SERIAL = 64  # active ≤ this → one best-gain mover per superstep
+    SWEEP_MAX = 16_000  # active ≤ this → within-partition local sweeps
 
     def _damp_and_move(self, mem: np.ndarray, d: np.ndarray, l: np.ndarray,
                        gain: np.ndarray, phi: float, alpha: float,
@@ -147,6 +165,11 @@ class HedonicStep:
                 d, l = d[keep], l[keep]
         new = mem.copy()
         new[d] = l
+        # applied movers (v, old, new) — the sharded-apply actors fold
+        # exactly this delta in at the next superstep
+        self._applied = (np.asarray(d, dtype=np.int64),
+                         mem[d].astype(np.int64),
+                         np.asarray(l, dtype=np.int64))
         extra = {"potential": phi, "resolution": alpha,
                  "moved": int(len(d)), "damp_level": level}
         return new, extra
@@ -175,38 +198,81 @@ class HedonicStep:
 
         phi = cpm_potential(mem, f_own, alpha)
         new, extra = self._damp_and_move(mem, d, l, gain, phi, alpha, active, it)
-        return {"coalition": new}, active, extra
+        return self._state_out(new), active, extra
+
+    def _state_out(self, new: np.ndarray) -> dict:
+        # damping internals ride along in the state dict so checkpoints
+        # persist them (restored via on_resume)
+        return {"coalition": new, "phi_hist": list(self._phi_hist),
+                "stall": int(self._stall)}
 
     def prefers_tasks(self, g) -> bool:
         return g.m >= 400_000
 
     def tasks_step(self, g, state: dict, it: int):
-        """Task-exchange backend (engine/exchange.py) — same decision
-        rule, combine + argmax parallelized per destination partition."""
-        from hedonic_ray.engine.exchange import label_exchange_step
-
+        """Raw-Ray backend: stateful sharded-apply actors
+        (engine/shards.py — incremental counts, one round/superstep,
+        O(movers) traffic) for iterated runs; stateless task exchange
+        (engine/exchange.py) for one-pass variants.  Same decision
+        rule and damping as the Dataset backends → bit-identical
+        trajectories (tested) unless the local sweep is engaged."""
         mem = state["coalition"]
         alpha = self._alpha(g)
-        d, l, gain, f_own_total, active = label_exchange_step(
-            g, mem, mode="hedonic", alpha=alpha)
+        # sweep WINDOW: plain synchronous steps while the mover set is
+        # huge (global sync dynamics find better optima than greedy
+        # partition-local chains from a singleton start — measured: Φ
+        # 510k vs 620k on the bench SBM), sequential local sweeps once
+        # the active set is mid-sized (kills the ~100-superstep tail
+        # grind: 140 → ~76 supersteps, final Φ slightly ABOVE the pure
+        # sync path), provably-terminating serial tail at the end
+        prev = self._prev_active
+        sweep = (self.local_sweep and self.serial_tail
+                 and not self._sweep_stalled and prev is not None
+                 and self.TAIL_SERIAL < prev <= self.SWEEP_MAX)
+        if self.serial_tail:  # iterated run → stateful sharded apply
+            from hedonic_ray.engine.shards import ShardPool
+
+            if self._pool is None:
+                self._pool = ShardPool(g, mem, alpha, "hedonic")
+                self._applied = (np.empty(0, np.int64),) * 3
+            d, l, gain, f_own_total, active = self._pool.step(
+                *self._applied, sweep)
+        else:
+            from hedonic_ray.engine.exchange import label_exchange_step
+
+            d, l, gain, f_own_total, active = label_exchange_step(
+                g, mem, mode="hedonic", alpha=alpha, sweep=sweep)
+        # a sweep whose moves net out to zero while vertices still want
+        # to move would loop forever — fall back to the plain path
+        self._sweep_stalled = bool(sweep and active > 0 and len(d) == 0)
+        self._prev_active = active
         sizes = np.bincount(mem)
         phi = float(f_own_total / 2.0 - alpha * (sizes * (sizes - 1) / 2.0).sum())
         new, extra = self._damp_and_move(mem, d.astype(np.int64),
                                          l.astype(np.int64), gain, phi,
                                          alpha, active, it)
-        return {"coalition": new}, active, extra
+        extra["sweep"] = int(sweep)
+        return self._state_out(new), active, extra
 
 
 def hedonic_communities(g, *, resolution: float | None = None,
                         init_membership=None, max_iters: int = 200,
                         gather: str = "auto", checkpoint_dir=None, run_id=None,
-                        checkpoint_every: int = 5, resume: bool = False) -> RunResult:
+                        checkpoint_every: int = 5, resume: bool = False,
+                        local_sweep: bool = True) -> RunResult:
     """Local-moving hedonic game dynamics to Nash equilibrium
     (``community_hedonic_traversal``, hedonic/__init__.py:214-228).
-    ``result.state['coalition']`` is the final membership."""
+    ``result.state['coalition']`` is the final membership.
+
+    ``local_sweep=False`` forces the pure synchronous step on every
+    backend (bit-identical across dense/shuffle/tasks); the default
+    sweep accelerates the tasks backend with within-partition
+    sequential local moving — different trajectory, same certified
+    Nash-equilibrium invariant (``converged`` ⇒ active == 0)."""
     if g.directed:
         raise ValueError("hedonic_communities needs an undirected LinkGraph")
-    algo = HedonicStep(resolution=resolution, init_membership=init_membership)
+    algo = HedonicStep(resolution=resolution, init_membership=init_membership,
+                       local_sweep=local_sweep)
     return run_supersteps(g, algo, max_iters=max_iters, gather=gather,
                           checkpoint_dir=checkpoint_dir, run_id=run_id,
                           checkpoint_every=checkpoint_every, resume=resume)

@@ -35,6 +35,29 @@ def configure_context(
         pass
 
 
+def drop_empty_blocks(ds, schema=None):
+    """Materialize ``ds`` and drop its zero-row blocks.
+
+    Ray Data operators emit schema-less EMPTY blocks (one per idle
+    task), and the hash-shuffle ``Dataset.join`` rejects them ("No
+    match ... for key field reference" out of acero).  Filtering uses
+    block METADATA from the materialized plan — no block data moves.
+    ``schema`` (pyarrow) is used for a typed empty result when every
+    block is empty.
+    """
+    import ray.data as rd
+
+    m = ds.materialize()
+    refs = [ref for bundle in m.iter_internal_ref_bundles()
+            for ref, md in bundle.blocks if (md.num_rows or 0) > 0]
+    if not refs:
+        import pyarrow as pa
+
+        return rd.from_arrow(schema.empty_table() if schema is not None
+                             else pa.table({}))
+    return rd.from_arrow_refs(refs)
+
+
 def session_cpus() -> int:
     """CPUs of the live Ray session (falls back to env / OS count)."""
     try:

@@ -76,10 +76,114 @@ def _merge_partials(partials, n: int):
     return ku // _U(n), ku % _U(n), red
 
 
+def _local_adjacency(blocks, lo: int, hi: int):
+    """Concatenate the partition group's CSR block rows into one local
+    (indptr, indices) pair spanning [lo, hi)."""
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    nloc = hi - lo
+    indptr = np.zeros(nloc + 1, dtype=np.int64)
+    pieces = {}
+    for t in blocks:
+        for bv in iter_block_views(t):
+            if bv.lo < lo or bv.hi > hi:  # not this group's range — skip
+                continue
+            deg = np.diff(bv.indptr)
+            indptr[bv.lo - lo + 1: bv.hi - lo + 1] = deg
+            pieces[bv.lo] = bv.indices
+    np.cumsum(indptr, out=indptr)
+    if not pieces:
+        return indptr, np.empty(0, np.int64)
+    indices = np.concatenate([pieces[k] for k in sorted(pieces)])
+    return indptr, indices
+
+
+def _hedonic_sweep(lo: int, hi: int, indptr, indices, mem_local_in, sizes_in,
+                   dst, lab, cnt, alpha: float, seed_movers, max_pops: int):
+    """Sequential local moving WITHIN a partition (the reference's
+    queue-driven sweep, ``hedonic/__init__.py:230-259``, minus its
+    ``in_equibrium`` typo — run per partition group instead of
+    globally).  Neighbor-label counts for local vertices are maintained
+    incrementally as local vertices move; effects on OTHER partitions
+    reconcile at the next global superstep's recount.  Returns
+    (movers_v, movers_lab)."""
+    from collections import deque
+
+    nloc = hi - lo
+    counts: list = [None] * nloc
+    d64 = dst.astype(np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], d64[1:] != d64[:-1]]))
+    bounds = np.append(starts, len(d64))
+    lab_l = lab.astype(np.int64).tolist()
+    cnt_l = cnt.astype(np.int64).tolist()
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        counts[d64[s] - lo] = dict(zip(lab_l[s:e], cnt_l[s:e]))
+
+    mem_local = np.asarray(mem_local_in, dtype=np.int64).copy()
+    orig = mem_local.copy()
+    sizes = {}  # sparse overlay over the broadcast sizes array
+    sz_in = sizes_in
+
+    def size_of(c):
+        return sizes.get(c, int(sz_in[c]) if c < len(sz_in) else 0)
+
+    q = deque(int(v) for v in seed_movers)
+    inq = np.zeros(nloc, dtype=bool)
+    inq[[v - lo for v in q]] = True
+    idx_l = indices.tolist()
+    pops = 0
+    while q and pops < max_pops:
+        v = q.popleft()
+        li = v - lo
+        inq[li] = False
+        pops += 1
+        c = counts[li]
+        if not c:
+            continue
+        own = int(mem_local[li])
+        f_own = c.get(own, 0)
+        best_val = f_own * (1 - alpha) - (size_of(own) - f_own - 1) * alpha
+        best_lab = own
+        for lb, f in c.items():
+            val = f * (1 - alpha) - (size_of(lb) - f - (lb == own)) * alpha
+            if val > best_val or (val == best_val and lb < best_lab
+                                  and best_lab != own):
+                best_val, best_lab = val, lb
+        if best_lab == own:
+            continue
+        sizes[own] = size_of(own) - 1
+        sizes[best_lab] = size_of(best_lab) + 1
+        mem_local[li] = best_lab
+        for u in idx_l[indptr[li]:indptr[li + 1]]:
+            if lo <= u < hi:
+                uj = u - lo
+                cu = counts[uj]
+                if cu is None:
+                    cu = counts[uj] = {}
+                fo = cu.get(own, 0) - 1
+                if fo:
+                    cu[own] = fo
+                else:
+                    cu.pop(own, None)
+                cu[best_lab] = cu.get(best_lab, 0) + 1
+                if not inq[uj]:
+                    q.append(u)
+                    inq[uj] = True
+    moved = np.flatnonzero(mem_local != orig)
+    return (moved + lo).astype(_U), mem_local[moved].astype(_U)
+
+
 def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
-                n: int, *partials):
+                n: int, sweep: bool, n_blocks: int, *rest):
     """Decision rule for vertices in [lo, hi): returns
-    (movers_v, movers_lab, f_own_sum, n_improving)."""
+    (movers_v, movers_lab, movers_gain, f_own_sum, n_improving).
+
+    With ``sweep`` (hedonic mode), the vectorized one-shot decision
+    seeds a sequential within-partition local-moving sweep — many moves
+    per superstep instead of one synchronized move, cutting global
+    superstep counts several-fold."""
+    blocks = rest[:n_blocks]
+    partials = rest[n_blocks:]
     dst, lab, cnt = _merge_partials(partials, n)
     if len(dst) == 0:
         return (np.empty(0, _U), np.empty(0, _U), np.empty(0, np.float64),
@@ -112,7 +216,14 @@ def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
         first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
         d, l, v = d[first], l[first], v[first]
         gain = v - v_own[d - lo]
-    return (d, l, gain, f_own_sum, int(len(d)))
+    active = int(len(d))
+    if sweep and len(d) and blocks:
+        indptr, indices = _local_adjacency(blocks, lo, hi)
+        sd, sl = _hedonic_sweep(lo, hi, indptr, indices, mem[lo:hi], sizes,
+                                dst, lab, cnt.astype(np.int64), alpha,
+                                d.tolist(), max_pops=max(4 * (hi - lo), 64))
+        return (sd, sl, np.zeros(len(sd), np.float64), f_own_sum, active)
+    return (d, l, gain, f_own_sum, active)
 
 
 # ---------------------------------------------------------------- numeric
@@ -193,9 +304,16 @@ def _remotes():
     return _REMOTES
 
 
-def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0):
+def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0,
+                        sweep: bool = False):
     """One full scatter→exchange→apply round.  Returns
-    (movers_v, movers_lab, movers_gain, f_own_total, active)."""
+    (movers_v, movers_lab, movers_gain, f_own_total, active).
+
+    ``sweep=True`` (hedonic mode) additionally ships each apply task
+    its OWN partition group's CSR block refs so it can run a
+    sequential within-partition local-moving sweep after the
+    vectorized decision — co-locating state slice with adjacency, the
+    sharded-apply layout the partitioning was designed for."""
     import ray
 
     r = _remotes()
@@ -220,11 +338,13 @@ def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0):
         per_part = [tuple(per_block)]
     else:
         per_part = list(zip(*per_block))
-    futs = [
-        r["apply"].remote(mode, alpha, p * span_ex, min(g.n, (p + 1) * span_ex),
-                          mem_ref, sizes_ref, g.n, *per_part[p])
-        for p in range(P_ex)
-    ]
+    futs = []
+    for p in range(P_ex):
+        own_blocks = block_refs[p * group:(p + 1) * group] if sweep else []
+        futs.append(r["apply"].remote(
+            mode, alpha, p * span_ex, min(g.n, (p + 1) * span_ex),
+            mem_ref, sizes_ref, g.n, sweep, len(own_blocks),
+            *own_blocks, *per_part[p]))
     results = ray.get(futs)
     movers_v = np.concatenate([x[0] for x in results]) if results else np.empty(0, _U)
     movers_l = np.concatenate([x[1] for x in results]) if results else np.empty(0, _U)

@@ -1,0 +1,275 @@
+"""Stateful sharded-apply actors for label-count supersteps.
+
+The task exchange (``engine/exchange.py``) recounts every edge and
+re-broadcasts the full membership EVERY superstep — two task waves and
+O(E) work even when only a handful of vertices moved.  This module is
+the incremental scale path (ROADMAP items 2–3): one long-lived actor
+per partition group holds
+
+* its CSR adjacency slice (read once from the materialized blocks),
+* the full membership + coalition-size vectors (updated from mover
+  deltas, never re-broadcast),
+* its vertices' neighbor-label COUNT rows (``key = v*n + lab`` sorted
+  arrays, exactly what a fresh scatter+merge would produce — the
+  invariant is asserted in tests),
+* a cached per-vertex decision (best target / improving flag).
+
+A superstep is then ONE actor round: the driver ships the previous
+superstep's APPLIED movers (O(movers)); each actor
+
+1. folds the movers into membership/sizes,
+2. finds its local edges pointing at movers (undirected symmetric
+   adjacency ⇒ every count change is visible locally — no cross-actor
+   exchange at all) and merges the ±1 deltas into its count rows,
+3. re-evaluates the decision rule ONLY for affected vertices (mover
+   neighbors, movers, members of and vertices adjacent to coalitions
+   whose size changed),
+4. returns its improving vertices (or a local-moving sweep's chains).
+
+Per-superstep cost is O(movers·deg/P + affected) instead of O(E/P),
+and driver↔actor traffic is O(movers) instead of O(V).  Decision
+arithmetic is shared with the task exchange, so the trajectory is
+bit-identical to ``gather="tasks"`` (tested).
+
+Replaces the reference's single-process incremental bookkeeping in
+``community_hedonic_queue`` (``/root/reference/hedonic/__init__.py:230-259``)
+with a sharded, exactly-maintained distributed form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U = np.int64
+
+
+def _eval_rows(mode: str, alpha: float, lo: int, hi: int, dst, lab, cnt,
+               mem_local, sizes):
+    """Shared vectorized decision rule over count rows for vertices in
+    [lo, hi) (identical arithmetic to exchange._apply_part).  Returns
+    (best_lab (hi-lo, -1 = none), improving bool, gain float) for the
+    vertices COVERED by rows; callers scatter into caches."""
+    nloc = hi - lo
+    best = np.full(nloc, -1, dtype=np.int64)
+    imp = np.zeros(nloc, dtype=bool)
+    gain = np.zeros(nloc, dtype=np.float64)
+    if len(dst) == 0:
+        return best, imp, gain
+    f = cnt.astype(np.float64)
+    szf = sizes.astype(np.float64)
+    own_row = lab == mem_local[dst - lo]
+    f_own_local = np.zeros(nloc, dtype=np.float64)
+    f_own_local[dst[own_row] - lo] = f[own_row]
+    v_own = (f_own_local * (1 - alpha)
+             - (szf[mem_local] - f_own_local - 1.0) * alpha)
+    if mode == "lp":
+        order = np.lexsort((lab, -cnt, dst))
+        d, l = dst[order], lab[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        d, l = d[first], l[first]
+        best[d - lo] = l
+        imp[d - lo] = l != mem_local[d - lo]
+        return best, imp, gain
+    val = f * (1 - alpha) - (szf[lab] - f - own_row.astype(np.float64)) * alpha
+    improving = val > v_own[dst - lo]
+    d, l, v = dst[improving], lab[improving], val[improving]
+    if len(d):
+        order = np.lexsort((l, -v, d))
+        d, l, v = d[order], l[order], v[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        d, l, v = d[first], l[first], v[first]
+        best[d - lo] = l
+        imp[d - lo] = True
+        gain[d - lo] = v - v_own[d - lo]
+    return best, imp, gain
+
+
+class ApplyShard:
+    """One partition group's stateful apply actor (plain class —
+    wrapped with ``ray.remote`` at pool construction so importing this
+    module stays Ray-free)."""
+
+    def __init__(self, lo: int, hi: int, n: int, alpha: float, mode: str,
+                 block_tables, mem0: np.ndarray):
+        import ray
+        from hedonic_ray.engine.exchange import _local_adjacency
+
+        self.lo, self.hi, self.n = lo, hi, n
+        self.alpha, self.mode = alpha, mode
+        # refs nested in a list are NOT auto-resolved by Ray — fetch
+        # them here (zero-copy Arrow reads from the local object store)
+        block_tables = [ray.get(b) if isinstance(b, ray.ObjectRef) else b
+                        for b in block_tables]
+        self.indptr, self.indices = _local_adjacency(block_tables, lo, hi)
+        mem0 = np.asarray(mem0, dtype=np.int64)
+        # only the LOCAL membership slice is retained — the full vector
+        # is read once here (zero-copy from the object store) to seed
+        # counts, then every update arrives as O(movers) deltas
+        self.mem_local = mem0[lo:hi].copy()
+        self.sizes = np.bincount(mem0, minlength=n).astype(np.int64)
+        # count rows: key = v*n + lab (sorted), cnt > 0
+        src = lo + np.repeat(np.arange(hi - lo), np.diff(self.indptr))
+        key = src.astype(_U) * _U(n) + mem0[self.indices]
+        self.keys, self.cnts = np.unique(key, return_counts=True)
+        self.cnts = self.cnts.astype(np.int64)
+        self._eval_all()
+
+    # ------------------------------------------------------------ eval
+
+    def _rows(self):
+        return self.keys // _U(self.n), self.keys % _U(self.n), self.cnts
+
+    def _eval_all(self):
+        dst, lab, cnt = self._rows()
+        self.best, self.imp, self.gain = _eval_rows(
+            self.mode, self.alpha, self.lo, self.hi, dst, lab, cnt,
+            self.mem_local, self.sizes)
+
+    def _eval_some(self, verts: np.ndarray):
+        """Re-evaluate a sorted subset of local vertices in place."""
+        dst, lab, cnt = self._rows()
+        mask = np.isin(dst, verts)
+        b, i, g = _eval_rows(self.mode, self.alpha, self.lo, self.hi,
+                             dst[mask], lab[mask], cnt[mask],
+                             self.mem_local, self.sizes)
+        li = verts - self.lo
+        self.best[li] = b[li]
+        self.imp[li] = i[li]
+        self.gain[li] = g[li]
+
+    # ------------------------------------------------------------ step
+
+    def step(self, movers_v, movers_old, movers_new, sweep: bool = False):
+        """Fold last superstep's applied movers in, return this shard's
+        proposals: (movers_v, movers_lab, gains, f_own_sum, active)."""
+        lo, hi, n = self.lo, self.hi, self.n
+        if len(movers_v):
+            mv = np.asarray(movers_v, dtype=np.int64)
+            old = np.asarray(movers_old, dtype=np.int64)
+            new = np.asarray(movers_new, dtype=np.int64)
+            loc = (mv >= lo) & (mv < hi)
+            self.mem_local[mv[loc] - lo] = new[loc]
+            np.add.at(self.sizes, old, -1)
+            np.add.at(self.sizes, new, 1)
+            # local edges whose TARGET moved → ±1 count deltas for the
+            # local source vertex (symmetric adjacency: all changes to
+            # local counts come from local edges)
+            order = np.argsort(mv, kind="stable")
+            mv_s, old_s, new_s = mv[order], old[order], new[order]
+            pos = np.searchsorted(mv_s, self.indices)
+            pos = np.clip(pos, 0, len(mv_s) - 1)
+            hit = mv_s[pos] == self.indices
+            if hit.any():
+                src = lo + np.repeat(np.arange(hi - lo),
+                                     np.diff(self.indptr))
+                u = src[hit].astype(_U)
+                w = pos[hit]
+                dkey = np.concatenate([u * _U(n) + old_s[w],
+                                       u * _U(n) + new_s[w]])
+                dval = np.concatenate([np.full(hit.sum(), -1, np.int64),
+                                       np.ones(hit.sum(), np.int64)])
+                uk, inv = np.unique(dkey, return_inverse=True)
+                dsum = np.zeros(len(uk), dtype=np.int64)
+                np.add.at(dsum, inv, dval)
+                nz = dsum != 0
+                uk, dsum = uk[nz], dsum[nz]
+                # merge deltas into the sorted count rows
+                p = np.searchsorted(self.keys, uk)
+                p_c = np.clip(p, 0, max(0, len(self.keys) - 1))
+                exists = (self.keys[p_c] == uk) if len(self.keys) else \
+                    np.zeros(len(uk), bool)
+                if len(self.keys):
+                    np.add.at(self.cnts, p_c[exists], dsum[exists])
+                if (~exists).any():
+                    ins_k, ins_v = uk[~exists], dsum[~exists]
+                    keep_new = ins_v > 0
+                    self.keys = np.insert(self.keys, p[~exists][keep_new],
+                                          ins_k[keep_new])
+                    self.cnts = np.insert(self.cnts, p[~exists][keep_new],
+                                          ins_v[keep_new])
+                live = self.cnts > 0
+                if not live.all():
+                    self.keys = self.keys[live]
+                    self.cnts = self.cnts[live]
+                touched_u = np.unique(u)
+            else:
+                touched_u = np.empty(0, np.int64)
+            # affected: mover neighbors, local movers, and every local
+            # vertex whose own or candidate coalition changed size
+            changed = np.unique(np.concatenate([old, new]))
+            own_hit = np.flatnonzero(np.isin(self.mem_local, changed)) + lo
+            row_v, row_lab = self.keys // _U(n), self.keys % _U(n)
+            cand_hit = np.unique(row_v[np.isin(row_lab, changed)])
+            local_movers = mv[loc]
+            affected = np.unique(np.concatenate(
+                [touched_u, own_hit, cand_hit, local_movers]))
+            if len(affected) * 3 > (hi - lo):
+                self._eval_all()
+            elif len(affected):
+                self._eval_some(affected)
+        # proposals
+        dst, lab, cnt = self._rows()
+        own = lab == self.mem_local[dst - lo]
+        f_own_sum = float(cnt[own].sum())
+        active = int(self.imp.sum())
+        if sweep and self.mode == "hedonic" and active:
+            from hedonic_ray.engine.exchange import _hedonic_sweep
+
+            seeds = (np.flatnonzero(self.imp) + lo).tolist()
+            sd, sl = _hedonic_sweep(
+                lo, hi, self.indptr, self.indices, self.mem_local,
+                self.sizes, dst, lab, cnt, self.alpha, seeds,
+                max_pops=max(4 * (hi - lo), 64))
+            return (sd.astype(np.int64), sl.astype(np.int64),
+                    np.zeros(len(sd), np.float64), f_own_sum, active)
+        d = np.flatnonzero(self.imp)
+        return ((d + lo).astype(np.int64), self.best[d].astype(np.int64),
+                self.gain[d].copy(), f_own_sum, active)
+
+    def counts_snapshot(self):
+        """(keys, cnts) — test hook for the exact-maintenance invariant."""
+        return self.keys.copy(), self.cnts.copy()
+
+
+class ShardPool:
+    """Driver-side handle: one ApplyShard actor per partition group."""
+
+    def __init__(self, g, mem0: np.ndarray, alpha: float, mode: str,
+                 max_shards: int = 16):
+        import ray
+
+        group = max(1, -(-g.num_parts // max_shards))
+        self.span = g.span * group
+        self.P = -(-g.n // self.span)
+        self.n = g.n
+        # num_cpus=0: the shard count is FIXED by the graph partitioning
+        # (results deterministic across session sizes) and must remain
+        # schedulable even on a 2-CPU session — reserving 1 CPU × 16
+        # actors would deadlock small clusters.  On a real multi-node
+        # cluster, spread placement distributes shards across nodes.
+        Actor = ray.remote(num_cpus=0)(ApplyShard)
+        refs = g.arrow_refs()
+        mem_ref = ray.put(np.asarray(mem0, dtype=np.int64))
+        self.shards = [
+            Actor.remote(p * self.span, min(g.n, (p + 1) * self.span), g.n,
+                         alpha, mode, refs[p * group:(p + 1) * group],
+                         mem_ref)
+            for p in range(self.P)
+        ]
+
+    def step(self, movers_v, movers_old, movers_new, sweep: bool):
+        """One superstep round.  Returns
+        (movers_v, movers_lab, gains, f_own_total, active)."""
+        import ray
+
+        mv = ray.put(np.asarray(movers_v, dtype=np.int64))
+        mo = ray.put(np.asarray(movers_old, dtype=np.int64))
+        mn = ray.put(np.asarray(movers_new, dtype=np.int64))
+        outs = ray.get([s.step.remote(mv, mo, mn, sweep)
+                        for s in self.shards])
+        d = np.concatenate([o[0] for o in outs])
+        l = np.concatenate([o[1] for o in outs])
+        gain = np.concatenate([o[2] for o in outs])
+        f_own = float(sum(o[3] for o in outs))
+        active = int(sum(o[4] for o in outs))
+        return d, l, gain, f_own, active

@@ -224,9 +224,14 @@ def run_supersteps(graph, algo, *, max_iters: int = 100, gather: str = "auto",
     start_it = 0
     state = None
     if resume and checkpoint_dir and run_id:
-        loaded = load_latest(checkpoint_dir, run_id)
+        # graph is passed so the checkpoint's input fingerprint is
+        # validated on the production resume path — resuming against a
+        # different graph of the same n must fail loudly, not silently
+        loaded = load_latest(checkpoint_dir, run_id, graph=graph)
         if loaded is not None:
             start_it, state = loaded.superstep + 1, loaded.state
+            if hasattr(algo, "on_resume"):
+                algo.on_resume(state)
     if state is None:
         state = algo.init_state(graph)
 

@@ -67,13 +67,19 @@ def _id_lookup_batch(batch: pa.Table, urls_ref,
     import ray
 
     vocab = ray.get(urls_ref)
+    # vocab is a fixed-width numpy string array; casting a LONGER url to
+    # that dtype silently truncates and could equality-match a prefix
+    # vocabulary entry (spurious edge) — reject over-width values first
+    width = vocab.dtype.itemsize // 4 if len(vocab) else 0
     arrays = []
     mask = None
     for c in cols:
-        vals = batch.column(c).to_numpy(zero_copy_only=False).astype(vocab.dtype)
-        pos = np.searchsorted(vocab, vals)
+        raw = batch.column(c).to_numpy(zero_copy_only=False).astype(str)
+        fits = np.char.str_len(raw) <= width
+        vals = raw.astype(vocab.dtype) if len(vocab) else raw
+        pos = np.searchsorted(vocab, vals) if len(vocab) else np.zeros(len(vals), np.int64)
         pos = np.clip(pos, 0, max(0, len(vocab) - 1))
-        ok = (vocab[pos] == vals) if len(vocab) else np.zeros(len(vals), bool)
+        ok = (fits & (vocab[pos] == vals)) if len(vocab) else np.zeros(len(vals), bool)
         mask = ok if mask is None else (mask & ok)
         arrays.append(pos.astype(np.int64))
     return pa.table({name: pa.array(a[mask], pa.int64())
@@ -97,32 +103,62 @@ def url_id_map(pages_ds, num_partitions: int = 8):
     beyond-driver-memory alternative to the broadcast vocabulary.
 
     Dense ranks without driver materialization: distributed sort on
-    ``url``, then per-sorted-block rank assignment with driver-side
-    offsets computed from block row COUNTS only (P integers).  Assumes
-    pages have unique urls (the pages table's key).
+    ``url``, then per-sorted-block DENSE-rank assignment with
+    driver-side offsets computed from per-block (distinct count, first
+    url, last url) summaries only (3·P values).  Duplicate urls —
+    including runs spanning block boundaries — collapse to one vid, so
+    a pages table with repeated urls (re-crawls) cannot multiply edges.
     """
     import ray
     import ray.data as rd
 
     mat = pages_ds.select_columns(["url"]).sort("url").materialize()
-    refs = mat.to_arrow_refs()
+    refs = [r for r in mat.to_arrow_refs()]
 
     @ray.remote
-    def block_rows(t) -> int:
-        return t.num_rows
+    def block_summary(t):
+        if t.num_rows == 0 or "url" not in t.column_names:
+            return 0, None, None
+        u = t.column("url").to_numpy(zero_copy_only=False)
+        distinct = 1 + int((u[1:] != u[:-1]).sum())
+        return distinct, str(u[0]), str(u[-1])
 
-    counts = ray.get([block_rows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    summaries = ray.get([block_summary.remote(r) for r in refs])
+    # dense-rank offset per block: cumulative distinct counts, minus one
+    # whenever a block's first url continues the previous block's run
+    offsets, off, prev_last = [], 0, None
+    for distinct, first, last in summaries:
+        boundary_dup = first is not None and first == prev_last
+        offsets.append(off - (1 if boundary_dup else 0))
+        off = offsets[-1] + distinct
+        if last is not None:
+            prev_last = last
+    n_total = off
 
     @ray.remote
-    def assign(t, off: int) -> pa.Table:
-        return pa.table({
-            "url": t.column("url"),
-            "vid": pa.array(off + np.arange(t.num_rows, dtype=np.int64)),
-        })
+    def assign(t, off: int, emit_first: bool) -> pa.Table:
+        if t.num_rows == 0 or "url" not in t.column_names:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "vid": pa.array([], pa.int64())})
+        u = t.column("url").to_numpy(zero_copy_only=False)
+        is_new = np.concatenate([[True], u[1:] != u[:-1]])
+        ranks = off + np.cumsum(is_new) - 1
+        # one output row per distinct url; the block-boundary duplicate
+        # (first url == previous block's last) is emitted upstream
+        keep = is_new.copy()
+        if not emit_first:
+            keep[0] = False
+        return pa.table({"url": pa.array(u[keep].astype(object), pa.string()),
+                         "vid": pa.array(ranks[keep], pa.int64())})
 
-    out = [assign.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    return rd.from_arrow_refs(out), int(sum(counts))
+    out = []
+    prev_last = None
+    for r, (distinct, first, last), o in zip(refs, summaries, offsets):
+        emit_first = not (first is not None and first == prev_last)
+        out.append(assign.remote(r, int(o), emit_first))
+        if last is not None:
+            prev_last = last
+    return rd.from_arrow_refs(out), int(n_total)
 
 
 def edges_from_pages_join(pages_ds, *, num_partitions: int = 8):
@@ -131,17 +167,24 @@ def edges_from_pages_join(pages_ds, *, num_partitions: int = 8):
     exceeds driver memory.  Semantically identical to the broadcast
     ``edges_from_pages`` (tested equal); inner joins drop out-of-crawl
     targets exactly like the broadcast lookup."""
+    from hedonic_ray.context import drop_empty_blocks
+
     configure_context()
     urlmap, n = url_id_map(pages_ds, num_partitions)
     ds = pages_ds.select_columns(["url", "html"])
     extractor = LinkExtract()
     links = ds.map_batches(extractor, batch_format="pyarrow", batch_size=1024)
+    # schema-less empty blocks break the hash-shuffle join — drop them
+    links = drop_empty_blocks(
+        links, pa.schema([("src_url", pa.string()), ("dst_url", pa.string())]))
     j1 = links.join(urlmap, "inner", num_partitions,
                     on=("src_url",), right_on=("url",))
     j1 = j1.map_batches(
         lambda t: t.rename_columns(
             ["src" if c == "vid" else c for c in t.column_names]),
         batch_format="pyarrow")
+    j1 = drop_empty_blocks(
+        j1, pa.schema([("dst_url", pa.string()), ("src", pa.int64())]))
     j2 = j1.join(urlmap, "inner", num_partitions,
                  on=("dst_url",), right_on=("url",),
                  left_suffix="_l", right_suffix="_r")

@@ -121,8 +121,34 @@ def _bucket_pairs(group: dict, cap: int) -> dict:
     return {"a": ids[iu[0]], "b": ids[iu[1]]}
 
 
+def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack (a, b) into one int64 key for per-batch dedup.  Requires doc
+    ids < 2^31 (packed into a SIGNED 64-bit key) — asserted, not
+    assumed."""
+    if len(a) and (a.max() >= 2**31 or b.max() >= 2**31):
+        raise ValueError("pair packing requires doc ids < 2^31; "
+                         "use the groupby distinct path for wider ids")
+    return a * np.int64(2**31) + b
+
+
+def distinct_pairs(pairs_ds, extra_min: tuple[str, ...] = ()):
+    """GLOBAL (a, b) distinct — the per-batch packed-key dedup is only a
+    combiner; the same pair emitted by different LSH bands lands in
+    different blocks, so a hash groupby is needed for exactness.
+    ``extra_min`` columns are carried through with Min (they are
+    pair-determined, so Min is the identity)."""
+    from ray.data.aggregate import Count, Min
+
+    aggs = [Min(c, alias_name=c) for c in extra_min]
+    if not aggs:
+        out = pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+        return out.drop_columns(["_c"])
+    return pairs_ds.groupby(["a", "b"]).aggregate(*aggs)
+
+
 def candidate_pairs(sig_ds, *, bands: int = 16, rows: int = 4, cap: int = 512):
-    """LSH: band-hash bucketing → within-bucket pairs (deduped)."""
+    """LSH: band-hash bucketing → within-bucket pairs → per-batch dedup
+    (combiner) → global (a, b) distinct."""
     buckets = sig_ds.map_batches(
         lambda b: _lsh_bucket_rows(b, bands, rows), batch_format="pyarrow")
     pairs = buckets.groupby(["band", "bh"]).map_groups(
@@ -131,23 +157,104 @@ def candidate_pairs(sig_ds, *, bands: int = 16, rows: int = 4, cap: int = 512):
     def dedup_batch(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy().astype(np.int64)
         b = batch.column("b").to_numpy().astype(np.int64)
-        key = np.unique(a * np.int64(1) * np.int64(2**32) + b)
-        return pa.table({"a": key // 2**32, "b": key % 2**32})
+        key = np.unique(_pack_pairs(a, b))
+        return pa.table({"a": key // 2**31, "b": key % 2**31})
 
-    return pairs.map_batches(dedup_batch, batch_format="pyarrow")
+    return distinct_pairs(pairs.map_batches(dedup_batch, batch_format="pyarrow"))
 
 
-def verify_pairs_minhash(pairs_ds, sig_ds, threshold: float):
+def _sig_matrix(batch: pa.Table, col: str = "sig") -> np.ndarray:
+    return (np.asarray(batch.column(col).combine_chunks().flatten())
+            .reshape(len(batch), -1))
+
+
+def _join_pair_sides(pairs_ds, side_ds, key_col: str, payload: str,
+                     num_partitions: int = 8):
+    """pairs(a, b) ⋈ side on ``a`` then ``b`` (two hash-partitioned
+    ``Dataset.join``s) → (a, b, <payload>_a, <payload>_b).
+
+    Ray Data operators can emit schema-less EMPTY blocks, which the
+    hash-shuffle join rejects ("no match for key field") — every
+    inter-join map stage therefore replaces empties with a typed empty
+    table of the expected schema.
+    """
+    from hedonic_ray.context import drop_empty_blocks
+
+    ptype = side_ds.schema().base_schema.field(payload).type
+    s_pairs = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    s_j1 = s_pairs.append(pa.field(f"{payload}_a", ptype))
+
+    pairs2 = drop_empty_blocks(pairs_ds.select_columns(["a", "b"]), s_pairs)
+    side2 = drop_empty_blocks(side_ds.select_columns([key_col, payload]))
+    j1 = pairs2.join(side2, "inner", num_partitions,
+                     on=("a",), right_on=(key_col,))
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            [f"{payload}_a" if c == payload else c for c in t.column_names]),
+        batch_format="pyarrow")
+    j2 = drop_empty_blocks(j1, s_j1).join(
+        side2, "inner", num_partitions, on=("b",), right_on=(key_col,),
+        left_suffix="_l", right_suffix="_r")
+    return j2.map_batches(
+        lambda t: t.rename_columns(
+            [f"{payload}_b" if c in (payload, f"{payload}_r") else c
+             for c in t.column_names]),
+        batch_format="pyarrow")
+
+
+def verify_pairs_minhash(pairs_ds, sig_ds, threshold: float, *,
+                         method: str = "auto", broadcast_max: int = 2_000_000):
     """Estimated Jaccard = matching signature fraction ≥ threshold.
-    Signatures are broadcast (V-scale, not payload-scale); at extreme V
-    this becomes a hash join on doc_id."""
+
+    ``method="broadcast"`` ships the full signature matrix via
+    ``ray.put`` (fine while V·P·8 bytes fits a worker heap);
+    ``method="join"`` is the scale path — two hash joins of the pair
+    table against the signature dataset, vectorized compare per batch,
+    nothing V-sized on the driver.  ``"auto"`` switches on corpus size.
+    Both paths are tested equal.
+    """
     import ray
+
+    if method == "auto":
+        method = "broadcast" if sig_ds.count() <= broadcast_max else "join"
+
+    if method == "join":
+        # acero joins reject fixed_size_list payloads — carry the
+        # signature as one binary blob per doc through the joins
+        def to_bin(t: pa.Table) -> pa.Table:
+            m = _sig_matrix(t).astype("<i8")
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "sig": pa.array([m[i].tobytes() for i in range(len(m))],
+                                pa.binary()),
+            })
+
+        sig_bin = sig_ds.map_batches(to_bin, batch_format="pyarrow")
+        joined = _join_pair_sides(pairs_ds, sig_bin, "doc_id", "sig")
+
+        def _decode(col) -> np.ndarray:
+            rows = col.to_pylist()
+            return np.frombuffer(b"".join(rows), "<i8").reshape(len(rows), -1)
+
+        def verify_j(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "est_jaccard": pa.array([], pa.float64())})
+            a = batch.column("a").to_numpy().astype(np.int64)
+            b = batch.column("b").to_numpy().astype(np.int64)
+            est = (_decode(batch.column("sig_a"))
+                   == _decode(batch.column("sig_b"))).mean(axis=1)
+            keep = est >= threshold
+            return pa.table({"a": a[keep], "b": b[keep],
+                             "est_jaccard": est[keep]})
+
+        return joined.map_batches(verify_j, batch_format="pyarrow")
 
     ids, sigs = [], []
     for batch in sig_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         ids.append(batch.column("doc_id").to_numpy())
-        sigs.append(np.asarray(batch.column("sig").combine_chunks().flatten())
-                    .reshape(len(batch), -1))
+        sigs.append(_sig_matrix(batch))
     ids = np.concatenate(ids)
     sigs = np.concatenate(sigs)
     lut = np.zeros(ids.max() + 1, dtype=np.int64)
@@ -181,12 +288,24 @@ def duplicate_clusters(pairs_ds, n_docs: int):
 
 
 def minhash_dedup(ds, n_docs: int, *, num_perm: int = 64, k: int = 3,
-                  bands: int = 16, rows: int = 4, threshold: float = 0.7):
+                  bands: int = 16, rows: int = 4, threshold: float = 0.7,
+                  verify: str = "minhash"):
     """End-to-end MinHash-LSH near-dedup: returns (component array,
-    verified pairs dataset)."""
+    verified pairs dataset).
+
+    ``verify="minhash"`` keeps pairs whose signature-estimated Jaccard
+    clears the threshold (cheap, approximate); ``verify="exact"``
+    recomputes the exact word-k-gram Jaccard on the LSH candidates
+    (distributed pairs ⋈ docs joins) — candidates are recall-only, so
+    the result is exactly "pairs with true Jaccard ≥ threshold that
+    share ≥1 LSH band", which is SQL-oracle-checkable."""
     sigs = minhash_signatures(ds, num_perm=num_perm, k=k).materialize()
     pairs = candidate_pairs(sigs, bands=bands, rows=rows)
-    verified = verify_pairs_minhash(pairs, sigs, threshold).materialize()
+    if verify == "exact":
+        verified = verify_pairs_exact(pairs, ds, k=k,
+                                      threshold=threshold).materialize()
+    else:
+        verified = verify_pairs_minhash(pairs, sigs, threshold).materialize()
     comp = duplicate_clusters(verified, n_docs)
     return comp, verified
 
@@ -200,14 +319,42 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
 
 
+def md5_low64(word: str) -> int:
+    """Lower 64 bits of md5 (little-endian bytes 8..16) — matches
+    DuckDB's ``md5_number_lower`` exactly, so simhash signatures are
+    SQL-reproducible."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[8:16], "little")
+
+
 class SimHashSignatures:
-    """64-bit SimHash over word hashes."""
+    """64-bit SimHash over per-occurrence word hashes.
+
+    Word hash = md5 low64 (cross-engine stable; DuckDB
+    ``md5_number_lower`` computes the identical value, making the whole
+    signature SQL-checkable).  A per-actor word→hash cache amortizes
+    the md5 cost over the vocabulary, which is tiny relative to the
+    corpus."""
+
+    def __init__(self):
+        self._cache: dict[str, int] = {}
+
+    def _word_hashes(self, words: list[str]) -> np.ndarray:
+        c = self._cache
+        out = np.empty(len(words), dtype=_U64)
+        for i, w in enumerate(words):
+            h = c.get(w)
+            if h is None:
+                h = c[w] = md5_low64(w)
+            out[i] = h
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = np.empty(len(batch), dtype=_U64)
         for i, t in enumerate(batch.column("text").to_pylist()):
             words = t.split() or [""]
-            h = hash_strings(words)
+            h = self._word_hashes(words)
             bits = ((h[:, None] >> np.arange(64, dtype=_U64)) & _U64(1))
             score = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
             sig = _U64(0)
@@ -265,77 +412,108 @@ def simhash_pairs(sig_ds, *, max_hamming: int = 3, cap: int = 512):
         a = batch.column("a").to_numpy().astype(np.int64)
         b = batch.column("b").to_numpy().astype(np.int64)
         h = batch.column("hamming").to_numpy().astype(np.int64)
-        key, first = np.unique(a * np.int64(2**32) + b, return_index=True)
-        return pa.table({"a": key // 2**32, "b": key % 2**32, "hamming": h[first]})
+        key, first = np.unique(_pack_pairs(a, b), return_index=True)
+        return pa.table({"a": key // 2**31, "b": key % 2**31, "hamming": h[first]})
 
-    return pairs.map_batches(dedup, batch_format="pyarrow")
+    return distinct_pairs(pairs.map_batches(dedup, batch_format="pyarrow"),
+                          extra_min=("hamming",))
 
 
 # ------------------------------------------------------- exact n-gram verify
 
 
-def verify_pairs_exact(pairs_ds, docs_ds, *, k: int = 3, threshold: float = 0.7):
-    """Exact n-gram Jaccard on candidate pairs.  Candidate texts are the
-    small side (pairs ≪ corpus): broadcast doc_id → text for candidate
-    ids only."""
-    import ray
+def _jaccard_rows(texts_a, texts_b, k: int) -> np.ndarray:
+    jac = np.empty(len(texts_a))
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        sa = set(_word_shingles(ta, k))
+        sb = set(_word_shingles(tb, k))
+        jac[i] = len(sa & sb) / max(1, len(sa | sb))
+    return jac
 
-    cand: set[int] = set()
-    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        cand.update(batch.column("a").to_pylist())
-        cand.update(batch.column("b").to_pylist())
-    texts: dict[int, str] = {}
-    for batch in docs_ds.select_columns(["doc_id", "text"]).iter_batches(
-            batch_size=8192, batch_format="pyarrow"):
-        for i, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            if i in cand:
-                texts[i] = t
-    ref = ray.put(texts)
+
+def verify_pairs_exact(pairs_ds, docs_ds, *, k: int = 3, threshold: float = 0.7,
+                       num_partitions: int = 8):
+    """Exact word-k-gram Jaccard on candidate pairs, fully distributed:
+    two hash joins pairs ⋈ docs (a-side, b-side) bring both texts onto
+    the same row, then Jaccard is computed per batch — no driver-side
+    corpus scan or candidate dict at any scale."""
+    joined = _join_pair_sides(pairs_ds.select_columns(["a", "b"]),
+                              docs_ds.select_columns(["doc_id", "text"]),
+                              "doc_id", "text", num_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
         a = batch.column("a").to_numpy().astype(np.int64)
         b = batch.column("b").to_numpy().astype(np.int64)
-        jac = np.empty(len(a))
-        for i in range(len(a)):
-            sa = set(_word_shingles(tx[int(a[i])], k))
-            sb = set(_word_shingles(tx[int(b[i])], k))
-            jac[i] = len(sa & sb) / max(1, len(sa | sb))
+        jac = _jaccard_rows(batch.column("text_a").to_pylist(),
+                            batch.column("text_b").to_pylist(), k)
         keep = jac >= threshold
         return pa.table({"a": a[keep], "b": b[keep], "jaccard": jac[keep]})
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------- embedding-cosine near-dup
 
 
 def embedding_neardup_pairs(emb_ds, *, threshold: float = 0.95,
-                            id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Brute-force blocked cosine: each batch multiplies against the
-    broadcast normalized matrix (numpy matmul), keeps i<j pairs with
-    cos ≥ threshold.  Scale path: IVF-bucket first (ops/similarity.py)
-    so only same-centroid blocks multiply."""
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            method: str = "auto", brute_max: int = 100_000,
+                            n_clusters: int = 32, probes: int = 2,
+                            sample_size: int = 8192, seed: int = 0,
+                            dtype=np.float32):
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+
+    ``method="brute"``: blocked all-pairs — each batch matmuls against
+    the broadcast normalized matrix.  O(N²) compute and an O(N·d)
+    broadcast: a baseline, not a scale path.
+
+    ``method="ivf"`` (the scale path): vectors are assigned to their
+    ``probes`` nearest k-means centroids (multi-probe so near
+    neighbors straddling a Voronoi boundary still co-bucket), bucketed
+    with ONE ``groupby(bucket)`` shuffle, and only within-bucket blocks
+    multiply; duplicate pairs from overlapping probes collapse in a
+    global (a, b) distinct.  No full-matrix broadcast anywhere.
+    Tested pair-identical to brute force on fixtures.
+
+    ``"auto"`` picks brute below ``brute_max`` vectors.
+    """
+    if method == "auto":
+        method = "brute" if emb_ds.count() <= brute_max else "ivf"
+    if method == "ivf":
+        return _embedding_neardup_ivf(
+            emb_ds, threshold=threshold, id_col=id_col, vec_col=vec_col,
+            n_clusters=n_clusters, probes=probes, sample_size=sample_size,
+            seed=seed, dtype=dtype)
+    return _embedding_neardup_brute(emb_ds, threshold=threshold,
+                                    id_col=id_col, vec_col=vec_col, dtype=dtype)
+
+
+def _emb_matrix(batch: pa.Table, vec_col: str, dtype) -> np.ndarray:
+    m = np.asarray(batch.column(vec_col).combine_chunks().flatten(),
+                   dtype=dtype).reshape(len(batch), -1)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _embedding_neardup_brute(emb_ds, *, threshold, id_col, vec_col, dtype):
     import ray
 
     ids, vecs = [], []
     for batch in emb_ds.select_columns([id_col, vec_col]).iter_batches(
             batch_size=8192, batch_format="pyarrow"):
         ids.append(batch.column(id_col).to_numpy())
-        vecs.append(np.asarray(batch.column(vec_col).combine_chunks().flatten(),
-                               dtype=np.float32).reshape(len(batch), -1))
+        vecs.append(_emb_matrix(batch, vec_col, dtype))
     ids = np.concatenate(ids)
     mat = np.concatenate(vecs)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 
     def f(batch: pa.Table) -> pa.Table:
         all_ids, m = ray.get(ref)
         bid = batch.column(id_col).to_numpy()
-        bv = np.asarray(batch.column(vec_col).combine_chunks().flatten(),
-                        dtype=np.float32).reshape(len(batch), -1)
-        bv = bv / np.maximum(np.linalg.norm(bv, axis=1, keepdims=True), 1e-12)
+        bv = _emb_matrix(batch, vec_col, dtype)
         cos = bv @ m.T
         r, c = np.nonzero(cos >= threshold)
         a, b = bid[r], all_ids[c]
@@ -345,3 +523,70 @@ def embedding_neardup_pairs(emb_ds, *, threshold: float = 0.95,
                          "cosine": pa.array(cos[r, c][keep].astype(np.float64))})
 
     return emb_ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
+
+
+def _embedding_neardup_ivf(emb_ds, *, threshold, id_col, vec_col,
+                           n_clusters, probes, sample_size, seed, dtype):
+    import ray
+    from hedonic_ray.ops.similarity import kmeans_fit
+
+    sample, taken = [], 0
+    for batch in emb_ds.select_columns([vec_col]).iter_batches(
+            batch_size=2048, batch_format="pyarrow"):
+        sample.append(np.asarray(batch.column(vec_col).combine_chunks()
+                                 .flatten(), dtype=np.float32)
+                      .reshape(len(batch), -1))
+        taken += len(batch)
+        if taken >= sample_size:
+            break
+    cent = kmeans_fit(np.concatenate(sample)[:sample_size], n_clusters,
+                      seed=seed)
+    cent_ref = ray.put(cent.astype(dtype))
+    p = probes
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        m = _emb_matrix(batch, vec_col, dtype)
+        sims = m @ c.T
+        kk = min(p, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        d = m.shape[1]
+        return pa.table({
+            "bucket": pa.array(top.reshape(-1), pa.int64()),
+            id_col: pa.array(np.repeat(ids, kk), pa.int64()),
+            vec_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(m, kk, axis=0).reshape(-1)
+                         .astype(np.float64)), d),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy().astype(np.int64)
+        m = np.asarray(group.column(vec_col).combine_chunks().flatten(),
+                       dtype=dtype).reshape(len(ids), -1)
+        outs = {"a": [], "b": [], "cosine": []}
+        # blocked within-bucket matmul keeps peak memory bounded even
+        # for hot buckets
+        step = 4096
+        for i in range(0, len(ids), step):
+            cos = m[i:i + step] @ m.T
+            r, c = np.nonzero(cos >= threshold)
+            a, b = ids[i + r], ids[c]
+            keep = a < b
+            outs["a"].append(a[keep])
+            outs["b"].append(b[keep])
+            outs["cosine"].append(cos[r, c][keep].astype(np.float64))
+        return pa.table({
+            "a": pa.array(np.concatenate(outs["a"]) if outs["a"]
+                          else np.empty(0, np.int64), pa.int64()),
+            "b": pa.array(np.concatenate(outs["b"]) if outs["b"]
+                          else np.empty(0, np.int64), pa.int64()),
+            "cosine": pa.array(np.concatenate(outs["cosine"]) if outs["cosine"]
+                               else np.empty(0, np.float64), pa.float64()),
+        })
+
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow",
+                                  batch_size=4096)
+    pairs = assigned.groupby("bucket").map_groups(bucket_pairs,
+                                                  batch_format="pyarrow")
+    return distinct_pairs(pairs, extra_min=("cosine",))

@@ -135,8 +135,8 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
         if taken >= sample_size:
             break
     cent = kmeans_fit(np.concatenate(sample)[:sample_size], n_clusters, seed=seed)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    q32 = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(q32 @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     assigned = ivf_assign(emb_ds, cent, id_col=id_col, vec_col=vec_col)
     wanted = np.unique(probes)
     import pyarrow.compute as pc
@@ -145,10 +145,11 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
         lambda t: t.filter(pc.is_in(t.column("bucket"),
                                     value_set=pa.array(wanted.tolist()))),
         batch_format="pyarrow")
-    # brute-force within the probed subset, then drop non-probed
-    # (query, bucket) combinations
-    full = topk_cosine(filtered, q, k=len(cent) * k, id_col=id_col,
-                       vec_col=vec_col)
+    # brute-force within the probed subset (float64 scoring so returned
+    # scores are bit-comparable with the exact top-k baseline), then
+    # keep the global top-k of the candidate union
+    full = topk_cosine(filtered, np.asarray(queries, dtype=np.float64),
+                       k=len(cent) * k, id_col=id_col, vec_col=vec_col)
     # NOTE: for exact probe semantics we'd filter per (query, bucket);
     # probing all wanted buckets for all queries only ADDS candidates,
     # so recall is ≥ the strict IVF — acceptable for an ANN baseline.

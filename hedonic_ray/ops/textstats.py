@@ -115,45 +115,69 @@ def add_lang_id(ds):
                           concurrency=actor_pool())
 
 
+FP_MULT = 1099511628211  # FNV-64 prime — polynomial hash base
+
+
 class Fingerprint:
-    """Winnowing document fingerprint (Schleimer et al. 2003): rolling
-    hash over character k-grams, per-window minimum, fingerprint =
-    stable hash of the selected minima set."""
+    """Winnowing document fingerprints (Schleimer et al. 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting"): a
+    polynomial hash mod 2^64 over CODEPOINT k-grams, a sliding-window
+    minimum, and the fingerprint SET = the distinct window minima.
+
+    Emitting the set (rather than folding it into one value) is both
+    the shape MOSS-style overlap detection needs and exactly
+    reproducible in ANSI SQL (HUGEINT mod-2^64 arithmetic + a window
+    MIN — see ``__ray_entry__.oracle_sql()['text_fingerprints']``).
+    Docs shorter than ``k`` codepoints have no k-grams → empty set.
+    """
 
     def __init__(self, k: int = 8, window: int = 16):
         self.k, self.window = k, window
 
-    def _fp(self, s: str) -> int:
-        k, w = self.k, self.window
-        if len(s) < k:
-            return int(hash_strings([s])[0])
-        b = np.frombuffer(s.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        # polynomial rolling hash of all k-grams, vectorized
-        n = len(b) - k + 1
+    def _kgram_hashes(self, s: str) -> np.ndarray:
+        k = self.k
+        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        n = len(cp) - k + 1
+        if n <= 0:
+            return np.empty(0, np.uint64)
         h = np.zeros(n, dtype=np.uint64)
-        mult = np.uint64(1099511628211)
+        mult = np.uint64(FP_MULT)
         with np.errstate(over="ignore"):
             for i in range(k):
-                h = h * mult + b[i:i + n].astype(np.uint64)
-        if n <= w:
-            sel = np.array([h.min()], dtype=np.uint64)
-        else:
-            from numpy.lib.stride_tricks import sliding_window_view
+                h = h * mult + cp[i:i + n].astype(np.uint64)
+        return h
 
-            sel = np.unique(sliding_window_view(h, w).min(axis=1))
-        with np.errstate(over="ignore"):
-            out = np.uint64(0xcbf29ce484222325)
-            for x in np.sort(sel):
-                out = (out ^ x) * mult
-        return int(out)
+    def _fp(self, s: str) -> tuple:
+        """Sorted distinct window minima of the k-gram hash sequence."""
+        h = self._kgram_hashes(s)
+        if len(h) == 0:
+            return ()
+        w = self.window
+        if len(h) <= w:
+            return (int(h.min()),)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        return tuple(int(x) for x in
+                     np.unique(sliding_window_view(h, w).min(axis=1)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self._fp(s) for s in batch.column("text").to_pylist()]
-        return batch.append_column("fingerprint",
-                                   pa.array(np.array(fps, dtype=np.uint64)))
+        ids, fps = [], []
+        for i, s in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for x in self._fp(s):
+                ids.append(i)
+                fps.append(x)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "fingerprint": pa.array(np.array(fps, dtype=np.uint64)
+                                    .astype(np.int64)),
+        })
 
 
 def add_fingerprints(ds, k: int = 8, window: int = 16):
+    """(doc_id, fingerprint) rows — one row per selected winnowing
+    hash; fingerprints are int64 (two's-complement view of the uint64
+    hash)."""
     return ds.map_batches(Fingerprint, fn_constructor_args=(k, window),
                           batch_format="pyarrow", batch_size=1024,
                           concurrency=actor_pool())

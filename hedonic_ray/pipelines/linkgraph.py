@@ -62,9 +62,14 @@ def doc_edges_table(sf_dir: str) -> pa.Table:
     urls_ref, n = assign_vertex_ids(pages)
     edges = edges_from_pages(pages, urls_ref)
     canon = canonicalize_edges(edges, n, directed=True)
-    rows = canon.sort(["src", "dst"]).take_all()
-    return pa.table({"src": [r["src"] for r in rows],
-                     "dst": [r["dst"] for r in rows]})
+    batches = [b.select(["src", "dst"])
+               for b in canon.sort(["src", "dst"]).iter_batches(
+                   batch_size=65536, batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64())})
+    return pa.concat_tables(batches).combine_chunks()
 
 
 def extracted_text_table(sf_dir: str):
@@ -103,11 +108,16 @@ def doc_pagerank_table(sf_dir: str, *, max_iters: int = 1) -> pa.Table:
                      "rank_e9": pa.array(rank, pa.int64())})
 
 
-def doc_pagerank_full(sf_dir: str) -> pa.Table:
+def doc_pagerank_full(sf_dir: str, *, iters: int = 5) -> pa.Table:
+    """PageRank at a FIXED iteration count, rank × 1e9 as BIGINT — a
+    bounded power iteration is exactly reproducible as a chained-CTE
+    SQL oracle, where run-to-convergence is not (the convergence test
+    itself is float-order-sensitive)."""
     g = doc_graph(sf_dir, directed=True)
-    res = pagerank(g, max_iters=100, tol=1e-12)
+    res = pagerank(g, max_iters=iters, tol=0.0)
+    rank = np.round(res.state["rank"] * 1e9).astype(np.int64)
     return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
-                     "rank": pa.array(res.state["rank"], pa.float64())})
+                     "rank_e9": pa.array(rank, pa.int64())})
 
 
 def doc_components_table(sf_dir: str) -> pa.Table:
@@ -124,9 +134,14 @@ def doc_hedonic_table(sf_dir: str) -> pa.Table:
                      "coalition": pa.array(res.state["coalition"], pa.int64())})
 
 
-def doc_labelprop_table(sf_dir: str) -> pa.Table:
+def doc_labelprop_table(sf_dir: str, *, iters: int = 2) -> pa.Table:
+    """Synchronous plurality LP for a FIXED number of rounds (ties →
+    lowest label, init label = vertex id) — each round is a pure
+    relational transform, so the 2-round result has an exact
+    chained-CTE SQL oracle.  Run-to-convergence LP stays available via
+    :func:`hedonic_ray.algos.labelprop.label_propagation`."""
     g = doc_graph(sf_dir, directed=False)
-    res = label_propagation(g, max_iters=50)
+    res = label_propagation(g, max_iters=iters)
     return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
                      "label": pa.array(res.state["label"], pa.int64())})
 

@@ -61,15 +61,11 @@ def lang_id(sf_dir: str):
 
 
 def fingerprints(sf_dir: str):
-    ds = ts.add_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
-
-    def to_i64(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t.column("doc_id"),
-            "fingerprint": t.column("fingerprint").cast(pa.int64(),
-                                                        safe=False)})
-
-    return ds.map_batches(to_i64, batch_format="pyarrow")
+    """Winnowing fingerprint SET per doc, exploded to (doc_id,
+    fingerprint) rows — SQL-reproducible (codepoint polynomial hash mod
+    2^64 + window min)."""
+    return (ts.add_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+            .sort(["doc_id", "fingerprint"]))
 
 
 def exact_dedup_kept(sf_dir: str):
@@ -78,8 +74,13 @@ def exact_dedup_kept(sf_dir: str):
 
 
 def minhash_components(sf_dir: str) -> pa.Table:
+    """Near-dup clusters: MinHash-LSH candidates → EXACT word-3-gram
+    Jaccard ≥ 0.7 verify (distributed joins) → connected components.
+    Exact verification makes the result independent of signature noise
+    and therefore SQL-oracle-checkable (candidates are recall-only on
+    this corpus — verified by the driver gate)."""
     comp, _pairs = dd.minhash_dedup(_docs(sf_dir, ["doc_id", "text"]),
-                                    _n_docs(sf_dir))
+                                    _n_docs(sf_dir), verify="exact")
     return pa.table({"doc_id": pa.array(np.arange(len(comp)), pa.int64()),
                      "dup_group": pa.array(comp, pa.int64())})
 
@@ -98,7 +99,9 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
 
     configure_context()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = dd.embedding_neardup_pairs(emb, threshold=0.30)
+    # float64 so the pair counts match the DuckDB double-precision
+    # cosine oracle exactly
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.30, dtype=np.float64)
     cos = []
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
         cos.append(b.column("cosine").to_numpy())
@@ -137,12 +140,24 @@ def topk_similarity(sf_dir: str, k: int = 5) -> pa.Table:
     })
 
 
-def ivf_similarity(sf_dir: str, k: int = 5) -> pa.Table:
+def ivf_similarity(sf_dir: str, k: int = 5, nprobe: int = 8) -> pa.Table:
+    """IVF ANN top-k, scores scaled to e6 ints.  At the gate's corpus
+    size the probed buckets cover the true top-k (recall 1.0 —
+    locally verified), so the exact-top-k SQL is a valid oracle; the
+    recall-vs-brute-force property is separately pytest-checked."""
     import ray.data as rd
+    import pyarrow.compute as pc
 
     configure_context()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return sim.ivf_topk(emb, _query_matrix(sf_dir), k=k)
+    out = sim.ivf_topk(emb, _query_matrix(sf_dir), k=k, nprobe=nprobe)
+    return pa.table({
+        "query_id": out.column("query_id"),
+        "rank": out.column("rank"),
+        "vec_id": out.column("vec_id"),
+        "score_e6": pc.cast(pc.round(pc.multiply(out.column("score"),
+                                                 pa.scalar(1e6))), pa.int64()),
+    })
 
 
 def multimodal_decode(sf_dir: str):

@@ -122,9 +122,13 @@ def pricing_summary(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
-def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    """Q3-style: broadcast semi-join lineitem against the qualifying
-    order set, grouped revenue, top-k."""
+def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10,
+                       num_partitions: int = 8):
+    """Q3-style: customer is the legitimate broadcast side (dimension);
+    orders is filtered DISTRIBUTED against the broadcast custkey set,
+    and the qualifying orderkeys semi-join lineitem via a
+    hash-partitioned ``Dataset.join`` — no fact table ever lands on the
+    driver."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -132,28 +136,32 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
         ["c_custkey", "c_mktsegment"])
     keep_cust = np.sort(cust["c_custkey"][cust["c_mktsegment"] == segment])
-    orders = _collect_columns(
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
-        ["o_orderkey", "o_custkey"])
-    pos = np.searchsorted(keep_cust, orders["o_custkey"])
-    pos = np.clip(pos, 0, max(0, len(keep_cust) - 1))
-    ok = len(keep_cust) > 0
-    sel = ok & (keep_cust[pos] == orders["o_custkey"]) if ok else np.zeros(0, bool)
-    keep_orders = np.sort(orders["o_orderkey"][sel])
-    ref = ray.put(keep_orders)
+    ref = ray.put(keep_cust)
 
-    def filt(t: pa.Table) -> pa.Table:
-        ko = ray.get(ref)
-        keys = t.column("l_orderkey").to_numpy()
-        p = np.clip(np.searchsorted(ko, keys), 0, max(0, len(ko) - 1))
-        mask = (ko[p] == keys) if len(ko) else np.zeros(len(keys), bool)
-        t = t.filter(pa.array(mask))
+    def filt_orders(t: pa.Table) -> pa.Table:
+        kc = ray.get(ref)
+        keys = t.column("o_custkey").to_numpy()
+        p = np.clip(np.searchsorted(kc, keys), 0, max(0, len(kc) - 1))
+        mask = (kc[p] == keys) if len(kc) else np.zeros(len(keys), bool)
+        return t.filter(pa.array(mask)).select(["o_orderkey"])
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    qual = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(filt_orders, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64())]))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    j = li.join(qual, "inner", num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def derive(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue": rev})
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    grouped = (li.map_batches(filt, batch_format="pyarrow")
+    grouped = (j.map_batches(derive, batch_format="pyarrow")
                .groupby("o_orderkey").aggregate(Sum("revenue", alias_name="revenue")))
     top = grouped.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
     return scale_to_int(top, {"revenue_c4": ("revenue", 1e4)})

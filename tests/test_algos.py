@@ -89,6 +89,25 @@ def test_hedonic_reaches_equilibrium_sbm(noise):
         assert oracles.adjusted_rand_index(mem, gt) == pytest.approx(1.0)
 
 
+def test_hedonic_local_sweep_equilibrium():
+    """The tasks-backend within-partition local-moving sweep takes a
+    different trajectory than the pure synchronous step but must still
+    certify a Nash equilibrium (active == 0 on the full candidate
+    rule), and should not be slower in supersteps."""
+    edges = sbm_edges(4, 25, p_in=0.4, multiplier=0.05, seed=7)
+    n = 100
+    g = make_graph(edges.tolist(), n, num_parts=4)
+    fast = hedonic_communities(g, max_iters=150, gather="tasks")
+    assert fast.converged
+    mem = fast.state["coalition"]
+    assert oracles.is_equilibrium(n, edges.tolist(), mem.tolist(), g.density())
+    assert any(m.get("sweep") for m in fast.metrics), "sweep never engaged"
+    slow = hedonic_communities(g, max_iters=150, gather="tasks",
+                               local_sweep=False)
+    assert slow.converged
+    assert fast.iterations <= slow.iterations + 10
+
+
 def test_hedonic_potential_monotone_on_easy_graph():
     edges = sbm_edges(2, 15, p_in=0.6, multiplier=0.05, seed=2)
     g = make_graph(edges.tolist(), 30, num_parts=3)
@@ -132,7 +151,11 @@ def test_tasks_backend_matches_dataset_backends(algo_kind):
 
     g = mg(edges.tolist(), 45, num_parts=4)
     if algo_kind == "hedonic":
-        runs = {m: hedonic_communities(g, max_iters=60, gather=m)
+        # local_sweep=False: the sweep intentionally diverges in
+        # trajectory (covered by test_hedonic_local_sweep_equilibrium);
+        # bit-identity holds for the pure synchronous step
+        runs = {m: hedonic_communities(g, max_iters=60, gather=m,
+                                       local_sweep=False)
                 for m in ["dense", "shuffle", "tasks"]}
         key = "coalition"
     else:
@@ -188,3 +211,39 @@ def test_triangles_bucketed_probe_matches_broadcast():
     b = triangle_count(g, probe="bucketed", n_buckets=6)
     assert b.total == a.total
     np.testing.assert_array_equal(b.per_vertex, a.per_vertex)
+
+
+def test_shard_counts_exactly_maintained():
+    """The stateful sharded-apply actors' incremental count rows must
+    equal a fresh full recount after arbitrary mover batches (the
+    exactness invariant the incremental engine rests on)."""
+    import ray
+    from hedonic_ray.engine.shards import ShardPool
+
+    n = 80
+    edges = rand_edges(n, 0.08, seed=23)
+    g = make_graph(edges, n, num_parts=4)
+    mem = np.arange(n, dtype=np.int64)
+    pool = ShardPool(g, mem, alpha=0.1, mode="hedonic")
+    rng = np.random.default_rng(5)
+    for step in range(4):
+        mv = rng.choice(n, size=12, replace=False).astype(np.int64)
+        old = mem[mv].copy()
+        new = rng.integers(0, n, size=12).astype(np.int64)
+        mem[mv] = new
+        pool.step(mv, old, new, sweep=False)
+    # ground truth: full recount from the final membership
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    expect = {}
+    for v in range(n):
+        for u in adj.get(v, []):
+            expect[(v, int(mem[u]))] = expect.get((v, int(mem[u])), 0) + 1
+    got = {}
+    for shard in pool.shards:
+        keys, cnts = ray.get(shard.counts_snapshot.remote())
+        for k, c in zip(keys.tolist(), cnts.tolist()):
+            got[(k // n, k % n)] = got.get((k // n, k % n), 0) + c
+    assert got == expect

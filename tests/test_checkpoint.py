@@ -53,3 +53,35 @@ def test_hedonic_checkpoint_resume_reaches_equilibrium(tmp_path):
     assert res.metrics[0]["iteration"] >= 3
     assert oracles.is_equilibrium(n, edges, res.state["coalition"].tolist(),
                                   g.density())
+
+
+def test_resume_path_validates_fingerprint(tmp_path):
+    """run_supersteps(resume=True) itself must reject a checkpoint from
+    a different graph (ADVICE r1: the production resume path skipped
+    the fingerprint check)."""
+    n = 20
+    g1 = make_graph(rand_edges(n, 0.2, seed=1), n, directed=True, num_parts=3)
+    g2 = make_graph(rand_edges(n, 0.2, seed=2), n, directed=True, num_parts=3)
+    ckpt = str(tmp_path / "ck")
+    pagerank(g1, max_iters=4, checkpoint_dir=ckpt, run_id="x", checkpoint_every=2)
+    with pytest.raises(ValueError, match="different graph"):
+        pagerank(g2, max_iters=8, checkpoint_dir=ckpt, run_id="x", resume=True)
+
+
+def test_hedonic_resume_restores_damping_state(tmp_path):
+    """phi_hist / stall ride in the checkpointed state and are restored
+    via on_resume, so a resumed run continues the damping schedule."""
+    from hedonic_ray.algos.hedonic import hedonic_communities
+
+    n = 40
+    edges = rand_edges(n, 0.15, seed=5)
+    g = make_graph(edges, n, num_parts=3)
+    ckpt = str(tmp_path / "ck")
+    r1 = hedonic_communities(g, max_iters=6, checkpoint_dir=ckpt,
+                             run_id="h", checkpoint_every=2)
+    assert len(r1.state.get("phi_hist", [])) > 0
+    r2 = hedonic_communities(g, max_iters=40, checkpoint_dir=ckpt,
+                             run_id="h", resume=True)
+    assert r2.metrics[0]["iteration"] > 0
+    # the resumed run's phi history continues, not restarts
+    assert len(r2.state["phi_hist"]) >= len(r1.state["phi_hist"])

@@ -76,6 +76,10 @@ SQL_CHECKED = sorted([
     "rel_brand_price_stats", "text_token_counts", "text_quality",
     "text_exact_dedup", "sim_topk_cosine", "multimodal_decode",
     "multimodal_frames",
+    # round 2: SQL oracles for the formerly rows-only queries
+    "graph_pagerank_full", "graph_components", "graph_labelprop",
+    "graph_triangles_docs", "text_lang_id", "text_fingerprints",
+    "dedup_minhash", "dedup_simhash", "dedup_embedding", "sim_ivf_topk",
 ])
 
 
@@ -98,10 +102,7 @@ def test_query_matches_oracle(entry_module, name):
             assert got[c].tolist() == exp[c].tolist(), f"{name}.{c}"
 
 
-ROWS_ONLY = ["graph_pagerank_full", "graph_components", "graph_hedonic",
-             "graph_labelprop", "graph_triangles_docs", "text_lang_id",
-             "text_fingerprints", "dedup_minhash", "dedup_simhash",
-             "dedup_embedding", "sim_ivf_topk"]
+ROWS_ONLY = ["graph_hedonic"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -81,3 +81,39 @@ def test_join_based_id_assignment_matches_broadcast():
     b = sorted((r["src"], r["dst"]) for r in b_ds.take_all())
     assert n == n2 == 60
     assert a == b
+
+
+def test_id_lookup_rejects_overwidth_urls():
+    """A link url LONGER than the vocabulary's fixed string width must
+    be dropped, not silently truncated into a prefix match (ADVICE r1:
+    'https://a.example/page/deeper' vs page 'https://a.example/page')."""
+    import pyarrow as pa
+    import ray
+    from hedonic_ray.graph.build import _id_lookup_batch
+
+    vocab = np.unique(np.array(["https://a.example/page",
+                                "https://b.example/x"]).astype(str))
+    ref = ray.put(vocab)
+    batch = pa.table({
+        "src_url": ["https://b.example/x", "https://b.example/x"],
+        "dst_url": ["https://a.example/page/deeper",  # over-width: DROP
+                    "https://a.example/page"],        # exact: keep
+    })
+    out = _id_lookup_batch(batch, ref)
+    assert out.num_rows == 1
+    assert out.column("dst").to_pylist() == [0]
+
+
+def test_url_id_map_handles_duplicate_urls():
+    """Re-crawled pages (duplicate urls) must collapse to ONE vid each,
+    with dense ranks and boundary-spanning runs handled (ADVICE r1)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from hedonic_ray.graph.build import url_id_map
+
+    urls = ["u%03d" % (i % 7) for i in range(40)]  # 7 distinct, many dups
+    pages = rd.from_arrow(pa.table({"url": urls})).repartition(5)
+    m, n = url_id_map(pages, num_partitions=4)
+    rows = sorted((r["url"], r["vid"]) for r in m.take_all())
+    assert n == 7
+    assert rows == [("u%03d" % i, i) for i in range(7)]

@@ -199,3 +199,48 @@ def test_multimodal_roundtrip():
     assert all(r["frame"] % 2 == 0 for r in frames)
     with pytest.raises(NotImplementedError):
         DecodeMedia(fake=False)
+
+
+def test_candidate_pairs_globally_distinct():
+    """The same pair emitted by multiple LSH bands must appear ONCE in
+    the returned dataset (global distinct, not per-batch)."""
+    from hedonic_ray.ops.dedup import minhash_signatures, candidate_pairs
+
+    base = _doc(51, 120)
+    texts = [base, base, base]  # identical: every band buckets them
+    sigs = minhash_signatures(_docs_ds(texts)).materialize()
+    pairs = [(r["a"], r["b"]) for r in candidate_pairs(sigs).take_all()]
+    assert sorted(pairs) == [(0, 1), (0, 2), (1, 2)]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_verify_minhash_join_equals_broadcast():
+    from hedonic_ray.ops.dedup import (
+        minhash_signatures, candidate_pairs, verify_pairs_minhash)
+
+    texts = [_doc(61, 100)] * 2 + [_doc(62, 100), _doc(63, 100)]
+    sigs = minhash_signatures(_docs_ds(texts)).materialize()
+    pairs = candidate_pairs(sigs).materialize()
+    a = sorted((r["a"], r["b"], round(r["est_jaccard"], 9)) for r in
+               verify_pairs_minhash(pairs, sigs, 0.5, method="broadcast").take_all())
+    b = sorted((r["a"], r["b"], round(r["est_jaccard"], 9)) for r in
+               verify_pairs_minhash(pairs, sigs, 0.5, method="join").take_all())
+    assert a == b and len(a) >= 1
+
+
+def test_embedding_neardup_ivf_equals_brute():
+    """IVF-bucketed near-dup (no full-matrix broadcast) finds the same
+    pairs as the all-pairs brute force on planted near-duplicates."""
+    from hedonic_ray.ops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(8)
+    mat = rng.normal(size=(300, 16)).astype(np.float32)
+    for i in range(0, 30, 3):  # plant near-dups
+        mat[i + 1] = mat[i] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    ds = _emb_ds(mat)
+    brute = sorted((r["a"], r["b"]) for r in embedding_neardup_pairs(
+        ds, threshold=0.95, method="brute").take_all())
+    ivf = sorted((r["a"], r["b"]) for r in embedding_neardup_pairs(
+        ds, threshold=0.95, method="ivf", n_clusters=8, probes=2).take_all())
+    assert len(brute) >= 10
+    assert ivf == brute
