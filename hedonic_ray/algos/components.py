@@ -60,10 +60,10 @@ class ComponentsStep:
         return acc
 
     def prefers_tasks(self, g) -> bool:
-        # dense Dataset gather wins for numeric messages (the driver
-        # reduce is a trivial vector sum; measured faster than the task
-        # exchange at every tested scale) — tasks backend kept available
-        return False
+        # dense driver reduce is a serial scaling cap — switch to the
+        # parallel task exchange above ~200k vertices (see
+        # PageRankStep.prefers_tasks for measurements)
+        return g.n >= 200_000
 
     def tasks_step(self, g, state: dict, it: int):
         from hedonic_ray.engine.exchange import numeric_exchange_step

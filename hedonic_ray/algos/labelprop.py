@@ -38,8 +38,15 @@ def argmax_per_vertex(dst: np.ndarray, lab: np.ndarray, score: np.ndarray,
 
 
 class LabelPropStep:
-    def __init__(self, init_labels: np.ndarray | None = None):
+    def __init__(self, init_labels: np.ndarray | None = None,
+                 use_shards: bool = True):
         self.init_labels = init_labels
+        # iterated runs use the stateful sharded-apply actors
+        # (engine/shards.py — one round/superstep, O(movers) traffic);
+        # one-pass runs use the stateless task exchange
+        self.use_shards = use_shards
+        self._pool = None
+        self._applied: tuple | None = None
 
     def init_state(self, g) -> dict:
         if self.init_labels is not None:
@@ -77,13 +84,27 @@ class LabelPropStep:
     def prefers_tasks(self, g) -> bool:
         return g.m >= 400_000
 
-    def tasks_step(self, g, state: dict, it: int):
-        from hedonic_ray.engine.exchange import label_exchange_step
+    SHARDS_MIN_VERTICES = 200_000  # below this, LP converges in a few
+    # supersteps and the pool's one-time build outweighs its per-step win
 
+    def tasks_step(self, g, state: dict, it: int):
         label = state["label"]
-        d, l, _gain, _f, _a = label_exchange_step(g, label, mode="lp")
+        if self.use_shards and g.n >= self.SHARDS_MIN_VERTICES:
+            from hedonic_ray.engine.shards import ShardPool
+
+            if self._pool is None:
+                self._pool = ShardPool(g, label, 0.0, "lp")
+                self._applied = (np.empty(0, np.int64),) * 3
+            d, l, _gain, _f, _a = self._pool.step(*self._applied, False)
+        else:
+            from hedonic_ray.engine.exchange import label_exchange_step
+
+            d, l, _gain, _f, _a = label_exchange_step(g, label, mode="lp")
+        d = d.astype(np.int64)
+        l = l.astype(np.int64)
         new = label.copy()
-        new[d.astype(np.int64)] = l.astype(np.int64)
+        new[d] = l
+        self._applied = (d, label[d].copy(), l)
         active = int((new != label).sum())
         if active and np.array_equal(new, state["prev_label"]):
             active = 0
@@ -106,5 +127,6 @@ def label_propagation(g, *, init_labels=None, max_iters: int = 100,
 def onepass_improvement(g, init_labels, *, gather: str = "auto") -> np.ndarray:
     """Exactly ONE synchronous plurality pass — the distributed form of
     ``community_onepass_improvement`` (hedonic/__init__.py:266-280)."""
-    res = run_supersteps(g, LabelPropStep(init_labels), max_iters=1, gather=gather)
+    res = run_supersteps(g, LabelPropStep(init_labels, use_shards=False),
+                         max_iters=1, gather=gather)
     return res.state["label"]

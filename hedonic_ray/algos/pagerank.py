@@ -67,10 +67,12 @@ class PageRankStep:
         return acc
 
     def prefers_tasks(self, g) -> bool:
-        # dense Dataset gather wins for numeric messages (the driver
-        # reduce is a trivial vector sum; measured faster than the task
-        # exchange at every tested scale) — tasks backend kept available
-        return False
+        # dense Dataset gather wins at small V (driver vector sum is
+        # trivial), but the driver reduce is a SERIAL term that caps
+        # scaling — above ~200k vertices the task exchange's parallel
+        # per-range reduce is faster at every CPU count (measured at
+        # 360k/10M: 2.26 s vs 2.32 s on 2 CPUs, 1.26 s vs 1.54 s on 8)
+        return g.n >= 200_000
 
     def tasks_step(self, g, state: dict, it: int):
         """Task-exchange backend: dense contribution slices reduced per

@@ -234,21 +234,29 @@ class TriangleResult:
     edges_processed: int
 
 
+PROBE_BROADCAST_MAX = 200_000_000  # oriented edges; ~1.6 GB of int64 keys
+
+
 def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None,
-                   probe: str = "broadcast",
+                   probe: str = "auto",
                    n_buckets: int | None = None) -> TriangleResult:
     """Exact triangle count of an undirected LinkGraph.
 
     ``per_vertex[v]`` = number of triangles containing v;
     ``total`` = Σ/3.  ``probe="bucketed"`` is the beyond-driver-memory
     path: no broadcast edge set; wedge and edge-key streams are routed
-    by ``key % B`` and membership-checked per bucket.
+    by ``key % B`` and membership-checked per bucket.  ``"auto"``
+    broadcasts while the oriented edge set fits comfortably in a worker
+    heap (E/2 ≤ PROBE_BROADCAST_MAX) and switches to the bucketed
+    semi-join beyond that — both tested equal.
     """
     import ray
 
     if g.directed:
         raise ValueError("triangle_count needs an undirected LinkGraph")
     t0 = time.perf_counter()
+    if probe == "auto":
+        probe = "broadcast" if g.m // 2 <= PROBE_BROADCAST_MAX else "bucketed"
     if probe == "bucketed":
         per_vertex = _triangle_count_bucketed(
             g, n_buckets or max(4, g.num_parts))

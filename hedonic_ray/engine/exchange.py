@@ -244,6 +244,12 @@ def _numeric_scatter(table, values, n: int, span: int, num_parts: int,
             w = np.divide(local, deg, out=np.zeros_like(local), where=deg > 0)
             acc += np.bincount(bv.indices, weights=np.repeat(w, deg),
                                minlength=n)
+    elif mode == "copy_sum":  # plain A·x: Σ_{u→v} x_u per destination
+        acc = np.zeros(n, dtype=np.float64)
+        for bv in iter_block_views(table):
+            acc += np.bincount(bv.indices,
+                               weights=values[bv.src_per_edge()].astype(np.float64),
+                               minlength=n)
     elif mode == "min":
         acc = np.full(n, np.inf)
         for bv in iter_block_views(table):
@@ -276,7 +282,7 @@ def numeric_exchange_step(g, values: np.ndarray, *, mode: str) -> np.ndarray:
     group = max(1, -(-g.num_parts // MAX_APPLY))
     span_ex = g.span * group
     P_ex = -(-g.n // span_ex)
-    op = "sum" if mode == "rank_contrib" else "min"
+    op = "min" if mode == "min" else "sum"
     vals_ref = ray.put(values)
     per_block = [
         r["nscatter"].options(num_returns=P_ex if P_ex > 1 else 1).remote(

@@ -102,17 +102,26 @@ class ApplyShard:
                         for b in block_tables]
         self.indptr, self.indices = _local_adjacency(block_tables, lo, hi)
         mem0 = np.asarray(mem0, dtype=np.int64)
-        # only the LOCAL membership slice is retained — the full vector
-        # is read once here (zero-copy from the object store) to seed
-        # counts, then every update arrives as O(movers) deltas
-        self.mem_local = mem0[lo:hi].copy()
+        # full membership retained (n int64 — cheap per shard at any
+        # single-node scale; updated with O(movers) writes, never
+        # re-broadcast): it enables the fast WHOLESALE count rebuild
+        # when the mover set is large, where delta-merging would cost
+        # ~3× a plain recount.  At the 10^12-vertex extreme, drop this
+        # to the delta-only path (mem_local suffices there).
+        self.mem = mem0.copy()
         self.sizes = np.bincount(mem0, minlength=n).astype(np.int64)
-        # count rows: key = v*n + lab (sorted), cnt > 0
-        src = lo + np.repeat(np.arange(hi - lo), np.diff(self.indptr))
-        key = src.astype(_U) * _U(n) + mem0[self.indices]
+        self._src = lo + np.repeat(np.arange(hi - lo), np.diff(self.indptr))
+        self._rebuild_counts()
+        self._eval_all()
+
+    @property
+    def mem_local(self) -> np.ndarray:
+        return self.mem[self.lo:self.hi]
+
+    def _rebuild_counts(self):
+        key = self._src.astype(_U) * _U(self.n) + self.mem[self.indices]
         self.keys, self.cnts = np.unique(key, return_counts=True)
         self.cnts = self.cnts.astype(np.int64)
-        self._eval_all()
 
     # ------------------------------------------------------------ eval
 
@@ -148,21 +157,28 @@ class ApplyShard:
             old = np.asarray(movers_old, dtype=np.int64)
             new = np.asarray(movers_new, dtype=np.int64)
             loc = (mv >= lo) & (mv < hi)
-            self.mem_local[mv[loc] - lo] = new[loc]
+            self.mem[mv] = new
             np.add.at(self.sizes, old, -1)
             np.add.at(self.sizes, new, 1)
-            # local edges whose TARGET moved → ±1 count deltas for the
-            # local source vertex (symmetric adjacency: all changes to
-            # local counts come from local edges)
+            if len(mv) > (hi - lo) // 8:
+                # bulk regime (early synchronous supersteps): a
+                # wholesale recount is one sort — cheaper than merging
+                # ~2 deltas per touched edge — and everything needs
+                # re-evaluation anyway
+                self._rebuild_counts()
+                self._eval_all()
+                return self._proposals(sweep)
+            # incremental regime: local edges whose TARGET moved → ±1
+            # count deltas for the local source vertex (symmetric
+            # adjacency: all changes to local counts come from local
+            # edges)
             order = np.argsort(mv, kind="stable")
             mv_s, old_s, new_s = mv[order], old[order], new[order]
             pos = np.searchsorted(mv_s, self.indices)
             pos = np.clip(pos, 0, len(mv_s) - 1)
             hit = mv_s[pos] == self.indices
             if hit.any():
-                src = lo + np.repeat(np.arange(hi - lo),
-                                     np.diff(self.indptr))
-                u = src[hit].astype(_U)
+                u = self._src[hit].astype(_U)
                 w = pos[hit]
                 dkey = np.concatenate([u * _U(n) + old_s[w],
                                        u * _U(n) + new_s[w]])
@@ -207,7 +223,10 @@ class ApplyShard:
                 self._eval_all()
             elif len(affected):
                 self._eval_some(affected)
-        # proposals
+        return self._proposals(sweep)
+
+    def _proposals(self, sweep: bool):
+        lo, hi = self.lo, self.hi
         dst, lab, cnt = self._rows()
         own = lab == self.mem_local[dst - lo]
         f_own_sum = float(cnt[own].sum())
@@ -237,17 +256,20 @@ class ShardPool:
     def __init__(self, g, mem0: np.ndarray, alpha: float, mode: str,
                  max_shards: int = 16):
         import ray
+        from hedonic_ray.context import session_cpus
 
-        group = max(1, -(-g.num_parts // max_shards))
+        # each shard reserves one real CPU (num_cpus=0 actors would
+        # silently escape the session's CPU budget — measured: a 2-CPU
+        # session ran 16 zero-cpu shards at full host speed, which
+        # would fake any cluster-size scaling evidence), so the shard
+        # count adapts to the session; adjacent CSR partitions group
+        # into each shard's contiguous range
+        n_shards = max(1, min(max_shards, session_cpus(), g.num_parts))
+        group = max(1, -(-g.num_parts // n_shards))
         self.span = g.span * group
         self.P = -(-g.n // self.span)
         self.n = g.n
-        # num_cpus=0: the shard count is FIXED by the graph partitioning
-        # (results deterministic across session sizes) and must remain
-        # schedulable even on a 2-CPU session — reserving 1 CPU × 16
-        # actors would deadlock small clusters.  On a real multi-node
-        # cluster, spread placement distributes shards across nodes.
-        Actor = ray.remote(num_cpus=0)(ApplyShard)
+        Actor = ray.remote(num_cpus=1)(ApplyShard)
         refs = g.arrow_refs()
         mem_ref = ray.put(np.asarray(mem0, dtype=np.int64))
         self.shards = [

@@ -408,8 +408,25 @@ def build_link_graph(edges_ds, n: int, *, directed: bool, num_parts: int | None 
                      blocks=blocks, out_degree=out_degree, urls_ref=urls_ref)
 
 
-def graph_from_pages(pages_ds, *, directed: bool, num_parts: int | None = None) -> LinkGraph:
-    """End-to-end: pages table → LinkGraph."""
+BROADCAST_VOCAB_MAX = 50_000_000  # urls; ~a few GB of fixed-width strings
+
+
+def graph_from_pages(pages_ds, *, directed: bool, num_parts: int | None = None,
+                     id_assign: str = "auto") -> LinkGraph:
+    """End-to-end: pages table → LinkGraph.
+
+    ``id_assign``: ``"broadcast"`` ranks the url vocabulary on the
+    driver and broadcasts it (fast while V·width fits memory);
+    ``"join"`` uses the distributed sort + ``Dataset.join`` path (no
+    V-sized driver state).  ``"auto"`` switches on the page count —
+    both paths are tested edge-identical."""
+    if id_assign == "auto":
+        id_assign = ("broadcast"
+                     if pages_ds.count() <= BROADCAST_VOCAB_MAX else "join")
+    if id_assign == "join":
+        edges, n = edges_from_pages_join(pages_ds)
+        return build_link_graph(edges, n, directed=directed,
+                                num_parts=num_parts)
     urls_ref, n = assign_vertex_ids(pages_ds)
     edges = edges_from_pages(pages_ds, urls_ref)
     return build_link_graph(edges, n, directed=directed, num_parts=num_parts,

@@ -65,7 +65,11 @@ def _word_shingles(text: str, k: int) -> list[str]:
 
 
 class MinHashSignatures:
-    """doc → uint64[P] MinHash signature over word k-shingles."""
+    """doc → uint64[P] MinHash signature over word k-shingles.
+
+    The whole batch's shingles are hashed in ONE vectorized
+    ``hash_strings`` call and the per-doc minima come from a segmented
+    ``np.minimum.reduceat`` — no per-document Python hashing loop."""
 
     def __init__(self, num_perm: int = 64, k: int = 3):
         self.k = k
@@ -78,8 +82,21 @@ class MinHashSignatures:
         return m.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack([self.signature(t)
-                         for t in batch.column("text").to_pylist()])
+        texts = batch.column("text").to_pylist()
+        shingles: list[str] = []
+        offsets = np.empty(len(texts) + 1, dtype=np.int64)
+        offsets[0] = 0
+        for i, t in enumerate(texts):
+            shingles.extend(_word_shingles(t, self.k))
+            offsets[i + 1] = len(shingles)
+        h = hash_strings(shingles)
+        # per-doc mixing on small cache-resident slices — one big
+        # (S, P) matrix is bandwidth-bound, the hot loop is not
+        sigs = np.empty((len(texts), len(self.salts)), dtype=_U64)
+        with np.errstate(over="ignore"):
+            for i in range(len(texts)):
+                hh = h[offsets[i]:offsets[i + 1]]
+                sigs[i] = splitmix64(hh[:, None] ^ self.salts[None, :]).min(axis=0)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "sig": pa.FixedSizeListArray.from_arrays(
@@ -146,9 +163,15 @@ def distinct_pairs(pairs_ds, extra_min: tuple[str, ...] = ()):
     return pairs_ds.groupby(["a", "b"]).aggregate(*aggs)
 
 
-def candidate_pairs(sig_ds, *, bands: int = 16, rows: int = 4, cap: int = 512):
+def candidate_pairs(sig_ds, *, bands: int = 16, rows: int = 4, cap: int = 512,
+                    distinct: bool = True):
     """LSH: band-hash bucketing → within-bucket pairs → per-batch dedup
-    (combiner) → global (a, b) distinct."""
+    (combiner) → global (a, b) distinct.
+
+    ``distinct=False`` skips the global-distinct shuffle for consumers
+    that are duplicate-insensitive (e.g. clustering: the CSR build
+    dedups the pair graph's edges exactly) — cross-band duplicate
+    pairs may then appear."""
     buckets = sig_ds.map_batches(
         lambda b: _lsh_bucket_rows(b, bands, rows), batch_format="pyarrow")
     pairs = buckets.groupby(["band", "bh"]).map_groups(
@@ -160,7 +183,8 @@ def candidate_pairs(sig_ds, *, bands: int = 16, rows: int = 4, cap: int = 512):
         key = np.unique(_pack_pairs(a, b))
         return pa.table({"a": key // 2**31, "b": key % 2**31})
 
-    return distinct_pairs(pairs.map_batches(dedup_batch, batch_format="pyarrow"))
+    out = pairs.map_batches(dedup_batch, batch_format="pyarrow")
+    return distinct_pairs(out) if distinct else out
 
 
 def _sig_matrix(batch: pa.Table, col: str = "sig") -> np.ndarray:
@@ -300,7 +324,9 @@ def minhash_dedup(ds, n_docs: int, *, num_perm: int = 64, k: int = 3,
     the result is exactly "pairs with true Jaccard ≥ threshold that
     share ≥1 LSH band", which is SQL-oracle-checkable."""
     sigs = minhash_signatures(ds, num_perm=num_perm, k=k).materialize()
-    pairs = candidate_pairs(sigs, bands=bands, rows=rows)
+    # clustering dedups pairs in the CSR build; skip the distinct
+    # shuffle (duplicate candidates only cost duplicate verify rows)
+    pairs = candidate_pairs(sigs, bands=bands, rows=rows, distinct=False)
     if verify == "exact":
         verified = verify_pairs_exact(pairs, ds, k=k,
                                       threshold=threshold).materialize()
@@ -432,11 +458,64 @@ def _jaccard_rows(texts_a, texts_b, k: int) -> np.ndarray:
 
 
 def verify_pairs_exact(pairs_ds, docs_ds, *, k: int = 3, threshold: float = 0.7,
-                       num_partitions: int = 8):
-    """Exact word-k-gram Jaccard on candidate pairs, fully distributed:
-    two hash joins pairs ⋈ docs (a-side, b-side) bring both texts onto
-    the same row, then Jaccard is computed per batch — no driver-side
-    corpus scan or candidate dict at any scale."""
+                       num_partitions: int = 8, method: str = "auto",
+                       broadcast_max: int = 500_000):
+    """Exact word-k-gram Jaccard on candidate pairs.
+
+    ``method="semi"`` (auto-picked while the candidate PAIR set is
+    small): broadcast the candidate id set, filter docs DISTRIBUTED,
+    collect only the O(pairs) candidate texts, broadcast them back —
+    the corpus itself never lands on the driver, and the per-superstep
+    fixed costs of two hash-shuffle joins are avoided.
+
+    ``method="join"`` (the huge-candidate-set path): two
+    hash-partitioned pairs ⋈ docs joins bring both texts onto the
+    same row; nothing driver-resident at any scale.
+    """
+    # pairs are consumed multiple times (count, id scan, verify) — pin
+    # them once instead of re-executing the LSH pipeline per pass
+    pairs_ds = pairs_ds.materialize()
+    if method == "auto":
+        method = "semi" if pairs_ds.count() <= broadcast_max else "join"
+
+    if method == "semi":
+        import ray
+
+        ids = []
+        for batch in pairs_ds.select_columns(["a", "b"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            ids.append(batch.column("a").to_numpy().astype(np.int64))
+            ids.append(batch.column("b").to_numpy().astype(np.int64))
+        cand = np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+        cand_ref = ray.put(cand)
+
+        def filt(t: pa.Table) -> pa.Table:
+            c = ray.get(cand_ref)
+            keys = t.column("doc_id").to_numpy().astype(np.int64)
+            p = np.clip(np.searchsorted(c, keys), 0, max(0, len(c) - 1))
+            mask = (c[p] == keys) if len(c) else np.zeros(len(keys), bool)
+            return t.filter(pa.array(mask))
+
+        texts: dict[int, str] = {}
+        for batch in (docs_ds.select_columns(["doc_id", "text"])
+                      .map_batches(filt, batch_format="pyarrow")
+                      .iter_batches(batch_size=8192, batch_format="pyarrow")):
+            texts.update(zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()))
+        tx_ref = ray.put(texts)
+
+        def verify_s(batch: pa.Table) -> pa.Table:
+            tx = ray.get(tx_ref)
+            a = batch.column("a").to_numpy().astype(np.int64)
+            b = batch.column("b").to_numpy().astype(np.int64)
+            jac = _jaccard_rows([tx[int(x)] for x in a],
+                                [tx[int(x)] for x in b], k)
+            keep = jac >= threshold
+            return pa.table({"a": a[keep], "b": b[keep], "jaccard": jac[keep]})
+
+        return pairs_ds.select_columns(["a", "b"]).map_batches(
+            verify_s, batch_format="pyarrow")
+
     joined = _join_pair_sides(pairs_ds.select_columns(["a", "b"]),
                               docs_ds.select_columns(["doc_id", "text"]),
                               "doc_id", "text", num_partitions)

@@ -59,10 +59,17 @@ def _run_method(name: str, g, init: np.ndarray, resolution: float | None):
     if name == "labelprop":
         res = label_propagation(g, init_labels=init, max_iters=100)
         return res.state["label"], None
+    if name == "spectral":
+        from hedonic_ray.algos.spectral import spectral_communities
+
+        # igraph's leading_eigenvector ignores the initial partition;
+        # clusters cap mirrors the reference grid's community counts
+        return spectral_communities(g, clusters=8), None
     raise KeyError(f"unknown method {name!r}")
 
 
-METHODS = ["hedonic", "onepass", "onepass_hedonic", "mirror", "labelprop"]
+METHODS = ["hedonic", "onepass", "onepass_hedonic", "mirror", "labelprop",
+           "spectral"]
 
 
 @dataclass

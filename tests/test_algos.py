@@ -247,3 +247,33 @@ def test_shard_counts_exactly_maintained():
         for k, c in zip(keys.tolist(), cnts.tolist()):
             got[(k // n, k % n)] = got.get((k // n, k % n), 0) + c
     assert got == expect
+
+
+def test_spectral_recovers_planted_sbm():
+    """Leading-eigenvector bisection (distributed power iteration on
+    the modularity matrix) recovers a well-separated planted SBM and
+    refuses to split spectrally-indivisible graphs."""
+    from hedonic_ray.algos.spectral import spectral_communities
+
+    edges = sbm_edges(2, 30, p_in=0.5, multiplier=0.02, seed=14)
+    g = make_graph(edges.tolist(), 60, num_parts=4)
+    mem = spectral_communities(g, clusters=2)
+    gt = ground_truth_membership(2, 30)
+    assert oracles.adjusted_rand_index(mem, gt) == pytest.approx(1.0)
+    # determinism
+    np.testing.assert_array_equal(mem, spectral_communities(g, clusters=2))
+    # a clique has no positive modularity split → one community
+    iu = np.triu_indices(12, k=1)
+    clique = make_graph(np.stack(iu, axis=1).tolist(), 12, num_parts=2)
+    np.testing.assert_array_equal(spectral_communities(clique, clusters=4),
+                                  np.zeros(12, dtype=np.int64))
+
+
+def test_spectral_three_blocks():
+    from hedonic_ray.algos.spectral import spectral_communities
+
+    edges = sbm_edges(3, 20, p_in=0.55, multiplier=0.02, seed=15)
+    g = make_graph(edges.tolist(), 60, num_parts=4)
+    mem = spectral_communities(g, clusters=4)
+    gt = ground_truth_membership(3, 20)
+    assert oracles.adjusted_rand_index(mem, gt) > 0.9

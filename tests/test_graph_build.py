@@ -117,3 +117,37 @@ def test_url_id_map_handles_duplicate_urls():
     rows = sorted((r["url"], r["vid"]) for r in m.take_all())
     assert n == 7
     assert rows == [("u%03d" % i, i) for i in range(7)]
+
+
+def test_graph_from_pages_both_id_paths_identical():
+    """The auto-switch endpoints (broadcast vocab vs distributed join)
+    build identical graphs."""
+    from hedonic_ray.graph.build import graph_from_pages
+    from hedonic_ray.sources.synth import generate_pages
+
+    pages = generate_pages(2, 25, p_in=0.3, multiplier=0.1, seed=17).materialize()
+    ga = graph_from_pages(pages, directed=True, id_assign="broadcast")
+    gb = graph_from_pages(pages, directed=True, id_assign="join")
+    assert ga.n == gb.n and ga.m == gb.m
+    assert _adjacency_from_blocks(ga) == _adjacency_from_blocks(gb)
+
+
+def test_triangle_probe_auto_switch():
+    """probe='auto' picks broadcast below the threshold and bucketed
+    above it, both equal to the explicit modes."""
+    from hedonic_ray.algos import triangles as T
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(i, (i + 2) % 12)
+                                                      for i in range(12)]
+    g = build_link_graph(edges_from_numpy(np.array(edges)), 12,
+                         directed=False, num_parts=3)
+    base = T.triangle_count(g, probe="broadcast")
+    auto = T.triangle_count(g, probe="auto")
+    np.testing.assert_array_equal(auto.per_vertex, base.per_vertex)
+    old = T.PROBE_BROADCAST_MAX
+    try:
+        T.PROBE_BROADCAST_MAX = 0  # force the bucketed side of the switch
+        forced = T.triangle_count(g, probe="auto")
+    finally:
+        T.PROBE_BROADCAST_MAX = old
+    np.testing.assert_array_equal(forced.per_vertex, base.per_vertex)

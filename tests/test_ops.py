@@ -244,3 +244,18 @@ def test_embedding_neardup_ivf_equals_brute():
         ds, threshold=0.95, method="ivf", n_clusters=8, probes=2).take_all())
     assert len(brute) >= 10
     assert ivf == brute
+
+
+def test_verify_exact_semi_equals_join():
+    from hedonic_ray.ops.dedup import (
+        minhash_signatures, candidate_pairs, verify_pairs_exact)
+
+    texts = [_doc(71, 90)] * 2 + [_doc(72, 90), _doc(73, 90), _doc(71, 90)]
+    docs = _docs_ds(texts)
+    sigs = minhash_signatures(docs).materialize()
+    pairs = candidate_pairs(sigs).materialize()
+    a = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in
+               verify_pairs_exact(pairs, docs, method="semi").take_all())
+    b = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in
+               verify_pairs_exact(pairs, docs, method="join").take_all())
+    assert a == b and len(a) >= 3
