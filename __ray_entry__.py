@@ -4,10 +4,11 @@
 ``queries()`` exposes one callable per implemented operator/pipeline
 (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
 every SQL-expressible query (same column names; float aggregates
-rounded identically on both sides).  Iterative fixed-point algorithms
-(full PageRank / CC / hedonic / LP on the doc graph) and hash-based
-near-dup ops have no SQL equivalent → rows-only driver check, with
-exact oracles covered in pytest instead.
+rounded identically on both sides).  Round 2: fixed-iteration /
+fixed-pass variants, recursive-CTE reachability and md5-parity hashing
+give 30 of the 33 queries exact SQL oracles; only the run-to-
+-convergence hedonic game and its analytics (float fixed points with
+no SQL form) remain rows-only, with closed-form pytest oracles.
 
 Ray is initialised by the driver — nothing here calls ray.init().
 """
@@ -92,6 +93,33 @@ l{i + 1} AS (SELECT p.v, COALESCE(b{i}.lab, p.lab) AS lab
              FROM l{i} p LEFT JOIN b{i} ON b{i}.v = p.v)""")
     parts.append(f"""
 SELECT v AS vertex, CAST(lab AS BIGINT) AS label FROM l{iters}""")
+    return "".join(parts)
+
+
+def _hedonic_chain_sql(iters: int = 2) -> str:
+    """Fixed-pass synchronous hedonic best response at resolution 0:
+    value(v, c) = friends(v, c) (an INTEGER — strict improvement and
+    ties → lowest coalition id are exactly SQL-reproducible).  Mirrors
+    HedonicStep.apply with alpha = 0 from the singleton partition."""
+    parts = [f"""WITH {_LINKS_CTE},
+arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+m0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)"""]
+    for i in range(iters):
+        parts.append(f""",
+c{i} AS (SELECT a.dst AS v, m.lab AS c, count(*) AS f
+         FROM arcs a JOIN m{i} m ON m.v = a.src GROUP BY 1, 2),
+own{i} AS (SELECT m.v, m.lab, COALESCE(cc.f, 0) AS f_own
+           FROM m{i} m LEFT JOIN c{i} cc ON cc.v = m.v AND cc.c = m.lab),
+best{i} AS (SELECT v, c FROM (
+                SELECT cc.v, cc.c, cc.f, o.f_own,
+                       row_number() OVER (PARTITION BY cc.v
+                                          ORDER BY cc.f DESC, cc.c) AS rn
+                FROM c{i} cc JOIN own{i} o ON o.v = cc.v)
+            WHERE rn = 1 AND f > f_own),
+m{i + 1} AS (SELECT o.v, COALESCE(b.c, o.lab) AS lab
+             FROM own{i} o LEFT JOIN best{i} b ON b.v = o.v)""")
+    parts.append(f"""
+SELECT v AS vertex, CAST(lab AS BIGINT) AS coalition FROM m{iters}""")
     return "".join(parts)
 
 
@@ -213,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_full": lg.doc_pagerank_full,
         "graph_components": lg.doc_components_table,
         "graph_hedonic": lg.doc_hedonic_table,
+        "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
         "analytics_spectrum": lg.doc_spectrum_table,
@@ -248,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",
         "graph_pagerank_full": _pagerank_chain_sql(iters=5),
+        "graph_hedonic_2pass": _hedonic_chain_sql(iters=2),
         "graph_labelprop": _labelprop_chain_sql(iters=2),
         "graph_components": f"""
             WITH RECURSIVE {_LINKS_CTE},

@@ -210,6 +210,14 @@ def run_scaling() -> dict:
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # CPU-steal bursts on this VM last minutes and corrupt whole legs
+    # in either direction (observed best-of-2 efficiencies 0.54–1.16
+    # for identical code) — the per-interleaved-pair MEDIAN is the
+    # robust estimator: each pair ran back-to-back, and the median
+    # drops the burst-corrupted pairs
+    pair_effs = [round((a["value"] / b["value"]) / (hi / lo), 3)
+                 for a, b in zip(runs_lo, runs_hi)]
+    med = sorted(pair_effs)[len(pair_effs) // 2]
     return {
         "metric": f"scaling efficiency (same job + input, num_cpus {lo} vs {hi}, fresh sessions)",
         f"sec_{lo}": r_lo["value"],
@@ -220,6 +228,8 @@ def run_scaling() -> dict:
         f"throughput_{hi}": r_hi["throughput"],
         "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
+        "per_pair_efficiency": pair_effs,
+        "median_pair_efficiency": med,
         "sf": r_lo["sf"],
     }
 

@@ -35,7 +35,6 @@ import numpy as np
 import pyarrow as pa
 
 from hedonic_ray.engine.superstep import (
-    gather_kv_driver,
     gather_kv_shuffle,
     iter_block_views,
     resolve_gather,
@@ -79,9 +78,13 @@ def _ordered_pairs(indptr: np.ndarray, indices: np.ndarray, lo_u: int, hi_u: int
     return u_idx + lo_u, indices[starts + i], indices[starts + j]
 
 
-def _wedges_batch(batch: pa.Table, keys_ref, rankkey_ref, n_: int) -> pa.Table:
+def _wedges_batch(batch: pa.Table, keys_ref, rankkey_ref, n_: int,
+                  dense: bool = False) -> pa.Table:
     """Undirected CSR block → per-vertex partial triangle counts.
-    Stateless task; probe set + rank array read zero-copy per task."""
+    Stateless task; probe set + rank array read zero-copy per task.
+    ``dense=True`` returns the whole partial count VECTOR (one row) —
+    the driver then sums P vectors instead of lexsorting ~V·P keyed
+    rows (a measured multi-second serial term at 360k vertices)."""
     import ray
 
     keys = ray.get(keys_ref)  # sorted oriented-edge keys u*n+v
@@ -110,6 +113,11 @@ def _wedges_batch(batch: pa.Table, keys_ref, rankkey_ref, n_: int) -> pa.Table:
                     np.add.at(acc, a[hit], 1)
                     np.add.at(acc, b[hit], 1)
             lo_u = hi_u
+    if dense:
+        from hedonic_ray.engine.superstep import dense_vec_table
+
+        first = batch.column("part")[0].as_py() if batch.num_rows else 0
+        return dense_vec_table(first, acc.astype(np.float64))
     nz = np.flatnonzero(acc)
     return pa.table({"dst": pa.array(nz, pa.int64()),
                      "val": pa.array(acc[nz].astype(np.float64), pa.float64())})
@@ -282,16 +290,19 @@ def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None,
             else np.empty(0, np.int64))
     keys_ref = ray.put(keys)
 
+    dense = mode == "dense"
     msgs = g.blocks.map_batches(
-        lambda b: _wedges_batch(b, keys_ref, rk_ref, n),
+        lambda b: _wedges_batch(b, keys_ref, rk_ref, n, dense),
         batch_format="pyarrow", batch_size=1)
-    if mode == "dense":
-        arrs = gather_kv_driver(msgs, ["dst"], "val", "sum")
+    if dense:
+        from hedonic_ray.engine.superstep import gather_dense
+
+        per_vertex = gather_dense(msgs, n, op="sum").astype(np.int64)
     else:
         arrs = gather_kv_shuffle(msgs, ["dst"], "val", "sum")
-    per_vertex = np.zeros(n, dtype=np.int64)
-    if arrs["val"].size:
-        per_vertex[arrs["dst"].astype(np.int64)] = arrs["val"].astype(np.int64)
+        per_vertex = np.zeros(n, dtype=np.int64)
+        if arrs["val"].size:
+            per_vertex[arrs["dst"].astype(np.int64)] = arrs["val"].astype(np.int64)
     total = int(per_vertex.sum() // 3)
     return TriangleResult(total=total, per_vertex=per_vertex,
                           seconds=time.perf_counter() - t0,

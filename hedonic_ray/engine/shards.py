@@ -43,10 +43,28 @@ import numpy as np
 _U = np.int64
 
 
+def _segmented_argmax(dst, lab, score):
+    """Per-dst row maximizing ``score``, ties → lowest lab — WITHOUT a
+    sort: rows arrive already ordered by (dst, lab) (the count keys are
+    kept sorted), so a segmented ``maximum.reduceat`` + first-hit scan
+    replaces the O(rows·log rows) lexsort the task exchange uses.
+    Returns (d, l, s) — one row per dst present."""
+    boundary = np.concatenate([[True], dst[1:] != dst[:-1]])
+    starts = np.flatnonzero(boundary)
+    seg_id = np.cumsum(boundary) - 1
+    best = np.maximum.reduceat(score, starts)
+    pos = np.flatnonzero(score == best[seg_id])
+    segs = seg_id[pos]
+    first = np.flatnonzero(np.concatenate([[True], segs[1:] != segs[:-1]]))
+    rows = pos[first]  # lab ascends within a segment → first = lowest
+    return dst[rows], lab[rows], score[rows]
+
+
 def _eval_rows(mode: str, alpha: float, lo: int, hi: int, dst, lab, cnt,
                mem_local, sizes):
     """Shared vectorized decision rule over count rows for vertices in
-    [lo, hi) (identical arithmetic to exchange._apply_part).  Returns
+    [lo, hi) (identical arithmetic and tie-breaks to
+    exchange._apply_part — bit-identity is tested).  Returns
     (best_lab (hi-lo, -1 = none), improving bool, gain float) for the
     vertices COVERED by rows; callers scatter into caches."""
     nloc = hi - lo
@@ -55,6 +73,11 @@ def _eval_rows(mode: str, alpha: float, lo: int, hi: int, dst, lab, cnt,
     gain = np.zeros(nloc, dtype=np.float64)
     if len(dst) == 0:
         return best, imp, gain
+    if mode == "lp":
+        d, l, _ = _segmented_argmax(dst, lab, cnt.astype(np.float64))
+        best[d - lo] = l
+        imp[d - lo] = l != mem_local[d - lo]
+        return best, imp, gain
     f = cnt.astype(np.float64)
     szf = sizes.astype(np.float64)
     own_row = lab == mem_local[dst - lo]
@@ -62,25 +85,16 @@ def _eval_rows(mode: str, alpha: float, lo: int, hi: int, dst, lab, cnt,
     f_own_local[dst[own_row] - lo] = f[own_row]
     v_own = (f_own_local * (1 - alpha)
              - (szf[mem_local] - f_own_local - 1.0) * alpha)
-    if mode == "lp":
-        order = np.lexsort((lab, -cnt, dst))
-        d, l = dst[order], lab[order]
-        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-        d, l = d[first], l[first]
-        best[d - lo] = l
-        imp[d - lo] = l != mem_local[d - lo]
-        return best, imp, gain
     val = f * (1 - alpha) - (szf[lab] - f - own_row.astype(np.float64)) * alpha
-    improving = val > v_own[dst - lo]
-    d, l, v = dst[improving], lab[improving], val[improving]
-    if len(d):
-        order = np.lexsort((l, -v, d))
-        d, l, v = d[order], l[order], v[order]
-        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
-        d, l, v = d[first], l[first], v[first]
-        best[d - lo] = l
-        imp[d - lo] = True
-        gain[d - lo] = v - v_own[d - lo]
+    # segment max first, improving filter after: if a vertex's best
+    # candidate doesn't beat staying, none of its candidates do — the
+    # selected row is identical to filter-then-lexsort
+    d, l, v = _segmented_argmax(dst, lab, val)
+    improving = v > v_own[d - lo]
+    d, l, v = d[improving], l[improving], v[improving]
+    best[d - lo] = l
+    imp[d - lo] = True
+    gain[d - lo] = v - v_own[d - lo]
     return best, imp, gain
 
 
@@ -258,18 +272,22 @@ class ShardPool:
         import ray
         from hedonic_ray.context import session_cpus
 
-        # each shard reserves one real CPU (num_cpus=0 actors would
-        # silently escape the session's CPU budget — measured: a 2-CPU
-        # session ran 16 zero-cpu shards at full host speed, which
-        # would fake any cluster-size scaling evidence), so the shard
-        # count adapts to the session; adjacent CSR partitions group
-        # into each shard's contiguous range
+        # the shard count tracks the session's CPU budget and each
+        # shard is single-threaded numpy — that is what keeps a 2-CPU
+        # session honestly at 2 cores of compute (num_cpus=0 actors
+        # with a FIXED count were measured escaping the budget: 16
+        # zero-cpu shards ran a 2-CPU session at full host speed,
+        # faking any cluster-size scaling evidence).  The reservation
+        # is 0.5 CPU so two pools (e.g. back-to-back algorithms whose
+        # handles briefly overlap) can coexist without deadlocking the
+        # session; adjacent CSR partitions group into each shard's
+        # contiguous range.
         n_shards = max(1, min(max_shards, session_cpus(), g.num_parts))
         group = max(1, -(-g.num_parts // n_shards))
         self.span = g.span * group
         self.P = -(-g.n // self.span)
         self.n = g.n
-        Actor = ray.remote(num_cpus=1)(ApplyShard)
+        Actor = ray.remote(num_cpus=0.5)(ApplyShard)
         refs = g.arrow_refs()
         mem_ref = ray.put(np.asarray(mem0, dtype=np.int64))
         self.shards = [

@@ -134,6 +134,25 @@ def doc_hedonic_table(sf_dir: str) -> pa.Table:
                      "coalition": pa.array(res.state["coalition"], pa.int64())})
 
 
+def doc_hedonic_2pass_table(sf_dir: str) -> pa.Table:
+    """Two synchronous hedonic best-response passes at resolution 0
+    from the singleton partition (``community_onepass_improvement_hedonic``
+    iterated, hedonic/__init__.py:282-292).  At α = 0 every hedonic
+    value is the INTEGER friend count, so strict-improvement and
+    lowest-id tie-breaks are exactly reproducible in SQL — the
+    flagship's value arithmetic gets a driver-gate oracle (the
+    α = density convergence run stays pytest-verified: float game
+    values make cross-engine strict comparisons ill-defined)."""
+    from hedonic_ray.algos.hedonic import HedonicStep
+    from hedonic_ray.engine.superstep import run_supersteps
+
+    g = doc_graph(sf_dir, directed=False)
+    algo = HedonicStep(resolution=0.0, serial_tail=False)
+    res = run_supersteps(g, algo, max_iters=2)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "coalition": pa.array(res.state["coalition"], pa.int64())})
+
+
 def doc_labelprop_table(sf_dir: str, *, iters: int = 2) -> pa.Table:
     """Synchronous plurality LP for a FIXED number of rounds (ties →
     lowest label, init label = vertex id) — each round is a pure

@@ -1,0 +1,109 @@
+"""Resumable partitioned Parquet sink.
+
+The engine never writes one giant file: output is partitioned by a key
+hash (or an explicit partition column) into one DIRECTORY per
+partition, each completed atomically (tmp file → rename, then a
+``_SUCCESS`` marker written last).  A re-run of the same write SKIPS
+partitions whose marker exists — the skip happens BEFORE the shuffle,
+so a resumed job neither moves nor rewrites finished data.
+
+Replaces the reference's whole-file JSON/CSV result dumps +
+``.completed`` markers (``/root/reference/scripts/exp.py:108-122``)
+with a partition-granular, atomically-committed layout that a
+256-node run can restart cheaply.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hedonic_ray.functions.hashing import hash_ints, hash_strings
+
+
+def _part_dir(root: str, part: int) -> str:
+    return os.path.join(root, f"part={part:05d}")
+
+
+def _finished_parts(root: str) -> set[int]:
+    if not os.path.isdir(root):
+        return set()
+    out = set()
+    for d in os.listdir(root):
+        if d.startswith("part=") and os.path.exists(
+                os.path.join(root, d, "_SUCCESS")):
+            out.add(int(d.split("=")[1]))
+    return out
+
+
+def _assign_part(batch: pa.Table, key: str, num_partitions: int,
+                 skip: frozenset) -> pa.Table:
+    col = batch.column(key)
+    if pa.types.is_integer(col.type):
+        h = hash_ints(col.to_numpy().astype(np.int64))
+    else:
+        h = hash_strings(col.to_pylist())
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    batch = batch.append_column("__part", pa.array(part))
+    if skip:
+        keep = ~np.isin(part, np.fromiter(skip, dtype=np.int64))
+        batch = batch.filter(pa.array(keep))
+    return batch
+
+
+def _write_part(group: pa.Table, root: str) -> pa.Table:
+    part = int(group.column("__part")[0].as_py())
+    d = _part_dir(root, part)
+    os.makedirs(d, exist_ok=True)
+    data = group.drop_columns(["__part"])
+    tmp = os.path.join(d, ".data.parquet.tmp")
+    pq.write_table(data, tmp)
+    os.replace(tmp, os.path.join(d, "data.parquet"))
+    with open(os.path.join(d, "_SUCCESS"), "w"):
+        pass
+    return pa.table({"part": pa.array([part], pa.int64()),
+                     "rows": pa.array([data.num_rows], pa.int64())})
+
+
+def write_partitioned(ds, root: str, *, key: str,
+                      num_partitions: int = 16) -> pa.Table:
+    """Write ``ds`` under ``root`` as ``part=NNNNN/data.parquet``
+    directories keyed by ``hash(key) % num_partitions``.
+
+    Partitions already carrying a ``_SUCCESS`` marker are pruned from
+    the pipeline before the one co-locating shuffle, so a resumed run
+    only processes unfinished key ranges.  Returns the manifest of
+    partitions written THIS run (part, rows); an empty table means the
+    output was already complete.
+    """
+    os.makedirs(root, exist_ok=True)
+    skip = frozenset(_finished_parts(root))
+    if len(skip) >= num_partitions:
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "rows": pa.array([], pa.int64())})
+    assigned = ds.map_batches(
+        lambda b: _assign_part(b, key, num_partitions, skip),
+        batch_format="pyarrow")
+    manifest = assigned.groupby("__part").map_groups(
+        lambda g: _write_part(g, root), batch_format="pyarrow")
+    rows = manifest.take_all()  # ≤ num_partitions rows
+    return pa.table({
+        "part": pa.array([r["part"] for r in rows], pa.int64()),
+        "rows": pa.array([r["rows"] for r in rows], pa.int64()),
+    })
+
+
+def read_partitioned(root: str):
+    """Read back a :func:`write_partitioned` output as a Dataset
+    (only partitions with a ``_SUCCESS`` marker — a crashed writer's
+    partial data is invisible)."""
+    import ray.data as rd
+
+    paths = [os.path.join(_part_dir(root, p), "data.parquet")
+             for p in sorted(_finished_parts(root))]
+    if not paths:
+        raise FileNotFoundError(f"no completed partitions under {root}")
+    return rd.read_parquet(paths)

@@ -75,3 +75,42 @@ def test_experiment_harness_tiny():
     assert (mir0.accuracy == 1.0).all()
     s = summarize(t).to_pandas()
     assert {"method", "noise", "accuracy_mean", "accuracy_ci95"} <= set(s.columns)
+
+
+def test_partitioned_write_resumable(tmp_path):
+    """write_partitioned commits per-partition atomically and a re-run
+    skips finished partitions (prunes before the shuffle)."""
+    import os
+    import time
+    import ray.data as rd
+    import pyarrow as pa
+    import numpy as np
+    from hedonic_ray.sources.sinks import (
+        read_partitioned, write_partitioned, _part_dir)
+
+    root = str(tmp_path / "out")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(500), pa.int64()),
+        "value": pa.array(np.arange(500) * 2, pa.int64()),
+    }))
+    m1 = write_partitioned(ds, root, key="doc_id", num_partitions=8)
+    assert m1.num_rows == 8 and sum(m1.column("rows").to_pylist()) == 500
+    back = read_partitioned(root).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == list(range(500))
+    assert back["value"].tolist() == [2 * i for i in range(500)]
+    # simulate a crashed partition: drop its marker + data
+    victim = _part_dir(root, 3)
+    os.remove(os.path.join(victim, "_SUCCESS"))
+    os.remove(os.path.join(victim, "data.parquet"))
+    mtimes = {p: os.path.getmtime(os.path.join(_part_dir(root, p), "data.parquet"))
+              for p in range(8) if p != 3}
+    time.sleep(0.05)
+    m2 = write_partitioned(ds, root, key="doc_id", num_partitions=8)
+    assert m2.column("part").to_pylist() == [3]  # ONLY the victim rewritten
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(_part_dir(root, p),
+                                             "data.parquet")) == t
+    assert len(read_partitioned(root).to_pandas()) == 500
+    # fully-complete output → no-op
+    m3 = write_partitioned(ds, root, key="doc_id", num_partitions=8)
+    assert m3.num_rows == 0
