@@ -14,9 +14,10 @@ Differences from the reference, by design:
 * results carry superstep metrics (iterations, edges/sec);
 * the method registry maps to engine callables: ``hedonic`` (local
   moving), ``onepass`` (plurality LP), ``onepass_hedonic`` (α=0 best
-  response), ``mirror`` (identity), ``labelprop`` (iterated LP) —
-  the reference's "Spectral" (leading eigenvector) is a documented
-  non-goal (not a gather-scatter algorithm).
+  response), ``mirror`` (identity), ``labelprop`` (iterated LP), and
+  ``spectral`` (leading-eigenvector bisection via distributed power
+  iteration, ``algos/spectral.py`` — round 2), making the reference's
+  full 5-method grid (scripts/config.py:15-85) replayable.
 """
 
 from __future__ import annotations
@@ -45,7 +46,8 @@ from hedonic_ray.sources.synth import (
 )
 
 
-def _run_method(name: str, g, init: np.ndarray, resolution: float | None):
+def _run_method(name: str, g, init: np.ndarray, resolution: float | None,
+                n_communities: int | None = None):
     if name == "hedonic":
         res = hedonic_communities(g, resolution=resolution,
                                   init_membership=init, max_iters=200)
@@ -63,8 +65,9 @@ def _run_method(name: str, g, init: np.ndarray, resolution: float | None):
         from hedonic_ray.algos.spectral import spectral_communities
 
         # igraph's leading_eigenvector ignores the initial partition;
-        # clusters cap mirrors the reference grid's community counts
-        return spectral_communities(g, clusters=8), None
+        # the reference grid patches clusters := n_communities
+        # (scripts/exp.py:69-75) — mirrored here
+        return spectral_communities(g, clusters=n_communities or 8), None
     raise KeyError(f"unknown method {name!r}")
 
 
@@ -107,7 +110,8 @@ def run_experiment(grid: ExperimentGrid) -> pa.Table:
                                 init = noisy_membership(gt, noise, seed=pseed)
                                 t0 = time.perf_counter()
                                 mem, res = _run_method(method, g, init,
-                                                       resolution)
+                                                       resolution,
+                                                       n_communities=k)
                                 dt = time.perf_counter() - t0
                                 records.append({
                                     "method": method,
