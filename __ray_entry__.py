@@ -324,6 +324,11 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
                 SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
                 FROM documents
+                -- the engine hashes t.split() or [''] — empty docs get
+                -- the empty-string word, they do NOT vanish
+                UNION ALL
+                SELECT doc_id, '' FROM documents
+                WHERE length(regexp_extract_all(text, '\S+')) = 0
             ),
             wh AS (SELECT doc_id, md5_number_lower(w) AS h FROM words),
             bits AS (

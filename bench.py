@@ -217,7 +217,9 @@ def run_scaling() -> dict:
     # drops the burst-corrupted pairs
     pair_effs = [round((a["value"] / b["value"]) / (hi / lo), 3)
                  for a, b in zip(runs_lo, runs_hi)]
-    med = sorted(pair_effs)[len(pair_effs) // 2]
+    sp = sorted(pair_effs)
+    mid = len(sp) // 2
+    med = round(sp[mid] if len(sp) % 2 else (sp[mid - 1] + sp[mid]) / 2, 3)
     return {
         "metric": f"scaling efficiency (same job + input, num_cpus {lo} vs {hi}, fresh sessions)",
         f"sec_{lo}": r_lo["value"],

@@ -245,6 +245,15 @@ class HedonicStep:
         # a sweep whose moves net out to zero while vertices still want
         # to move would loop forever — fall back to the plain path
         self._sweep_stalled = bool(sweep and active > 0 and len(d) == 0)
+        if sweep and active <= self.TAIL_SERIAL:
+            # the serialized tail's strict-Φ-increase argument needs
+            # standalone-improving movers; sweep chains carry zero
+            # gains and may only improve jointly — discard them and let
+            # the next superstep (sweep auto-disabled: prev ≤ TAIL)
+            # take the provably-terminating pure path
+            d = d[:0]
+            l = l[:0]
+            gain = gain[:0]
         self._prev_active = active
         sizes = np.bincount(mem)
         phi = float(f_own_total / 2.0 - alpha * (sizes * (sizes - 1) / 2.0).sum())

@@ -68,8 +68,10 @@ class MinHashSignatures:
     """doc → uint64[P] MinHash signature over word k-shingles.
 
     The whole batch's shingles are hashed in ONE vectorized
-    ``hash_strings`` call and the per-doc minima come from a segmented
-    ``np.minimum.reduceat`` — no per-document Python hashing loop."""
+    ``hash_strings`` call (the per-doc pandas-hash overhead was the
+    hot cost); per-doc salting/minima then run on small cache-resident
+    slices — one big (shingles × perms) matrix was measured
+    bandwidth-bound on this box."""
 
     def __init__(self, num_perm: int = 64, k: int = 3):
         self.k = k
@@ -111,6 +113,10 @@ def minhash_signatures(ds, num_perm: int = 64, k: int = 3):
 
 
 def _lsh_bucket_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+    if batch.num_rows == 0:
+        return pa.table({"band": pa.array([], pa.int64()),
+                         "bh": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
     ids = batch.column("doc_id").to_numpy()
     sig = np.asarray(batch.column("sig").combine_chunks().flatten()).reshape(
         len(ids), -1).astype(_U64)
@@ -208,8 +214,10 @@ def _join_pair_sides(pairs_ds, side_ds, key_col: str, payload: str,
     s_pairs = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     s_j1 = s_pairs.append(pa.field(f"{payload}_a", ptype))
 
+    ktype = side_ds.schema().base_schema.field(key_col).type
     pairs2 = drop_empty_blocks(pairs_ds.select_columns(["a", "b"]), s_pairs)
-    side2 = drop_empty_blocks(side_ds.select_columns([key_col, payload]))
+    side2 = drop_empty_blocks(side_ds.select_columns([key_col, payload]),
+                              pa.schema([(key_col, ktype), (payload, ptype)]))
     j1 = pairs2.join(side2, "inner", num_partitions,
                      on=("a",), right_on=(key_col,))
     j1 = j1.map_batches(
@@ -246,6 +254,9 @@ def verify_pairs_minhash(pairs_ds, sig_ds, threshold: float, *,
         # acero joins reject fixed_size_list payloads — carry the
         # signature as one binary blob per doc through the joins
         def to_bin(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "sig": pa.array([], pa.binary())})
             m = _sig_matrix(t).astype("<i8")
             return pa.table({
                 "doc_id": t.column("doc_id"),
@@ -590,6 +601,10 @@ def _embedding_neardup_brute(emb_ds, *, threshold, id_col, vec_col, dtype):
     ref = ray.put((ids, mat))
 
     def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         all_ids, m = ray.get(ref)
         bid = batch.column(id_col).to_numpy()
         bv = _emb_matrix(batch, vec_col, dtype)
@@ -626,6 +641,10 @@ def _embedding_neardup_ivf(emb_ds, *, threshold, id_col, vec_col,
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         ids = batch.column(id_col).to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             vec_col: pa.array([], pa.list_(pa.float64()))})
         m = _emb_matrix(batch, vec_col, dtype)
         sims = m @ c.T
         kk = min(p, sims.shape[1])

@@ -92,7 +92,11 @@ class LangId:
     compiled once per actor."""
 
     def __init__(self):
-        self.pats = {lang: re.compile(r"\b(" + "|".join(sorted(ws)) + r")\b", re.I)
+        # re.ASCII: \b must mean the ASCII word boundary so counts match
+        # the DuckDB/RE2 oracle exactly on accented text (Python's
+        # Unicode \b treats 'ó' as a word char, RE2's does not)
+        self.pats = {lang: re.compile(r"\b(" + "|".join(sorted(ws)) + r")\b",
+                                      re.I | re.ASCII)
                      for lang, ws in _STOPWORDS.items()}
         self.cjk = re.compile(r"[一-鿿]")
 

@@ -90,6 +90,17 @@ def write_partitioned(ds, root: str, *, key: str,
     manifest = assigned.groupby("__part").map_groups(
         lambda g: _write_part(g, root), batch_format="pyarrow")
     rows = manifest.take_all()  # ≤ num_partitions rows
+    # partitions that received ZERO rows never reach map_groups — mark
+    # them complete too (no data file), otherwise every re-run of an
+    # already-complete output re-pays the full shuffle just to learn
+    # those key ranges are inherently empty
+    written = {r["part"] for r in rows}
+    for p in range(num_partitions):
+        if p not in skip and p not in written:
+            d = _part_dir(root, p)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "_SUCCESS"), "w"):
+                pass
     return pa.table({
         "part": pa.array([r["part"] for r in rows], pa.int64()),
         "rows": pa.array([r["rows"] for r in rows], pa.int64()),
@@ -104,6 +115,7 @@ def read_partitioned(root: str):
 
     paths = [os.path.join(_part_dir(root, p), "data.parquet")
              for p in sorted(_finished_parts(root))]
+    paths = [p for p in paths if os.path.exists(p)]  # empty partitions
     if not paths:
         raise FileNotFoundError(f"no completed partitions under {root}")
     return rd.read_parquet(paths)

@@ -277,3 +277,19 @@ def test_spectral_three_blocks():
     mem = spectral_communities(g, clusters=4)
     gt = ground_truth_membership(3, 20)
     assert oracles.adjusted_rand_index(mem, gt) > 0.9
+
+
+def test_lp_shards_path_matches_dense(monkeypatch):
+    """The LP ShardPool path is normally gated behind 200k vertices —
+    lower the gate so the production shard branch is exercised and
+    bit-identical to the dense backend on a small graph."""
+    from hedonic_ray.algos.labelprop import LabelPropStep
+
+    monkeypatch.setattr(LabelPropStep, "SHARDS_MIN_VERTICES", 0)
+    edges = sbm_edges(3, 15, p_in=0.4, multiplier=0.1, seed=33)
+    g = make_graph(edges.tolist(), 45, num_parts=4)
+    init = np.arange(45) % 6
+    a = label_propagation(g, init_labels=init, max_iters=30, gather="dense")
+    b = label_propagation(g, init_labels=init, max_iters=30, gather="tasks")
+    np.testing.assert_array_equal(b.state["label"], a.state["label"])
+    assert b.iterations == a.iterations and b.converged == a.converged
