@@ -308,9 +308,43 @@ def verify_pairs_minhash(pairs_ds, sig_ds, threshold: float, *,
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
-def duplicate_clusters(pairs_ds, n_docs: int):
-    """Dup-pair graph → engine connected components → (doc_id, dup_of)
-    with dup_of = min doc_id of the duplicate cluster."""
+def duplicate_clusters(pairs_ds, n_docs: int, *, method: str = "auto",
+                       driver_max_pairs: int = 5_000_000):
+    """Dup-pair graph → connected components → per-doc component array
+    with component = min doc_id of the duplicate cluster.
+
+    Near-dup pair sets are typically tiny relative to the corpus —
+    ``method="driver"`` (auto-picked below ``driver_max_pairs``)
+    collects the pairs and runs a union-find on the driver, skipping a
+    distributed CSR build + superstep CC whose fixed costs dwarf the
+    work.  ``method="distributed"`` reuses the engine's own superstep
+    CC for genuinely huge pair graphs.  Identical min-label semantics
+    (tested equal)."""
+    pairs_ds = pairs_ds.materialize()
+    if method == "auto":
+        method = ("driver" if pairs_ds.count() <= driver_max_pairs
+                  else "distributed")
+    if method == "driver":
+        parent = np.arange(n_docs, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for batch in pairs_ds.select_columns(["a", "b"]).iter_batches(
+                batch_size=262144, batch_format="pyarrow"):
+            for a, b in zip(batch.column("a").to_pylist(),
+                            batch.column("b").to_pylist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:  # union by min id → min-label components
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        return np.array([find(i) for i in range(n_docs)], dtype=np.int64)
+
     from hedonic_ray.algos.components import connected_components
     from hedonic_ray.graph.build import build_link_graph
 

@@ -259,3 +259,25 @@ def test_verify_exact_semi_equals_join():
     b = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in
                verify_pairs_exact(pairs, docs, method="join").take_all())
     assert a == b and len(a) >= 3
+
+
+def test_duplicate_clusters_driver_equals_distributed():
+    import ray.data as rd
+    from hedonic_ray.ops.dedup import duplicate_clusters
+
+    rng = np.random.default_rng(17)
+    n = 60
+    pairs = pa.table({
+        "a": pa.array(rng.integers(0, n - 1, 40), pa.int64()),
+        "b": pa.array(rng.integers(1, n, 40), pa.int64()),
+    })
+    # enforce a < b
+    import pyarrow.compute as pc
+    lo = pc.min_element_wise(pairs.column("a"), pairs.column("b"))
+    hi = pc.max_element_wise(pairs.column("a"), pairs.column("b"))
+    keep = pc.not_equal(lo, hi)
+    pairs = pa.table({"a": pc.filter(lo, keep), "b": pc.filter(hi, keep)})
+    ds = rd.from_arrow(pairs)
+    a = duplicate_clusters(ds, n, method="driver")
+    b = duplicate_clusters(ds, n, method="distributed")
+    np.testing.assert_array_equal(a, b)
