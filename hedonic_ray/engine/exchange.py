@@ -110,14 +110,22 @@ def _hedonic_sweep(lo: int, hi: int, indptr, indices, mem_local_in, sizes_in,
     from collections import deque
 
     nloc = hi - lo
+    # lazy per-vertex count dicts: a tail sweep touches only the
+    # active frontier and its neighborhood (≪ nloc), so dicts build on
+    # first touch from the vertex's row range in the sorted arrays
     counts: list = [None] * nloc
     d64 = dst.astype(np.int64)
-    starts = np.flatnonzero(np.concatenate([[True], d64[1:] != d64[:-1]]))
-    bounds = np.append(starts, len(d64))
-    lab_l = lab.astype(np.int64).tolist()
-    cnt_l = cnt.astype(np.int64).tolist()
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        counts[d64[s] - lo] = dict(zip(lab_l[s:e], cnt_l[s:e]))
+    lab64 = lab.astype(np.int64)
+    cnt64 = cnt.astype(np.int64)
+    vbounds = np.searchsorted(d64, np.arange(lo, hi + 1))
+
+    def get_counts(li: int) -> dict:
+        c = counts[li]
+        if c is None:
+            s, e = vbounds[li], vbounds[li + 1]
+            c = counts[li] = dict(zip(lab64[s:e].tolist(),
+                                      cnt64[s:e].tolist()))
+        return c
 
     mem_local = np.asarray(mem_local_in, dtype=np.int64).copy()
     orig = mem_local.copy()
@@ -130,14 +138,13 @@ def _hedonic_sweep(lo: int, hi: int, indptr, indices, mem_local_in, sizes_in,
     q = deque(int(v) for v in seed_movers)
     inq = np.zeros(nloc, dtype=bool)
     inq[[v - lo for v in q]] = True
-    idx_l = indices.tolist()
     pops = 0
     while q and pops < max_pops:
         v = q.popleft()
         li = v - lo
         inq[li] = False
         pops += 1
-        c = counts[li]
+        c = get_counts(li)
         if not c:
             continue
         own = int(mem_local[li])
@@ -154,12 +161,10 @@ def _hedonic_sweep(lo: int, hi: int, indptr, indices, mem_local_in, sizes_in,
         sizes[own] = size_of(own) - 1
         sizes[best_lab] = size_of(best_lab) + 1
         mem_local[li] = best_lab
-        for u in idx_l[indptr[li]:indptr[li + 1]]:
+        for u in indices[indptr[li]:indptr[li + 1]].tolist():
             if lo <= u < hi:
                 uj = u - lo
-                cu = counts[uj]
-                if cu is None:
-                    cu = counts[uj] = {}
+                cu = get_counts(uj)
                 fo = cu.get(own, 0) - 1
                 if fo:
                     cu[own] = fo
