@@ -106,7 +106,12 @@ def _hedonic_sweep(lo: int, hi: int, indptr, indices, mem_local_in, sizes_in,
     globally).  Neighbor-label counts for local vertices are maintained
     incrementally as local vertices move; effects on OTHER partitions
     reconcile at the next global superstep's recount.  Returns
-    (movers_v, movers_lab)."""
+    (movers_v, movers_lab).
+
+    Precondition: ``dst`` must be sorted ASCENDING (the lazy per-vertex
+    row ranges come from ``searchsorted``) — both callers pass
+    key-sorted rows (``_merge_partials`` output / the shard actors'
+    sorted count keys); grouped-but-unsorted rows are NOT enough."""
     from collections import deque
 
     nloc = hi - lo

@@ -309,7 +309,7 @@ def verify_pairs_minhash(pairs_ds, sig_ds, threshold: float, *,
 
 
 def duplicate_clusters(pairs_ds, n_docs: int, *, method: str = "auto",
-                       driver_max_pairs: int = 5_000_000):
+                       driver_max_pairs: int = 1_000_000):
     """Dup-pair graph → connected components → per-doc component array
     with component = min doc_id of the duplicate cluster.
 
@@ -324,6 +324,8 @@ def duplicate_clusters(pairs_ds, n_docs: int, *, method: str = "auto",
     if method == "auto":
         method = ("driver" if pairs_ds.count() <= driver_max_pairs
                   else "distributed")
+    if method not in ("driver", "distributed"):
+        raise ValueError(method)
     if method == "driver":
         parent = np.arange(n_docs, dtype=np.int64)
 
@@ -343,7 +345,14 @@ def duplicate_clusters(pairs_ds, n_docs: int, *, method: str = "auto",
                         parent[rb] = ra
                     else:
                         parent[ra] = rb
-        return np.array([find(i) for i in range(n_docs)], dtype=np.int64)
+        # vectorized pointer-jumping finalize: a few O(n) numpy
+        # passes, not n interpreted find() calls — n_docs can be huge
+        # even when the pair set is tiny
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                return parent
+            parent = nxt
 
     from hedonic_ray.algos.components import connected_components
     from hedonic_ray.graph.build import build_link_graph
