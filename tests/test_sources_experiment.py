@@ -114,3 +114,29 @@ def test_partitioned_write_resumable(tmp_path):
     # fully-complete output → no-op
     m3 = write_partitioned(ds, root, key="doc_id", num_partitions=8)
     assert m3.num_rows == 0
+
+
+def test_cli_experiment_and_flagship(tmp_path, capsys):
+    """The argparse CLI drives the method registry and the flagship
+    pipeline, writing resumable partitioned Parquet (reference surface:
+    scripts/experiment.py:111-120)."""
+    from hedonic_ray.cli import main
+    from hedonic_ray.sources.sinks import read_partitioned
+
+    out = str(tmp_path / "res")
+    rc = main(["experiment", "--communities", "2", "--community-size", "12",
+               "--noises", "0.0", "--methods", "mirror", "labelprop",
+               "--out", out, "--partitions", "2"])
+    assert rc == 0
+    res = read_partitioned(out).to_pandas()
+    assert set(res["method"]) == {"mirror", "labelprop"}
+    assert "accuracy" in res.columns
+    captured = capsys.readouterr().out
+    assert "accuracy_mean" in captured or "labelprop" in captured
+
+    out2 = str(tmp_path / "flag")
+    rc = main(["flagship", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out2, "--partitions", "4"])
+    assert rc == 0
+    flag = read_partitioned(out2).to_pandas()
+    assert len(flag) == 500 and "coalition" in flag.columns
