@@ -6,7 +6,7 @@
 every SQL-expressible query (same column names; float aggregates
 rounded identically on both sides).  Round 2: fixed-iteration /
 fixed-pass variants, recursive-CTE reachability and md5-parity hashing
-give 30 of the 33 queries exact SQL oracles; only the run-to-
+give 31 of the 34 queries exact SQL oracles; only the run-to-
 -convergence hedonic game and its analytics (float fixed points with
 no SQL form) remain rows-only, with closed-form pytest oracles.
 
@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_topk_cosine": tx.topk_similarity,
         "sim_ivf_topk": tx.ivf_similarity,
         "multimodal_decode": tx.multimodal_decode,
+        "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
     }
 
@@ -526,6 +527,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8
                              ELSE 1 END AS BIGINT) AS frames
             FROM documents
+        """,
+        "multimodal_resize": """
+            WITH geom AS (
+                SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       16 + (doc_id * 7) % 64 AS w,
+                       16 + (doc_id * 13) % 48 AS h
+                FROM documents
+            )
+            SELECT doc_id, kind,
+                   CAST(greatest(1, w * 32 // greatest(w, h)) AS BIGINT) AS width,
+                   CAST(greatest(1, h * 32 // greatest(w, h)) AS BIGINT) AS height
+            FROM geom
         """,
         "multimodal_frames": """
             SELECT d.doc_id, CAST(t.j * 2 AS BIGINT) AS frame

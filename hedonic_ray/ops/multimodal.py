@@ -108,6 +108,46 @@ class ExtractFeatures:
         })
 
 
+class ResizeMedia:
+    """Actor-pool resize stage: fit each decoded image/video frame
+    inside a ``target`` × ``target`` box preserving aspect ratio with
+    PURE INTEGER arithmetic (``new_w = max(1, w*target // max(w, h))``)
+    — bit-equal across engines, so the driver gate can SQL-check the
+    output dimensions.  ``fake=True`` re-synthesizes a payload of the
+    new geometry; the real branch (PIL/ffmpeg scaling) is the explicit
+    integration point, not implemented in this container."""
+
+    def __init__(self, target: int = 32, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "real media resize requires PIL/ffmpeg (absent in this "
+                "container); use fake=True for the plumbing path")
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        ws, hs, payloads = [], [], []
+        for blob in batch.column("payload").to_pylist():
+            if blob[:4] == MAGIC:
+                k, w, h, f = struct.unpack("<BHHH", blob[4:11])
+                m = max(w, h)
+                nw = max(1, w * t // m)
+                nh = max(1, h * t // m)
+                ws.append(nw)
+                hs.append(nh)
+                payloads.append(MAGIC + struct.pack("<BHHH", k, nw, nh, f)
+                                + blob[11:])
+            else:
+                ws.append(0)
+                hs.append(0)
+                payloads.append(blob)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("payload", pa.array(payloads, pa.binary()))
+        return out
+
+
 def decode_media(media_ds):
     return media_ds.map_batches(DecodeMedia, fn_constructor_args=(True,),
                                 batch_format="pyarrow", batch_size=128,
@@ -116,6 +156,14 @@ def decode_media(media_ds):
 
 def media_features(media_ds, dim: int = 16):
     return media_ds.map_batches(ExtractFeatures, fn_constructor_args=(dim,),
+                                batch_format="pyarrow", batch_size=128,
+                                concurrency=actor_pool())
+
+
+def resize_media(media_ds, target: int = 32):
+    """Resized media dataset (binary payload column preserved with the
+    new geometry header)."""
+    return media_ds.map_batches(ResizeMedia, fn_constructor_args=(target, True),
                                 batch_format="pyarrow", batch_size=128,
                                 concurrency=actor_pool())
 

@@ -169,6 +169,17 @@ def multimodal_decode(sf_dir: str):
         ["doc_id", "kind", "width", "height", "frames"])
 
 
+def multimodal_resize(sf_dir: str, target: int = 32):
+    """Aspect-preserving integer resize of the synthetic media — the
+    output geometry is pure doc_id arithmetic, SQL-oracle-checked."""
+    import ray.data as rd
+
+    configure_context()
+    media = rd.from_arrow(mm.synth_media_table(_n_docs(sf_dir)))
+    out = mm.resize_media(media, target=target)
+    return out.select_columns(["doc_id", "kind", "width", "height"])
+
+
 def multimodal_frames(sf_dir: str):
     import ray.data as rd
 

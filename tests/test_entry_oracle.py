@@ -80,7 +80,7 @@ SQL_CHECKED = sorted([
     "graph_pagerank_full", "graph_components", "graph_labelprop",
     "graph_triangles_docs", "text_lang_id", "text_fingerprints",
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "sim_ivf_topk",
-    "graph_hedonic_2pass",
+    "graph_hedonic_2pass", "multimodal_resize",
 ])
 
 

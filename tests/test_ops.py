@@ -281,3 +281,23 @@ def test_duplicate_clusters_driver_equals_distributed():
     a = duplicate_clusters(ds, n, method="driver")
     b = duplicate_clusters(ds, n, method="distributed")
     np.testing.assert_array_equal(a, b)
+
+
+def test_multimodal_resize():
+    import ray.data as rd
+    from hedonic_ray.ops.multimodal import (
+        ResizeMedia, resize_media, synth_media_table)
+
+    media = rd.from_arrow(synth_media_table(24))
+    rows = sorted(resize_media(media, target=32).take_all(),
+                  key=lambda r: r["doc_id"])
+    for r in rows:
+        w = 16 + (r["doc_id"] * 7) % 64
+        h = 16 + (r["doc_id"] * 13) % 48
+        m = max(w, h)
+        assert r["width"] == max(1, w * 32 // m)
+        assert r["height"] == max(1, h * 32 // m)
+        assert max(r["width"], r["height"]) <= 32
+        assert r["payload"][:4] == b"HRAY"
+    with pytest.raises(NotImplementedError):
+        ResizeMedia(fake=False)
