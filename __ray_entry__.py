@@ -6,9 +6,12 @@
 every SQL-expressible query (same column names; float aggregates
 rounded identically on both sides).  Round 2: fixed-iteration /
 fixed-pass variants, recursive-CTE reachability and md5-parity hashing
-give 31 of the 34 queries exact SQL oracles; only the run-to-
--convergence hedonic game and its analytics (float fixed points with
-no SQL form) remain rows-only, with closed-form pytest oracles.
+gave 31 of the 34 queries exact SQL oracles.  Round 3 closes the last
+three: α = m/C(n,2) is rational, so every hedonic value comparison is
+exact integer arithmetic — ``graph_hedonic`` emits a per-vertex Nash
+certificate (recomputed from scratch, SQL asserts it), and the two
+analytics queries are evaluated on the SQL-reproducible 2-pass α=0
+partition with exact-integer metrics.  34/34 oracle-checked.
 
 Ray is initialised by the driver — nothing here calls ray.init().
 """
@@ -75,52 +78,202 @@ SELECT v AS vertex, CAST(ROUND(r * 1e9) AS BIGINT) AS rank_e9 FROM r{iters}""")
     return "".join(parts)
 
 
-def _labelprop_chain_sql(iters: int = 2) -> str:
-    """Fixed-round synchronous plurality LP (ties → lowest label, init
-    label = vertex id, vertices with no neighbors keep their label)."""
-    parts = [f"""WITH {_LINKS_CTE},
-arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)"""]
+_ARCS_CTE = "arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
+
+
+def _labelprop_chain_ctes(iters: int) -> str:
+    """CTE fragment l0 → l{iters}: fixed-round synchronous plurality LP
+    (ties → lowest label, init label = vertex id, vertices with no
+    neighbors keep their label).  Requires ``arcs`` in scope."""
+    parts = ["l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)"]
     for i in range(iters):
-        parts.append(f""",
-c{i} AS (SELECT a.dst AS v, l.lab, count(*) AS c
+        parts.append(f"""
+lc{i} AS (SELECT a.dst AS v, l.lab, count(*) AS c
          FROM arcs a JOIN l{i} l ON l.v = a.src GROUP BY a.dst, l.lab),
-b{i} AS (SELECT v, lab FROM (
+lb{i} AS (SELECT v, lab FROM (
             SELECT v, lab, row_number() OVER (
-                PARTITION BY v ORDER BY c DESC, lab) AS rn FROM c{i})
+                PARTITION BY v ORDER BY c DESC, lab) AS rn FROM lc{i})
          WHERE rn = 1),
-l{i + 1} AS (SELECT p.v, COALESCE(b{i}.lab, p.lab) AS lab
-             FROM l{i} p LEFT JOIN b{i} ON b{i}.v = p.v)""")
-    parts.append(f"""
-SELECT v AS vertex, CAST(lab AS BIGINT) AS label FROM l{iters}""")
-    return "".join(parts)
+l{i + 1} AS (SELECT p.v, COALESCE(lb{i}.lab, p.lab) AS lab
+             FROM l{i} p LEFT JOIN lb{i} ON lb{i}.v = p.v)""")
+    return ",".join(parts)
 
 
-def _hedonic_chain_sql(iters: int = 2) -> str:
-    """Fixed-pass synchronous hedonic best response at resolution 0:
-    value(v, c) = friends(v, c) (an INTEGER — strict improvement and
-    ties → lowest coalition id are exactly SQL-reproducible).  Mirrors
-    HedonicStep.apply with alpha = 0 from the singleton partition."""
-    parts = [f"""WITH {_LINKS_CTE},
-arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-m0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)"""]
+def _labelprop_chain_sql(iters: int = 2) -> str:
+    return (f"WITH {_LINKS_CTE},\n{_ARCS_CTE},\n"
+            + _labelprop_chain_ctes(iters)
+            + f"\nSELECT v AS vertex, CAST(lab AS BIGINT) AS label FROM l{iters}")
+
+
+def _hedonic_chain_ctes(iters: int) -> str:
+    """CTE fragment m0 → m{iters}: fixed-pass synchronous hedonic best
+    response at resolution 0: value(v, c) = friends(v, c) (an INTEGER —
+    strict improvement and ties → lowest coalition id are exactly
+    SQL-reproducible).  Mirrors HedonicStep.apply with alpha = 0 from
+    the singleton partition.  Requires ``arcs`` in scope."""
+    parts = ["m0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)"]
     for i in range(iters):
-        parts.append(f""",
-c{i} AS (SELECT a.dst AS v, m.lab AS c, count(*) AS f
+        parts.append(f"""
+hc{i} AS (SELECT a.dst AS v, m.lab AS c, count(*) AS f
          FROM arcs a JOIN m{i} m ON m.v = a.src GROUP BY 1, 2),
-own{i} AS (SELECT m.v, m.lab, COALESCE(cc.f, 0) AS f_own
-           FROM m{i} m LEFT JOIN c{i} cc ON cc.v = m.v AND cc.c = m.lab),
-best{i} AS (SELECT v, c FROM (
+hown{i} AS (SELECT m.v, m.lab, COALESCE(cc.f, 0) AS f_own
+           FROM m{i} m LEFT JOIN hc{i} cc ON cc.v = m.v AND cc.c = m.lab),
+hbest{i} AS (SELECT v, c FROM (
                 SELECT cc.v, cc.c, cc.f, o.f_own,
                        row_number() OVER (PARTITION BY cc.v
                                           ORDER BY cc.f DESC, cc.c) AS rn
-                FROM c{i} cc JOIN own{i} o ON o.v = cc.v)
+                FROM hc{i} cc JOIN hown{i} o ON o.v = cc.v)
             WHERE rn = 1 AND f > f_own),
 m{i + 1} AS (SELECT o.v, COALESCE(b.c, o.lab) AS lab
-             FROM own{i} o LEFT JOIN best{i} b ON b.v = o.v)""")
-    parts.append(f"""
-SELECT v AS vertex, CAST(lab AS BIGINT) AS coalition FROM m{iters}""")
-    return "".join(parts)
+             FROM hown{i} o LEFT JOIN hbest{i} b ON b.v = o.v)""")
+    return ",".join(parts)
+
+
+def _hedonic_chain_sql(iters: int = 2) -> str:
+    return (f"WITH {_LINKS_CTE},\n{_ARCS_CTE},\n"
+            + _hedonic_chain_ctes(iters)
+            + f"\nSELECT v AS vertex, CAST(lab AS BIGINT) AS coalition "
+              f"FROM m{iters}")
+
+
+# Per-(vertex, coalition) exact hedonic candidate table over the 2-pass
+# partition: f = friends of v in c, s = strangers (sz − f − [c = own]),
+# over ALL existing coalitions (cross join — non-adjacent rows get
+# f = 0).  Mirrors analytics.hedonic_stats.vertex_stats exactly.
+_HEDONIC_VALS_CTES = """
+part AS MATERIALIZED (SELECT v, lab FROM m2),
+sizes AS MATERIALIZED (SELECT lab, count(*) AS sz FROM part GROUP BY lab),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),
+k AS (SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT count(*) FROM und) AS num,
+             (SELECT count(*) FROM documents)
+             * ((SELECT count(*) FROM documents) - 1) // 2 AS den),
+fr AS MATERIALIZED (SELECT a.dst AS v, p.lab AS c, count(*) AS f
+       FROM arcs a JOIN part p ON p.v = a.src GROUP BY 1, 2),
+vals AS MATERIALIZED (SELECT d.doc_id AS v, s.lab AS c,
+                COALESCE(fr.f, 0) AS f,
+                s.sz - COALESCE(fr.f, 0)
+                     - (CASE WHEN pown.lab = s.lab THEN 1 ELSE 0 END) AS s,
+                CASE WHEN pown.lab = s.lab THEN 1 ELSE 0 END AS is_own
+         FROM documents d
+         JOIN part pown ON pown.v = d.doc_id
+         CROSS JOIN sizes s
+         LEFT JOIN fr ON fr.v = d.doc_id AND fr.c = s.lab),
+agg AS MATERIALIZED (SELECT v, max(f) AS max_f, min(s) AS min_s,
+               max(CASE WHEN is_own = 1 THEN f END) AS own_f,
+               max(CASE WHEN is_own = 1 THEN s END) AS own_s
+        FROM vals GROUP BY v),
+rex AS MATERIALIZED (SELECT vals.v,
+               max(CASE WHEN vals.f = agg.max_f AND vals.s = agg.min_s
+                        THEN 1 ELSE 0 END) AS robust_exists
+        FROM vals JOIN agg ON agg.v = vals.v GROUP BY vals.v),
+cls AS MATERIALIZED (SELECT agg.v,
+               CASE WHEN agg.own_f = agg.max_f AND agg.own_s = agg.min_s
+                    THEN 0 WHEN rex.robust_exists = 1 THEN 1 ELSE 2 END AS cls
+        FROM agg JOIN rex ON rex.v = agg.v)
+"""
+
+
+def _hedonic_cert_sql() -> str:
+    """graph_hedonic oracle: (vertex, degree, satisfied).  The degree
+    recomputation checks the graph the engine certified; satisfied = 1
+    is the partition-independent Nash-certificate assertion (the Ray
+    side recomputes it honestly per vertex with exact integers)."""
+    return f"""
+        WITH {_LINKS_CTE},
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                GREATEST(src, dst) AS b FROM e),
+        verts AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+        deg AS (SELECT v, count(*) AS d FROM verts GROUP BY v)
+        SELECT d.doc_id AS vertex,
+               CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+               CAST(1 AS BIGINT) AS satisfied
+        FROM documents d LEFT JOIN deg ON deg.v = d.doc_id
+    """
+
+
+def _spectrum_sql() -> str:
+    """analytics_spectrum oracle: exact resolution spectrum of the
+    2-pass partition over α = i/10 — always-satisfied vertices count at
+    every grid point, never-satisfied never count, relatives are
+    re-evaluated with the ×10-scaled integer values f·(10−i) − s·i."""
+    return f"""
+        WITH {_LINKS_CTE},
+        {_ARCS_CTE},
+        {_hedonic_chain_ctes(2)},
+        {_HEDONIC_VALS_CTES.strip()},
+        grid AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(11) t(i)),
+        rel AS (SELECT v FROM cls WHERE cls = 2),
+        evals AS (SELECT g.i, vals.v,
+                         max(vals.f * (10 - g.i) - vals.s * g.i) AS best,
+                         max(CASE WHEN vals.is_own = 1
+                                  THEN vals.f * (10 - g.i) - vals.s * g.i
+                             END) AS own
+                  FROM grid g CROSS JOIN vals
+                  JOIN rel ON rel.v = vals.v
+                  GROUP BY 1, 2),
+        eqs AS (SELECT g.i,
+                       (SELECT count(*) FROM evals e
+                        WHERE e.i = g.i AND e.own >= e.best) AS rel_cnt
+                FROM grid g),
+        acount AS (SELECT count(*) AS a FROM cls WHERE cls = 0)
+        SELECT i AS resolution_tenths,
+               CAST(rel_cnt + a AS BIGINT) AS eq_count,
+               CAST(a AS BIGINT) AS robust_count
+        FROM eqs CROSS JOIN acount ORDER BY i
+    """
+
+
+def _metrics_sql() -> str:
+    """analytics_partition_metrics oracle: exact-integer partition
+    metrics of the 2-pass partition (CPM potential scaled by
+    den = C(n,2), all-coalition equilibrium / robustness counts at
+    α = m/den, ARI vs 2-round LP as a num2/den2 pair) plus the
+    nash_converged constant the Ray side certifies."""
+    return f"""
+        WITH {_LINKS_CTE},
+        {_ARCS_CTE},
+        {_hedonic_chain_ctes(2)},
+        {_labelprop_chain_ctes(2)},
+        {_HEDONIC_VALS_CTES.strip()},
+        eq AS (SELECT count(*) AS c FROM (
+                   SELECT vals.v FROM vals CROSS JOIN k
+                   GROUP BY vals.v
+                   HAVING max(CASE WHEN is_own = 1
+                                   THEN f * (k.den - k.num) - s * k.num END)
+                          >= max(f * (k.den - k.num) - s * k.num))),
+        ein AS (SELECT count(*) AS e_in FROM und u
+                JOIN part p1 ON p1.v = u.a
+                JOIN part p2 ON p2.v = u.b AND p2.lab = p1.lab),
+        prs AS (SELECT CAST(sum((sz * (sz - 1)) // 2) AS HUGEINT) AS p,
+                       count(*) AS n_coal FROM sizes),
+        cont AS (SELECT p.lab AS la, l.lab AS lb, count(*) AS c
+                 FROM part p JOIN l2 l ON l.v = p.v GROUP BY 1, 2),
+        sc AS (SELECT CAST(sum((c * (c - 1)) // 2) AS HUGEINT) AS v FROM cont),
+        sa AS (SELECT CAST(sum((c * (c - 1)) // 2) AS HUGEINT) AS v
+               FROM (SELECT count(*) AS c FROM part GROUP BY lab)),
+        sb AS (SELECT CAST(sum((c * (c - 1)) // 2) AS HUGEINT) AS v
+               FROM (SELECT count(*) AS c FROM l2 GROUP BY lab))
+        SELECT 'alpha_den' AS metric, CAST(k.den AS BIGINT) AS value FROM k
+        UNION ALL SELECT 'alpha_num', CAST(k.num AS BIGINT) FROM k
+        UNION ALL SELECT 'ari_den2',
+            CAST(CAST(k.den AS HUGEINT) * (sa.v + sb.v) - 2 * sa.v * sb.v
+                 AS BIGINT) FROM k, sa, sb
+        UNION ALL SELECT 'ari_num2',
+            CAST(2 * (CAST(k.den AS HUGEINT) * sc.v - sa.v * sb.v)
+                 AS BIGINT) FROM k, sa, sb, sc
+        UNION ALL SELECT 'eq_count', CAST(eq.c AS BIGINT) FROM eq
+        UNION ALL SELECT 'intra_edges', CAST(ein.e_in AS BIGINT) FROM ein
+        UNION ALL SELECT 'm_edges', CAST(k.num AS BIGINT) FROM k
+        UNION ALL SELECT 'n_coalitions', CAST(prs.n_coal AS BIGINT) FROM prs
+        UNION ALL SELECT 'n_vertices', CAST(k.n AS BIGINT) FROM k
+        UNION ALL SELECT 'nash_converged', CAST(1 AS BIGINT)
+        UNION ALL SELECT 'potential_scaled',
+            CAST(CAST(k.den AS HUGEINT) * ein.e_in - CAST(k.num AS HUGEINT) * prs.p
+                 AS BIGINT) FROM k, ein, prs
+        UNION ALL SELECT 'robust_count',
+            CAST((SELECT count(*) FROM cls WHERE cls = 0) AS BIGINT)
+    """
 
 
 def _lang_id_sql() -> str:
@@ -276,6 +429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        "graph_hedonic": _hedonic_cert_sql(),
+        "analytics_spectrum": _spectrum_sql(),
+        "analytics_partition_metrics": _metrics_sql(),
         "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",
         "graph_pagerank_full": _pagerank_chain_sql(iters=5),
         "graph_hedonic_2pass": _hedonic_chain_sql(iters=2),

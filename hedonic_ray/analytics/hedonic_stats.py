@@ -260,6 +260,132 @@ def resolution_spectrum(g, membership, resolutions=None, *, gather: str = "auto"
     return resolutions, fractions, robustness
 
 
+# ----------------------------------------------- exact-integer certificates
+#
+# At resolution α = num/den (a rational — e.g. the hedonic default
+# α = density = m / C(n,2), hedonic/__init__.py:78), every hedonic value
+# comparison is EXACT integer arithmetic once scaled by den:
+#     den·value(v, c) = friends·(den − num) − strangers·num.
+# These variants never touch floats, so the driver gate can mirror them
+# in DuckDB SQL verbatim (the float paths above keep the reference's
+# np.isclose semantics for API parity).
+
+
+def _check_int64_budget(n: int, max_f: int, num: int, den: int) -> None:
+    if max(max_f, 1) * den + n * num >= 2 ** 62:
+        raise OverflowError(
+            f"exact hedonic values overflow int64 (n={n}, den={den}); "
+            "reduce den or switch this gather to Python-int reduction")
+
+
+def nash_flags_exact(g, membership, num: int, den: int, *,
+                     candidates: str = "all",
+                     stats: VertexStats | None = None,
+                     gather: str = "auto") -> np.ndarray:
+    """Per-vertex bool: own coalition's value at α = num/den is ≥ every
+    candidate coalition's (exact integers; ties → satisfied, matching
+    the reference's strict-improvement move rule,
+    hedonic/__init__.py:89-94).
+
+    ``candidates="adjacent"`` is the dynamics' move set (own + neighbor
+    coalitions — the sense in which the engine converges);
+    ``candidates="all"`` spans every existing coalition (the reference's
+    ``is_in_equilibrium``, hedonic/__init__.py:560-659, with exact
+    comparison instead of np.isclose)."""
+    if candidates not in ("all", "adjacent"):
+        raise ValueError(f"unknown candidate set {candidates!r}")
+    st = stats or vertex_stats(g, membership, gather=gather)
+    num, den = int(num), int(den)
+    v = st.rows["vertex"]
+    lab = st.rows["coalition"]
+    f = st.rows["friends"].astype(np.int64)
+    sizes_i = st.sizes.astype(np.int64)
+    _check_int64_budget(st.n, int(f.max()) if len(f) else 0, num, den)
+    own_mask = lab == st.membership[v]
+    s_rows = sizes_i[lab] - f - own_mask.astype(np.int64)
+    vals = f * (den - num) - s_rows * num
+    own_val = (st.f_own.astype(np.int64) * (den - num)
+               - st.s_own.astype(np.int64) * num)
+    best = np.full(st.n, np.iinfo(np.int64).min, dtype=np.int64)
+    if len(vals):
+        np.maximum.at(best, v, vals)
+    sat = own_val >= best
+    if candidates == "all":
+        # non-adjacent coalitions: friends = 0, strangers = the
+        # closed-form complement minimum (inf when every coalition is
+        # adjacent to v)
+        has_comp = np.isfinite(st.comp_min_s)
+        comp_s = np.where(has_comp, st.comp_min_s, 0).astype(np.int64)
+        sat &= ~has_comp | (own_val >= -comp_s * num)
+    return sat
+
+
+def spectrum_exact_tenths(g, membership, *, stats: VertexStats | None = None,
+                          gather: str = "auto"):
+    """``resolution_spectrum`` over the grid α = i/10, i = 0..10, with
+    exact integer satisfaction tests (hedonic/__init__.py:432-449
+    semantics: always-satisfied count is resolution-free, relatively
+    satisfied vertices re-evaluated per grid point, never-satisfied
+    never count).  Returns (tenths, eq_counts, robust_count) as ints."""
+    st = stats or vertex_stats(g, membership, gather=gather)
+    cls = classify_satisfaction(g, membership, stats=st)
+    always = int((cls == ALWAYS).sum())
+    doubtful = cls == RELATIVE
+    tenths = np.arange(11, dtype=np.int64)
+    eq_counts = np.empty(11, dtype=np.int64)
+    for i in range(11):
+        sat = nash_flags_exact(g, membership, i, 10, candidates="all",
+                               stats=st)
+        eq_counts[i] = always + int((sat & doubtful).sum())
+    return tenths, eq_counts, always
+
+
+def metrics_exact(g, membership, other_membership=None, *,
+                  stats: VertexStats | None = None,
+                  gather: str = "auto") -> dict[str, int]:
+    """Partition-quality metrics as EXACT integers at the played
+    resolution α = m/C(n,2): CPM potential scaled by den
+    (den·Φ = den·e_in − num·Σ C(size,2)), all-coalition equilibrium
+    count, robustness count, and — when ``other_membership`` is given —
+    the ARI numerator/denominator pair
+    (num2 = 2·(nc2·Σcomb − sa·sb), den2 = nc2·(sa+sb) − 2·sa·sb,
+    so ARI = num2/den2 exactly; hedonic/__init__.py:114-118)."""
+    st = stats or vertex_stats(g, membership, gather=gather)
+    n = g.n
+    m = g.undirected_edge_count
+    num, den = int(m), n * (n - 1) // 2
+    sizes_i = st.sizes.astype(np.int64)
+    e_in = int(st.f_own.sum()) // 2
+    pairs = int((sizes_i * (sizes_i - 1) // 2).sum())
+    out = {
+        "n_vertices": n,
+        "m_edges": m,
+        "alpha_num": num,
+        "alpha_den": den,
+        "n_coalitions": int((sizes_i > 0).sum()),
+        "intra_edges": e_in,
+        "potential_scaled": den * e_in - num * pairs,  # Python ints: no overflow
+        "eq_count": int(nash_flags_exact(g, membership, num, den,
+                                         candidates="all", stats=st).sum()),
+        "robust_count": int((classify_satisfaction(
+            g, membership, stats=st) == ALWAYS).sum()),
+    }
+    if other_membership is not None:
+        a = np.asarray(membership, dtype=np.int64)
+        b = np.asarray(other_membership, dtype=np.int64)
+        hi = int(max(b.max(), 0)) + 1
+        _, cnt = np.unique(a * np.int64(hi) + b, return_counts=True)
+        sum_comb = int((cnt.astype(object) * (cnt - 1) // 2).sum())
+        _, ca = np.unique(a, return_counts=True)
+        _, cb = np.unique(b, return_counts=True)
+        sa = int((ca.astype(object) * (ca - 1) // 2).sum())
+        sb = int((cb.astype(object) * (cb - 1) // 2).sum())
+        nc2 = den
+        out["ari_num2"] = 2 * (nc2 * sum_comb - sa * sb)
+        out["ari_den2"] = nc2 * (sa + sb) - 2 * sa * sb
+    return out
+
+
 # ------------------------------------------------------------ best response
 
 

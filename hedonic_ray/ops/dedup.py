@@ -431,18 +431,22 @@ class SimHashSignatures:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(len(batch), dtype=_U64)
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            words = t.split() or [""]
-            h = self._word_hashes(words)
-            bits = ((h[:, None] >> np.arange(64, dtype=_U64)) & _U64(1))
-            score = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-            sig = _U64(0)
-            for j in np.flatnonzero(score > 0):
-                sig |= _U64(1) << _U64(j)
-            out[i] = sig
+        if len(batch) == 0:
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "simhash": pa.array([], pa.int64())})
+        # one flat word array for the whole batch; per-doc ±1 bit scores
+        # via a single add.reduceat over the doc offsets (no per-doc
+        # Python loop, no per-doc (words × 64) matrix)
+        docs = [t.split() or [""] for t in batch.column("text").to_pylist()]
+        offsets = np.cumsum([0] + [len(w) for w in docs[:-1]])
+        flat = [w for ws in docs for w in ws]
+        h = self._word_hashes(flat)
+        shifts = np.arange(64, dtype=_U64)
+        pm1 = (((h[:, None] >> shifts) & _U64(1)).astype(np.int8) * 2 - 1)
+        score = np.add.reduceat(pm1.astype(np.int32), offsets, axis=0)
+        sigs = ((score > 0).astype(_U64) << shifts).sum(axis=1, dtype=_U64)
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "simhash": pa.array(out.astype(np.int64))})
+                         "simhash": pa.array(sigs.astype(np.int64))})
 
 
 def simhash_signatures(ds):

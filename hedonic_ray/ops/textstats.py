@@ -8,8 +8,6 @@ state lives in actor ``__init__``).
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -86,37 +84,34 @@ def add_quality_scores(ds, col: str = "text"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-class LangId:
-    """Actor-pool language-ID stage: stopword-hit heuristic over
-    {en, de, es, fr} plus a CJK-codepoint test for zh.  Patterns are
-    compiled once per actor."""
+# langs in sorted order = the tie-break order (argmax first-hit)
+_LANGS = sorted(_STOPWORDS)
+_LANG_PATS = {lang: r"(?i)\b(" + "|".join(sorted(_STOPWORDS[lang])) + r")\b"
+              for lang in _LANGS}
+_CJK_PAT = "[一-鿿]"
 
-    def __init__(self):
-        # re.ASCII: \b must mean the ASCII word boundary so counts match
-        # the DuckDB/RE2 oracle exactly on accented text (Python's
-        # Unicode \b treats 'ó' as a word char, RE2's does not)
-        self.pats = {lang: re.compile(r"\b(" + "|".join(sorted(ws)) + r")\b",
-                                      re.I | re.ASCII)
-                     for lang, ws in _STOPWORDS.items()}
-        self.cjk = re.compile(r"[一-鿿]")
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        preds = []
-        for s in texts:
-            if self.cjk.search(s):
-                preds.append("zh")
-                continue
-            scores = {lang: len(p.findall(s)) for lang, p in self.pats.items()}
-            best = max(scores.values())
-            preds.append("und" if best == 0 else
-                         min(l for l, v in scores.items() if v == best))
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+def lang_id_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Column-kernel language ID: per-language stopword counts via
+    pyarrow.compute's RE2 regex (ASCII ``\\b`` — the same boundary the
+    DuckDB oracle uses), argmax with ties → alphabetically-first
+    language, all-zero → und, any CJK codepoint → zh.  No per-doc
+    Python — the whole stage is four count_substring_regex passes plus
+    a numpy argmax."""
+    t = batch.column(col)
+    counts = np.stack([
+        pc.count_substring_regex(t, _LANG_PATS[lang])
+          .to_numpy(zero_copy_only=False)
+        for lang in _LANGS])
+    preds = np.array(_LANGS, dtype=object)[counts.argmax(axis=0)]
+    preds[counts.max(axis=0) == 0] = "und"
+    cjk = pc.match_substring_regex(t, _CJK_PAT).to_numpy(zero_copy_only=False)
+    preds[cjk] = "zh"
+    return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
 def add_lang_id(ds):
-    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=2048,
-                          concurrency=actor_pool())
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
 FP_MULT = 1099511628211  # FNV-64 prime — polynomial hash base

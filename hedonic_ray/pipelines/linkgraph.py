@@ -127,11 +127,43 @@ def doc_components_table(sf_dir: str) -> pa.Table:
                      "component": pa.array(res.state["component"], pa.int64())})
 
 
+def hedonic_converged(sf_dir: str):
+    """Run-to-convergence hedonic game on the doc graph, cached per
+    sf_dir (the certificate, spectrum and flagship all analyze the same
+    converged state — one 200-iteration run per process, not three)."""
+    key = (sf_dir, "hedonic200")
+    if key not in _GRAPH_CACHE:
+        g = doc_graph(sf_dir, directed=False)
+        _GRAPH_CACHE[key] = hedonic_communities(g, max_iters=200)
+    return _GRAPH_CACHE[key]
+
+
 def doc_hedonic_table(sf_dir: str) -> pa.Table:
+    """Converged hedonic run + independently recomputed Nash
+    certificate (vertex, degree, satisfied).
+
+    Coalition ids are trajectory-dependent (no SQL form), but the
+    *property* the run must deliver is not: at α = m/C(n,2) every
+    hedonic value comparison is exact integer arithmetic
+    (`friends·(den−num) − strangers·num`), so ``satisfied`` — no
+    own-or-neighbor coalition strictly better, the sense in which the
+    dynamics converge (hedonic/__init__.py:89-94, 230-259) — is
+    recomputed from scratch via the analytics gather and must be 1 for
+    every vertex.  ``degree`` ties the certificate to the actual built
+    graph (the SQL oracle recomputes it from the planted links).  The
+    raw partition remains exposed via :func:`flagship` and the pytest
+    equilibrium oracles."""
+    from hedonic_ray.analytics.hedonic_stats import nash_flags_exact
+
     g = doc_graph(sf_dir, directed=False)
-    res = hedonic_communities(g, max_iters=200)
-    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
-                     "coalition": pa.array(res.state["coalition"], pa.int64())})
+    res = hedonic_converged(sf_dir)
+    n = g.n
+    num, den = g.undirected_edge_count, n * (n - 1) // 2
+    sat = nash_flags_exact(g, res.state["coalition"], num, den,
+                           candidates="adjacent")
+    return pa.table({"vertex": pa.array(np.arange(n), pa.int64()),
+                     "degree": pa.array(g.out_degree, pa.int64()),
+                     "satisfied": pa.array(sat.astype(np.int64), pa.int64())})
 
 
 def doc_hedonic_2pass_table(sf_dir: str) -> pa.Table:
@@ -143,14 +175,25 @@ def doc_hedonic_2pass_table(sf_dir: str) -> pa.Table:
     flagship's value arithmetic gets a driver-gate oracle (the
     α = density convergence run stays pytest-verified: float game
     values make cross-engine strict comparisons ill-defined)."""
-    from hedonic_ray.algos.hedonic import HedonicStep
-    from hedonic_ray.engine.superstep import run_supersteps
+    mem = hedonic_2pass_membership(sf_dir)
+    return pa.table({"vertex": pa.array(np.arange(len(mem)), pa.int64()),
+                     "coalition": pa.array(mem, pa.int64())})
 
-    g = doc_graph(sf_dir, directed=False)
-    algo = HedonicStep(resolution=0.0, serial_tail=False)
-    res = run_supersteps(g, algo, max_iters=2)
-    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
-                     "coalition": pa.array(res.state["coalition"], pa.int64())})
+
+def hedonic_2pass_membership(sf_dir: str) -> np.ndarray:
+    """Membership after two synchronous α=0 best-response passes —
+    the SQL-reproducible partition the exact-integer analytics queries
+    are evaluated on (cached per sf_dir)."""
+    key = (sf_dir, "hedonic2pass")
+    if key not in _GRAPH_CACHE:
+        from hedonic_ray.algos.hedonic import HedonicStep
+        from hedonic_ray.engine.superstep import run_supersteps
+
+        g = doc_graph(sf_dir, directed=False)
+        algo = HedonicStep(resolution=0.0, serial_tail=False)
+        res = run_supersteps(g, algo, max_iters=2)
+        _GRAPH_CACHE[key] = res.state["coalition"]
+    return _GRAPH_CACHE[key]
 
 
 def doc_labelprop_table(sf_dir: str, *, iters: int = 2) -> pa.Table:
@@ -173,52 +216,54 @@ def doc_triangles_table(sf_dir: str) -> pa.Table:
 
 
 def doc_spectrum_table(sf_dir: str) -> pa.Table:
-    """Resolution spectrum of the hedonic partition on the doc graph
-    (hedonic/__init__.py:432-449): per grid resolution, the fraction of
-    satisfied vertices, plus the resolution-free robustness."""
-    from hedonic_ray.analytics.hedonic_stats import resolution_spectrum
+    """Resolution spectrum (hedonic/__init__.py:432-449) with EXACT
+    integer satisfaction tests over the grid α = i/10, evaluated on the
+    SQL-reproducible 2-pass α=0 partition: per grid point, the count of
+    satisfied vertices (always-satisfied + re-evaluated relatives) plus
+    the resolution-free robustness count.  The spectrum *operator* is
+    what's verified; the converged-run spectrum (float, np.isclose,
+    reference semantics) stays on :func:`hedonic_ray.analytics.
+    hedonic_stats.resolution_spectrum` with pytest oracles."""
+    from hedonic_ray.analytics.hedonic_stats import spectrum_exact_tenths
 
     g = doc_graph(sf_dir, directed=False)
-    res = hedonic_communities(g, max_iters=200)
-    resolutions, fractions, robustness = resolution_spectrum(
-        g, res.state["coalition"])
+    mem = hedonic_2pass_membership(sf_dir)
+    tenths, eq_counts, robust = spectrum_exact_tenths(g, mem)
     return pa.table({
-        "resolution_e6": pa.array((resolutions * 1e6).astype(np.int64)),
-        "eq_fraction_e9": pa.array(np.round(fractions * 1e9).astype(np.int64)),
-        "robustness_e9": pa.array(
-            np.full(len(resolutions), round(robustness * 1e9), dtype=np.int64)),
+        "resolution_tenths": pa.array(tenths, pa.int64()),
+        "eq_count": pa.array(eq_counts, pa.int64()),
+        "robust_count": pa.array(
+            np.full(len(tenths), robust, dtype=np.int64), pa.int64()),
     })
 
 
 def doc_analytics_table(sf_dir: str) -> pa.Table:
-    """Per-partition quality metrics of the converged hedonic state:
-    equilibrium fraction (must be 1.0 at the played resolution),
-    robustness, CPM potential, ARI vs label propagation."""
+    """Partition-quality metrics as EXACT integers (metric, value):
+    CPM potential scaled by den = C(n,2), all-coalition equilibrium and
+    robustness counts at α = m/C(n,2), ARI vs 2-round label propagation
+    as a num/den pair — all evaluated on the SQL-reproducible 2-pass
+    α=0 partition so every row has a DuckDB oracle — plus
+    ``nash_converged``: 1 iff the independent exact-integer certificate
+    of the run-to-convergence game holds for every vertex (the SQL side
+    asserts the constant; the honest recomputation is Ray-side)."""
     from hedonic_ray.analytics.hedonic_stats import (
-        adjusted_rand_index,
-        equilibrium_fraction,
-        partition_potential,
-        partition_robustness,
-        vertex_stats,
+        metrics_exact,
+        nash_flags_exact,
     )
 
     g = doc_graph(sf_dir, directed=False)
-    hed = hedonic_communities(g, max_iters=200)
-    mem = hed.state["coalition"]
-    lp = label_propagation(g, max_iters=50).state["label"]
-    st = vertex_stats(g, mem)
-    rows = [
-        ("equilibrium_fraction", equilibrium_fraction(g, mem, g.density(), stats=st)),
-        ("robustness", partition_robustness(g, mem, stats=st)),
-        ("cpm_potential", partition_potential(g, mem, stats=st)),
-        ("ari_vs_labelprop", adjusted_rand_index(mem, lp)),
-        ("n_coalitions", float(len(np.unique(mem)))),
-        ("supersteps", float(hed.iterations)),
-        ("converged", float(hed.converged)),
-    ]
+    mem = hedonic_2pass_membership(sf_dir)
+    lp = label_propagation(g, max_iters=2).state["label"]
+    met = metrics_exact(g, mem, lp)
+    hed = hedonic_converged(sf_dir)
+    num, den = g.undirected_edge_count, g.n * (g.n - 1) // 2
+    cert = nash_flags_exact(g, hed.state["coalition"], num, den,
+                            candidates="adjacent")
+    met["nash_converged"] = int(bool(cert.all() and hed.converged))
+    names = sorted(met)
     return pa.table({
-        "metric": pa.array([r[0] for r in rows], pa.string()),
-        "value_e9": pa.array([int(round(r[1] * 1e9)) for r in rows], pa.int64()),
+        "metric": pa.array(names, pa.string()),
+        "value": pa.array([int(met[k]) for k in names], pa.int64()),
     })
 
 
@@ -293,7 +338,7 @@ def flagship(sf_dir: str) -> pa.Table:
     g_und = doc_graph(sf_dir, directed=False)
     pr = pagerank(g_dir, max_iters=50, tol=1e-10)
     cc = connected_components(g_und)
-    hed = hedonic_communities(g_und, max_iters=200)
+    hed = hedonic_converged(sf_dir)
     n = g_dir.n
     return pa.table({
         "vertex": pa.array(np.arange(n), pa.int64()),

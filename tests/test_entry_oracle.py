@@ -81,6 +81,9 @@ SQL_CHECKED = sorted([
     "graph_triangles_docs", "text_lang_id", "text_fingerprints",
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "sim_ivf_topk",
     "graph_hedonic_2pass", "multimodal_resize",
+    # round 3: exact-integer Nash certificate + rebased analytics — every
+    # query now has a SQL oracle
+    "graph_hedonic", "analytics_spectrum", "analytics_partition_metrics",
 ])
 
 
@@ -103,29 +106,41 @@ def test_query_matches_oracle(entry_module, name):
             assert got[c].tolist() == exp[c].tolist(), f"{name}.{c}"
 
 
-ROWS_ONLY = ["graph_hedonic"]
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(entry_module, name):
-    out = entry_module.queries()[name](SF)
-    df = _to_pandas(out)
-    assert len(df) >= 0 and len(df.columns) >= 1
-
-
 def test_analytics_queries_run_and_are_sane(entry_module):
     q = entry_module.queries()
+    n_docs = 500
     spec = q["analytics_spectrum"](SF).to_pandas()
     assert len(spec) == 11
-    assert (spec["eq_fraction_e9"] <= 10**9).all()
-    # at the played resolution (= density, inside the grid hull) the
-    # converged state is a Nash equilibrium at SOME grid point region
+    assert (spec["eq_count"] <= n_docs).all()
+    assert (spec["robust_count"] <= spec["eq_count"]).all()
     met = q["analytics_partition_metrics"](SF).to_pandas()
-    m = dict(zip(met["metric"], met["value_e9"]))
-    # dynamics equilibrium = own+neighbor candidate set; the analytics
-    # fraction spans ALL coalitions (reference's is_in_equilibrium) and
-    # can be slightly below 1 when a tiny non-adjacent coalition beats a
-    # vertex's own — require near-1
-    assert m["equilibrium_fraction"] >= int(0.95e9)
-    assert m["converged"] == 10**9
-    assert 0 <= m["robustness"] <= 10**9
+    m = dict(zip(met["metric"], met["value"]))
+    # the converged run's exact-integer own+neighbor Nash certificate
+    assert m["nash_converged"] == 1
+    assert m["n_vertices"] == n_docs
+    assert m["alpha_den"] == n_docs * (n_docs - 1) // 2
+    assert 0 <= m["robust_count"] <= m["eq_count"] <= n_docs
+    assert abs(m["ari_num2"]) <= abs(m["ari_den2"])
+
+
+def test_hedonic_certificate_not_vacuous(entry_module):
+    """Perturbing the converged partition must break the certificate —
+    satisfied=1 everywhere is a recomputed property, not a constant."""
+    from hedonic_ray.analytics.hedonic_stats import nash_flags_exact
+    from hedonic_ray.pipelines import linkgraph as lg
+
+    g = lg.doc_graph(SF, directed=False)
+    res = lg.hedonic_converged(SF)
+    num, den = g.undirected_edge_count, g.n * (g.n - 1) // 2
+    mem = res.state["coalition"].copy()
+    # move the highest-degree vertex out of its coalition into a fresh one
+    v = int(np.argmax(g.out_degree))
+    mem[v] = mem.max() + 1
+    sat = nash_flags_exact(g, mem, num, den, candidates="adjacent")
+    assert not sat[v]
+
+
+def test_oracle_coverage_complete(entry_module):
+    """Every query is SQL-checked — 34/34 oracle coverage."""
+    assert set(SQL_CHECKED) == set(entry_module.queries())
+    assert set(entry_module.oracle_sql()) == set(entry_module.queries())
