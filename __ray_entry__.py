@@ -704,8 +704,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 3 = 2 AND t.j * 2 < 1 + d.doc_id % 8
         """,
     }
-    # the IVF query's probed buckets cover the true top-k at gate scale
-    # (recall 1.0, locally verified + pytest-checked vs brute force), so
-    # the exact top-k SQL doubles as its oracle
+    # the gate's IVF query runs a full probe sweep (nprobe = n_clusters
+    # — exact by construction, asserted at runtime), so the exact top-k
+    # SQL is its oracle structurally; partial-probe recall is
+    # pytest-characterized
     out["sim_ivf_topk"] = out["sim_topk_cosine"]
     return out

@@ -109,11 +109,19 @@ class HedonicStep:
         return gather_label_counts(msgs_ds, mode)
 
     TAIL_SERIAL = 64  # active ≤ this → one best-gain mover per superstep
-    SWEEP_MAX = 16_000  # active ≤ this → within-partition local sweeps
+    SWEEP_MAX_FLOOR = 16_000  # sweep window ≤ max(this, V/8)
+
+    def sweep_max(self, g) -> int:
+        """Upper edge of the local-sweep window, ∝ V (ROADMAP 5): the
+        mid-active grind range the sweeps exist to kill scales with the
+        graph, so a constant tuned at V=120k (16k ≈ V/8) would starve
+        larger graphs; the floor keeps small/bench graphs at the
+        quality-validated window."""
+        return max(self.SWEEP_MAX_FLOOR, g.n // 8)
 
     def _damp_and_move(self, mem: np.ndarray, d: np.ndarray, l: np.ndarray,
                        gain: np.ndarray, phi: float, alpha: float,
-                       active: int, it: int):
+                       active: int, it: int, from_sweep: bool = False):
         """Shared across execution backends: track Φ, thin movers on
         stall, apply moves.
 
@@ -156,8 +164,15 @@ class HedonicStep:
             level = -1  # marker: serialized tail
         else:
             # Escalating damping: thin the mover set with a seeded hash,
-            # halving acceptance the longer Φ has stalled.
+            # halving acceptance the longer Φ has stalled.  Sweep-chain
+            # movers are exempt (applied all-or-none): a sweep's
+            # zero-gain chain only improves Φ JOINTLY, so committing a
+            # hash-chosen subset could strictly decrease it — and the
+            # sweep window is closed once damping engages (tasks_step
+            # gates on _stall), so thinning and sweeps never interleave.
             level = 0 if self._stall < 2 else min(6, 1 + (self._stall - 2) // 3)
+            if from_sweep:
+                level = 0
             if level and active:
                 from hedonic_ray.functions.hashing import hash_ints
 
@@ -226,9 +241,14 @@ class HedonicStep:
         # grind: 140 → ~76 supersteps, final Φ slightly ABOVE the pure
         # sync path), provably-terminating serial tail at the end
         prev = self._prev_active
+        # _stall < 2: never sweep once Φ-stall damping engages — the
+        # damping hash-thins movers, and a thinned (partial) sweep chain
+        # can strictly DECREASE Φ; closed sweep window + stall ratchet +
+        # serial tail is the termination argument
         sweep = (self.local_sweep and self.serial_tail
-                 and not self._sweep_stalled and prev is not None
-                 and self.TAIL_SERIAL < prev <= self.SWEEP_MAX)
+                 and not self._sweep_stalled and self._stall < 2
+                 and prev is not None
+                 and self.TAIL_SERIAL < prev <= self.sweep_max(g))
         if self.serial_tail:  # iterated run → stateful sharded apply
             from hedonic_ray.engine.shards import ShardPool
 
@@ -238,10 +258,12 @@ class HedonicStep:
             d, l, gain, f_own_total, active = self._pool.step(
                 *self._applied, sweep)
         else:
+            # one-pass variants: stateless task exchange, pure
+            # synchronous moves (sweep never applies here)
             from hedonic_ray.engine.exchange import label_exchange_step
 
             d, l, gain, f_own_total, active = label_exchange_step(
-                g, mem, mode="hedonic", alpha=alpha, sweep=sweep)
+                g, mem, mode="hedonic", alpha=alpha)
         # a sweep whose moves net out to zero while vertices still want
         # to move would loop forever — fall back to the plain path
         self._sweep_stalled = bool(sweep and active > 0 and len(d) == 0)

@@ -264,7 +264,11 @@ def triangle_count(g, *, gather: str = "auto", num_parts: int | None = None,
         raise ValueError("triangle_count needs an undirected LinkGraph")
     t0 = time.perf_counter()
     if probe == "auto":
-        probe = "broadcast" if g.m // 2 <= PROBE_BROADCAST_MAX else "bucketed"
+        from hedonic_ray.context import force_scale
+
+        probe = ("bucketed" if force_scale()
+                 else "broadcast" if g.m // 2 <= PROBE_BROADCAST_MAX
+                 else "bucketed")
     if probe == "bucketed":
         per_vertex = _triangle_count_bucketed(
             g, n_buckets or max(4, g.num_parts))

@@ -58,6 +58,15 @@ def drop_empty_blocks(ds, schema=None):
     return rd.from_arrow_refs(refs)
 
 
+def force_scale() -> bool:
+    """``HEDONIC_RAY_FORCE_SCALE=1`` flips every ``"auto"`` branch to
+    its production-scale path (distributed joins, bucketed probes,
+    shuffle gathers, IVF) regardless of input size — so the 100-TB
+    branches run through the same oracle-checked queries and tests the
+    small-data defaults do, instead of being only equal-tested."""
+    return os.environ.get("HEDONIC_RAY_FORCE_SCALE", "") not in ("", "0")
+
+
 def session_cpus() -> int:
     """CPUs of the live Ray session (falls back to env / OS count)."""
     try:

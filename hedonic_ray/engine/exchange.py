@@ -184,16 +184,15 @@ def _hedonic_sweep(lo: int, hi: int, indptr, indices, mem_local_in, sizes_in,
 
 
 def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
-                n: int, sweep: bool, n_blocks: int, *rest):
+                n: int, *partials):
     """Decision rule for vertices in [lo, hi): returns
     (movers_v, movers_lab, movers_gain, f_own_sum, n_improving).
 
-    With ``sweep`` (hedonic mode), the vectorized one-shot decision
-    seeds a sequential within-partition local-moving sweep — many moves
-    per superstep instead of one synchronized move, cutting global
-    superstep counts several-fold."""
-    blocks = rest[:n_blocks]
-    partials = rest[n_blocks:]
+    Pure synchronous moves — the within-partition local-moving SWEEP
+    runs only in the stateful shard actors (engine/shards.py), which
+    already co-locate adjacency with state; iterated runs always take
+    that backend, so the stateless exchange keeps the one-shot rule
+    the one-pass variants need."""
     dst, lab, cnt = _merge_partials(partials, n)
     if len(dst) == 0:
         return (np.empty(0, _U), np.empty(0, _U), np.empty(0, np.float64),
@@ -227,12 +226,6 @@ def _apply_part(mode: str, alpha: float, lo: int, hi: int, mem, sizes,
         d, l, v = d[first], l[first], v[first]
         gain = v - v_own[d - lo]
     active = int(len(d))
-    if sweep and len(d) and blocks:
-        indptr, indices = _local_adjacency(blocks, lo, hi)
-        sd, sl = _hedonic_sweep(lo, hi, indptr, indices, mem[lo:hi], sizes,
-                                dst, lab, cnt.astype(np.int64), alpha,
-                                d.tolist(), max_pops=max(4 * (hi - lo), 64))
-        return (sd, sl, np.zeros(len(sd), np.float64), f_own_sum, active)
     return (d, l, gain, f_own_sum, active)
 
 
@@ -320,16 +313,9 @@ def _remotes():
     return _REMOTES
 
 
-def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0,
-                        sweep: bool = False):
+def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0):
     """One full scatter→exchange→apply round.  Returns
-    (movers_v, movers_lab, movers_gain, f_own_total, active).
-
-    ``sweep=True`` (hedonic mode) additionally ships each apply task
-    its OWN partition group's CSR block refs so it can run a
-    sequential within-partition local-moving sweep after the
-    vectorized decision — co-locating state slice with adjacency, the
-    sharded-apply layout the partitioning was designed for."""
+    (movers_v, movers_lab, movers_gain, f_own_total, active)."""
     import ray
 
     r = _remotes()
@@ -356,11 +342,9 @@ def label_exchange_step(g, mem: np.ndarray, *, mode: str, alpha: float = 0.0,
         per_part = list(zip(*per_block))
     futs = []
     for p in range(P_ex):
-        own_blocks = block_refs[p * group:(p + 1) * group] if sweep else []
         futs.append(r["apply"].remote(
             mode, alpha, p * span_ex, min(g.n, (p + 1) * span_ex),
-            mem_ref, sizes_ref, g.n, sweep, len(own_blocks),
-            *own_blocks, *per_part[p]))
+            mem_ref, sizes_ref, g.n, *per_part[p]))
     results = ray.get(futs)
     movers_v = np.concatenate([x[0] for x in results]) if results else np.empty(0, _U)
     movers_l = np.concatenate([x[1] for x in results]) if results else np.empty(0, _U)

@@ -101,20 +101,34 @@ def _eval_rows(mode: str, alpha: float, lo: int, hi: int, dst, lab, cnt,
 class ApplyShard:
     """One partition group's stateful apply actor (plain class —
     wrapped with ``ray.remote`` at pool construction so importing this
-    module stays Ray-free)."""
+    module stays Ray-free).
 
-    def __init__(self, lo: int, hi: int, n: int, alpha: float, mode: str,
-                 block_tables, mem0: np.ndarray):
+    Construction loads only the IMMUTABLE per-shard adjacency (CSR
+    slice) — the expensive, algorithm-independent part — so the actor
+    base can be pre-spawned during graph build and REUSED across
+    algorithm runs (LP then hedonic on the same graph pay the spawn +
+    adjacency cost once).  :meth:`load` (re)initializes the
+    per-algorithm mutable state; a ``token`` fences steps so a stale
+    pool handle can't race a newer load."""
+
+    def __init__(self, lo: int, hi: int, n: int, block_tables):
         import ray
         from hedonic_ray.engine.exchange import _local_adjacency
 
         self.lo, self.hi, self.n = lo, hi, n
-        self.alpha, self.mode = alpha, mode
         # refs nested in a list are NOT auto-resolved by Ray — fetch
         # them here (zero-copy Arrow reads from the local object store)
         block_tables = [ray.get(b) if isinstance(b, ray.ObjectRef) else b
                         for b in block_tables]
         self.indptr, self.indices = _local_adjacency(block_tables, lo, hi)
+        self._src = lo + np.repeat(np.arange(hi - lo), np.diff(self.indptr))
+        self._token = None
+
+    def load(self, alpha: float, mode: str, mem0: np.ndarray, token: int):
+        """(Re)initialize algorithm state on the resident adjacency."""
+        n = self.n
+        self.alpha, self.mode = alpha, mode
+        self._token = token
         mem0 = np.asarray(mem0, dtype=np.int64)
         # full membership retained (n int64 — cheap per shard at any
         # single-node scale; updated with O(movers) writes, never
@@ -124,9 +138,18 @@ class ApplyShard:
         # to the delta-only path (mem_local suffices there).
         self.mem = mem0.copy()
         self.sizes = np.bincount(mem0, minlength=n).astype(np.int64)
-        self._src = lo + np.repeat(np.arange(hi - lo), np.diff(self.indptr))
-        self._rebuild_counts()
+        if mem0[0] == 0 and mem0[-1] == n - 1 and \
+                np.array_equal(mem0, np.arange(n, dtype=np.int64)):
+            # singleton-partition fast path (the default start): every
+            # neighbor founds its own coalition, so the count rows are
+            # exactly the CSR edges — already (v, lab)-sorted, all 1s —
+            # no sort needed
+            self.keys = self._src.astype(_U) * _U(n) + self.indices
+            self.cnts = np.ones(len(self.keys), dtype=np.int64)
+        else:
+            self._rebuild_counts()
         self._eval_all()
+        return True
 
     @property
     def mem_local(self) -> np.ndarray:
@@ -162,9 +185,14 @@ class ApplyShard:
 
     # ------------------------------------------------------------ step
 
-    def step(self, movers_v, movers_old, movers_new, sweep: bool = False):
+    def step(self, movers_v, movers_old, movers_new, sweep: bool = False,
+             token: int | None = None):
         """Fold last superstep's applied movers in, return this shard's
         proposals: (movers_v, movers_lab, gains, f_own_sum, active)."""
+        if token is not None and token != self._token:
+            raise RuntimeError(
+                "stale ShardPool handle: this shard base was re-loaded "
+                "by a newer pool (one algorithm at a time per graph)")
         lo, hi, n = self.lo, self.hi, self.n
         if len(movers_v):
             mv = np.asarray(movers_v, dtype=np.int64)
@@ -264,38 +292,63 @@ class ApplyShard:
         return self.keys.copy(), self.cnts.copy()
 
 
+_POOL_TOKENS = iter(range(1, 1 << 62))
+
+
+def shard_base(g, max_shards: int = 16):
+    """The reusable actor base for ``g``: one ApplyShard per partition
+    group, holding only the CSR slice.  Cached on the LinkGraph (keyed
+    by shard count, which tracks the session CPU budget), so the spawn
+    + adjacency-build cost is paid ONCE per graph — call this right
+    after ``build_link_graph`` to pre-spawn the actors in the
+    background while later pipeline stages run (ROADMAP 6).
+
+    The shard count tracks the session's CPU budget and each shard is
+    single-threaded numpy — that is what keeps a 2-CPU session honestly
+    at 2 cores of compute (num_cpus=0 actors with a FIXED count were
+    measured escaping the budget: 16 zero-cpu shards ran a 2-CPU
+    session at full host speed, faking any cluster-size scaling
+    evidence).  The reservation is 0.5 CPU so the actors can coexist
+    with Dataset tasks (e.g. while pre-spawned during graph build)
+    without deadlocking the session; adjacent CSR partitions group into
+    each shard's contiguous range."""
+    import ray
+    from hedonic_ray.context import session_cpus
+
+    n_shards = max(1, min(max_shards, session_cpus(), g.num_parts))
+    cached = getattr(g, "_shard_base", None)
+    if cached is not None and cached[0] == n_shards:
+        return cached[1], cached[2]
+    group = max(1, -(-g.num_parts // n_shards))
+    span = g.span * group
+    P = -(-g.n // span)
+    Actor = ray.remote(num_cpus=0.5)(ApplyShard)
+    refs = g.arrow_refs()
+    actors = [
+        Actor.remote(p * span, min(g.n, (p + 1) * span), g.n,
+                     refs[p * group:(p + 1) * group])
+        for p in range(P)
+    ]
+    g._shard_base = (n_shards, span, actors)
+    return span, actors
+
+
 class ShardPool:
-    """Driver-side handle: one ApplyShard actor per partition group."""
+    """Driver-side handle: the shared actor base loaded with one
+    algorithm's state.  Loading fences earlier pools (their next step
+    raises) — one live pool per graph at a time."""
 
     def __init__(self, g, mem0: np.ndarray, alpha: float, mode: str,
                  max_shards: int = 16):
         import ray
-        from hedonic_ray.context import session_cpus
 
-        # the shard count tracks the session's CPU budget and each
-        # shard is single-threaded numpy — that is what keeps a 2-CPU
-        # session honestly at 2 cores of compute (num_cpus=0 actors
-        # with a FIXED count were measured escaping the budget: 16
-        # zero-cpu shards ran a 2-CPU session at full host speed,
-        # faking any cluster-size scaling evidence).  The reservation
-        # is 0.5 CPU so two pools (e.g. back-to-back algorithms whose
-        # handles briefly overlap) can coexist without deadlocking the
-        # session; adjacent CSR partitions group into each shard's
-        # contiguous range.
-        n_shards = max(1, min(max_shards, session_cpus(), g.num_parts))
-        group = max(1, -(-g.num_parts // n_shards))
-        self.span = g.span * group
-        self.P = -(-g.n // self.span)
+        self.span, self.shards = shard_base(g, max_shards)
+        self.P = len(self.shards)
         self.n = g.n
-        Actor = ray.remote(num_cpus=0.5)(ApplyShard)
-        refs = g.arrow_refs()
+        self.token = next(_POOL_TOKENS)
         mem_ref = ray.put(np.asarray(mem0, dtype=np.int64))
-        self.shards = [
-            Actor.remote(p * self.span, min(g.n, (p + 1) * self.span), g.n,
-                         alpha, mode, refs[p * group:(p + 1) * group],
-                         mem_ref)
-            for p in range(self.P)
-        ]
+        ray.get([s.load.remote(alpha, mode, mem_ref, self.token)
+                 for s in self.shards])
 
     def step(self, movers_v, movers_old, movers_new, sweep: bool):
         """One superstep round.  Returns
@@ -305,7 +358,7 @@ class ShardPool:
         mv = ray.put(np.asarray(movers_v, dtype=np.int64))
         mo = ray.put(np.asarray(movers_old, dtype=np.int64))
         mn = ray.put(np.asarray(movers_new, dtype=np.int64))
-        outs = ray.get([s.step.remote(mv, mo, mn, sweep)
+        outs = ray.get([s.step.remote(mv, mo, mn, sweep, self.token)
                         for s in self.shards])
         d = np.concatenate([o[0] for o in outs])
         l = np.concatenate([o[1] for o in outs])

@@ -197,6 +197,10 @@ class RunResult:
 
 def resolve_gather(mode: str, n: int) -> str:
     if mode == "auto":
+        from hedonic_ray.context import force_scale
+
+        if force_scale():
+            return "shuffle"
         return "dense" if n <= DENSE_MAX_VERTICES else "shuffle"
     return mode
 

@@ -288,6 +288,10 @@ class LinkGraph:
     urls_ref: object | None = None
 
     _arrow_refs: list | None = None
+    # (n_shards, span, actors) — lazily/pre-spawned sharded-apply base
+    # (engine/shards.shard_base); cached so LP + hedonic on the same
+    # graph reuse one actor set
+    _shard_base: tuple | None = None
 
     def arrow_refs(self) -> list:
         """Object refs of the materialized CSR Arrow blocks (cached) —
@@ -404,8 +408,19 @@ def build_link_graph(edges_ds, n: int, *, directed: bool, num_parts: int | None 
             indptr = np.asarray(batch.column("indptr")[r].values)
             out_degree[lo:hi] = np.diff(indptr)
             m += int(indptr[-1])
-    return LinkGraph(n=n, m=m, num_parts=num_parts, span=span, directed=directed,
-                     blocks=blocks, out_degree=out_degree, urls_ref=urls_ref)
+    g = LinkGraph(n=n, m=m, num_parts=num_parts, span=span, directed=directed,
+                  blocks=blocks, out_degree=out_degree, urls_ref=urls_ref)
+    if not directed and m >= 400_000:
+        # pre-spawn the sharded-apply actor base in the BACKGROUND
+        # (constructors load CSR slices while subsequent pipeline
+        # stages run) — big undirected graphs are exactly the ones the
+        # superstep algorithms take the shards backend for, and the
+        # spawn + adjacency build was ~70% of the first algorithm's
+        # wall time when paid lazily (ROADMAP 6)
+        from hedonic_ray.engine.shards import shard_base
+
+        shard_base(g)
+    return g
 
 
 BROADCAST_VOCAB_MAX = 50_000_000  # urls; ~a few GB of fixed-width strings
@@ -421,7 +436,10 @@ def graph_from_pages(pages_ds, *, directed: bool, num_parts: int | None = None,
     V-sized driver state).  ``"auto"`` switches on the page count —
     both paths are tested edge-identical."""
     if id_assign == "auto":
-        id_assign = ("broadcast"
+        from hedonic_ray.context import force_scale
+
+        id_assign = ("join" if force_scale()
+                     else "broadcast"
                      if pages_ds.count() <= BROADCAST_VOCAB_MAX else "join")
     if id_assign == "join":
         edges, n = edges_from_pages_join(pages_ds)

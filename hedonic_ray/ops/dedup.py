@@ -248,7 +248,11 @@ def verify_pairs_minhash(pairs_ds, sig_ds, threshold: float, *,
     import ray
 
     if method == "auto":
-        method = "broadcast" if sig_ds.count() <= broadcast_max else "join"
+        from hedonic_ray.context import force_scale
+
+        method = ("join" if force_scale()
+                  else "broadcast" if sig_ds.count() <= broadcast_max
+                  else "join")
 
     if method == "join":
         # acero joins reject fixed_size_list payloads — carry the
@@ -322,37 +326,43 @@ def duplicate_clusters(pairs_ds, n_docs: int, *, method: str = "auto",
     (tested equal)."""
     pairs_ds = pairs_ds.materialize()
     if method == "auto":
-        method = ("driver" if pairs_ds.count() <= driver_max_pairs
+        from hedonic_ray.context import force_scale
+
+        method = ("distributed" if force_scale()
+                  else "driver" if pairs_ds.count() <= driver_max_pairs
                   else "distributed")
     if method not in ("driver", "distributed"):
         raise ValueError(method)
     if method == "driver":
-        parent = np.arange(n_docs, dtype=np.int64)
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
+        # vectorized min-hooking (Shiloach–Vishkin style): no per-pair
+        # Python loop — O(log n) rounds of numpy hook + pointer-jumping
+        # compression over the (bounded ≤ driver_max_pairs) pair arrays
+        aa, bb = [], []
         for batch in pairs_ds.select_columns(["a", "b"]).iter_batches(
                 batch_size=262144, batch_format="pyarrow"):
-            for a, b in zip(batch.column("a").to_pylist(),
-                            batch.column("b").to_pylist()):
-                ra, rb = find(a), find(b)
-                if ra != rb:  # union by min id → min-label components
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-        # vectorized pointer-jumping finalize: a few O(n) numpy
-        # passes, not n interpreted find() calls — n_docs can be huge
-        # even when the pair set is tiny
+            aa.append(batch.column("a").to_numpy().astype(np.int64))
+            bb.append(batch.column("b").to_numpy().astype(np.int64))
+        a = np.concatenate(aa) if aa else np.empty(0, np.int64)
+        b = np.concatenate(bb) if bb else np.empty(0, np.int64)
+        parent = np.arange(n_docs, dtype=np.int64)
         while True:
-            nxt = parent[parent]
-            if np.array_equal(nxt, parent):
+            ra, rb = parent[a], parent[b]
+            hi = np.maximum(ra, rb)
+            lo = np.minimum(ra, rb)
+            diff = lo != hi
+            if not diff.any():
                 return parent
-            parent = nxt
+            # hook every higher root to the min opposing label...
+            np.minimum.at(parent, hi[diff], lo[diff])
+            # ...then compress to the fixed point (roots only ever
+            # decrease toward the component min, so this terminates
+            # with component = min doc_id — same semantics as the
+            # sequential union-by-min)
+            while True:
+                nxt = parent[parent]
+                if np.array_equal(nxt, parent):
+                    break
+                parent = nxt
 
     from hedonic_ray.algos.components import connected_components
     from hedonic_ray.graph.build import build_link_graph
@@ -534,7 +544,11 @@ def verify_pairs_exact(pairs_ds, docs_ds, *, k: int = 3, threshold: float = 0.7,
     # them once instead of re-executing the LSH pipeline per pass
     pairs_ds = pairs_ds.materialize()
     if method == "auto":
-        method = "semi" if pairs_ds.count() <= broadcast_max else "join"
+        from hedonic_ray.context import force_scale
+
+        method = ("join" if force_scale()
+                  else "semi" if pairs_ds.count() <= broadcast_max
+                  else "join")
 
     if method == "semi":
         import ray
@@ -619,7 +633,10 @@ def embedding_neardup_pairs(emb_ds, *, threshold: float = 0.95,
     ``"auto"`` picks brute below ``brute_max`` vectors.
     """
     if method == "auto":
-        method = "brute" if emb_ds.count() <= brute_max else "ivf"
+        from hedonic_ray.context import force_scale
+
+        method = ("ivf" if force_scale()
+                  else "brute" if emb_ds.count() <= brute_max else "ivf")
     if method == "ivf":
         return _embedding_neardup_ivf(
             emb_ds, threshold=threshold, id_col=id_col, vec_col=vec_col,

@@ -59,7 +59,12 @@ def topk_cosine(emb_ds, queries: np.ndarray, k: int = 10, *,
 
     partials = emb_ds.map_batches(local_topk, batch_format="pyarrow",
                                   batch_size=4096)
-    # final merge: ≤ Q * k * num_batches rows — tiny
+    return _merge_topk(partials, k)
+
+
+def _merge_topk(partials, k: int) -> pa.Table:
+    """Driver merge of local-top-k partials: ≤ Q · k · num_batches rows
+    — tiny.  Ties break to lowest vec_id; rank is 1-based."""
     qs, vs, ss = [], [], []
     for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
         qs.append(b.column("query_id").to_numpy())
@@ -77,11 +82,16 @@ def topk_cosine(emb_ds, queries: np.ndarray, k: int = 10, *,
         out_r.append(np.arange(1, len(out_q[-1]) + 1))
         out_v.append(va[mask][:k])
         out_s.append(sa[mask][:k])
+    empty = np.empty(0, np.int64)
     return pa.table({
-        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-        "rank": pa.array(np.concatenate(out_r), pa.int64()),
-        "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-        "score": pa.array(np.concatenate(out_s), pa.float64()),
+        "query_id": pa.array(np.concatenate(out_q) if out_q else empty,
+                             pa.int64()),
+        "rank": pa.array(np.concatenate(out_r) if out_r else empty,
+                         pa.int64()),
+        "vec_id": pa.array(np.concatenate(out_v) if out_v else empty,
+                           pa.int64()),
+        "score": pa.array(np.concatenate(out_s) if out_s else
+                          np.empty(0, np.float64), pa.float64()),
     })
 
 
@@ -138,35 +148,52 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
     q32 = _normalize(np.asarray(queries, dtype=np.float32))
     probes = np.argsort(-(q32 @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     assigned = ivf_assign(emb_ds, cent, id_col=id_col, vec_col=vec_col)
-    wanted = np.unique(probes)
+    import ray
     import pyarrow.compute as pc
+
+    # strict IVF probe semantics: a vector is scored against EXACTLY the
+    # queries probing its bucket (per-(query, bucket) filtering — not
+    # the union of all wanted buckets), and each task keeps only k
+    # candidates per query.  by_bucket is (n_clusters, variable) query
+    # ids; broadcast once.
+    q64 = _normalize(np.asarray(queries, dtype=np.float64))
+    by_bucket = [np.flatnonzero((probes == b).any(axis=1))
+                 for b in range(len(cent))]
+    wanted = np.unique(probes)
+    bcast = ray.put((q64, by_bucket))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, byb = ray.get(bcast)
+        ids = batch.column(id_col).to_numpy()
+        bk = batch.column("bucket").to_numpy()
+        m = _normalize(_batch_matrix(batch, vec_col, np.float64))
+        out_q, out_v, out_s = [], [], []
+        for b in np.unique(bk):
+            qs = byb[b]
+            if not len(qs):
+                continue
+            rows = np.flatnonzero(bk == b)
+            cos = q[qs] @ m[rows].T  # (|probing queries|, |bucket rows|)
+            kk = min(k, cos.shape[1])
+            idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            sel = idx.reshape(-1)
+            out_q.append(np.repeat(qs, kk))
+            out_v.append(ids[rows][sel])
+            out_s.append(cos[np.repeat(np.arange(len(qs)), kk), sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s).astype(np.float64)),
+        })
 
     filtered = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t.column("bucket"),
                                     value_set=pa.array(wanted.tolist()))),
         batch_format="pyarrow")
-    # brute-force within the probed subset (float64 scoring so returned
-    # scores are bit-comparable with the exact top-k baseline), then
-    # keep the global top-k of the candidate union
-    full = topk_cosine(filtered, np.asarray(queries, dtype=np.float64),
-                       k=len(cent) * k, id_col=id_col, vec_col=vec_col)
-    # NOTE: for exact probe semantics we'd filter per (query, bucket);
-    # probing all wanted buckets for all queries only ADDS candidates,
-    # so recall is ≥ the strict IVF — acceptable for an ANN baseline.
-    qa = full.column("query_id").to_numpy()
-    va = full.column("vec_id").to_numpy()
-    sa = full.column("score").to_numpy()
-    out_q, out_r, out_v, out_s = [], [], [], []
-    for qid in np.unique(qa):
-        mask = qa == qid
-        take = min(k, mask.sum())
-        out_q.append(np.full(take, qid))
-        out_r.append(np.arange(1, take + 1))
-        out_v.append(va[mask][:take])
-        out_s.append(sa[mask][:take])
-    return pa.table({
-        "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-        "rank": pa.array(np.concatenate(out_r), pa.int64()),
-        "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-        "score": pa.array(np.concatenate(out_s), pa.float64()),
-    })
+    partials = filtered.map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=4096)
+    return _merge_topk(partials, k)

@@ -11,6 +11,14 @@ Replaces the reference's whole-file JSON/CSV result dumps +
 ``.completed`` markers (``/root/reference/scripts/exp.py:108-122``)
 with a partition-granular, atomically-committed layout that a
 256-node run can restart cheaply.
+
+``_write_part`` runs inside Ray tasks, so on a multi-node cluster
+``root`` MUST be shared storage (NFS / FUSE-mounted object store) —
+partitions written to worker-local disks would be invisible to the
+driver's resume scan and to ``read_partitioned``.  The constraint is
+asserted best-effort in :func:`write_partitioned` (single-node
+sessions are always safe; multi-node sessions require the caller to
+pass ``shared_fs=True`` to vouch for the mount).
 """
 
 from __future__ import annotations
@@ -69,7 +77,8 @@ def _write_part(group: pa.Table, root: str) -> pa.Table:
 
 
 def write_partitioned(ds, root: str, *, key: str,
-                      num_partitions: int = 16) -> pa.Table:
+                      num_partitions: int = 16,
+                      shared_fs: bool = False) -> pa.Table:
     """Write ``ds`` under ``root`` as ``part=NNNNN/data.parquet``
     directories keyed by ``hash(key) % num_partitions``.
 
@@ -78,7 +87,20 @@ def write_partitioned(ds, root: str, *, key: str,
     only processes unfinished key ranges.  Returns the manifest of
     partitions written THIS run (part, rows); an empty table means the
     output was already complete.
+
+    Partition files are written by Ray tasks: on a MULTI-node cluster
+    ``root`` must be a shared filesystem, and the caller must pass
+    ``shared_fs=True`` to vouch for it — otherwise this raises rather
+    than silently producing a resume scan that can't see worker-local
+    partitions.
     """
+    import ray
+
+    if not shared_fs and len(ray.nodes() or []) > 1:
+        raise RuntimeError(
+            "write_partitioned on a multi-node cluster requires root "
+            f"({root!r}) to be shared storage; pass shared_fs=True "
+            "after mounting it on every node")
     os.makedirs(root, exist_ok=True)
     skip = frozenset(_finished_parts(root))
     if len(skip) >= num_partitions:
@@ -110,12 +132,17 @@ def write_partitioned(ds, root: str, *, key: str,
 def read_partitioned(root: str):
     """Read back a :func:`write_partitioned` output as a Dataset
     (only partitions with a ``_SUCCESS`` marker — a crashed writer's
-    partial data is invisible)."""
+    partial data is invisible).  A validly completed output whose
+    partitions all received zero rows reads back as an EMPTY Dataset,
+    not an error."""
     import ray.data as rd
 
-    paths = [os.path.join(_part_dir(root, p), "data.parquet")
-             for p in sorted(_finished_parts(root))]
-    paths = [p for p in paths if os.path.exists(p)]  # empty partitions
-    if not paths:
+    finished = sorted(_finished_parts(root))
+    if not finished:
         raise FileNotFoundError(f"no completed partitions under {root}")
+    paths = [os.path.join(_part_dir(root, p), "data.parquet")
+             for p in finished]
+    paths = [p for p in paths if os.path.exists(p)]  # empty partitions
+    if not paths:  # complete, but every partition was empty
+        return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths)
