@@ -65,23 +65,24 @@ def _eval_rows(mode: str, alpha: float, lo: int, hi: int, dst, lab, cnt,
     """Shared vectorized decision rule over count rows for vertices in
     [lo, hi) (identical arithmetic and tie-breaks to
     exchange._apply_part — bit-identity is tested).  Returns
-    (best_lab (hi-lo, -1 = none), improving bool, gain float) for the
-    vertices COVERED by rows; callers scatter into caches."""
+    (best_lab (hi-lo, -1 = none), improving bool, gain float,
+    f_own float) for the vertices COVERED by rows; callers scatter
+    into caches."""
     nloc = hi - lo
     best = np.full(nloc, -1, dtype=np.int64)
     imp = np.zeros(nloc, dtype=bool)
     gain = np.zeros(nloc, dtype=np.float64)
+    f_own_local = np.zeros(nloc, dtype=np.float64)
     if len(dst) == 0:
-        return best, imp, gain
+        return best, imp, gain, f_own_local
     if mode == "lp":
         d, l, _ = _segmented_argmax(dst, lab, cnt.astype(np.float64))
         best[d - lo] = l
         imp[d - lo] = l != mem_local[d - lo]
-        return best, imp, gain
+        return best, imp, gain, f_own_local
     f = cnt.astype(np.float64)
     szf = sizes.astype(np.float64)
     own_row = lab == mem_local[dst - lo]
-    f_own_local = np.zeros(nloc, dtype=np.float64)
     f_own_local[dst[own_row] - lo] = f[own_row]
     v_own = (f_own_local * (1 - alpha)
              - (szf[mem_local] - f_own_local - 1.0) * alpha)
@@ -95,7 +96,7 @@ def _eval_rows(mode: str, alpha: float, lo: int, hi: int, dst, lab, cnt,
     best[d - lo] = l
     imp[d - lo] = True
     gain[d - lo] = v - v_own[d - lo]
-    return best, imp, gain
+    return best, imp, gain, f_own_local
 
 
 class ApplyShard:
@@ -143,9 +144,13 @@ class ApplyShard:
             # singleton-partition fast path (the default start): every
             # neighbor founds its own coalition, so the count rows are
             # exactly the CSR edges — already (v, lab)-sorted, all 1s —
-            # no sort needed
+            # no sort needed.  row arrays alias the immutable adjacency
+            # (rebound, never mutated in place).
             self.keys = self._src.astype(_U) * _U(n) + self.indices
             self.cnts = np.ones(len(self.keys), dtype=np.int64)
+            self.row_v = self._src
+            self.row_lab = np.asarray(self.indices, dtype=np.int64)
+            self._indptr = None
         else:
             self._rebuild_counts()
         self._eval_all()
@@ -159,29 +164,50 @@ class ApplyShard:
         key = self._src.astype(_U) * _U(self.n) + self.mem[self.indices]
         self.keys, self.cnts = np.unique(key, return_counts=True)
         self.cnts = self.cnts.astype(np.int64)
+        # row arrays cached alongside keys (two divisions per REBUILD,
+        # not per superstep); per-vertex segment offsets rebuilt lazily
+        self.row_v = (self.keys // _U(self.n)).astype(np.int64)
+        self.row_lab = (self.keys % _U(self.n)).astype(np.int64)
+        self._indptr = None
 
     # ------------------------------------------------------------ eval
 
-    def _rows(self):
-        return self.keys // _U(self.n), self.keys % _U(self.n), self.cnts
+    def _row_indptr(self) -> np.ndarray:
+        """Per-local-vertex segment offsets into the sorted row arrays
+        (invalidated on structural insert/delete)."""
+        if self._indptr is None:
+            per_v = np.bincount(self.row_v - self.lo,
+                                minlength=self.hi - self.lo)
+            self._indptr = np.concatenate([[0], np.cumsum(per_v)])
+        return self._indptr
 
     def _eval_all(self):
-        dst, lab, cnt = self._rows()
-        self.best, self.imp, self.gain = _eval_rows(
-            self.mode, self.alpha, self.lo, self.hi, dst, lab, cnt,
-            self.mem_local, self.sizes)
+        self.best, self.imp, self.gain, self.f_own = _eval_rows(
+            self.mode, self.alpha, self.lo, self.hi, self.row_v,
+            self.row_lab, self.cnts, self.mem_local, self.sizes)
 
     def _eval_some(self, verts: np.ndarray):
-        """Re-evaluate a sorted subset of local vertices in place."""
-        dst, lab, cnt = self._rows()
-        mask = np.isin(dst, verts)
-        b, i, g = _eval_rows(self.mode, self.alpha, self.lo, self.hi,
-                             dst[mask], lab[mask], cnt[mask],
-                             self.mem_local, self.sizes)
+        """Re-evaluate a sorted subset of local vertices in place —
+        rows gathered via the per-vertex segment index, O(selected
+        rows), not an O(all rows · log) isin scan."""
+        indptr = self._row_indptr()
         li = verts - self.lo
+        starts = indptr[li]
+        counts = indptr[li + 1] - starts
+        total = int(counts.sum())
+        if total:
+            csum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            intra = np.arange(total) - np.repeat(csum, counts)
+            ridx = np.repeat(starts, counts) + intra
+        else:
+            ridx = np.empty(0, np.int64)
+        b, i, g, fo = _eval_rows(self.mode, self.alpha, self.lo, self.hi,
+                                 self.row_v[ridx], self.row_lab[ridx],
+                                 self.cnts[ridx], self.mem_local, self.sizes)
         self.best[li] = b[li]
         self.imp[li] = i[li]
         self.gain[li] = g[li]
+        self.f_own[li] = fo[li]
 
     # ------------------------------------------------------------ step
 
@@ -241,14 +267,21 @@ class ApplyShard:
                 if (~exists).any():
                     ins_k, ins_v = uk[~exists], dsum[~exists]
                     keep_new = ins_v > 0
-                    self.keys = np.insert(self.keys, p[~exists][keep_new],
-                                          ins_k[keep_new])
-                    self.cnts = np.insert(self.cnts, p[~exists][keep_new],
-                                          ins_v[keep_new])
+                    ins_pos = p[~exists][keep_new]
+                    self.keys = np.insert(self.keys, ins_pos, ins_k[keep_new])
+                    self.cnts = np.insert(self.cnts, ins_pos, ins_v[keep_new])
+                    self.row_v = np.insert(self.row_v, ins_pos,
+                                           ins_k[keep_new] // _U(n))
+                    self.row_lab = np.insert(self.row_lab, ins_pos,
+                                             ins_k[keep_new] % _U(n))
+                    self._indptr = None
                 live = self.cnts > 0
                 if not live.all():
                     self.keys = self.keys[live]
                     self.cnts = self.cnts[live]
+                    self.row_v = self.row_v[live]
+                    self.row_lab = self.row_lab[live]
+                    self._indptr = None
                 touched_u = np.unique(u)
             else:
                 touched_u = np.empty(0, np.int64)
@@ -256,8 +289,7 @@ class ApplyShard:
             # vertex whose own or candidate coalition changed size
             changed = np.unique(np.concatenate([old, new]))
             own_hit = np.flatnonzero(np.isin(self.mem_local, changed)) + lo
-            row_v, row_lab = self.keys // _U(n), self.keys % _U(n)
-            cand_hit = np.unique(row_v[np.isin(row_lab, changed)])
+            cand_hit = np.unique(self.row_v[np.isin(self.row_lab, changed)])
             local_movers = mv[loc]
             affected = np.unique(np.concatenate(
                 [touched_u, own_hit, cand_hit, local_movers]))
@@ -269,9 +301,11 @@ class ApplyShard:
 
     def _proposals(self, sweep: bool):
         lo, hi = self.lo, self.hi
-        dst, lab, cnt = self._rows()
-        own = lab == self.mem_local[dst - lo]
-        f_own_sum = float(cnt[own].sum())
+        # f_own is maintained by the eval passes (every vertex whose
+        # own-coalition count can have changed is in the affected set),
+        # so the per-superstep O(rows) own-row scan is gone — LP mode
+        # keeps zeros (its caller ignores the potential term)
+        f_own_sum = float(self.f_own.sum())
         active = int(self.imp.sum())
         if sweep and self.mode == "hedonic" and active:
             from hedonic_ray.engine.exchange import _hedonic_sweep
@@ -279,8 +313,8 @@ class ApplyShard:
             seeds = (np.flatnonzero(self.imp) + lo).tolist()
             sd, sl = _hedonic_sweep(
                 lo, hi, self.indptr, self.indices, self.mem_local,
-                self.sizes, dst, lab, cnt, self.alpha, seeds,
-                max_pops=max(4 * (hi - lo), 64))
+                self.sizes, self.row_v, self.row_lab, self.cnts,
+                self.alpha, seeds, max_pops=max(4 * (hi - lo), 64))
             return (sd.astype(np.int64), sl.astype(np.int64),
                     np.zeros(len(sd), np.float64), f_own_sum, active)
         d = np.flatnonzero(self.imp)
@@ -303,15 +337,17 @@ def shard_base(g, max_shards: int = 16):
     after ``build_link_graph`` to pre-spawn the actors in the
     background while later pipeline stages run (ROADMAP 6).
 
-    The shard count tracks the session's CPU budget and each shard is
-    single-threaded numpy — that is what keeps a 2-CPU session honestly
-    at 2 cores of compute (num_cpus=0 actors with a FIXED count were
-    measured escaping the budget: 16 zero-cpu shards ran a 2-CPU
-    session at full host speed, faking any cluster-size scaling
-    evidence).  The reservation is 0.5 CPU so the actors can coexist
-    with Dataset tasks (e.g. while pre-spawned during graph build)
-    without deadlocking the session; adjacent CSR partitions group into
-    each shard's contiguous range."""
+    Honest CPU budgeting lives in the COUNT cap: n_shards = min(16,
+    session_cpus, num_parts) with single-threaded numpy per shard
+    bounds concurrent compute to the session's cores (the round-1
+    evidence-faking hole was a FIXED 16-actor pool that ran a 2-CPU
+    session at full host speed — the fix is the count tracking the
+    budget, not the reservation).  The actors are declared num_cpus=0
+    so an IDLE base never starves Dataset task pools: a 0.5-CPU
+    reservation held by 16 pre-spawned actors was measured tripling
+    unrelated relational queries later in the same session (8 of 32
+    CPUs permanently parked).  Adjacent CSR partitions group into each
+    shard's contiguous range."""
     import ray
     from hedonic_ray.context import session_cpus
 
@@ -322,7 +358,7 @@ def shard_base(g, max_shards: int = 16):
     group = max(1, -(-g.num_parts // n_shards))
     span = g.span * group
     P = -(-g.n // span)
-    Actor = ray.remote(num_cpus=0.5)(ApplyShard)
+    Actor = ray.remote(num_cpus=0)(ApplyShard)
     refs = g.arrow_refs()
     actors = [
         Actor.remote(p * span, min(g.n, (p + 1) * span), g.n,

@@ -68,6 +68,30 @@ def test_resume_path_validates_fingerprint(tmp_path):
         pagerank(g2, max_iters=8, checkpoint_dir=ckpt, run_id="x", resume=True)
 
 
+def test_hedonic_shards_checkpoint_resume(tmp_path):
+    """Kill mid-run and resume THROUGH THE SHARDS BACKEND
+    (gather="tasks" + serial_tail → ShardPool): the resumed run
+    re-loads the pre-spawned actor base from the RESTORED membership
+    (ApplyShard.load on a non-singleton partition) and still reaches a
+    certified Nash equilibrium."""
+    import oracles
+
+    n = 60
+    edges = rand_edges(n, 0.12, seed=9)
+    g = make_graph(edges, n, num_parts=4)
+    ckpt = str(tmp_path / "ck")
+    r1 = hedonic_communities(g, max_iters=4, gather="tasks",
+                             checkpoint_dir=ckpt, run_id="hs",
+                             checkpoint_every=2)
+    assert not r1.converged
+    res = hedonic_communities(g, max_iters=200, gather="tasks",
+                              checkpoint_dir=ckpt, run_id="hs", resume=True)
+    assert res.converged
+    assert res.metrics[0]["iteration"] >= 2
+    assert oracles.is_equilibrium(n, edges, res.state["coalition"].tolist(),
+                                  g.density())
+
+
 def test_hedonic_resume_restores_damping_state(tmp_path):
     """phi_hist / stall ride in the checkpointed state and are restored
     via on_resume, so a resumed run continues the damping schedule."""
