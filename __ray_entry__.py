@@ -308,6 +308,17 @@ def _lang_id_sql() -> str:
     """
 
 
+def _redact_sql() -> str:
+    """Mirrors ops.textstats.redact_batch: the SAME ordered RE2 rule
+    chain, each rule one global regexp_replace."""
+    from hedonic_ray.ops.textstats import REDACT_RULES
+
+    expr = "text"
+    for pat, repl in REDACT_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS clean_text FROM documents"
+
+
 def _fingerprints_sql(k: int = 8, window: int = 16) -> str:
     """Mirrors ops.textstats.Fingerprint: polynomial hash mod 2^64 over
     codepoint k-grams (HUGEINT arithmetic), trailing-window min,
@@ -416,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_exact_dedup": tx.exact_dedup_kept,
         "text_lang_id": tx.lang_id,
         "text_fingerprints": tx.fingerprints,
+        "text_redact": tx.redacted_docs,
+        "text_term_df": tx.term_df_top,
         "dedup_minhash": tx.minhash_components,
         "dedup_simhash": tx.simhash_dup_pairs,
         "dedup_embedding": tx.embedding_neardup,
@@ -465,6 +478,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _fingerprints_sql(),
+        "text_redact": _redact_sql(),
+        "text_term_df": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents
+            ), w AS (SELECT DISTINCT doc_id, term FROM toks)
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM w GROUP BY term
+            ORDER BY df DESC, term LIMIT 100
+        """,
         "dedup_minhash": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             und AS (SELECT a AS src, b AS dst FROM jpairs

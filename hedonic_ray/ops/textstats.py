@@ -114,6 +114,73 @@ def add_lang_id(ds):
     return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
+# PII-style redaction: (pattern, replacement) applied IN ORDER — the
+# DuckDB oracle chains regexp_replace with the same RE2 patterns, so
+# order and pattern syntax must stay lookahead-free and identical
+REDACT_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b[0-9]{6,}\b", "<NUM>"),
+)
+
+
+def redact_batch(batch: pa.Table, col: str = "text",
+                 out: str = "clean_text") -> pa.Table:
+    """Rule-chain redaction as pure pyarrow.compute RE2 kernels — one
+    `replace_substring_regex` pass per rule, zero Python per row.  The
+    training-data use: scrub emails/urls/long ids before tokenization
+    so they can't leak into the model vocabulary."""
+    t = batch.column(col)
+    for pat, repl in REDACT_RULES:
+        t = pc.replace_substring_regex(t, pat, repl)
+    return batch.append_column(out, t)
+
+
+def add_redaction(ds, col: str = "text"):
+    return ds.map_batches(lambda b: redact_batch(b, col),
+                          batch_format="pyarrow")
+
+
+def term_document_frequency(ds, col: str = "text"):
+    """Distributed document frequency per whitespace term.
+
+    Shape: per batch, each doc's DISTINCT terms are counted once
+    (numpy unique over the batch's (term, doc) pairs — the per-batch
+    COMBINER), then ONE ``groupby(term).sum`` shuffle produces the
+    global df.  The combiner bounds shuffle volume by the batch
+    vocabulary, not the token count — the standard wordcount shape a
+    100-TB corpus needs."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pylist()
+        terms: list[str] = []
+        doc_of: list[int] = []
+        for i, t in enumerate(texts):
+            w = t.split()
+            terms.extend(w)
+            doc_of.extend([i] * len(w))
+        if not terms:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df_partial": pa.array([], pa.int64())})
+        arr = np.array(terms, dtype=object)
+        docs = np.array(doc_of, dtype=np.int64)
+        # distinct (doc, term) pairs, then count docs per term
+        uniq_terms, inv = np.unique(arr.astype(str), return_inverse=True)
+        key = docs * np.int64(len(uniq_terms)) + inv
+        uk = np.unique(key)
+        tf = np.bincount((uk % len(uniq_terms)).astype(np.int64),
+                         minlength=len(uniq_terms))
+        return pa.table({"term": pa.array(uniq_terms.astype(object),
+                                          pa.string()),
+                         "df_partial": pa.array(tf.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=2048)
+    return partials.groupby("term").aggregate(Sum("df_partial",
+                                                  alias_name="df"))
+
+
 FP_MULT = 1099511628211  # FNV-64 prime — polynomial hash base
 
 

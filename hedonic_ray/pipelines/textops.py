@@ -60,6 +60,27 @@ def lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def redacted_docs(sf_dir: str):
+    """(doc_id, clean_text) — PII-style scrub (emails/urls/long ids)
+    as chained RE2 column kernels; byte-compared against the DuckDB
+    regexp_replace chain."""
+    ds = ts.add_redaction(_docs(sf_dir, ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "clean_text"])
+
+
+def term_df_top(sf_dir: str, k: int = 100) -> pa.Table:
+    """Top-k whitespace terms by document frequency (ties → term asc)
+    — the distributed wordcount: per-batch distinct-(doc, term)
+    combiner → one groupby(term) shuffle → sort + limit."""
+    df = ts.term_document_frequency(_docs(sf_dir, ["doc_id", "text"]))
+    top = df.sort(["df", "term"], descending=[True, False]).limit(k)
+    rows = top.take_all()
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "df": pa.array([int(r["df"]) for r in rows], pa.int64()),
+    })
+
+
 def fingerprints(sf_dir: str):
     """Winnowing fingerprint SET per doc, exploded to (doc_id,
     fingerprint) rows — SQL-reproducible (codepoint polynomial hash mod

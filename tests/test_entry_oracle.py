@@ -84,6 +84,8 @@ SQL_CHECKED = sorted([
     # round 3: exact-integer Nash certificate + rebased analytics — every
     # query now has a SQL oracle
     "graph_hedonic", "analytics_spectrum", "analytics_partition_metrics",
+    # round 3 additions: PII redaction chain + distributed wordcount
+    "text_redact", "text_term_df",
 ])
 
 
