@@ -201,3 +201,70 @@ def test_isolated_vertices():
 
     g = make_graph([(0, 1), (2, 3)], 6)
     np.testing.assert_array_equal(sp.isolated_vertices(g), [4, 5])
+
+
+# ------------------------------------------ exact-integer certificates (r3)
+
+
+def test_nash_flags_exact_matches_float_path():
+    """At a rational α = num/den away from ties, the exact-integer
+    all-coalition flags equal the float isclose path."""
+    n = 24
+    edges = rand_edges(n, 0.22, seed=41)
+    g = make_graph(edges, n, num_parts=3)
+    for mem in [np.arange(n) % 3, np.arange(n) % 5, np.zeros(n, np.int64)]:
+        for num, den in [(1, 7), (2, 9), (1, 3)]:
+            exact = hs.nash_flags_exact(g, mem, num, den, candidates="all")
+            flt = hs.equilibrium_flags(g, mem, num / den)
+            # the float path may ADD spurious equals via isclose rtol,
+            # never remove true ones; on these fixtures no near-ties
+            # exist and they agree exactly
+            np.testing.assert_array_equal(exact, flt)
+
+
+def test_nash_flags_exact_adjacent_matches_best_response_fixpoint():
+    """candidates="adjacent" satisfied ⟺ best_response keeps the
+    vertex in place (the dynamics' own move rule)."""
+    n = 22
+    edges = rand_edges(n, 0.25, seed=7)
+    g = make_graph(edges, n, num_parts=3)
+    mem = np.arange(n) % 4
+    num, den = 2, 11
+    sat = hs.nash_flags_exact(g, mem, num, den, candidates="adjacent")
+    br = hs.best_response(g, mem, num / den)
+    np.testing.assert_array_equal(sat, br == mem)
+
+
+def test_spectrum_exact_matches_float_spectrum():
+    n = 20
+    edges = rand_edges(n, 0.3, seed=3)
+    g = make_graph(edges, n, num_parts=3)
+    mem = np.arange(n) % 4
+    tenths, eq_counts, robust = hs.spectrum_exact_tenths(g, mem)
+    res, fracs, rob = hs.resolution_spectrum(g, mem)
+    assert robust == pytest.approx(rob * n)
+    np.testing.assert_array_equal(tenths, np.arange(11))
+    # float spectrum uses isclose (can only add ties); on this fixture
+    # the grids agree exactly
+    np.testing.assert_array_equal(eq_counts, np.round(fracs * n).astype(int))
+
+
+def test_metrics_exact_consistency():
+    n = 26
+    edges = rand_edges(n, 0.2, seed=13)
+    g = make_graph(edges, n, num_parts=3)
+    mem = np.arange(n) % 5
+    other = np.arange(n) % 3
+    met = hs.metrics_exact(g, mem, other)
+    assert met["n_vertices"] == n
+    assert met["alpha_den"] == n * (n - 1) // 2
+    assert met["alpha_num"] == g.undirected_edge_count
+    # potential_scaled / den == float CPM potential at α = density
+    phi = hs.partition_potential(g, mem)
+    assert met["potential_scaled"] / met["alpha_den"] == pytest.approx(phi)
+    # ARI pair reproduces the float closed form
+    ari = hs.adjusted_rand_index(mem, other)
+    assert met["ari_num2"] / met["ari_den2"] == pytest.approx(ari)
+    # counts consistent with the float paths
+    assert met["robust_count"] == int(
+        (hs.classify_satisfaction(g, mem) == hs.ALWAYS).sum())
