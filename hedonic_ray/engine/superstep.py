@@ -205,6 +205,40 @@ def resolve_gather(mode: str, n: int) -> str:
     return mode
 
 
+LOCAL_MAX_ARCS = 200_000  # below this, a Ray round trip per superstep
+# costs more than the whole scatter+gather — run the loop on the driver
+
+
+class _LocalMsgs:
+    """iter_batches shim over in-memory scatter outputs, so the algos'
+    dense-mode gather kernels run unchanged on the local path."""
+
+    def __init__(self, tables):
+        self._tables = tables
+
+    def iter_batches(self, *, batch_size=None, batch_format="pyarrow"):
+        for t in self._tables:
+            if t.num_rows:
+                yield t
+
+
+def _local_superstep(algo, graph, tables, state, it):
+    """One superstep entirely on the driver: same scatter/gather/apply
+    kernels as dense mode (block order identical to the Dataset scan),
+    zero Ray round trips — the small-graph escape hatch for iterated
+    algorithms whose per-superstep work is microseconds."""
+    bcast = algo.broadcast_state(state)
+    outs = []
+    for t in tables:
+        for bv in iter_block_views(t):
+            o = algo.scatter(bv, bcast, "dense")
+            if o is not None and o.num_rows > 0:
+                outs.append(o)
+    msgs = _LocalMsgs(outs or [algo.empty_messages("dense")])
+    gathered = algo.gather(msgs, "dense", graph)
+    return algo.apply(state, gathered, graph, it)
+
+
 def run_supersteps(graph, algo, *, max_iters: int = 100, gather: str = "auto",
                    checkpoint_dir: str | None = None, run_id: str | None = None,
                    checkpoint_every: int = 5, resume: bool = False) -> RunResult:
@@ -217,14 +251,25 @@ def run_supersteps(graph, algo, *, max_iters: int = 100, gather: str = "auto",
     """
     import ray
 
+    from hedonic_ray.context import force_scale
+
     configure_context()
     if gather == "auto" and hasattr(algo, "prefers_tasks") and \
             hasattr(algo, "tasks_step") and algo.prefers_tasks(graph):
         mode = "tasks"
     elif gather == "tasks":
         mode = "tasks"
+    elif gather == "local" or (gather == "auto" and not force_scale()
+                               and graph.m <= LOCAL_MAX_ARCS):
+        mode = "local"
     else:
         mode = resolve_gather(gather, graph.n)
+    local_tables = None
+    if mode == "local":
+        local_tables = getattr(graph, "_local_blocks", None)
+        if local_tables is None:
+            local_tables = ray.get(graph.arrow_refs())
+            graph._local_blocks = local_tables
     start_it = 0
     state = None
     if resume and checkpoint_dir and run_id:
@@ -244,6 +289,9 @@ def run_supersteps(graph, algo, *, max_iters: int = 100, gather: str = "auto",
         t0 = time.perf_counter()
         if mode == "tasks":
             state, active, extra = algo.tasks_step(graph, state, it)
+        elif mode == "local":
+            state, active, extra = _local_superstep(algo, graph,
+                                                    local_tables, state, it)
         else:
             bcast = algo.broadcast_state(state)
             state_ref = ray.put(bcast)

@@ -292,6 +292,9 @@ class LinkGraph:
     # (engine/shards.shard_base); cached so LP + hedonic on the same
     # graph reuse one actor set
     _shard_base: tuple | None = None
+    # driver-resident block tables for the tiny-graph local superstep
+    # loop (engine/superstep LOCAL_MAX_ARCS)
+    _local_blocks: list | None = None
 
     def arrow_refs(self) -> list:
         """Object refs of the materialized CSR Arrow blocks (cached) —

@@ -293,3 +293,33 @@ def test_lp_shards_path_matches_dense(monkeypatch):
     b = label_propagation(g, init_labels=init, max_iters=30, gather="tasks")
     np.testing.assert_array_equal(b.state["label"], a.state["label"])
     assert b.iterations == a.iterations and b.converged == a.converged
+
+
+def test_local_mode_bit_identical_to_dense():
+    """The tiny-graph driver-local superstep loop (gather="local") runs
+    the SAME scatter/gather/apply kernels as dense mode — trajectories
+    must be bit-identical for hedonic, LP and PageRank."""
+    from hedonic_ray.algos.components import connected_components
+    from hedonic_ray.algos.pagerank import pagerank
+
+    n = 60
+    edges = rand_edges(n, 0.12, seed=31)
+    g = make_graph(edges, n, num_parts=4)
+    h_l = hedonic_communities(g, max_iters=50, gather="local",
+                              local_sweep=False)
+    h_d = hedonic_communities(g, max_iters=50, gather="dense",
+                              local_sweep=False)
+    np.testing.assert_array_equal(h_l.state["coalition"],
+                                  h_d.state["coalition"])
+    assert h_l.iterations == h_d.iterations
+    l_l = label_propagation(g, max_iters=30, gather="local")
+    l_d = label_propagation(g, max_iters=30, gather="dense")
+    np.testing.assert_array_equal(l_l.state["label"], l_d.state["label"])
+    gd = make_graph(edges, n, directed=True, num_parts=4)
+    p_l = pagerank(gd, max_iters=20, tol=1e-12, gather="local")
+    p_d = pagerank(gd, max_iters=20, tol=1e-12, gather="dense")
+    np.testing.assert_array_equal(p_l.state["rank"], p_d.state["rank"])
+    c_l = connected_components(g, gather="local")
+    c_d = connected_components(g, gather="dense")
+    np.testing.assert_array_equal(c_l.state["component"],
+                                  c_d.state["component"])
