@@ -158,6 +158,8 @@ def run_bench(workload: str | None = None) -> dict:
 
         # -- training-data + relational ops -----------------------------
         timed("dedup_minhash", lambda: tx.minhash_components(sf_dir))
+        timed("dedup_ngram",
+              lambda: tx.ngram_dup_pairs(sf_dir).materialize())
         timed("sim_topk", lambda: tx.topk_similarity(sf_dir))
         timed("rel_pricing_summary",
               lambda: rel.pricing_summary(sf_dir).to_pandas())

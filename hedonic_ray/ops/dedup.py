@@ -199,9 +199,10 @@ def _sig_matrix(batch: pa.Table, col: str = "sig") -> np.ndarray:
 
 
 def _join_pair_sides(pairs_ds, side_ds, key_col: str, payload: str,
-                     num_partitions: int = 8):
+                     num_partitions: int = 8, carry: tuple[str, ...] = ()):
     """pairs(a, b) ⋈ side on ``a`` then ``b`` (two hash-partitioned
-    ``Dataset.join``s) → (a, b, <payload>_a, <payload>_b).
+    ``Dataset.join``s) → (a, b, *carry, <payload>_a, <payload>_b).
+    ``carry`` columns from the pair side ride along through both joins.
 
     Ray Data operators can emit schema-less EMPTY blocks, which the
     hash-shuffle join rejects ("no match for key field") — every
@@ -210,12 +211,15 @@ def _join_pair_sides(pairs_ds, side_ds, key_col: str, payload: str,
     """
     from hedonic_ray.context import drop_empty_blocks
 
+    pschema = pairs_ds.schema().base_schema
     ptype = side_ds.schema().base_schema.field(payload).type
-    s_pairs = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    s_pairs = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                         *[pschema.field(c) for c in carry]])
     s_j1 = s_pairs.append(pa.field(f"{payload}_a", ptype))
 
     ktype = side_ds.schema().base_schema.field(key_col).type
-    pairs2 = drop_empty_blocks(pairs_ds.select_columns(["a", "b"]), s_pairs)
+    pairs2 = drop_empty_blocks(
+        pairs_ds.select_columns(["a", "b", *carry]), s_pairs)
     side2 = drop_empty_blocks(side_ds.select_columns([key_col, payload]),
                               pa.schema([(key_col, ktype), (payload, ptype)]))
     j1 = pairs2.join(side2, "inner", num_partitions,
@@ -605,6 +609,239 @@ def verify_pairs_exact(pairs_ds, docs_ds, *, k: int = 3, threshold: float = 0.7,
         return pa.table({"a": a[keep], "b": b[keep], "jaccard": jac[keep]})
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------- n-gram Jaccard dedup
+
+
+def _strict_shingles(text: str, k: int) -> set:
+    """DISTINCT full word-k-grams only (docs with < k words get NONE) —
+    exactly the SQL inverted-index semantics (positional self-joins
+    produce no row without k consecutive words), unlike
+    ``_word_shingles``'s short-doc fallback used by MinHash."""
+    w = text.split()
+    return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+
+def ngram_gram_rows(ds, k: int = 3):
+    """Explode docs to (doc_id, gram, gh) rows, DISTINCT per doc.
+
+    The partition key is ``gh`` (int64 hash of the gram) — sorting
+    int64 keys in the groupby shuffle is ~5× cheaper than sorting the
+    gram strings themselves — but the gram STRING rides along and the
+    pair emitter splits hash collisions on it, so the operator stays
+    exact against the string inverted index (the SQL oracle joins on
+    gram text), not merely collision-probably-exact."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id: list = []
+        out_g: list = []
+        for d, t in zip(ids, texts):
+            gs = _strict_shingles(t, k)
+            out_id.extend([int(d)] * len(gs))
+            out_g.extend(gs)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "gram": pa.array(out_g, pa.string()),
+                         "gh": pa.array(hash_strings(out_g).astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def ngram_sizes(ds, k: int = 3):
+    """(doc_id, n_grams > 0) — distinct-gram count per doc, from a
+    second shuffle-free scan of the docs (cheaper than a groupby over
+    the exploded gram rows)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(_strict_shingles(t, k)) for t in texts),
+                        dtype=np.int64, count=len(texts))
+        keep = n > 0
+        return pa.table({"doc_id": pa.array(ids[keep].astype(np.int64)),
+                         "n_grams": pa.array(n[keep])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _gram_group_pairs(group: dict, max_df) -> dict:
+    """Pairs per DISTINCT GRAM in a hash group.  A group almost always
+    holds one gram; the np.unique split makes 64-bit collisions merge
+    nothing (exactness does not rest on hash width)."""
+    ids_all = group["doc_id"].astype(np.int64)
+    out_a: list = []
+    out_b: list = []
+    if len(ids_all) >= 2:
+        _, inv = np.unique(group["gram"], return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.flatnonzero(np.diff(inv[order])) + 1
+        for seg in np.split(ids_all[order], bounds):
+            if len(seg) < 2 or (max_df is not None and len(seg) > max_df):
+                continue
+            ids = np.sort(seg)
+            iu = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+    if not out_a:
+        return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+    return {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+
+
+def _packed_pair_counts(pairs_ds):
+    """(a, b) occurrence counts → (a, b, i) WITHOUT a per-group
+    aggregate (Ray's ``groupby().aggregate`` spends ~10 µs of Python
+    per group — measured 12–15 s for 1.1 M mostly-singleton pair
+    groups, vs ~3 s for this whole path).
+
+    Global sort by the packed int64 pair key, then vectorized
+    ``np.unique`` partial counts per batch: after a range-partitioned
+    sort equal keys are CONTIGUOUS across the concatenated batch
+    sequence, so a key appearing in more than one batch must be the
+    first or last key of each of its batches — interior keys are
+    provably batch-local and their partial count is final.  Only the
+    ≤ 2 boundary keys per batch (a few hundred rows) go through the
+    real groupby-sum, then union the two streams.  Fully streaming,
+    no driver state, exact at any scale."""
+    from ray.data.aggregate import Sum
+
+    def pack(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"p": pa.array(_pack_pairs(a, b))})
+
+    packed = pairs_ds.map_batches(pack, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy()
+        if len(p) == 0:
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "edge": pa.array([], pa.bool_())})
+        key, cnt = np.unique(p, return_counts=True)
+        edge = np.zeros(len(key), dtype=bool)
+        edge[0] = edge[-1] = True
+        return pa.table({"p": pa.array(key), "c": pa.array(cnt.astype(np.int64)),
+                         "edge": pa.array(edge)})
+
+    parts = packed.sort("p").map_batches(
+        partial, batch_format="pyarrow", batch_size=None).materialize()
+
+    def select(want_edge: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = t.column("edge") if want_edge else pc.invert(t.column("edge"))
+            return t.filter(mask).drop_columns(["edge"])
+
+        return f
+
+    interior = parts.map_batches(select(False), batch_format="pyarrow")
+    edges = (parts.map_batches(select(True), batch_format="pyarrow")
+             .groupby("p").aggregate(Sum("c", alias_name="c")))
+    merged = interior.union(edges)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy()
+        return pa.table({"a": pa.array(p // 2**31), "b": pa.array(p % 2**31),
+                         "i": t.column("c")})
+
+    return merged.map_batches(unpack, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
+                        threshold_num: int = 7, threshold_den: int = 10,
+                        method: str = "auto", broadcast_max: int = 500_000,
+                        max_df: int | None = None):
+    """EXACT word-k-gram Jaccard near-dup pairs via a distributed
+    inverted index — no signatures, no candidate recall gap.  This is
+    the dedup family's third blocking strategy (exact hash, LSH
+    signatures, and here the posting-list self-join the SQL oracle
+    also uses):
+
+        explode:   (doc_id, distinct gram) rows        [map_batches]
+        invert:    groupby(gram) → co-occurrence pairs [THE shuffle]
+        count:     groupby((a, b)) → |A ∩ B|           [pair shuffle]
+        denoms:    per-doc gram counts attached (broadcast lookup
+                   below ``broadcast_max`` docs; two hash-partitioned
+                   ``Dataset.join``s above, or under force_scale)
+        filter:    threshold_den·i ≥ threshold_num·(|A|+|B|−i)
+
+    All arithmetic is integer (the threshold is the rational
+    ``threshold_num/threshold_den``; the reported score is
+    ``jacc_e9 = i·10⁹ // (|A|+|B|−i)``), so the result is bit-exact
+    against the SQL inverted-index oracle — no float tie risk.
+
+    Scale notes: the gram groupby is the standard exact-Jaccard
+    inverted-index exchange (shuffle volume ≈ corpus token count).
+    Hot grams produce quadratic pair blowup — ``max_df`` drops grams
+    appearing in more than ``max_df`` docs (document-frequency
+    pruning, the standard mitigation), which makes the result a
+    documented UNDER-approximation, so the default is None/exact and
+    the driver-gate oracle runs with None.
+    """
+    grams = ngram_gram_rows(ds, k)
+    sizes = ngram_sizes(ds, k)
+
+    pairs = grams.groupby("gh").map_groups(
+        lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
+    counts = _packed_pair_counts(pairs)
+
+    if method == "auto":
+        from hedonic_ray.context import force_scale
+
+        method = ("join" if force_scale()
+                  else "broadcast" if n_docs <= broadcast_max else "join")
+    if method not in ("broadcast", "join"):
+        raise ValueError(f"unknown ngram_jaccard_pairs method {method!r}")
+
+    tnum, tden = int(threshold_num), int(threshold_den)
+
+    def finish(t: pa.Table, na: np.ndarray, nb: np.ndarray) -> pa.Table:
+        i = t.column("i").to_numpy().astype(np.int64)
+        denom = na + nb - i
+        keep = tden * i >= tnum * denom
+        jacc = np.zeros(len(i), dtype=np.int64)
+        np.floor_divide(i * np.int64(1_000_000_000), denom, out=jacc,
+                        where=denom > 0)
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({"a": t.column("a").take(idx),
+                         "b": t.column("b").take(idx),
+                         "jacc_e9": pa.array(jacc[keep])})
+
+    if method == "broadcast":
+        import ray
+
+        lut = np.zeros(n_docs, dtype=np.int64)
+        for r in sizes.take_all():
+            lut[int(r["doc_id"])] = int(r["n_grams"])
+        lut_ref = ray.put(lut)
+
+        def bfin(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "jacc_e9": pa.array([], pa.int64())})
+            lt = ray.get(lut_ref)
+            a = t.column("a").to_numpy().astype(np.int64)
+            b = t.column("b").to_numpy().astype(np.int64)
+            return finish(t, lt[a], lt[b])
+
+        return counts.map_batches(bfin, batch_format="pyarrow")
+
+    joined = _join_pair_sides(counts, sizes, "doc_id", "n_grams",
+                              carry=("i",))
+
+    def jfin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jacc_e9": pa.array([], pa.int64())})
+        return finish(t, t.column("n_grams_a").to_numpy().astype(np.int64),
+                      t.column("n_grams_b").to_numpy().astype(np.int64))
+
+    return joined.map_batches(jfin, batch_format="pyarrow")
 
 
 # -------------------------------------------------- embedding-cosine near-dup

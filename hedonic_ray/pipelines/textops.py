@@ -106,6 +106,14 @@ def minhash_components(sf_dir: str) -> pa.Table:
                      "dup_group": pa.array(comp, pa.int64())})
 
 
+def ngram_dup_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard ≥ 0.7 near-dup pairs over the FULL
+    corpus via the distributed inverted index (posting-list self-join —
+    no LSH recall gap); integer-exact against the SQL oracle."""
+    return dd.ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), _n_docs(sf_dir)).sort(["a", "b"])
+
+
 def simhash_dup_pairs(sf_dir: str):
     sigs = dd.simhash_signatures(_docs(sf_dir, ["doc_id", "text"]))
     return dd.simhash_pairs(sigs.materialize()).sort(["a", "b"])

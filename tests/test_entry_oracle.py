@@ -84,8 +84,9 @@ SQL_CHECKED = sorted([
     # round 3: exact-integer Nash certificate + rebased analytics — every
     # query now has a SQL oracle
     "graph_hedonic", "analytics_spectrum", "analytics_partition_metrics",
-    # round 3 additions: PII redaction chain + distributed wordcount
-    "text_redact", "text_term_df",
+    # round 3 additions: PII redaction chain + distributed wordcount +
+    # exact inverted-index n-gram Jaccard dedup
+    "text_redact", "text_term_df", "dedup_ngram",
 ])
 
 
@@ -118,6 +119,7 @@ def test_query_matches_oracle(entry_module, name):
 # gathers, distributed CC, IVF), so the 100-TB branches are
 # oracle-verified, not just equal-tested
 FORCED_SCALE = sorted([
+    "dedup_ngram",          # denominator attach via hash-partitioned joins
     "dedup_minhash",        # verify joins + distributed dup clustering
     "graph_triangles_docs",  # bucketed (no-broadcast) triangle probe
     "graph_components",     # shuffle gather

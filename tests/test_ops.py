@@ -86,6 +86,73 @@ def test_exact_ngram_verify():
     assert out[0]["jaccard"] == 1.0
 
 
+def _brute_ngram_pairs(texts, k=3, tnum=7, tden=10):
+    """Independent oracle: python-set Jaccard over all pairs, same
+    integer threshold/score arithmetic as the operator."""
+    from hedonic_ray.ops.dedup import _strict_shingles
+
+    sh = [_strict_shingles(t, k) for t in texts]
+    out = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            i = len(sh[a] & sh[b])
+            denom = len(sh[a]) + len(sh[b]) - i
+            if denom > 0 and tden * i >= tnum * denom:
+                out.append((a, b, i * 1_000_000_000 // denom))
+    return out
+
+
+def test_ngram_jaccard_exact_vs_brute():
+    from hedonic_ray.ops.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for s in range(12):
+        texts.append(_doc(s, 40))
+    # planted near-dups: copies with a few words perturbed
+    for s in (0, 3, 5):
+        w = texts[s].split()
+        for j in rng.choice(len(w), 2, replace=False):
+            w[j] = "PERTURBED"
+        texts.append(" ".join(w))
+    texts.append("one two")   # < k words: no grams, can never pair
+    texts.append("")          # empty doc
+
+    got = sorted((r["a"], r["b"], r["jacc_e9"]) for r in
+                 ngram_jaccard_pairs(_docs_ds(texts), len(texts),
+                                     method="broadcast").take_all())
+    exp = _brute_ngram_pairs(texts)
+    assert got == exp
+    assert len(exp) >= 3  # the planted dups actually survive the threshold
+
+
+def test_ngram_jaccard_join_equals_broadcast():
+    from hedonic_ray.ops.dedup import ngram_jaccard_pairs
+
+    texts = [_doc(s, 50) for s in range(8)]
+    texts += [texts[1], texts[4] + " extra tail words here"]
+    ds = _docs_ds(texts)
+    a = sorted((r["a"], r["b"], r["jacc_e9"]) for r in
+               ngram_jaccard_pairs(ds, len(texts), method="broadcast").take_all())
+    b = sorted((r["a"], r["b"], r["jacc_e9"]) for r in
+               ngram_jaccard_pairs(ds, len(texts), method="join").take_all())
+    assert a == b and len(a) >= 1
+
+
+def test_ngram_jaccard_max_df_prunes():
+    from hedonic_ray.ops.dedup import ngram_jaccard_pairs
+
+    # every doc shares one hot gram; max_df below the corpus size drops
+    # it from the index, removing pairs that only co-occur there
+    texts = ["common shared gram " + _doc(s, 30) for s in range(6)]
+    ds = _docs_ds(texts)
+    full = ngram_jaccard_pairs(ds, len(texts), threshold_num=0,
+                               threshold_den=1).take_all()
+    pruned = ngram_jaccard_pairs(ds, len(texts), threshold_num=0,
+                                 threshold_den=1, max_df=2).take_all()
+    assert len(pruned) < len(full)
+
+
 def _emb_ds(mat):
     import ray.data as rd
 
