@@ -154,16 +154,27 @@ def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a * np.int64(2**31) + b
 
 
-def distinct_pairs(pairs_ds, extra_min: tuple[str, ...] = ()):
+def distinct_pairs(pairs_ds, extra_min: tuple[str, ...] = (),
+                   method: str = "auto"):
     """GLOBAL (a, b) distinct — the per-batch packed-key dedup is only a
     combiner; the same pair emitted by different LSH bands lands in
-    different blocks, so a hash groupby is needed for exactness.
+    different blocks, so a global exchange is needed for exactness.
     ``extra_min`` columns are carried through with Min (they are
-    pair-determined, so Min is the identity)."""
+    pair-determined, so Min is the identity).
+
+    ``method="packed"`` swaps the groupby for the sort-based
+    ``_packed_pair_counts`` path (no per-group Python — Ray's
+    ``groupby().aggregate`` spends ~10 µs/group, which dominates once
+    the pair set reaches millions of mostly-singleton keys; measured
+    A/B-equal at LSH-candidate scale, where the band cap keeps pairs
+    small, so the default stays groupby).  Packed inherits
+    ``_pack_pairs``' id < 2³¹ assertion."""
     from ray.data.aggregate import Count, Min
 
     aggs = [Min(c, alias_name=c) for c in extra_min]
     if not aggs:
+        if method == "packed":
+            return _packed_pair_counts(pairs_ds).drop_columns(["i"])
         out = pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
         return out.drop_columns(["_c"])
     return pairs_ds.groupby(["a", "b"]).aggregate(*aggs)

@@ -139,6 +139,21 @@ def test_ngram_jaccard_join_equals_broadcast():
     assert a == b and len(a) >= 1
 
 
+def test_distinct_pairs_packed_equals_groupby():
+    import ray.data as rd
+    from hedonic_ray.ops.dedup import distinct_pairs
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 40, 500).astype(np.int64)
+    b = a + 1 + rng.integers(0, 5, 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    g = sorted((r["a"], r["b"]) for r in
+               distinct_pairs(ds, method="groupby").take_all())
+    p = sorted((r["a"], r["b"]) for r in
+               distinct_pairs(ds, method="packed").take_all())
+    assert g == p and len(g) == len(set(zip(a.tolist(), b.tolist())))
+
+
 def test_ngram_jaccard_max_df_prunes():
     from hedonic_ray.ops.dedup import ngram_jaccard_pairs
 
