@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_priority": rel.order_priority_count,
         "rel_events_hourly": rel.events_hourly,
         "rel_sessions_per_user": rel.sessions_per_user,
+        "rel_asof_join": rel.asof_orders_for_events,
         "rel_brand_price_stats": rel.brand_price_stats,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -501,6 +502,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS dup_group
             FROM reach GROUP BY v
+        """,
+        "rel_asof_join": """
+            -- backward as-of join, deterministic tie-break (latest
+            -- o_orderdate, then smallest o_orderkey); -1 sentinels for
+            -- events before any order of that user
+            WITH j AS (
+                SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey ASC
+                       ) AS rn
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id
+                             AND o.o_orderdate <= e.ts
+            )
+            SELECT e.event_id,
+                   COALESCE(j.o_orderkey, -1) AS asof_orderkey,
+                   COALESCE(CAST(FLOOR(j.o_totalprice * 100.0) AS BIGINT),
+                            -1) AS asof_price_e2
+            FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
+            ORDER BY e.event_id
         """,
         "dedup_ngram": r"""
             -- exact word-3-gram Jaccard >= 7/10 via the string

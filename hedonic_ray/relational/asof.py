@@ -1,0 +1,82 @@
+"""Distributed backward as-of join (an operator Ray Data lacks).
+
+For every left row, find the single right row with the same key and
+the greatest right time ≤ the left time (ties on time broken by
+smallest right id — deterministic, so the result is SQL-oracle
+checkable against a window-function rewrite).
+
+Ray-Data-first shape: both sides are tagged into ONE common schema and
+unioned, so the operator costs exactly one hash exchange
+(``groupby(key)``) that co-locates each key's left and right rows;
+the per-key kernel is vectorized numpy (lexsort the right side once,
+one ``searchsorted`` for all left rows of the key).  Partitioning
+assumption: a single key's rows fit in one group task — for keys hot
+enough to break that, pre-split by coarse time range and stitch the
+last-right-row-per-range forward (documented, not needed at this
+corpus' key cardinality).
+
+The reference has no temporal joins; this is part of the
+training-data extension surface (SURVEY §2.6 ordered per-key logic,
+alongside sessionization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _tag(ds, key: str, time: str, rid: str, val: str | None, side: int):
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        v = (t.column(val).cast(pa.float64()) if val is not None
+             else pa.array(np.zeros(n)))
+        return pa.table({
+            "key": t.column(key).cast(pa.int64()),
+            "t": t.column(time).cast(pa.int64()),
+            "side": pa.array(np.full(n, side, dtype=np.int8)),
+            "id": t.column(rid).cast(pa.int64()),
+            "val": v,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _asof_group(g: dict) -> dict:
+    side = g["side"]
+    lmask = side == 0
+    lid = g["id"][lmask].astype(np.int64)
+    if len(lid) == 0:
+        return {"l": np.empty(0, np.int64), "r": np.empty(0, np.int64),
+                "rv": np.empty(0, np.float64)}
+    lt = g["t"][lmask].astype(np.int64)
+    rmask = ~lmask
+    rt = g["t"][rmask].astype(np.int64)
+    if len(rt) == 0:
+        return {"l": lid, "r": np.full(len(lid), -1, np.int64),
+                "rv": np.zeros(len(lid))}
+    rid = g["id"][rmask].astype(np.int64)
+    rv = g["val"][rmask].astype(np.float64)
+    # t asc, id DESC → the last entry of a tied-time run is the
+    # smallest id, which searchsorted(side="right")-1 then selects
+    order = np.lexsort((-rid, rt))
+    rt, rid, rv = rt[order], rid[order], rv[order]
+    idx = np.searchsorted(rt, lt, side="right") - 1
+    found = idx >= 0
+    safe = np.clip(idx, 0, None)
+    return {"l": lid,
+            "r": np.where(found, rid[safe], np.int64(-1)),
+            "rv": np.where(found, rv[safe], 0.0)}
+
+
+def asof_backward(left_ds, right_ds, *, left_key: str, right_key: str,
+                  left_time: str, right_time: str, left_id: str,
+                  right_id: str, right_val: str | None = None):
+    """(l=left id, r=matched right id or -1, rv=right val or 0.0).
+
+    Time columns may be any type castable to int64 (timestamps cast to
+    their epoch-µs representation, preserving order)."""
+    tagged = _tag(left_ds, left_key, left_time, left_id, None, 0).union(
+        _tag(right_ds, right_key, right_time, right_id, right_val, 1))
+    return tagged.groupby("key").map_groups(_asof_group,
+                                            batch_format="numpy")

@@ -197,6 +197,34 @@ def events_hourly(sf_dir: str):
     return scale_to_int(_out, {"sum_value_micro": ("sum_value", 1e6)})
 
 
+def asof_orders_for_events(sf_dir: str):
+    """Backward as-of join: each event matched to the user's most
+    recent order at-or-before the event timestamp (ties → smallest
+    orderkey).  One hash exchange; per-key vectorized searchsorted
+    (`relational/asof.py`).  Unmatched events keep -1 sentinels so the
+    result is one NULL-free row per event."""
+    from hedonic_ray.relational.asof import asof_backward
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = asof_backward(ev, od, left_key="user_id", right_key="o_custkey",
+                        left_time="ts", right_time="o_orderdate",
+                        left_id="event_id", right_id="o_orderkey",
+                        right_val="o_totalprice")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy().astype(np.int64)
+        # both engines compute the identical double o_totalprice*100
+        # and floor it — no tie risk (same rule as quality_scores e9)
+        e2 = np.floor(t.column("rv").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_id": t.column("l"),
+                         "asof_orderkey": pa.array(r),
+                         "asof_price_e2": pa.array(np.where(r >= 0, e2, -1))})
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort("event_id")
+
+
 def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user ordered gap-islands inside
     ``groupby(user).map_groups`` (the streaming-shaped pattern — state

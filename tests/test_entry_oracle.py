@@ -86,7 +86,7 @@ SQL_CHECKED = sorted([
     "graph_hedonic", "analytics_spectrum", "analytics_partition_metrics",
     # round 3 additions: PII redaction chain + distributed wordcount +
     # exact inverted-index n-gram Jaccard dedup
-    "text_redact", "text_term_df", "dedup_ngram",
+    "text_redact", "text_term_df", "dedup_ngram", "rel_asof_join",
 ])
 
 

@@ -139,6 +139,38 @@ def test_ngram_jaccard_join_equals_broadcast():
     assert a == b and len(a) >= 1
 
 
+def test_asof_backward_vs_brute():
+    import ray.data as rd
+    from hedonic_ray.relational.asof import asof_backward
+
+    rng = np.random.default_rng(5)
+    n_l, n_r, n_k = 200, 60, 7
+    lk = rng.integers(0, n_k, n_l).astype(np.int64)
+    lt = rng.integers(0, 50, n_l).astype(np.int64)
+    rk = rng.integers(0, n_k, n_r).astype(np.int64)
+    rt = rng.integers(0, 50, n_r).astype(np.int64)  # duplicate times: tie-break exercised
+    rv = rng.normal(size=n_r)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk), "t": pa.array(lt),
+        "lid": pa.array(np.arange(n_l, dtype=np.int64))}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk), "t": pa.array(rt),
+        "rid": pa.array(np.arange(n_r, dtype=np.int64)), "v": pa.array(rv)}))
+    out = {r["l"]: (r["r"], r["rv"]) for r in asof_backward(
+        left, right, left_key="k", right_key="k", left_time="t",
+        right_time="t", left_id="lid", right_id="rid",
+        right_val="v").take_all()}
+    assert len(out) == n_l
+    for i in range(n_l):
+        cand = [(rt[j], -j) for j in range(n_r)
+                if rk[j] == lk[i] and rt[j] <= lt[i]]
+        if not cand:
+            assert out[i] == (-1, 0.0)
+        else:
+            j = -max(cand)[1]  # max time, then smallest rid
+            assert out[i][0] == j and out[i][1] == rv[j]
+
+
 def test_distinct_pairs_packed_equals_groupby():
     import ray.data as rd
     from hedonic_ray.ops.dedup import distinct_pairs
