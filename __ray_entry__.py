@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_hourly": rel.events_hourly,
         "rel_sessions_per_user": rel.sessions_per_user,
         "rel_asof_join": rel.asof_orders_for_events,
+        "rel_window_hourly": rel.sliding_window_hourly,
         "rel_brand_price_stats": rel.brand_price_stats,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -684,6 +685,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
             FROM events GROUP BY 1, 2
+        """,
+        "rel_window_hourly": """
+            -- trailing 3-hour sliding window per event_type: each event
+            -- contributes to the 3 window-end hours [h, h+2]; values are
+            -- floored to integer micro-units BEFORE summing (order-free)
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                       CAST(FLOOR(value * 1e6) AS BIGINT) AS v_micro
+                FROM events
+            )
+            SELECT ev.event_type,
+                   ev.hour + d.o AS window_end_hour,
+                   count(*) AS n_events,
+                   CAST(sum(ev.v_micro) AS BIGINT) AS sum_value_micro
+            FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS o) d
+            GROUP BY 1, 2
         """,
         "rel_sessions_per_user": """
             WITH e AS (

@@ -225,6 +225,41 @@ def asof_orders_for_events(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow").sort("event_id")
 
 
+def sliding_window_hourly(sf_dir: str, window_hours: int = 3):
+    """Sliding (trailing) window aggregate: for every (event_type,
+    window-end hour) with at least one event in the trailing
+    ``window_hours`` hours, the event count and value sum over that
+    window.  Streaming shape: each event expands into the
+    ``window_hours`` window ends it contributes to (map_batches
+    fan-out — no per-window state), then ONE groupby.  Values are
+    floored to integer µ-units BEFORE summing, so the sum is
+    order-independent and bit-exact against SQL (float summation
+    order is engine-defined; integer summation is not)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    w = int(window_hours)
+
+    def expand(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        v_micro = np.floor(t.column("value").to_numpy() * 1e6).astype(np.int64)
+        et = t.column("event_type")
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n), w))
+        return pa.table({
+            "event_type": et.take(idx),
+            "window_end_hour": pa.array(np.repeat(hour, w)
+                                        + np.tile(np.arange(w), n)),
+            "v_micro": pa.array(np.repeat(v_micro, w)),
+        })
+
+    return (ds.map_batches(expand, batch_format="pyarrow")
+            .groupby(["event_type", "window_end_hour"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("v_micro", alias_name="sum_value_micro")))
+
+
 def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per-user ordered gap-islands inside
     ``groupby(user).map_groups`` (the streaming-shaped pattern — state
