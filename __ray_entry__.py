@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessions_per_user": rel.sessions_per_user,
         "rel_asof_join": rel.asof_orders_for_events,
         "rel_window_hourly": rel.sliding_window_hourly,
+        "rel_range_join": rel.order_range_density,
         "rel_brand_price_stats": rel.brand_price_stats,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -685,6 +686,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
             FROM events GROUP BY 1, 2
+        """,
+        "rel_range_join": """
+            -- trailing 90-day self range join + aggregate: per order,
+            -- count and integer-cent price sum of the same customer's
+            -- orders dated within [o_orderdate - 90 days, o_orderdate]
+            -- inclusive (every order matches itself, so n_orders >= 1)
+            SELECT a.o_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(FLOOR(b.o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS sum_price_e2
+            FROM orders a
+            JOIN orders b
+              ON b.o_custkey = a.o_custkey
+             AND b.o_orderdate <= a.o_orderdate
+             AND b.o_orderdate >= a.o_orderdate - INTERVAL 90 DAY
+            GROUP BY a.o_orderkey
+            ORDER BY a.o_orderkey
         """,
         "rel_window_hourly": """
             -- trailing 3-hour sliding window per event_type: each event

@@ -69,6 +69,57 @@ def _asof_group(g: dict) -> dict:
             "rv": np.where(found, rv[safe], 0.0)}
 
 
+def _range_group_fn(span: int, scale: float):
+    def f(g: dict) -> dict:
+        side = g["side"]
+        lmask = side == 0
+        lid = g["id"][lmask].astype(np.int64)
+        if len(lid) == 0:
+            return {"l": np.empty(0, np.int64), "n": np.empty(0, np.int64),
+                    "sv": np.empty(0, np.int64)}
+        lt = g["t"][lmask].astype(np.int64)
+        rmask = ~lmask
+        rt = g["t"][rmask].astype(np.int64)
+        if len(rt) == 0:
+            z = np.zeros(len(lid), np.int64)
+            return {"l": lid, "n": z, "sv": z}
+        order = np.argsort(rt, kind="stable")
+        rt = rt[order]
+        # floor to integer units BEFORE the prefix sum: the windowed
+        # sums are then order-independent and bit-exact vs SQL
+        rvi = np.floor(g["val"][rmask].astype(np.float64)[order]
+                       * scale).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(rvi)))
+        lo = np.searchsorted(rt, lt - span, side="left")
+        hi = np.searchsorted(rt, lt, side="right")
+        return {"l": lid, "n": (hi - lo).astype(np.int64),
+                "sv": cum[hi] - cum[lo]}
+
+    return f
+
+
+def range_agg_backward(left_ds, right_ds, *, left_key: str, right_key: str,
+                       left_time: str, right_time: str, left_id: str,
+                       right_val: str, span: int, scale: float = 1.0):
+    """Trailing range-join aggregate: for every left row, the count and
+    (integer-scaled) value sum of the same-key right rows with time in
+    the inclusive window ``[left_time - span, left_time]``.
+
+    Same one-hash-exchange shape as :func:`asof_backward` (tag → union
+    → ``groupby(key)``); the per-key kernel is two ``searchsorted``
+    probes against a prefix-sum array, so a key with R right rows and
+    L left rows costs O((R+L)·log R) regardless of window width — no
+    pairwise fan-out materializes.  Returns columns ``l`` (left id),
+    ``n`` (match count, int64) and ``sv`` (sum of
+    ``floor(right_val · scale)``, int64; 0 when no match).
+    Partitioning assumption: one key's rows fit in one group task
+    (same caveat and mitigation as asof_backward)."""
+    tagged = _tag(left_ds, left_key, left_time, left_id, None, 0).union(
+        _tag(right_ds, right_key, right_time, right_time, right_val, 1))
+    return tagged.groupby("key").map_groups(
+        _range_group_fn(int(span), float(scale)), batch_format="numpy")
+
+
 def asof_backward(left_ds, right_ds, *, left_key: str, right_key: str,
                   left_time: str, right_time: str, left_id: str,
                   right_id: str, right_val: str | None = None):

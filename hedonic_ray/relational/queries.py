@@ -225,6 +225,33 @@ def asof_orders_for_events(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow").sort("event_id")
 
 
+def order_range_density(sf_dir: str, range_days: int = 90):
+    """Trailing range-join aggregate (self-join): per order, the count
+    and exact integer-cent price sum of the SAME customer's orders
+    dated within the trailing ``range_days`` window
+    ``[o_orderdate - range, o_orderdate]`` (inclusive — so every order
+    counts itself and n_orders ≥ 1).  One hash exchange + a per-key
+    searchsorted/prefix-sum kernel
+    (`relational/asof.py:range_agg_backward`) — no pairwise join rows
+    ever materialize, so window width doesn't change the cost."""
+    from hedonic_ray.relational.asof import range_agg_backward
+
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = range_agg_backward(
+        od, od, left_key="o_custkey", right_key="o_custkey",
+        left_time="o_orderdate", right_time="o_orderdate",
+        left_id="o_orderkey", right_val="o_totalprice",
+        span=int(range_days) * 86_400_000_000, scale=100.0)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t.column("l"),
+                         "n_orders": t.column("n"),
+                         "sum_price_e2": t.column("sv")})
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort("o_orderkey")
+
+
 def sliding_window_hourly(sf_dir: str, window_hours: int = 3):
     """Sliding (trailing) window aggregate: for every (event_type,
     window-end hour) with at least one event in the trailing

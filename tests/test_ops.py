@@ -171,6 +171,34 @@ def test_asof_backward_vs_brute():
             assert out[i][0] == j and out[i][1] == rv[j]
 
 
+def test_range_agg_backward_vs_brute():
+    import ray.data as rd
+    from hedonic_ray.relational.asof import range_agg_backward
+
+    rng = np.random.default_rng(7)
+    n_l, n_r, n_k, span = 200, 120, 6, 10
+    lk = rng.integers(0, n_k, n_l).astype(np.int64)
+    lt = rng.integers(0, 60, n_l).astype(np.int64)
+    rk = rng.integers(0, n_k, n_r).astype(np.int64)
+    rt = rng.integers(0, 60, n_r).astype(np.int64)  # dup times: boundary inclusivity
+    rv = rng.normal(size=n_r) * 10
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk), "t": pa.array(lt),
+        "lid": pa.array(np.arange(n_l, dtype=np.int64))}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk), "t": pa.array(rt), "v": pa.array(rv)}))
+    out = {r["l"]: (r["n"], r["sv"]) for r in range_agg_backward(
+        left, right, left_key="k", right_key="k", left_time="t",
+        right_time="t", left_id="lid", right_val="v",
+        span=span, scale=100.0).take_all()}
+    assert len(out) == n_l
+    for i in range(n_l):
+        hits = [j for j in range(n_r)
+                if rk[j] == lk[i] and lt[i] - span <= rt[j] <= lt[i]]
+        assert out[i][0] == len(hits), i
+        assert out[i][1] == sum(int(np.floor(rv[j] * 100.0)) for j in hits), i
+
+
 def test_distinct_pairs_packed_equals_groupby():
     import ray.data as rd
     from hedonic_ray.ops.dedup import distinct_pairs
