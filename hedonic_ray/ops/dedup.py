@@ -677,6 +677,138 @@ def ngram_sizes(ds, k: int = 3):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def ngram_prefix_rows(ds, k: int, threshold_num: int, threshold_den: int):
+    """Explode docs to PREFIX gram rows only (AllPairs prefix filter,
+    Bayardo/Ma/Srikant WWW'07): order each doc's distinct grams by the
+    GLOBAL total order (gh, gram) and keep only the first
+    ``p = n − ⌈t·n⌉ + 1`` of them.  Lossless for Jaccard ≥ t: a
+    qualifying pair has ``|A∩B| ≥ ⌈t·max(|A|,|B|)⌉``, and if A and B
+    shared no element inside both prefixes, each side's intersection
+    elements would all sit in its length-(⌈t·n⌉−1) suffix — too few by
+    pigeonhole.  ANY fixed global total order is lossless (frequency
+    order only improves selectivity), so the gram-hash order needs no
+    document-frequency pass.  Index volume drops to ≈ (1−t)·|grams|
+    (~70% fewer posting rows at t = 0.7); the price is that prefix
+    co-occurrence counts are PARTIAL, so candidates need the separate
+    exact verify pass (`_ngram_verify_pairs`)."""
+    tnum, tden = int(threshold_num), int(threshold_den)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id: list = []
+        out_g: list = []
+        out_h: list = []
+        for d, t in zip(ids, texts):
+            gs = sorted(_strict_shingles(t, k))
+            if not gs:
+                continue
+            n = len(gs)
+            h = hash_strings(gs).astype(np.int64)
+            order = np.lexsort((np.array(gs, dtype=object), h))
+            p = n - (tnum * n + tden - 1) // tden + 1  # n − ⌈t·n⌉ + 1 ≥ 1
+            keep = order[:p]
+            out_id.extend([int(d)] * len(keep))
+            out_g.extend([gs[i] for i in keep])
+            out_h.extend(h[keep].tolist())
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "gram": pa.array(out_g, pa.string()),
+                         "gh": pa.array(out_h, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _strict_intersections(ta: list[str], tb: list[str], k: int):
+    """(i, na, nb) int64 arrays for row-aligned text pairs — the same
+    strict-shingle semantics as the inverted index."""
+    n = len(ta)
+    i = np.zeros(n, np.int64)
+    na = np.zeros(n, np.int64)
+    nb = np.zeros(n, np.int64)
+    for j in range(n):
+        sa = _strict_shingles(ta[j], k)
+        sb = _strict_shingles(tb[j], k)
+        i[j] = len(sa & sb)
+        na[j] = len(sa)
+        nb[j] = len(sb)
+    return i, na, nb
+
+
+def _ngram_verify_pairs(pairs_ds, docs_ds, *, k: int, threshold_num: int,
+                        threshold_den: int, method: str,
+                        broadcast_max: int = 500_000):
+    """Exact integer Jaccard over candidate (a, b) pairs — emits the
+    same (a, b, jacc_e9) rows and threshold rule as the full inverted
+    index, so prefix-filtered candidates finish bit-identical to it.
+
+    ``method="broadcast"``: semi-join — broadcast the candidate id
+    set, filter docs distributed, broadcast only the candidate texts
+    back (same shape as `verify_pairs_exact`'s semi path).
+    ``method="join"``: two hash-partitioned pairs ⋈ docs joins carry
+    both texts onto the row; nothing driver-resident at any scale."""
+    tnum, tden = int(threshold_num), int(threshold_den)
+
+    def finish(a, b, i, na, nb) -> pa.Table:
+        denom = na + nb - i
+        keep = tden * i >= tnum * denom
+        jacc = np.zeros(len(i), dtype=np.int64)
+        np.floor_divide(i * np.int64(1_000_000_000), denom, out=jacc,
+                        where=denom > 0)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "jacc_e9": pa.array(jacc[keep])})
+
+    if method == "broadcast":
+        import ray
+
+        ids = []
+        for batch in pairs_ds.select_columns(["a", "b"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            ids.append(batch.column("a").to_numpy().astype(np.int64))
+            ids.append(batch.column("b").to_numpy().astype(np.int64))
+        cand = np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+        cand_ref = ray.put(cand)
+
+        def filt(t: pa.Table) -> pa.Table:
+            c = ray.get(cand_ref)
+            keys = t.column("doc_id").to_numpy().astype(np.int64)
+            p = np.clip(np.searchsorted(c, keys), 0, max(0, len(c) - 1))
+            mask = (c[p] == keys) if len(c) else np.zeros(len(keys), bool)
+            return t.filter(pa.array(mask))
+
+        texts: dict[int, str] = {}
+        for batch in (docs_ds.select_columns(["doc_id", "text"])
+                      .map_batches(filt, batch_format="pyarrow")
+                      .iter_batches(batch_size=8192, batch_format="pyarrow")):
+            texts.update(zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()))
+        tx_ref = ray.put(texts)
+
+        def verify_s(batch: pa.Table) -> pa.Table:
+            tx = ray.get(tx_ref)
+            a = batch.column("a").to_numpy().astype(np.int64)
+            b = batch.column("b").to_numpy().astype(np.int64)
+            i, na, nb = _strict_intersections(
+                [tx[int(x)] for x in a], [tx[int(x)] for x in b], k)
+            return finish(a, b, i, na, nb)
+
+        return pairs_ds.select_columns(["a", "b"]).map_batches(
+            verify_s, batch_format="pyarrow")
+
+    joined = _join_pair_sides(pairs_ds.select_columns(["a", "b"]),
+                              docs_ds.select_columns(["doc_id", "text"]),
+                              "doc_id", "text")
+
+    def verify_j(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        i, na, nb = _strict_intersections(
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(), k)
+        return finish(a, b, i, na, nb)
+
+    return joined.map_batches(verify_j, batch_format="pyarrow")
+
+
 def _gram_group_pairs(group: dict, max_df) -> dict:
     """Pairs per DISTINCT GRAM in a hash group.  A group almost always
     holds one gram; the np.unique split makes 64-bit collisions merge
@@ -764,7 +896,7 @@ def _packed_pair_counts(pairs_ds):
 def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
                         threshold_num: int = 7, threshold_den: int = 10,
                         method: str = "auto", broadcast_max: int = 500_000,
-                        max_df: int | None = None):
+                        max_df: int | None = None, index: str = "full"):
     """EXACT word-k-gram Jaccard near-dup pairs via a distributed
     inverted index — no signatures, no candidate recall gap.  This is
     the dedup family's third blocking strategy (exact hash, LSH
@@ -791,14 +923,20 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
     pruning, the standard mitigation), which makes the result a
     documented UNDER-approximation, so the default is None/exact and
     the driver-gate oracle runs with None.
+
+    ``index="prefix"`` (ROADMAP 8, still EXACT): posts only each
+    doc's AllPairs prefix — ``n − ⌈t·n⌉ + 1`` grams in the global
+    (gh, gram) order — into the inverted-index exchange (≈ (1−t)·
+    fewer posting rows and no quadratic pair emission on grams
+    outside the prefixes), then finishes candidates through the
+    separate exact-verify pass, which re-applies the same integer
+    threshold and score.  A/B-equality with the full index is tested;
+    the default stays "full" because at gate scale the verify's
+    candidate text gather costs more than the index saves — prefix is
+    the 100 TB shape, where the posting exchange dominates.
     """
-    grams = ngram_gram_rows(ds, k)
-    sizes = ngram_sizes(ds, k)
-
-    pairs = grams.groupby("gh").map_groups(
-        lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
-    counts = _packed_pair_counts(pairs)
-
+    if index not in ("full", "prefix"):
+        raise ValueError(f"unknown ngram_jaccard_pairs index {index!r}")
     if method == "auto":
         from hedonic_ray.context import force_scale
 
@@ -806,6 +944,31 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
                   else "broadcast" if n_docs <= broadcast_max else "join")
     if method not in ("broadcast", "join"):
         raise ValueError(f"unknown ngram_jaccard_pairs method {method!r}")
+
+    if index == "prefix":
+        pre = ngram_prefix_rows(ds, k, threshold_num, threshold_den)
+        cand = pre.groupby("gh").map_groups(
+            lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
+
+        def dedup_batch(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy().astype(np.int64)
+            b = batch.column("b").to_numpy().astype(np.int64)
+            key = np.unique(_pack_pairs(a, b))
+            return pa.table({"a": key // 2**31, "b": key % 2**31})
+
+        cand = distinct_pairs(
+            cand.map_batches(dedup_batch, batch_format="pyarrow"))
+        return _ngram_verify_pairs(
+            cand, ds, k=k, threshold_num=threshold_num,
+            threshold_den=threshold_den, method=method,
+            broadcast_max=broadcast_max)
+
+    grams = ngram_gram_rows(ds, k)
+    sizes = ngram_sizes(ds, k)
+
+    pairs = grams.groupby("gh").map_groups(
+        lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
+    counts = _packed_pair_counts(pairs)
 
     tnum, tden = int(threshold_num), int(threshold_den)
 

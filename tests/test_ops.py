@@ -139,6 +139,33 @@ def test_ngram_jaccard_join_equals_broadcast():
     assert a == b and len(a) >= 1
 
 
+def test_ngram_prefix_index_equals_full():
+    """AllPairs prefix filter (index='prefix') is lossless: identical
+    (a, b, jacc_e9) rows to the full inverted index, through BOTH
+    verify paths, including exact-threshold and sub-threshold pairs."""
+    from hedonic_ray.ops.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(13)
+    texts = [_doc(s, 40) for s in range(12)]
+    for s in (0, 2, 4, 7):  # planted near-dups at varying distances
+        w = texts[s].split()
+        for j in rng.choice(len(w), 1 + (s % 4), replace=False):
+            w[j] = f"PERT{s}"
+        texts.append(" ".join(w))
+    texts.append(texts[3])    # exact duplicate (J = 1)
+    texts.append("one two")   # < k words: no grams
+    ds = _docs_ds(texts)
+    full = sorted((r["a"], r["b"], r["jacc_e9"]) for r in
+                  ngram_jaccard_pairs(ds, len(texts),
+                                      method="broadcast").take_all())
+    for method in ("broadcast", "join"):
+        pre = sorted((r["a"], r["b"], r["jacc_e9"]) for r in
+                     ngram_jaccard_pairs(ds, len(texts), method=method,
+                                         index="prefix").take_all())
+        assert pre == full, method
+    assert len(full) >= 4
+
+
 def test_asof_backward_vs_brute():
     import ray.data as rd
     from hedonic_ray.relational.asof import asof_backward
