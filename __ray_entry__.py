@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_join": rel.asof_orders_for_events,
         "rel_window_hourly": rel.sliding_window_hourly,
         "rel_range_join": rel.order_range_density,
+        "rel_topk_per_brand": rel.top_parts_per_brand,
         "rel_brand_price_stats": rel.brand_price_stats,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -686,6 +687,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
             FROM events GROUP BY 1, 2
+        """,
+        "rel_topk_per_brand": """
+            -- grouped top-3 by retail price per brand, ties -> smallest
+            -- partkey; both engines read the identical parquet doubles
+            -- so DESC-order equality is exact
+            SELECT p_brand, p_partkey,
+                   CAST(FLOOR(p_retailprice * 100.0) AS BIGINT) AS price_e2,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       row_number() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey
+                       ) AS rnk
+                FROM part
+            )
+            WHERE rnk <= 3
+            ORDER BY p_brand, rnk
         """,
         "rel_range_join": """
             -- trailing 90-day self range join + aggregate: per order,

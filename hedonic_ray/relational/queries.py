@@ -225,6 +225,62 @@ def asof_orders_for_events(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow").sort("event_id")
 
 
+def _topk_per_key(key: np.ndarray, val: np.ndarray, rid: np.ndarray, k: int):
+    """Row indices of the top-k rows per key (val DESC, id ASC ties),
+    plus each kept row's 1-based rank — one lexsort, no Python loop."""
+    order = np.lexsort((rid, -val, key))
+    kk = key[order]
+    starts = np.flatnonzero(np.concatenate(([True], kk[1:] != kk[:-1])))
+    rank = np.arange(len(kk)) - np.repeat(starts, np.diff(
+        np.concatenate((starts, [len(kk)]))))
+    keep = rank < k
+    return order[keep], (rank[keep] + 1).astype(np.int64)
+
+
+def grouped_topk(ds, *, key_col: str, val_col: str, id_col: str, k: int):
+    """Distributed grouped top-k: per-batch partial top-k per key (a
+    valid combiner — any global top-k row is a batch top-k row), so
+    the ONE ``groupby(key)`` exchange carries ≤ k rows per key per
+    input batch instead of the whole table; the per-group finalizer
+    re-runs the same kernel.  Deterministic ties: val DESC, id ASC.
+    Emits (key, id, val, rnk 1..k)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx, _ = _topk_per_key(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            t.column(val_col).to_numpy(), t.column(id_col).to_numpy(), k)
+        return t.take(pa.array(np.sort(idx)))
+
+    def final(g: dict) -> dict:
+        idx, rnk = _topk_per_key(g[key_col], g[val_col], g[id_col], k)
+        return {key_col: g[key_col][idx], id_col: g[id_col][idx],
+                val_col: g[val_col][idx], "rnk": rnk}
+
+    return (ds.select_columns([key_col, id_col, val_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).map_groups(final, batch_format="numpy"))
+
+
+def top_parts_per_brand(sf_dir: str, k: int = 3):
+    """Grouped top-k: the k highest-priced parts per brand (ties →
+    smallest partkey), via the combiner-shaped `grouped_topk`."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+    out = grouped_topk(ds, key_col="p_brand", val_col="p_retailprice",
+                       id_col="p_partkey", k=k)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        e2 = np.floor(t.column("p_retailprice").to_numpy() * 100.0)
+        return pa.table({"p_brand": t.column("p_brand"),
+                         "p_partkey": t.column("p_partkey"),
+                         "price_e2": pa.array(e2.astype(np.int64)),
+                         "rnk": t.column("rnk")})
+
+    return (out.map_batches(finalize, batch_format="pyarrow")
+            .sort(["p_brand", "rnk"]))
+
+
 def order_range_density(sf_dir: str, range_days: int = 90):
     """Trailing range-join aggregate (self-join): per order, the count
     and exact integer-cent price sum of the SAME customer's orders

@@ -198,6 +198,30 @@ def test_asof_backward_vs_brute():
             assert out[i][0] == j and out[i][1] == rv[j]
 
 
+def test_grouped_topk_vs_brute():
+    """Combiner correctness: rows for one key spread over many blocks
+    must still yield the global top-k (val DESC, id ASC ties)."""
+    import ray.data as rd
+    from hedonic_ray.relational.queries import grouped_topk
+
+    rng = np.random.default_rng(3)
+    n, k = 600, 4
+    key = rng.integers(0, 9, n).astype(np.int64)
+    val = rng.integers(0, 40, n).astype(np.float64)  # coarse: many ties
+    rid = rng.permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": pa.array(key), "v": pa.array(val),
+                                 "i": pa.array(rid)})).repartition(16)
+    got = sorted((r["g"], r["rnk"], r["i"], r["v"]) for r in
+                 grouped_topk(ds, key_col="g", val_col="v",
+                              id_col="i", k=k).take_all())
+    exp = []
+    for g in np.unique(key):
+        rows = sorted(((-val[j], rid[j]) for j in np.flatnonzero(key == g)))
+        exp.extend((int(g), r + 1, int(i), -nv) for r, (nv, i)
+                   in enumerate(rows[:k]))
+    assert got == sorted(exp)
+
+
 def test_range_agg_backward_vs_brute():
     import ray.data as rd
     from hedonic_ray.relational.asof import range_agg_backward
