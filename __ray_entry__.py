@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_window_hourly": rel.sliding_window_hourly,
         "rel_range_join": rel.order_range_density,
         "rel_topk_per_brand": rel.top_parts_per_brand,
+        "rel_anti_join": rel.customers_without_events,
         "rel_brand_price_stats": rel.brand_price_stats,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -687,6 +688,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
             FROM events GROUP BY 1, 2
+        """,
+        "rel_anti_join": """
+            -- customers with NO click events, per market segment (Q22
+            -- shape); balances floored to integer cents before summing
+            SELECT c.c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(FLOOR(c.c_acctbal * 100.0) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_e2
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)
+            GROUP BY c.c_mktsegment
         """,
         "rel_topk_per_brand": """
             -- grouped top-3 by retail price per brand, ties -> smallest

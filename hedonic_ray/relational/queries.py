@@ -281,6 +281,41 @@ def top_parts_per_brand(sf_dir: str, k: int = 3):
             .sort(["p_brand", "rnk"]))
 
 
+def customers_without_events(sf_dir: str, num_partitions: int = 8):
+    """Anti-join (TPC-H Q22 shape): per market segment, the count and
+    exact integer-cent account-balance sum of customers with NO click
+    events.  Uses Ray Data's native ``left_anti`` hash join; the
+    events side is pre-shrunk by a per-batch ``np.unique`` combiner
+    (only distinct user ids per batch enter the exchange — at scale
+    that is |users| keys, not |events| rows)."""
+    from ray.data.aggregate import Count, Sum
+    from hedonic_ray.context import drop_empty_blocks
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pa.array(
+            np.unique(t.column("user_id").to_numpy()))})
+
+    evk = drop_empty_blocks(
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(distinct_keys, batch_format="pyarrow"),
+        pa.schema([("user_id", pa.int64())]))
+    anti = cust.join(evk, "left_anti", num_partitions,
+                     on=("c_custkey",), right_on=("user_id",))
+
+    def to_e2(t: pa.Table) -> pa.Table:
+        e2 = np.floor(t.column("c_acctbal").to_numpy() * 100.0)
+        return pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                         "acctbal_e2": pa.array(e2.astype(np.int64))})
+
+    return (anti.map_batches(to_e2, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n_customers"),
+                       Sum("acctbal_e2", alias_name="sum_acctbal_e2")))
+
+
 def order_range_density(sf_dir: str, range_days: int = 90):
     """Trailing range-join aggregate (self-join): per order, the count
     and exact integer-cent price sum of the SAME customer's orders
