@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": rel.order_range_density,
         "rel_topk_per_brand": rel.top_parts_per_brand,
         "rel_anti_join": rel.customers_without_events,
+        "rel_distinct_users": rel.distinct_users_per_type,
         "rel_brand_price_stats": rel.brand_price_stats,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -688,6 +689,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
             FROM events GROUP BY 1, 2
+        """,
+        "rel_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         "rel_anti_join": """
             -- customers with NO click events, per market segment (Q22

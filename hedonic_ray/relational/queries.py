@@ -316,6 +316,20 @@ def customers_without_events(sf_dir: str, num_partitions: int = 8):
                        Sum("acctbal_e2", alias_name="sum_acctbal_e2")))
 
 
+def distinct_users_per_type(sf_dir: str):
+    """Grouped distinct count: distinct users per event type via the
+    per-batch factorize/unique combiner (`ops/sketch.py` — duplicate
+    pairs inside a batch never enter the exchange).  The same entry
+    point's ``method="hll"`` swaps in mergeable HyperLogLog register
+    partials (exchange volume independent of the event count — the
+    100 TB shape; pytest-gated, estimates aren't SQL-reproducible)."""
+    from hedonic_ray.ops.sketch import grouped_distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_distinct_count(
+        ds, key_col="event_type", val_col="user_id").sort("event_type")
+
+
 def order_range_density(sf_dir: str, range_days: int = 90):
     """Trailing range-join aggregate (self-join): per order, the count
     and exact integer-cent price sum of the SAME customer's orders

@@ -198,6 +198,50 @@ def test_asof_backward_vs_brute():
             assert out[i][0] == j and out[i][1] == rv[j]
 
 
+def test_grouped_distinct_exact_vs_brute():
+    """Exact path with STRING keys, values duplicated across blocks."""
+    import ray.data as rd
+    from hedonic_ray.ops.sketch import grouped_distinct_count
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    key = np.array([f"k{j}" for j in rng.integers(0, 5, n)], dtype=object)
+    val = rng.integers(0, 120, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": pa.array(list(key)),
+                                 "v": pa.array(val)})).repartition(13)
+    got = {r["g"]: r["n_distinct"] for r in grouped_distinct_count(
+        ds, key_col="g", val_col="v").take_all()}
+    for g in np.unique(key):
+        assert got[str(g)] == len(np.unique(val[key == g])), g
+
+
+def test_hll_distinct_bounds_and_partition_invariance():
+    import ray.data as rd
+    from hedonic_ray.ops.sketch import grouped_distinct_count
+
+    rng = np.random.default_rng(4)
+    # key 0: large cardinality (raw estimator); key 1: small (linear
+    # counting); exact distinct counts computed independently
+    k0 = rng.integers(0, 2_000_000, 60_000).astype(np.int64)
+    k1 = rng.integers(0, 150, 5_000).astype(np.int64)
+    key = np.concatenate([np.zeros(len(k0), np.int64),
+                          np.ones(len(k1), np.int64)])
+    val = np.concatenate([k0, k1])
+    t = pa.table({"g": pa.array(key), "v": pa.array(val)})
+    ests = []
+    for parts in (3, 17):
+        ds = rd.from_arrow(t).repartition(parts)
+        est = {r["g"]: r["n_distinct_est"] for r in grouped_distinct_count(
+            ds, key_col="g", val_col="v", method="hll").take_all()}
+        ests.append(est)
+    # merge is an elementwise register max → estimates identical under
+    # ANY partitioning of the input
+    assert ests[0] == ests[1]
+    exact0, exact1 = len(np.unique(k0)), len(np.unique(k1))
+    assert abs(ests[0][0] - exact0) / exact0 < 0.05   # σ ≈ 1.6% at p=12
+    assert abs(ests[0][1] - exact1) / exact1 < 0.02   # linear-counting range
+
+
 def test_grouped_topk_vs_brute():
     """Combiner correctness: rows for one key spread over many blocks
     must still yield the global top-k (val DESC, id ASC ties)."""
