@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_topk_per_brand": rel.top_parts_per_brand,
         "rel_anti_join": rel.customers_without_events,
         "rel_distinct_users": rel.distinct_users_per_type,
+        "rel_json_extract": rel.json_props_stats,
         "rel_brand_price_stats": rel.brand_price_stats,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -689,6 +690,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(ROUND(sum(value) * 1e6) AS BIGINT) AS sum_value_micro
             FROM events GROUP BY 1, 2
+        """,
+        "rel_json_extract": """
+            -- typed extraction of the integer "k" field from the JSON
+            -- props column (regexp on both engines: no json-extension
+            -- dependency, identical integer semantics)
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         "rel_distinct_users": """
             SELECT event_type,

@@ -316,6 +316,29 @@ def customers_without_events(sf_dir: str, num_partitions: int = 8):
                        Sum("acctbal_e2", alias_name="sum_acctbal_e2")))
 
 
+def json_props_stats(sf_dir: str):
+    """Typed field extraction from the JSON ``props`` column, fully
+    vectorized: one ``pc.extract_regex`` Arrow kernel per batch (no
+    per-row parse), then a grouped count/sum/max of the extracted
+    integer.  The semi-structured-column pattern for webtext corpora
+    where per-document metadata rides as JSON strings."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t.column("props"),
+                             pattern=r'"k":\s*(?P<k>-?\d+)')
+        return pa.table({"event_type": t.column("event_type"),
+                         "k": pc.cast(pc.struct_field(s, "k"), pa.int64())})
+
+    return (ds.map_batches(ext, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("k", alias_name="sum_k"),
+                       Max("k", alias_name="max_k")))
+
+
 def distinct_users_per_type(sf_dir: str):
     """Grouped distinct count: distinct users per event type via the
     per-batch factorize/unique combiner (`ops/sketch.py` — duplicate
