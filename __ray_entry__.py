@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprints": tx.fingerprints,
         "text_redact": tx.redacted_docs,
         "text_term_df": tx.term_df_top,
+        "text_sample": tx.sampled_docs,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
         "dedup_simhash": tx.simhash_dup_pairs,
@@ -487,6 +488,14 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _fingerprints_sql(),
         "text_redact": _redact_sql(),
+        "text_sample": """
+            -- deterministic 1-in-10 sample gated on the md5 low half —
+            -- the engine's md5_low64 is bit-identical to
+            -- md5_number_lower, so row membership matches exactly
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 < 1
+        """,
         "text_term_df": r"""
             WITH toks AS (
                 SELECT doc_id,

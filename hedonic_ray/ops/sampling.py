@@ -1,0 +1,62 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling at 100 TB must be REPRODUCIBLE (re-runs, resumed runs
+and downstream audits need the same sample) and must not coordinate
+(no global state, no pass counting rows first).  Both paths gate each
+row on a pure hash of its id — embarrassingly parallel, stable under
+any partitioning, and a row's membership never depends on the rest of
+the data:
+
+``method="md5"`` — keep id iff ``md5_low64(str(id)) % den < num``.
+Bit-identical to DuckDB's ``md5_number_lower(id::VARCHAR) % den``, so
+sampled outputs are SQL-oracle-checkable end-to-end (same trick as
+the simhash signatures, `ops/dedup.py:md5_low64`).  Python-loop md5
+over the batch ids is the price of cross-engine parity.
+
+``method="splitmix"`` — keep id iff ``splitmix64(id) % den < num``.
+Fully vectorized numpy (the fast pure-engine path); same determinism
+properties, just not reproducible inside SQL.
+
+Rate accuracy: both hashes are uniform, so the realized fraction
+concentrates at num/den with binomial fluctuation (tested).
+
+The reference's sampling is ``random.sample``/NetworkX RNG state
+(non-reproducible across processes); this surface replaces it per
+SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hedonic_ray.functions.hashing import splitmix64
+
+
+def _keep_mask(ids: np.ndarray, num: int, den: int, method: str) -> np.ndarray:
+    if method == "splitmix":
+        return (splitmix64(ids.astype(np.uint64)) % np.uint64(den)
+                < np.uint64(num))
+    if method == "md5":
+        from hedonic_ray.ops.dedup import md5_low64
+
+        return np.fromiter((md5_low64(str(int(i))) % den < num for i in ids),
+                           dtype=bool, count=len(ids))
+    raise ValueError(f"unknown sample method {method!r}")
+
+
+def deterministic_sample(ds, *, id_col: str, rate_num: int, rate_den: int,
+                         method: str = "splitmix"):
+    """Filter ``ds`` to the deterministic ``rate_num/rate_den`` sample
+    keyed on ``id_col``.  Pure per-batch filter — no shuffle, no
+    global state; the same id is kept in every run and partition
+    layout."""
+    num, den = int(rate_num), int(rate_den)
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        return t.filter(pa.array(_keep_mask(ids, num, den, method)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

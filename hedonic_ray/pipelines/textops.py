@@ -68,6 +68,27 @@ def redacted_docs(sf_dir: str):
     return ds.select_columns(["doc_id", "clean_text"])
 
 
+def sampled_docs(sf_dir: str, rate_num: int = 1, rate_den: int = 10):
+    """(doc_id, n_chars) for the deterministic 1-in-10 document sample
+    gated on ``md5_low64(doc_id) % den`` (`ops/sampling.py`) — the
+    md5 mode is bit-identical to DuckDB's ``md5_number_lower``, so the
+    sampled OUTPUT itself is oracle-checked, not just its size."""
+    import pyarrow.compute as pc
+
+    from hedonic_ray.ops.sampling import deterministic_sample
+
+    s = deterministic_sample(_docs(sf_dir, ["doc_id", "text"]),
+                             id_col="doc_id", rate_num=rate_num,
+                             rate_den=rate_den, method="md5")
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_chars": pc.cast(pc.utf8_length(t.column("text")),
+                                            pa.int64())})
+
+    return s.map_batches(f, batch_format="pyarrow")
+
+
 def term_df_top(sf_dir: str, k: int = 100) -> pa.Table:
     """Top-k whitespace terms by document frequency (ties → term asc)
     — the distributed wordcount: per-batch distinct-(doc, term)

@@ -198,6 +198,31 @@ def test_asof_backward_vs_brute():
             assert out[i][0] == j and out[i][1] == rv[j]
 
 
+def test_deterministic_sample_rate_and_stability():
+    import ray.data as rd
+    from hedonic_ray.ops.sampling import deterministic_sample
+
+    n = 50_000
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+    kept = []
+    for parts in (4, 19):  # membership must not depend on partitioning
+        ds = rd.from_arrow(t).repartition(parts)
+        s = deterministic_sample(ds, id_col="id", rate_num=3, rate_den=10)
+        kept.append(sorted(r["id"] for r in s.take_all()))
+    assert kept[0] == kept[1]
+    frac = len(kept[0]) / n
+    assert abs(frac - 0.3) < 0.01  # binomial: σ ≈ 0.002 at n=50k
+    # md5 mode agrees with an independent per-id recomputation
+    from hedonic_ray.ops.dedup import md5_low64
+
+    ds = rd.from_arrow(pa.table({"id": pa.array(
+        np.arange(500, dtype=np.int64))}))
+    got = sorted(r["id"] for r in deterministic_sample(
+        ds, id_col="id", rate_num=1, rate_den=10, method="md5").take_all())
+    exp = [i for i in range(500) if md5_low64(str(i)) % 10 < 1]
+    assert got == exp
+
+
 def test_grouped_distinct_exact_vs_brute():
     """Exact path with STRING keys, values duplicated across blocks."""
     import ray.data as rd
