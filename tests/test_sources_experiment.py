@@ -53,6 +53,56 @@ def test_membership_roundtrip(tmp_path):
     np.testing.assert_array_equal(read_membership(p), mem)
 
 
+def test_gml_roundtrip_and_igraph_dialect(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from hedonic_ray.sources.gml import read_gml, write_gml
+
+    # round-trip: write (with membership) → read back bit-equal
+    edges = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                      "dst": pa.array([1, 2, 0, 0], pa.int64())})
+    mem = np.array([0, 0, 1, 1])
+    p = str(tmp_path / "g.gml")
+    write_gml(p, edges, n_vertices=4, membership=mem)
+    eds, nodes, directed = read_gml(p)
+    got = sorted((r["src"], r["dst"]) for r in eds.take_all())
+    assert got == [(0, 1), (1, 2), (2, 0), (3, 0)]
+    assert not directed
+    assert nodes.column("vertex").to_pylist() == [0, 1, 2, 3]
+    assert nodes.column("community").to_pylist() == [0, 0, 1, 1]
+
+    # the igraph/networkx block layout with extra attrs and strings
+    (tmp_path / "h.gml").write_text(
+        'graph\n[\n  directed 1\n'
+        '  node\n  [\n    id 0\n    label "a b"\n  ]\n'
+        '  node\n  [\n    id 1\n    label "c"\n    weight 2.5\n  ]\n'
+        '  edge\n  [\n    source 0\n    target 1\n  ]\n]\n')
+    eds, nodes, directed = read_gml(str(tmp_path / "h.gml"))
+    assert directed
+    assert [r for r in eds.take_all()] == [{"src": 0, "dst": 1}]
+    assert nodes.column("label").to_pylist() == ["a b", "c"]
+
+
+def test_gml_feeds_link_graph(tmp_path):
+    """GML-read edges drive the engine end-to-end (CC on 2 islands)."""
+    import pyarrow as pa
+
+    from hedonic_ray.algos.components import connected_components
+    from hedonic_ray.graph.build import build_link_graph
+    from hedonic_ray.sources.gml import read_gml, write_gml
+
+    edges = pa.table({"src": pa.array([0, 1, 3, 4], pa.int64()),
+                      "dst": pa.array([1, 2, 4, 5], pa.int64())})
+    p = str(tmp_path / "g.gml")
+    write_gml(p, edges, n_vertices=6)
+    eds, nodes, _ = read_gml(p)
+    g = build_link_graph(eds, len(nodes), directed=False, num_parts=2)
+    labels = connected_components(g).state["component"]
+    assert len(set(labels[:3])) == 1 and len(set(labels[3:])) == 1
+    assert labels[0] != labels[3]
+
+
 def test_experiment_harness_tiny():
     from hedonic_ray.pipelines.experiment import (
         ExperimentGrid,
