@@ -180,6 +180,15 @@ def distinct_pairs(pairs_ds, extra_min: tuple[str, ...] = (),
     return pairs_ds.groupby(["a", "b"]).aggregate(*aggs)
 
 
+def _dedup_pairs_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (a, b) distinct via the packed int64 key — the
+    combiner in front of `distinct_pairs`' global exchange."""
+    a = batch.column("a").to_numpy().astype(np.int64)
+    b = batch.column("b").to_numpy().astype(np.int64)
+    key = np.unique(_pack_pairs(a, b))
+    return pa.table({"a": key // 2**31, "b": key % 2**31})
+
+
 def candidate_pairs(sig_ds, *, bands: int = 16, rows: int = 4, cap: int = 512,
                     distinct: bool = True):
     """LSH: band-hash bucketing → within-bucket pairs → per-batch dedup
@@ -193,14 +202,7 @@ def candidate_pairs(sig_ds, *, bands: int = 16, rows: int = 4, cap: int = 512,
         lambda b: _lsh_bucket_rows(b, bands, rows), batch_format="pyarrow")
     pairs = buckets.groupby(["band", "bh"]).map_groups(
         lambda g: _bucket_pairs(g, cap), batch_format="numpy")
-
-    def dedup_batch(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy().astype(np.int64)
-        b = batch.column("b").to_numpy().astype(np.int64)
-        key = np.unique(_pack_pairs(a, b))
-        return pa.table({"a": key // 2**31, "b": key % 2**31})
-
-    out = pairs.map_batches(dedup_batch, batch_format="pyarrow")
+    out = pairs.map_batches(_dedup_pairs_batch, batch_format="pyarrow")
     return distinct_pairs(out) if distinct else out
 
 
@@ -540,6 +542,37 @@ def _jaccard_rows(texts_a, texts_b, k: int) -> np.ndarray:
     return jac
 
 
+def _gather_candidate_texts(pairs_ds, docs_ds):
+    """Semi-join text gather shared by the exact verifiers: broadcast
+    the candidate id set, filter docs DISTRIBUTED, collect only the
+    O(pairs) candidate texts, broadcast them back as an object-store
+    ref.  The corpus itself never lands on the driver."""
+    import ray
+
+    ids = []
+    for batch in pairs_ds.select_columns(["a", "b"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        ids.append(batch.column("a").to_numpy().astype(np.int64))
+        ids.append(batch.column("b").to_numpy().astype(np.int64))
+    cand = np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+    cand_ref = ray.put(cand)
+
+    def filt(t: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        keys = t.column("doc_id").to_numpy().astype(np.int64)
+        p = np.clip(np.searchsorted(c, keys), 0, max(0, len(c) - 1))
+        mask = (c[p] == keys) if len(c) else np.zeros(len(keys), bool)
+        return t.filter(pa.array(mask))
+
+    texts: dict[int, str] = {}
+    for batch in (docs_ds.select_columns(["doc_id", "text"])
+                  .map_batches(filt, batch_format="pyarrow")
+                  .iter_batches(batch_size=8192, batch_format="pyarrow")):
+        texts.update(zip(batch.column("doc_id").to_pylist(),
+                         batch.column("text").to_pylist()))
+    return ray.put(texts)
+
+
 def verify_pairs_exact(pairs_ds, docs_ds, *, k: int = 3, threshold: float = 0.7,
                        num_partitions: int = 8, method: str = "auto",
                        broadcast_max: int = 500_000):
@@ -568,28 +601,7 @@ def verify_pairs_exact(pairs_ds, docs_ds, *, k: int = 3, threshold: float = 0.7,
     if method == "semi":
         import ray
 
-        ids = []
-        for batch in pairs_ds.select_columns(["a", "b"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"):
-            ids.append(batch.column("a").to_numpy().astype(np.int64))
-            ids.append(batch.column("b").to_numpy().astype(np.int64))
-        cand = np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
-        cand_ref = ray.put(cand)
-
-        def filt(t: pa.Table) -> pa.Table:
-            c = ray.get(cand_ref)
-            keys = t.column("doc_id").to_numpy().astype(np.int64)
-            p = np.clip(np.searchsorted(c, keys), 0, max(0, len(c) - 1))
-            mask = (c[p] == keys) if len(c) else np.zeros(len(keys), bool)
-            return t.filter(pa.array(mask))
-
-        texts: dict[int, str] = {}
-        for batch in (docs_ds.select_columns(["doc_id", "text"])
-                      .map_batches(filt, batch_format="pyarrow")
-                      .iter_batches(batch_size=8192, batch_format="pyarrow")):
-            texts.update(zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()))
-        tx_ref = ray.put(texts)
+        tx_ref = _gather_candidate_texts(pairs_ds, docs_ds)
 
         def verify_s(batch: pa.Table) -> pa.Table:
             tx = ray.get(tx_ref)
@@ -735,17 +747,15 @@ def _strict_intersections(ta: list[str], tb: list[str], k: int):
 
 
 def _ngram_verify_pairs(pairs_ds, docs_ds, *, k: int, threshold_num: int,
-                        threshold_den: int, method: str,
-                        broadcast_max: int = 500_000):
+                        threshold_den: int, method: str):
     """Exact integer Jaccard over candidate (a, b) pairs — emits the
     same (a, b, jacc_e9) rows and threshold rule as the full inverted
     index, so prefix-filtered candidates finish bit-identical to it.
 
-    ``method="broadcast"``: semi-join — broadcast the candidate id
-    set, filter docs distributed, broadcast only the candidate texts
-    back (same shape as `verify_pairs_exact`'s semi path).
-    ``method="join"``: two hash-partitioned pairs ⋈ docs joins carry
-    both texts onto the row; nothing driver-resident at any scale."""
+    ``method="broadcast"``: the shared semi-join text gather
+    (`_gather_candidate_texts`).  ``method="join"``: two
+    hash-partitioned pairs ⋈ docs joins carry both texts onto the
+    row; nothing driver-resident at any scale."""
     tnum, tden = int(threshold_num), int(threshold_den)
 
     def finish(a, b, i, na, nb) -> pa.Table:
@@ -760,28 +770,12 @@ def _ngram_verify_pairs(pairs_ds, docs_ds, *, k: int, threshold_num: int,
     if method == "broadcast":
         import ray
 
-        ids = []
-        for batch in pairs_ds.select_columns(["a", "b"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"):
-            ids.append(batch.column("a").to_numpy().astype(np.int64))
-            ids.append(batch.column("b").to_numpy().astype(np.int64))
-        cand = np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
-        cand_ref = ray.put(cand)
-
-        def filt(t: pa.Table) -> pa.Table:
-            c = ray.get(cand_ref)
-            keys = t.column("doc_id").to_numpy().astype(np.int64)
-            p = np.clip(np.searchsorted(c, keys), 0, max(0, len(c) - 1))
-            mask = (c[p] == keys) if len(c) else np.zeros(len(keys), bool)
-            return t.filter(pa.array(mask))
-
-        texts: dict[int, str] = {}
-        for batch in (docs_ds.select_columns(["doc_id", "text"])
-                      .map_batches(filt, batch_format="pyarrow")
-                      .iter_batches(batch_size=8192, batch_format="pyarrow")):
-            texts.update(zip(batch.column("doc_id").to_pylist(),
-                             batch.column("text").to_pylist()))
-        tx_ref = ray.put(texts)
+        # the candidate pipeline (two shuffles) is consumed twice —
+        # once by the id gather, once by the verify map — pin it
+        # (verify_pairs_exact learned this the hard way, see its
+        # materialize note)
+        pairs_ds = pairs_ds.materialize()
+        tx_ref = _gather_candidate_texts(pairs_ds, docs_ds)
 
         def verify_s(batch: pa.Table) -> pa.Table:
             tx = ray.get(tx_ref)
@@ -950,18 +944,11 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
         cand = pre.groupby("gh").map_groups(
             lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
 
-        def dedup_batch(batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_numpy().astype(np.int64)
-            b = batch.column("b").to_numpy().astype(np.int64)
-            key = np.unique(_pack_pairs(a, b))
-            return pa.table({"a": key // 2**31, "b": key % 2**31})
-
         cand = distinct_pairs(
-            cand.map_batches(dedup_batch, batch_format="pyarrow"))
+            cand.map_batches(_dedup_pairs_batch, batch_format="pyarrow"))
         return _ngram_verify_pairs(
             cand, ds, k=k, threshold_num=threshold_num,
-            threshold_den=threshold_den, method=method,
-            broadcast_max=broadcast_max)
+            threshold_den=threshold_den, method=method)
 
     grams = ngram_gram_rows(ds, k)
     sizes = ngram_sizes(ds, k)

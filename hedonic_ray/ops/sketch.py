@@ -117,12 +117,22 @@ def hll_partials(ds, key_col: str, val_col: str, *, p: int = 12):
 
     def f(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.int64()),
-                             "reg": pa.array([], pa.binary(width))})
-        k = np.asarray(t.column(key_col).to_numpy(zero_copy_only=False),
-                       dtype=np.int64)
-        v = np.asarray(t.column(val_col).to_numpy(zero_copy_only=False),
-                       dtype=np.int64)
+            return pa.table({
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "reg": pa.array([], pa.binary(width))})
+        # keys pass through np.unique untyped (string keys work); only
+        # the hashed VALUE needs a uint64 view — strings via the
+        # stable SipHash, numerics via their int64 bit pattern
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        if v.dtype.kind in "iu":
+            v = v.astype(np.uint64)
+        elif v.dtype.kind == "f":
+            v = v.astype(np.float64).view(np.uint64)
+        else:
+            from hedonic_ray.functions.hashing import hash_strings
+
+            v = hash_strings([str(x) for x in v])
         uk, m = _batch_registers(k, v, p)
         return pa.table({key_col: pa.array(uk),
                          "reg": pa.array([r.tobytes() for r in m],

@@ -26,20 +26,24 @@ import numpy as np
 import pyarrow as pa
 
 
-def _tag(ds, key: str, time: str, rid: str, val: str | None, side: int):
-    def f(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        v = (t.column(val).cast(pa.float64()) if val is not None
-             else pa.array(np.zeros(n)))
-        return pa.table({
-            "key": t.column(key).cast(pa.int64()),
-            "t": t.column(time).cast(pa.int64()),
-            "side": pa.array(np.full(n, side, dtype=np.int8)),
-            "id": t.column(rid).cast(pa.int64()),
-            "val": v,
-        })
+def _tag_table(t: pa.Table, key: str, time: str, rid: str,
+               val: str | None, side: int) -> pa.Table:
+    n = t.num_rows
+    v = (t.column(val).cast(pa.float64()) if val is not None
+         else pa.array(np.zeros(n)))
+    return pa.table({
+        "key": t.column(key).cast(pa.int64()),
+        "t": t.column(time).cast(pa.int64()),
+        "side": pa.array(np.full(n, side, dtype=np.int8)),
+        "id": t.column(rid).cast(pa.int64()),
+        "val": v,
+    })
 
-    return ds.map_batches(f, batch_format="pyarrow")
+
+def _tag(ds, key: str, time: str, rid: str, val: str | None, side: int):
+    return ds.map_batches(
+        lambda t: _tag_table(t, key, time, rid, val, side),
+        batch_format="pyarrow")
 
 
 def _asof_group(g: dict) -> dict:
@@ -113,9 +117,21 @@ def range_agg_backward(left_ds, right_ds, *, left_key: str, right_key: str,
     ``n`` (match count, int64) and ``sv`` (sum of
     ``floor(right_val · scale)``, int64; 0 when no match).
     Partitioning assumption: one key's rows fit in one group task
-    (same caveat and mitigation as asof_backward)."""
-    tagged = _tag(left_ds, left_key, left_time, left_id, None, 0).union(
-        _tag(right_ds, right_key, right_time, right_time, right_val, 1))
+    (same caveat and mitigation as asof_backward).  A SELF join
+    (``left_ds is right_ds``) emits both tag sets from one
+    ``map_batches`` over a single scan instead of reading the fact
+    table twice."""
+    if left_ds is right_ds:
+        def both(t: pa.Table) -> pa.Table:
+            return pa.concat_tables([
+                _tag_table(t, left_key, left_time, left_id, None, 0),
+                _tag_table(t, right_key, right_time, right_time,
+                           right_val, 1)])
+
+        tagged = left_ds.map_batches(both, batch_format="pyarrow")
+    else:
+        tagged = _tag(left_ds, left_key, left_time, left_id, None, 0).union(
+            _tag(right_ds, right_key, right_time, right_time, right_val, 1))
     return tagged.groupby("key").map_groups(
         _range_group_fn(int(span), float(scale)), batch_format="numpy")
 

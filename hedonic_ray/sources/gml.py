@@ -22,8 +22,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-_BLOCK = re.compile(r"\b(node|edge)\s*\[([^\]]*)\]", re.S)
-_KV = re.compile(r"\b([A-Za-z_]\w*)\s+(\"[^\"]*\"|\S+)")
+_TOKEN = re.compile(r'"[^"]*"|\[|\]|[^\s\[\]"]+')
 
 
 def _parse_val(s: str):
@@ -38,16 +37,59 @@ def _parse_val(s: str):
             return s
 
 
+def _parse_block(toks: list[str], i: int):
+    """Parse key/value pairs after a ``[`` until the matching ``]``.
+    Values may themselves be ``[ ... ]`` blocks (networkx ``graphics``
+    etc.) — kept as nested dicts.  Returns (attrs, index past ``]``);
+    raises on an unterminated block instead of misparsing silently."""
+    attrs: dict = {}
+    while i < len(toks):
+        tok = toks[i]
+        if tok == "]":
+            return attrs, i + 1
+        key, i = tok, i + 1
+        if i >= len(toks):
+            break
+        if toks[i] == "[":
+            val, i = _parse_block(toks, i + 1)
+        else:
+            val, i = _parse_val(toks[i]), i + 1
+        attrs[key] = val
+    raise ValueError("GML: unterminated block")
+
+
 def parse_gml(text: str):
     """→ (nodes: list[dict], edges: list[dict], directed: bool).
-    Tolerant of igraph/networkx spacing and of attributes beyond
-    id/source/target (they ride along in the dicts)."""
-    directed = bool(re.search(r"\bdirected\s+1\b", text))
+
+    Proper tokenizer (quoted strings may contain ``]``; nested
+    sub-blocks like networkx's ``graphics [ ... ]`` parse as nested
+    dicts) — a structural error raises rather than silently dropping
+    attributes or edges."""
+    toks = _TOKEN.findall(text)
     nodes: list[dict] = []
     edges: list[dict] = []
-    for kind, body in _BLOCK.findall(text):
-        attrs = {k: _parse_val(v) for k, v in _KV.findall(body)}
-        (nodes if kind == "node" else edges).append(attrs)
+    directed = False
+    i = 0
+    while i < len(toks):
+        if toks[i] == "graph" and i + 1 < len(toks) and toks[i + 1] == "[":
+            i += 2
+            while i < len(toks) and toks[i] != "]":
+                key, i = toks[i], i + 1
+                if i < len(toks) and toks[i] == "[":
+                    block, i = _parse_block(toks, i + 1)
+                    if key == "node":
+                        nodes.append(block)
+                    elif key == "edge":
+                        edges.append(block)
+                else:
+                    val, i = _parse_val(toks[i]), i + 1
+                    if key == "directed":
+                        directed = bool(val)
+            if i >= len(toks):
+                raise ValueError("GML: unterminated graph block")
+            i += 1
+        else:
+            i += 1
     return nodes, edges, directed
 
 
@@ -66,7 +108,10 @@ def read_gml(path: str):
     if any("id" not in n for n in nodes):
         raise ValueError(f"{path}: node block without id")
     cols: dict[str, list] = {"vertex": [int(n["id"]) for n in nodes]}
-    attr_names = sorted({k for n in nodes for k in n} - {"id"})
+    # scalar attributes only — nested sub-blocks (networkx graphics
+    # etc.) parse fine but don't belong in a flat Arrow column
+    attr_names = sorted({k for n in nodes for k, v in n.items()
+                         if k != "id" and not isinstance(v, dict)})
     for a in attr_names:
         cols[a] = [n.get(a) for n in nodes]
     node_table = pa.table(
@@ -88,11 +133,11 @@ def write_gml(path: str, edges, *, n_vertices: int | None = None,
     parses back bit-equal through :func:`read_gml` (round-trip
     tested) and matches the block layout igraph emits."""
     if hasattr(edges, "to_arrow_refs") or hasattr(edges, "iter_batches"):
-        import pyarrow as _pa
-
-        edges = _pa.concat_tables(
-            b for b in edges.iter_batches(batch_size=1 << 16,
+        batches = list(edges.iter_batches(batch_size=1 << 16,
                                           batch_format="pyarrow"))
+        edges = (pa.concat_tables(batches) if batches
+                 else pa.table({"src": pa.array([], pa.int64()),
+                                "dst": pa.array([], pa.int64())}))
     src = edges.column("src").to_numpy()
     dst = edges.column("dst").to_numpy()
     if n_vertices is None:

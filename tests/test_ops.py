@@ -266,6 +266,18 @@ def test_hll_distinct_bounds_and_partition_invariance():
     assert abs(ests[0][0] - exact0) / exact0 < 0.05   # σ ≈ 1.6% at p=12
     assert abs(ests[0][1] - exact1) / exact1 < 0.02   # linear-counting range
 
+    # string keys AND string values go through the hll path too (the
+    # documented method swap for e.g. event_type keys)
+    skey = np.array([f"t{j % 3}" for j in range(3000)], dtype=object)
+    sval = np.array([f"u{j % 217}" for j in range(3000)], dtype=object)
+    ds = rd.from_arrow(pa.table({"g": pa.array(list(skey)),
+                                 "v": pa.array(list(sval))})).repartition(5)
+    est = {r["g"]: r["n_distinct_est"] for r in grouped_distinct_count(
+        ds, key_col="g", val_col="v", method="hll").take_all()}
+    for g in ("t0", "t1", "t2"):
+        exact = len({v for k, v in zip(skey, sval) if k == g})
+        assert abs(est[g] - exact) / exact < 0.03, (g, est[g], exact)
+
 
 def test_grouped_topk_vs_brute():
     """Combiner correctness: rows for one key spread over many blocks

@@ -83,6 +83,32 @@ def test_gml_roundtrip_and_igraph_dialect(tmp_path):
     assert [r for r in eds.take_all()] == [{"src": 0, "dst": 1}]
     assert nodes.column("label").to_pylist() == ["a b", "c"]
 
+    # hard cases the tokenizer must survive: ']' inside a quoted
+    # string, a nested networkx-style sub-block, an edgeless write
+    (tmp_path / "k.gml").write_text(
+        'graph\n[\n'
+        '  node [ id 0 label "x ] y" graphics [ x 1 y 2 ] ]\n'
+        '  node [ id 1 ]\n'
+        '  edge [ source 0 target 1 ]\n]\n')
+    eds, nodes, _ = read_gml(str(tmp_path / "k.gml"))
+    assert [r for r in eds.take_all()] == [{"src": 0, "dst": 1}]
+    assert nodes.column("label").to_pylist() == ["x ] y", None]
+    assert "graphics" not in nodes.column_names  # nested attrs skipped
+
+    import ray.data as rd
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    p0 = str(tmp_path / "empty.gml")
+    write_gml(p0, empty, n_vertices=3)
+    eds, nodes, _ = read_gml(p0)
+    assert eds.count() == 0 and len(nodes) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_gml_text = (tmp_path / "bad.gml")
+        read_gml_text.write_text("graph [ node [ id 0 ")
+        read_gml(str(read_gml_text))
+
 
 def test_gml_feeds_link_graph(tmp_path):
     """GML-read edges drive the engine end-to-end (CC on 2 islands)."""
