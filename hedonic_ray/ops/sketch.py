@@ -50,7 +50,19 @@ def grouped_distinct_count(ds, *, key_col: str, val_col: str,
     raise ValueError(f"unknown grouped_distinct_count method {method!r}")
 
 
-def _exact_distinct(ds, key_col: str, val_col: str):
+def _exact_distinct(ds, key_col: str, val_col: str, n_buckets: int = 64):
+    """Two-stage exact distinct: the value space is hash-bucketed so
+    NO single task ever holds all of a key's distinct values —
+    stage 1 groups by (key, value-bucket) and counts distinct values
+    inside the bucket; stage 2 sums the per-bucket counts (a tiny
+    exchange: ≤ ``n_buckets`` rows per key).  Buckets partition the
+    value space, so the bucket counts are disjoint and their sum is
+    exact.  A hot key's work spreads over ``n_buckets`` tasks instead
+    of one."""
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.functions.hashing import hash_strings
+
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
@@ -62,17 +74,29 @@ def _exact_distinct(ds, key_col: str, val_col: str):
         uk, invk = np.unique(k, return_inverse=True)
         uv, invv = np.unique(v, return_inverse=True)
         sel = np.unique(invk.astype(np.int64) * len(uv) + invv)
+        vv = uv[sel % len(uv)]
+        if vv.dtype.kind in "iu":
+            vh = vv.astype(np.uint64)
+        elif vv.dtype.kind == "f":
+            vh = vv.astype(np.float64).view(np.uint64)
+        else:
+            vh = hash_strings([str(x) for x in vv])
+        bucket = (splitmix64(vh) % np.uint64(n_buckets)).astype(np.int64)
         return pa.table({key_col: pa.array(uk[sel // len(uv)]),
-                         val_col: pa.array(uv[sel % len(uv)])})
+                         val_col: pa.array(vv),
+                         "_bucket": pa.array(bucket)})
 
-    def final(g: dict) -> dict:
+    def bucket_count(g: dict) -> dict:
         return {key_col: g[key_col][:1],
                 "n_distinct": np.array([len(np.unique(g[val_col]))],
                                        dtype=np.int64)}
 
-    return (ds.select_columns([key_col, val_col])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(key_col).map_groups(final, batch_format="numpy"))
+    per_bucket = (ds.select_columns([key_col, val_col])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .groupby([key_col, "_bucket"])
+                  .map_groups(bucket_count, batch_format="numpy"))
+    return per_bucket.groupby(key_col).aggregate(
+        Sum("n_distinct", alias_name="n_distinct"))
 
 
 # ------------------------------------------------------------ HyperLogLog
