@@ -134,16 +134,41 @@ def _batch_registers(keys: np.ndarray, vals: np.ndarray, p: int):
     return uk, m
 
 
+def _encode_registers(row: np.ndarray, width: int) -> bytes:
+    """Dense 2^p-byte block, or — when a batch-key touched few
+    registers — a SPARSE blob of uint32 ``idx<<8 | rank`` entries.
+    Sparse blobs are at most ``width//2`` bytes (nnz ≤ width//8), so
+    blob length distinguishes the encodings unambiguously."""
+    nz = np.flatnonzero(row)
+    if len(nz) <= width // 8:
+        return ((nz.astype(np.uint32) << np.uint32(8))
+                | row[nz].astype(np.uint32)).tobytes()
+    return row.tobytes()
+
+
+def _decode_registers(blob: bytes, width: int) -> np.ndarray:
+    if len(blob) == width:
+        return np.frombuffer(blob, dtype=np.uint8)
+    ent = np.frombuffer(blob, dtype=np.uint32)
+    row = np.zeros(width, dtype=np.uint8)
+    row[(ent >> np.uint32(8)).astype(np.int64)] = (
+        ent & np.uint32(0xFF)).astype(np.uint8)
+    return row
+
+
 def hll_partials(ds, key_col: str, val_col: str, *, p: int = 12):
-    """(key, reg: fixed_size_binary(2^p)) partial-register rows, one
-    per (batch, key)."""
+    """(key, reg: binary) partial-register rows, one per (batch, key).
+    Partials use the sparse encoding when a batch-key touched at most
+    2^p/8 registers — the exchange then carries O(distinct values in
+    batch) bytes instead of the fixed 2^p, which matters when the KEY
+    domain is large (millions of keys × 4 KiB dense blocks)."""
     width = 1 << p
 
     def f(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({
                 key_col: pa.array([], t.schema.field(key_col).type),
-                "reg": pa.array([], pa.binary(width))})
+                "reg": pa.array([], pa.binary())})
         # keys pass through np.unique untyped (string keys work); only
         # the hashed VALUE needs a uint64 view — strings via the
         # stable SipHash, numerics via their int64 bit pattern
@@ -159,19 +184,19 @@ def hll_partials(ds, key_col: str, val_col: str, *, p: int = 12):
             v = hash_strings([str(x) for x in v])
         uk, m = _batch_registers(k, v, p)
         return pa.table({key_col: pa.array(uk),
-                         "reg": pa.array([r.tobytes() for r in m],
-                                         pa.binary(width))})
+                         "reg": pa.array([_encode_registers(r, width)
+                                          for r in m], pa.binary())})
 
     return ds.select_columns([key_col, val_col]).map_batches(
         f, batch_format="pyarrow")
 
 
-def merge_registers(regs) -> np.ndarray:
-    """Elementwise max over an iterable of register byte strings."""
-    out = None
+def merge_registers(regs, width: int) -> np.ndarray:
+    """Elementwise max over an iterable of (dense or sparse) register
+    blobs."""
+    out = np.zeros(width, dtype=np.uint8)
     for r in regs:
-        a = np.frombuffer(r, dtype=np.uint8)
-        out = a.copy() if out is None else np.maximum(out, a)
+        np.maximum(out, _decode_registers(r, width), out=out)
     return out
 
 
@@ -194,7 +219,7 @@ def hll_estimate(partials_ds, *, p: int = 12, key_col: str | None = None):
 
     def final(g: dict) -> dict:
         kc = key_col or next(c for c in g if c != "reg")
-        m = merge_registers(g["reg"])
+        m = merge_registers(g["reg"], 1 << p)
         return {kc: g[kc][:1],
                 "n_distinct_est": np.array(
                     [int(round(_estimate_from_registers(m, p)))],

@@ -268,6 +268,18 @@ def test_hll_distinct_bounds_and_partition_invariance():
 
     # string keys AND string values go through the hll path too (the
     # documented method swap for e.g. event_type keys)
+    # sparse partial encoding: a small batch-key blob must round-trip
+    # to the same registers as dense (and be smaller than a block)
+    from hedonic_ray.ops.sketch import (_batch_registers,
+                                        _decode_registers,
+                                        _encode_registers)
+
+    few = rng.integers(0, 2**60, 40).astype(np.int64)
+    _, m = _batch_registers(np.zeros(40, np.int64), few.astype(np.uint64), 12)
+    blob = _encode_registers(m[0], 1 << 12)
+    assert len(blob) < (1 << 12)  # actually sparse
+    np.testing.assert_array_equal(_decode_registers(blob, 1 << 12), m[0])
+
     skey = np.array([f"t{j % 3}" for j in range(3000)], dtype=object)
     sval = np.array([f"u{j % 217}" for j in range(3000)], dtype=object)
     ds = rd.from_arrow(pa.table({"g": pa.array(list(skey)),
