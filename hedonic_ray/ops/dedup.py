@@ -702,7 +702,12 @@ def ngram_prefix_rows(ds, k: int, threshold_num: int, threshold_den: int):
     document-frequency pass.  Index volume drops to ≈ (1−t)·|grams|
     (~70% fewer posting rows at t = 0.7); the price is that prefix
     co-occurrence counts are PARTIAL, so candidates need the separate
-    exact verify pass (`_ngram_verify_pairs`)."""
+    exact verify pass (`_ngram_verify_pairs`).
+
+    Each posting row also carries the gram's 0-based POSITION in the
+    doc's global-order ranking and the doc's total distinct-gram
+    count, enabling the PPJoin positional filter
+    (`_prefix_group_pairs`)."""
     tnum, tden = int(threshold_num), int(threshold_den)
 
     def f(batch: pa.Table) -> pa.Table:
@@ -711,6 +716,8 @@ def ngram_prefix_rows(ds, k: int, threshold_num: int, threshold_den: int):
         out_id: list = []
         out_g: list = []
         out_h: list = []
+        out_pos: list = []
+        out_n: list = []
         for d, t in zip(ids, texts):
             gs = sorted(_strict_shingles(t, k))
             if not gs:
@@ -723,7 +730,11 @@ def ngram_prefix_rows(ds, k: int, threshold_num: int, threshold_den: int):
             out_id.extend([int(d)] * len(keep))
             out_g.extend([gs[i] for i in keep])
             out_h.extend(h[keep].tolist())
+            out_pos.extend(range(len(keep)))
+            out_n.extend([n] * len(keep))
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "pos": pa.array(out_pos, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
                          "gram": pa.array(out_g, pa.string()),
                          "gh": pa.array(out_h, pa.int64())})
 
@@ -801,6 +812,43 @@ def _ngram_verify_pairs(pairs_ds, docs_ds, *, k: int, threshold_num: int,
         return finish(a, b, i, na, nb)
 
     return joined.map_batches(verify_j, batch_format="pyarrow")
+
+
+def _prefix_group_pairs(group: dict, tnum: int, tden: int, max_df) -> dict:
+    """Prefix-collision pairs with the PPJoin POSITIONAL filter
+    (Xiao/Wang/Lin/Yu WWW'08): a pair sharing this gram at positions
+    (i, j) of docs sized (nA, nB) can still reach overlap at most
+    ``ub = 1 + min(nA−i−1, nB−j−1)``; it qualifies only if
+    ``ub ≥ α = ⌈tnum·(nA+nB)/(tnum+tden)⌉`` (the J ≥ t minimum
+    overlap).  Lossless under the keep-if-ANY-shared-gram-passes rule:
+    the smallest common element c₁ has at least the other α−1 common
+    elements after it on BOTH sides, so its ub ≥ α."""
+    ids_all = group["doc_id"].astype(np.int64)
+    out_a: list = []
+    out_b: list = []
+    if len(ids_all) >= 2:
+        pos_all = group["pos"].astype(np.int64)
+        n_all = group["n"].astype(np.int64)
+        _, inv = np.unique(group["gram"], return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.flatnonzero(np.diff(inv[order])) + 1
+        for seg in np.split(order, bounds):
+            if len(seg) < 2 or (max_df is not None and len(seg) > max_df):
+                continue
+            ids, pos, n = ids_all[seg], pos_all[seg], n_all[seg]
+            iu, iv = np.triu_indices(len(ids), k=1)
+            ub = 1 + np.minimum(n[iu] - pos[iu] - 1, n[iv] - pos[iv] - 1)
+            alpha = (tnum * (n[iu] + n[iv]) + tnum + tden - 1) \
+                // (tnum + tden)
+            keep = ub >= alpha
+            if not keep.any():
+                continue
+            a, b = ids[iu[keep]], ids[iv[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+    if not out_a:
+        return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+    return {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
 
 
 def _gram_group_pairs(group: dict, max_df) -> dict:
@@ -940,9 +988,11 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
         raise ValueError(f"unknown ngram_jaccard_pairs method {method!r}")
 
     if index == "prefix":
+        tnum, tden = int(threshold_num), int(threshold_den)
         pre = ngram_prefix_rows(ds, k, threshold_num, threshold_den)
         cand = pre.groupby("gh").map_groups(
-            lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
+            lambda g: _prefix_group_pairs(g, tnum, tden, max_df),
+            batch_format="numpy")
 
         cand = distinct_pairs(
             cand.map_batches(_dedup_pairs_batch, batch_format="pyarrow"))
