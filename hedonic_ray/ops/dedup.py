@@ -938,7 +938,7 @@ def _packed_pair_counts(pairs_ds):
 def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
                         threshold_num: int = 7, threshold_den: int = 10,
                         method: str = "auto", broadcast_max: int = 500_000,
-                        max_df: int | None = None, index: str = "full"):
+                        max_df: int | None = None, index: str = "auto"):
     """EXACT word-k-gram Jaccard near-dup pairs via a distributed
     inverted index — no signatures, no candidate recall gap.  This is
     the dedup family's third blocking strategy (exact hash, LSH
@@ -972,16 +972,23 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
     fewer posting rows and no quadratic pair emission on grams
     outside the prefixes), then finishes candidates through the
     separate exact-verify pass, which re-applies the same integer
-    threshold and score.  A/B-equality with the full index is tested;
-    the default stays "full" because at gate scale the verify's
-    candidate text gather costs more than the index saves — prefix is
-    the 100 TB shape, where the posting exchange dominates.
+    threshold and score.  With the PPJoin positional filter the
+    prefix path reaches wall-time parity with the full index even at
+    toy scale (and ~69 % less posting volume), but ``index="auto"``
+    still resolves to "full" in normal runs — at gate scale neither
+    wins and full is the simpler plan — and to "prefix" under
+    ``HEDONIC_RAY_FORCE_SCALE``, so the forced-scale oracle test
+    drives the 100 TB shape against the same SQL.  A/B-equality with
+    the full index is additionally unit-tested through both verify
+    paths.
     """
+    from hedonic_ray.context import force_scale
+
+    if index == "auto":
+        index = "prefix" if force_scale() else "full"
     if index not in ("full", "prefix"):
         raise ValueError(f"unknown ngram_jaccard_pairs index {index!r}")
     if method == "auto":
-        from hedonic_ray.context import force_scale
-
         method = ("join" if force_scale()
                   else "broadcast" if n_docs <= broadcast_max else "join")
     if method not in ("broadcast", "join"):

@@ -122,7 +122,7 @@ def test_query_matches_oracle(entry_module, name):
 # gathers, distributed CC, IVF), so the 100-TB branches are
 # oracle-verified, not just equal-tested
 FORCED_SCALE = sorted([
-    "dedup_ngram",          # denominator attach via hash-partitioned joins
+    "dedup_ngram",          # prefix+positional index AND join denominators
     "dedup_minhash",        # verify joins + distributed dup clustering
     "graph_triangles_docs",  # bucketed (no-broadcast) triangle probe
     "graph_components",     # shuffle gather
