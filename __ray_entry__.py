@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
+        "graph_clustering_coef": lg.doc_clustering_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -611,6 +612,31 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN pr ON TRUE GROUP BY threshold_e2
         """,
         "graph_extract_text": "SELECT doc_id, text FROM documents",
+        "graph_clustering_coef": f"""
+            -- local clustering coefficient = floor(2*tri*1e9 / (d*(d-1))),
+            -- 0 when d < 2; composes the triangle and degree chains
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri),
+            cnt AS (SELECT v, count(*) AS t FROM corners GROUP BY v),
+            verts AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+            deg AS (SELECT v, count(*) AS d FROM verts GROUP BY v)
+            SELECT doc.doc_id AS vertex,
+                   CAST(CASE WHEN COALESCE(deg.d, 0) >= 2
+                             THEN 2 * COALESCE(cnt.t, 0) * 1000000000
+                                  // (deg.d * (deg.d - 1))
+                             ELSE 0 END AS BIGINT) AS lcc_e9
+            FROM documents doc
+            LEFT JOIN deg ON deg.v = doc.doc_id
+            LEFT JOIN cnt ON cnt.v = doc.doc_id
+        """,
         "graph_degree": f"""
             WITH {_LINKS_CTE},
             und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e),

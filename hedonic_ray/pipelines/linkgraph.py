@@ -215,6 +215,23 @@ def doc_triangles_table(sf_dir: str) -> pa.Table:
                      "triangles": pa.array(res.per_vertex, pa.int64())})
 
 
+def doc_clustering_table(sf_dir: str) -> pa.Table:
+    """Local clustering coefficient per vertex of the doc-link graph:
+    ``2·triangles / (d·(d−1))`` as a floored ×1e9 integer (0 when
+    d < 2).  Composes the triangle probe and the CSR degree — both
+    integer, so the quotient floors identically in SQL."""
+    g = doc_graph(sf_dir, directed=False)
+    res = triangle_count(g)
+    tri = np.asarray(res.per_vertex, dtype=np.int64)
+    deg = g.out_degree.astype(np.int64)
+    denom = deg * (deg - 1)
+    cc = np.zeros(g.n, dtype=np.int64)
+    np.floor_divide(2 * tri * np.int64(1_000_000_000), denom, out=cc,
+                    where=denom > 0)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "lcc_e9": pa.array(cc)})
+
+
 def doc_spectrum_table(sf_dir: str) -> pa.Table:
     """Resolution spectrum (hedonic/__init__.py:432-449) with EXACT
     integer satisfaction tests over the grid α = i/10, evaluated on the
