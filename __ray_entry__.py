@@ -81,6 +81,26 @@ SELECT v AS vertex, CAST(ROUND(r * 1e9) AS BIGINT) AS rank_e9 FROM r{iters}""")
 _ARCS_CTE = "arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
 
 
+def _kcore_chain_sql(k: int = 2, rounds: int = 4) -> str:
+    """Fixed-round k-core peel as unrolled CTEs (a0 → a{rounds}):
+    a_{i+1} = vertices of a_i with ≥ k neighbors inside a_i; mirrors
+    algos/kcore.py round for round."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE},
+a0 AS (SELECT doc_id AS v FROM documents)"""]
+    for i in range(rounds):
+        parts.append(f""",
+d{i} AS (SELECT arcs.src AS v, count(*) AS d
+         FROM arcs JOIN a{i} al ON al.v = arcs.dst GROUP BY arcs.src),
+a{i + 1} AS (SELECT a{i}.v FROM a{i}
+             JOIN d{i} ON d{i}.v = a{i}.v WHERE d{i}.d >= {k})""")
+    parts.append(f"""
+SELECT doc.doc_id AS vertex,
+       CAST(CASE WHEN fin.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+FROM documents doc LEFT JOIN a{rounds} fin ON fin.v = doc.doc_id""")
+    return "".join(parts)
+
+
 def _labelprop_chain_ctes(iters: int) -> str:
     """CTE fragment l0 → l{iters}: fixed-round synchronous plurality LP
     (ties → lowest label, init label = vertex id, vertices with no
@@ -409,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
         "graph_clustering_coef": lg.doc_clustering_table,
+        "graph_kcore": lg.doc_kcore_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -612,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN pr ON TRUE GROUP BY threshold_e2
         """,
         "graph_extract_text": "SELECT doc_id, text FROM documents",
+        "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
         "graph_clustering_coef": f"""
             -- local clustering coefficient = floor(2*tri*1e9 / (d*(d-1))),
             -- 0 when d < 2; composes the triangle and degree chains

@@ -215,6 +215,20 @@ def doc_triangles_table(sf_dir: str) -> pa.Table:
                      "triangles": pa.array(res.per_vertex, pa.int64())})
 
 
+def doc_kcore_table(sf_dir: str, k: int = 5, rounds: int = 6) -> pa.Table:
+    """Fixed-round k-core membership of the doc-link graph (the query
+    semantic is the ``rounds``-round peel, which the SQL oracle
+    unrolls; k = 5 splits the gate corpus 100/500 and the peel
+    converges in 4 rounds there, so the 6-round unroll equals the
+    true k-core with headroom)."""
+    from hedonic_ray.algos.kcore import kcore_membership
+
+    g = doc_graph(sf_dir, directed=False)
+    alive = kcore_membership(g, k, rounds=rounds)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "in_core": pa.array(alive.astype(np.int64))})
+
+
 def doc_clustering_table(sf_dir: str) -> pa.Table:
     """Local clustering coefficient per vertex of the doc-link graph:
     ``2·triangles / (d·(d−1))`` as a floored ×1e9 integer (0 when

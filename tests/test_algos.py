@@ -323,3 +323,35 @@ def test_local_mode_bit_identical_to_dense():
     c_d = connected_components(g, gather="dense")
     np.testing.assert_array_equal(c_l.state["component"],
                                   c_d.state["component"])
+
+
+def test_kcore_vs_brute_peel():
+    from hedonic_ray.algos.kcore import kcore_membership
+
+    n = 80
+    edges = rand_edges(n, 0.05, seed=23)
+    g = make_graph(edges, n, num_parts=4)
+    for k in (2, 3, 4):
+        got = kcore_membership(g, k)  # converged
+        # independent sequential peel over an adjacency-set model
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        alive = set(range(n))
+        changed = True
+        while changed:
+            drop = {v for v in alive
+                    if sum(u in alive for u in adj[v]) < k}
+            changed = bool(drop)
+            alive -= drop
+        exp = np.array([v in alive for v in range(n)])
+        np.testing.assert_array_equal(got, exp), k
+        # fixed-round semantics: round r alive set shrinks monotonically
+        prev = None
+        for r in range(1, 5):
+            a_r = kcore_membership(g, k, rounds=r)
+            if prev is not None:
+                assert (a_r <= prev).all()
+            prev = a_r

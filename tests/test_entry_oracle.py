@@ -89,7 +89,7 @@ SQL_CHECKED = sorted([
     "text_redact", "text_term_df", "dedup_ngram", "rel_asof_join",
     "rel_window_hourly", "rel_range_join", "rel_topk_per_brand",
     "rel_anti_join", "rel_distinct_users", "rel_json_extract",
-    "text_sample", "graph_clustering_coef",
+    "text_sample", "graph_clustering_coef", "graph_kcore",
 ])
 
 
