@@ -101,6 +101,31 @@ FROM documents doc LEFT JOIN a{rounds} fin ON fin.v = doc.doc_id""")
     return "".join(parts)
 
 
+def _bfs_chain_sql(rounds: int = 6, stride: int = 101) -> str:
+    """Fixed-round multi-source BFS as unrolled CTEs (d0 → d{rounds}):
+    frontier f_{i+1} = unvisited vertices adjacent to f_i at distance
+    i+1; mirrors algos/bfs.py round for round.  CTEs referenced more
+    than once are MATERIALIZED (inlining re-runs the chain)."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE},
+d0 AS MATERIALIZED (SELECT doc_id AS v, CAST(0 AS BIGINT) AS dist
+      FROM documents WHERE doc_id % {stride} = 0),
+f0 AS (SELECT v FROM d0)"""]
+    for i in range(rounds):
+        parts.append(f""",
+n{i} AS MATERIALIZED (
+    SELECT DISTINCT arcs.src AS v FROM arcs
+    JOIN f{i} fr ON fr.v = arcs.dst
+    WHERE NOT EXISTS (SELECT 1 FROM d{i} vis WHERE vis.v = arcs.src)),
+d{i + 1} AS MATERIALIZED (SELECT * FROM d{i}
+    UNION ALL SELECT v, CAST({i + 1} AS BIGINT) FROM n{i}),
+f{i + 1} AS (SELECT v FROM n{i})""")
+    parts.append(f"""
+SELECT doc.doc_id AS vertex, COALESCE(fin.dist, -1) AS dist
+FROM documents doc LEFT JOIN d{rounds} fin ON fin.v = doc.doc_id""")
+    return "".join(parts)
+
+
 def _labelprop_chain_ctes(iters: int) -> str:
     """CTE fragment l0 → l{iters}: fixed-round synchronous plurality LP
     (ties → lowest label, init label = vertex id, vertices with no
@@ -430,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles_docs": lg.doc_triangles_table,
         "graph_clustering_coef": lg.doc_clustering_table,
         "graph_kcore": lg.doc_kcore_table,
+        "graph_bfs_dist": lg.doc_bfs_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -634,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
+        "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
         "graph_clustering_coef": f"""
             -- local clustering coefficient = floor(2*tri*1e9 / (d*(d-1))),
             -- 0 when d < 2; composes the triangle and degree chains

@@ -24,8 +24,15 @@ import pyarrow as pa
 from hedonic_ray.engine.superstep import iter_block_views
 
 
-def _alive_degree(g, alive_ref) -> np.ndarray:
-    """Alive-neighbor count per vertex — one pass over the CSR blocks."""
+def masked_neighbor_count(g, alive_ref) -> np.ndarray:
+    """Masked-neighbor count per vertex — one pass over the CSR blocks.
+
+    Shared frontier/peel kernel: given a broadcast boolean mask over
+    vertices (``ray.put`` once per round), returns for every source
+    the number of its neighbors inside the mask.  Blocks own disjoint
+    source ranges, so per-block results concatenate without a shuffle.
+    Used by the k-core peel (mask = alive set) and by BFS
+    (`algos/bfs.py`, mask = current frontier)."""
     import ray
 
     def f(batch: pa.Table) -> pa.Table:
@@ -66,7 +73,7 @@ def kcore_membership(g, k: int, *, rounds: int | None = None) -> np.ndarray:
     alive = np.ones(g.n, dtype=bool)
     it = 0
     while rounds is None or it < rounds:
-        deg = _alive_degree(g, ray.put(alive))
+        deg = masked_neighbor_count(g, ray.put(alive))
         new_alive = alive & (deg >= k)
         it += 1
         if (new_alive == alive).all():

@@ -246,6 +246,21 @@ def doc_clustering_table(sf_dir: str) -> pa.Table:
                      "lcc_e9": pa.array(cc)})
 
 
+def doc_bfs_table(sf_dir: str, *, rounds: int = 6, stride: int = 101) -> pa.Table:
+    """Multi-source BFS hop distance on the doc-link graph from the
+    deterministic seed set ``{v : v ≡ 0 (mod stride)}`` (≈ n/stride
+    seeds), capped at ``rounds`` hops (−1 beyond).  The fixed-round
+    semantic is what the SQL oracle unrolls; the gate graph saturates
+    within the unrolled depth, so fixed-round ≡ converged there."""
+    from hedonic_ray.algos.bfs import bfs_distances
+
+    g = doc_graph(sf_dir, directed=False)
+    seeds = np.arange(0, g.n, stride, dtype=np.int64)
+    dist = bfs_distances(g, seeds, rounds=rounds)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "dist": pa.array(dist, pa.int64())})
+
+
 def doc_spectrum_table(sf_dir: str) -> pa.Table:
     """Resolution spectrum (hedonic/__init__.py:432-449) with EXACT
     integer satisfaction tests over the grid α = i/10, evaluated on the

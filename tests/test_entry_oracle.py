@@ -90,6 +90,9 @@ SQL_CHECKED = sorted([
     "rel_window_hourly", "rel_range_join", "rel_topk_per_brand",
     "rel_anti_join", "rel_distinct_users", "rel_json_extract",
     "text_sample", "graph_clustering_coef", "graph_kcore",
+    # round 3, session 4: traversal + nav-graph + link-prediction +
+    # quantile/rollup relational operators
+    "graph_bfs_dist",
 ])
 
 
