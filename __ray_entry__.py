@@ -436,6 +436,12 @@ jpairs AS (
 """
 
 
+def _nav_reciprocity(sf_dir: str):
+    from hedonic_ray.graph.nav import nav_reciprocity
+
+    return nav_reciprocity(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hedonic_ray.pipelines import linkgraph as lg
     from hedonic_ray.pipelines import textops as tx
@@ -462,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_cc_nation": lg.nation_region_components,
         "graph_triangles_supplier": lg.supplier_triangles,
         "graph_lp_onepass": lg.supplier_lp_onepass,
+        "graph_reciprocity": _nav_reciprocity,
         # --- relational operators ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_top_revenue_orders": rel.top_revenue_orders,
@@ -661,6 +668,30 @@ def oracle_sql() -> dict[str, str]:
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
+        "graph_reciprocity": """
+            -- nav click-graph: arcs between consecutive per-user events
+            -- (ts, event_id order), per-node reciprocity exact-integer
+            WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS node
+                FROM events),
+            hop AS (
+                SELECT node AS src,
+                       lead(node) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+                FROM ev),
+            arcs AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM hop
+                WHERE dst IS NOT NULL AND src <> dst)
+            SELECT a.src AS node,
+                   CAST(count(*) AS BIGINT) AS out_deg,
+                   CAST(count(b.src) AS BIGINT) AS recip_deg,
+                   CAST(count(b.src) * 1000000000 // count(*) AS BIGINT)
+                       AS ratio_e9
+            FROM arcs a LEFT JOIN arcs b ON b.src = a.dst AND b.dst = a.src
+            GROUP BY a.src
+        """,
         "graph_clustering_coef": f"""
             -- local clustering coefficient = floor(2*tri*1e9 / (d*(d-1))),
             -- 0 when d < 2; composes the triangle and degree chains

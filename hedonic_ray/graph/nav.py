@@ -1,0 +1,141 @@
+"""Navigation click-graph from the events stream, with reciprocity.
+
+A second graph SOURCE for the engine: nodes are the page ids riding in
+the event ``props`` JSON (``k``), arcs connect consecutive events of
+the same user in (ts, event_id) order — the standard construction of a
+site-navigation graph from a click log.  On top of it, per-node
+reciprocity (reciprocated out-arcs / out-arcs) — the metric the
+reference's reciprocity clustering is built around but never computes
+correctly (``scripts/reciprocity_clustering.py:33,39`` — its
+``'=' or '<' in x`` guard is always truthy, verified round 1); here it
+is well-defined, exact-integer, and SQL-oracled.
+
+Scale shape, stage by stage:
+
+1. field extraction is one vectorized ``pc.extract_regex`` per batch
+   (no per-row JSON parse);
+2. per-user ordering runs inside ``groupby(user).map_groups`` — a
+   hash-partitioned exchange; the one partitioning assumption is that
+   a single user's history fits a worker (standard for
+   sessionization), and each group emits its arcs ALREADY deduped, so
+   the next exchange carries distinct (user-local) arcs only;
+3. global arc distinct + reciprocity detection share ONE
+   ``groupby(a, b)``: every arc posts its forward pair tagged
+   ``is_arc`` and its reversed pair tagged ``is_rev`` — a group
+   holding both tags is an arc whose reverse is also an arc;
+4. the per-node rollup is a second (node-sized) groupby.
+
+No driver-side state anywhere; every exchange is keyed and the
+heaviest one carries O(distinct arcs) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hedonic_ray.context import configure_context
+
+_K_PATTERN = r'"k":\s*(?P<node>-?\d+)'
+
+
+def nav_events(sf_dir: str):
+    """(user_id, ts, event_id, node) — the click log with the page id
+    extracted from the props JSON (columns pruned at the read)."""
+    import ray.data as rd
+
+    configure_context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t.column("props"), pattern=_K_PATTERN)
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "event_id": t.column("event_id"),
+                         "node": pc.cast(pc.struct_field(s, "node"),
+                                         pa.int64())})
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
+def _consecutive_pairs(group: pa.Table) -> pa.Table:
+    """One user's history → its distinct non-loop consecutive arcs."""
+    ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = group.column("event_id").to_numpy()
+    node = group.column("node").to_numpy()
+    order = np.lexsort((eid, ts))
+    nd = node[order]
+    src, dst = nd[:-1], nd[1:]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if src.size:
+        uniq = np.unique(np.stack([src, dst], axis=1), axis=0)
+        src, dst = uniq[:, 0], uniq[:, 1]
+    return pa.table({"src": pa.array(src, pa.int64()),
+                     "dst": pa.array(dst, pa.int64())})
+
+
+def nav_arcs(sf_dir: str):
+    """Distinct directed arcs of the navigation graph (self-loops
+    dropped).  Distinctness is global: the per-user dedup in
+    ``_consecutive_pairs`` is only a combiner."""
+    from ray.data.aggregate import Count
+
+    pairs = (nav_events(sf_dir)
+             .groupby("user_id")
+             .map_groups(_consecutive_pairs, batch_format="pyarrow"))
+    return (pairs.groupby(["src", "dst"])
+            .aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"]))
+
+
+def nav_reciprocity(sf_dir: str):
+    """Per-node reciprocity of the navigation graph:
+    (node, out_deg, recip_deg, ratio_e9) for nodes with out-arcs,
+    ratio_e9 = floor(recip·1e9 / out) exact-integer."""
+    from ray.data.aggregate import Sum
+
+    arcs = nav_arcs(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        return pa.table({
+            "a": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "b": pa.array(np.concatenate([dst, src]), pa.int64()),
+            "is_arc": pa.array(np.repeat([1, 0], len(src)), pa.int64()),
+            "is_rev": pa.array(np.repeat([0, 1], len(src)), pa.int64()),
+        })
+
+    flags = (arcs.map_batches(tag, batch_format="pyarrow")
+             .groupby(["a", "b"])
+             .aggregate(Sum("is_arc", alias_name="is_arc"),
+                        Sum("is_rev", alias_name="is_rev")))
+
+    def per_node(t: pa.Table) -> pa.Table:
+        is_arc = t.column("is_arc").to_numpy()
+        is_rev = t.column("is_rev").to_numpy()
+        keep = is_arc == 1  # rows that are real arcs (rev-only rows drop)
+        return pa.table({
+            "node": t.column("a").filter(pa.array(keep)),
+            "out1": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "rec1": pa.array((is_rev[keep] == 1).astype(np.int64)),
+        })
+
+    deg = (flags.map_batches(per_node, batch_format="pyarrow")
+           .groupby("node")
+           .aggregate(Sum("out1", alias_name="out_deg"),
+                      Sum("rec1", alias_name="recip_deg")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out = t.column("out_deg").to_numpy()
+        rec = t.column("recip_deg").to_numpy()
+        return pa.table({"node": t.column("node"),
+                         "out_deg": pa.array(out.astype(np.int64)),
+                         "recip_deg": pa.array(rec.astype(np.int64)),
+                         "ratio_e9": pa.array(
+                             rec * np.int64(1_000_000_000) // out)})
+
+    return deg.map_batches(finalize, batch_format="pyarrow")
