@@ -492,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": tx.redacted_docs,
         "text_term_df": tx.term_df_top,
         "text_sample": tx.sampled_docs,
+        "text_repetition": tx.repetition_signals,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
         "dedup_simhash": tx.simhash_dup_pairs,
@@ -930,6 +931,43 @@ def oracle_sql() -> dict[str, str]:
         "text_exact_dedup": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
             FROM documents GROUP BY text
+        """,
+        "text_repetition": r"""
+            -- Gopher-style repetition signals; fractions floored to
+            -- 1e9-scaled integers (exact // on both engines).  Word
+            -- bigrams join on position; \S+ words contain no spaces so
+            -- the ' '-joined group key is unambiguous
+            WITH lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            ),
+            lc AS (
+                SELECT doc_id, count(*) AS n_lines,
+                       count(DISTINCT line) AS n_uniq
+                FROM lines GROUP BY doc_id
+            ),
+            words AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+                       generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+                FROM documents
+            ),
+            bc AS (
+                SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                GROUP BY 1, 2
+            ),
+            btop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                     FROM bc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(lc.n_lines AS BIGINT) AS n_lines,
+                   CAST((lc.n_lines - lc.n_uniq) * 1000000000 // lc.n_lines
+                        AS BIGINT) AS dup_line_frac_e9,
+                   CAST(COALESCE(btop.mx * 1000000000 // btop.tot, 0)
+                        AS BIGINT) AS top_bigram_frac_e9
+            FROM documents d
+            JOIN lc ON lc.doc_id = d.doc_id
+            LEFT JOIN btop ON btop.doc_id = d.doc_id
         """,
         "sim_topk_cosine": """
             WITH qq AS (

@@ -253,3 +253,10 @@ def multimodal_frames(sf_dir: str):
     configure_context()
     media = rd.from_arrow(mm.synth_media_table(_n_docs(sf_dir)))
     return mm.frame_sample(media).sort(["doc_id", "frame"])
+
+
+def repetition_signals(sf_dir: str):
+    """(doc_id, n_lines, dup_line_frac_e9, top_bigram_frac_e9) —
+    Gopher-style repetition quality signals (duplicate-line fraction,
+    top word-bigram fraction) as floor-scaled integers."""
+    return ts.add_repetition_signals(_docs(sf_dir, ["doc_id", "text"]))

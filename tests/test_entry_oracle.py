@@ -92,7 +92,7 @@ SQL_CHECKED = sorted([
     "text_sample", "graph_clustering_coef", "graph_kcore",
     # round 3, session 4: traversal + nav-graph + link-prediction +
     # quantile/rollup relational operators
-    "graph_bfs_dist", "graph_reciprocity",
+    "graph_bfs_dist", "graph_reciprocity", "text_repetition",
 ])
 
 

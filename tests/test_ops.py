@@ -587,3 +587,32 @@ def test_multimodal_resize():
         assert r["payload"][:4] == b"HRAY"
     with pytest.raises(NotImplementedError):
         ResizeMedia(fake=False)
+
+
+def test_repetition_signals_exact():
+    """Hand-computed Gopher repetition signals, incl. the empty-doc,
+    single-word and all-duplicate-lines edges (pure-Python oracle)."""
+    import pyarrow as pa
+    from hedonic_ray.ops.textstats import repetition_batch
+
+    texts = ["x\nx\ny", "", "a b a b a b", "one two", "solo",
+             "same\nsame\nsame\nsame"]
+    got = repetition_batch(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).to_pylist()
+
+    def oracle(t):
+        lines = t.split("\n")
+        dup = (len(lines) - len(set(lines))) * 10**9 // len(lines)
+        w = t.split()
+        bgs = [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+        top = 0
+        if bgs:
+            best = max(bgs.count(b) for b in set(bgs))
+            top = best * 10**9 // len(bgs)
+        return len(lines), dup, top
+
+    for r, t in zip(got, texts):
+        n_lines, dup, top = oracle(t)
+        assert (r["n_lines"], r["dup_line_frac_e9"],
+                r["top_bigram_frac_e9"]) == (n_lines, dup, top), t
