@@ -126,6 +126,30 @@ FROM documents doc LEFT JOIN d{rounds} fin ON fin.v = doc.doc_id""")
     return "".join(parts)
 
 
+def _hits_chain_sql(iters: int = 2) -> str:
+    """Fixed-iteration unnormalized HITS as unrolled CTEs (h0 → h{k}):
+    auth_k = Σ_{u→v} hub_{k-1}(u), hub_k = Σ_{u→v} auth_k(v) — exact
+    int64 path counts, mirroring algos/hits.py pass for pass."""
+    parts = [f"""WITH {_LINKS_CTE},
+h0 AS (SELECT doc_id AS v, CAST(1 AS BIGINT) AS s FROM documents)"""]
+    for i in range(iters):
+        parts.append(f""",
+a{i + 1} AS (SELECT e.dst AS v, sum(h.s) AS s
+             FROM e JOIN h{i} h ON h.v = e.src GROUP BY e.dst),
+h{i + 1} AS (SELECT d.doc_id AS v,
+                    COALESCE((SELECT sum(a.s) FROM e JOIN a{i + 1} a
+                              ON a.v = e.dst WHERE e.src = d.doc_id), 0) AS s
+             FROM documents d)""")
+    parts.append(f"""
+SELECT d.doc_id AS vertex,
+       CAST(COALESCE(h.s, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a.s, 0) AS BIGINT) AS auth
+FROM documents d
+LEFT JOIN h{iters} h ON h.v = d.doc_id
+LEFT JOIN a{iters} a ON a.v = d.doc_id""")
+    return "".join(parts)
+
+
 def _labelprop_chain_ctes(iters: int) -> str:
     """CTE fragment l0 → l{iters}: fixed-round synchronous plurality LP
     (ties → lowest label, init label = vertex id, vertices with no
@@ -462,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering_coef": lg.doc_clustering_table,
         "graph_kcore": lg.doc_kcore_table,
         "graph_bfs_dist": lg.doc_bfs_table,
+        "graph_hits": lg.doc_hits_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -668,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
+        "graph_hits": _hits_chain_sql(iters=2),
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
         "graph_reciprocity": """
             -- nav click-graph: arcs between consecutive per-user events

@@ -25,32 +25,39 @@ from hedonic_ray.engine.superstep import iter_block_views
 
 
 def masked_neighbor_count(g, alive_ref) -> np.ndarray:
-    """Masked-neighbor count per vertex — one pass over the CSR blocks.
+    """Masked/weighted neighbor sum per vertex — one pass over the CSR
+    blocks.
 
-    Shared frontier/peel kernel: given a broadcast boolean mask over
-    vertices (``ray.put`` once per round), returns for every source
-    the number of its neighbors inside the mask.  Blocks own disjoint
-    source ranges, so per-block results concatenate without a shuffle.
-    Used by the k-core peel (mask = alive set) and by BFS
-    (`algos/bfs.py`, mask = current frontier)."""
+    Shared frontier/peel/pull kernel: given a broadcast per-vertex
+    vector (``ray.put`` once per round; bool masks count, numeric
+    vectors sum), returns for every source the sum of the vector over
+    its neighbors.  Blocks own disjoint source ranges, so per-block
+    results concatenate without a shuffle.  Used by the k-core peel
+    (mask = alive set), BFS (`algos/bfs.py`, mask = current frontier)
+    and the HITS hub pull (`algos/hits.py`, vector = authority
+    scores)."""
     import ray
 
     def f(batch: pa.Table) -> pa.Table:
         a = ray.get(alive_ref)
+        if a.dtype == bool:
+            a = a.astype(np.int64)
+        out_t = pa.float64() if a.dtype.kind == "f" else pa.int64()
         lo_out = []
         cnt_out = []
         for bv in iter_block_views(batch):
             # prefix-sum trick: np.add.reduceat mishandles empty rows
-            cs = np.concatenate(
-                ([0], np.cumsum(a[bv.indices].astype(np.int64))))
+            cs = np.concatenate(([0], np.cumsum(a[bv.indices])))
             cnt = cs[bv.indptr[1:]] - cs[bv.indptr[:-1]]
             lo_out.append(bv.lo)
             cnt_out.append(cnt)
         return pa.table({"lo": pa.array(lo_out, pa.int64()),
                          "cnt": pa.array([c.tolist() for c in cnt_out],
-                                         pa.list_(pa.int64()))})
+                                         pa.list_(out_t))})
 
-    deg = np.zeros(g.n, dtype=np.int64)
+    first = ray.get(alive_ref)
+    dtype = np.float64 if first.dtype.kind == "f" else np.int64
+    deg = np.zeros(g.n, dtype=dtype)
     for batch in g.blocks.map_batches(
             f, batch_format="pyarrow").iter_batches(
             batch_size=64, batch_format="pyarrow"):

@@ -261,6 +261,20 @@ def doc_bfs_table(sf_dir: str, *, rounds: int = 6, stride: int = 101) -> pa.Tabl
                      "dist": pa.array(dist, pa.int64())})
 
 
+def doc_hits_table(sf_dir: str, *, iters: int = 2) -> pa.Table:
+    """HITS hub/authority scores of the DIRECTED doc-link graph after
+    ``iters`` full iterations in exact unnormalized int64 arithmetic
+    (hub₀ = 1; every score is a directed-path count, so the SQL oracle
+    is an unrolled join chain with no float rounding)."""
+    from hedonic_ray.algos.hits import hits
+
+    g = doc_graph(sf_dir, directed=True)
+    hub, auth = hits(g, iters=iters, normalize=False)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "hub": pa.array(hub, pa.int64()),
+                     "auth": pa.array(auth, pa.int64())})
+
+
 def doc_spectrum_table(sf_dir: str) -> pa.Table:
     """Resolution spectrum (hedonic/__init__.py:432-449) with EXACT
     integer satisfaction tests over the grid α = i/10, evaluated on the

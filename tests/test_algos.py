@@ -355,3 +355,47 @@ def test_kcore_vs_brute_peel():
             if prev is not None:
                 assert (a_r <= prev).all()
             prev = a_r
+
+
+def test_hits_integer_matches_numpy_oracle():
+    """Unnormalized int64 HITS vs the dense matmul oracle
+    (auth_k = Aᵀ hub_{k-1}, hub_k = A auth_k from hub₀ = 1)."""
+    from hedonic_ray.algos.hits import hits
+
+    n = 35
+    rng = np.random.default_rng(9)
+    edges = sorted({(int(u), int(v))
+                    for u, v in rng.integers(0, n, size=(140, 2)) if u != v})
+    g = make_graph(edges, n, directed=True, num_parts=4)
+    A = np.zeros((n, n), dtype=np.int64)
+    for u, v in edges:
+        A[u, v] = 1
+    h = np.ones(n, dtype=np.int64)
+    for _ in range(3):
+        a = A.T @ h
+        h = A @ a
+    hub, auth = hits(g, iters=3, normalize=False)
+    np.testing.assert_array_equal(hub, h)
+    np.testing.assert_array_equal(auth, a)
+
+
+def test_hits_normalized_converges_to_principal_vectors():
+    """normalize=True is the L1-normalized power iteration — after
+    enough iterations the hub vector matches the dense fixed point."""
+    from hedonic_ray.algos.hits import hits
+
+    n = 25
+    edges = rand_edges(n, 0.2, seed=14)
+    g = make_graph(edges, n, directed=True, num_parts=3)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u, v] = 1.0
+    h = np.ones(n)
+    for _ in range(60):
+        a = A.T @ h
+        a /= a.sum() or 1.0
+        h = A @ a
+        h /= h.sum() or 1.0
+    hub, auth = hits(g, iters=60, normalize=True)
+    np.testing.assert_allclose(hub, h, atol=1e-9)
+    np.testing.assert_allclose(auth, a, atol=1e-9)
