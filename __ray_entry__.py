@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": lg.doc_kcore_table,
         "graph_bfs_dist": lg.doc_bfs_table,
         "graph_hits": lg.doc_hits_table,
+        "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -694,6 +695,30 @@ def oracle_sql() -> dict[str, str]:
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
         "graph_hits": _hits_chain_sql(iters=2),
+        "graph_edge_jaccard": f"""
+            -- neighborhood Jaccard per canonical undirected edge:
+            -- common = |N(a) ∩ N(b)|, jacc floored at 1e9 scale
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            arcs AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT src AS v, count(*) AS d FROM arcs GROUP BY src),
+            cn AS (SELECT u.a, u.b, count(*) AS c
+                   FROM und u
+                   JOIN arcs x ON x.src = u.a
+                   JOIN arcs y ON y.src = u.b AND y.dst = x.dst
+                   GROUP BY u.a, u.b)
+            SELECT u.a, u.b,
+                   CAST(COALESCE(cn.c, 0) AS BIGINT) AS common,
+                   CAST(COALESCE(cn.c, 0) * 1000000000
+                        // (da.d + db.d - COALESCE(cn.c, 0))
+                        AS BIGINT) AS jacc_e9
+            FROM und u
+            JOIN deg da ON da.v = u.a
+            JOIN deg db ON db.v = u.b
+            LEFT JOIN cn ON cn.a = u.a AND cn.b = u.b
+        """,
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
         "graph_reciprocity": """
             -- nav click-graph: arcs between consecutive per-user events

@@ -275,6 +275,15 @@ def doc_hits_table(sf_dir: str, *, iters: int = 2) -> pa.Table:
                      "auth": pa.array(auth, pa.int64())})
 
 
+def doc_edge_jaccard_table(sf_dir: str) -> pa.Table:
+    """Per-edge neighborhood Jaccard of the undirected doc-link graph
+    (link-prediction signal): (a, b, common, jacc_e9) for each
+    canonical edge — exact integers end to end."""
+    from hedonic_ray.algos.edgesim import edge_jaccard
+
+    return edge_jaccard(doc_graph(sf_dir, directed=False))
+
+
 def doc_spectrum_table(sf_dir: str) -> pa.Table:
     """Resolution spectrum (hedonic/__init__.py:432-449) with EXACT
     integer satisfaction tests over the grid α = i/10, evaluated on the

@@ -399,3 +399,25 @@ def test_hits_normalized_converges_to_principal_vectors():
     hub, auth = hits(g, iters=60, normalize=True)
     np.testing.assert_allclose(hub, h, atol=1e-9)
     np.testing.assert_allclose(auth, a, atol=1e-9)
+
+
+def test_edge_jaccard_matches_brute_force():
+    """edge_jaccard vs a set-based per-edge oracle (common neighbors /
+    neighborhood union) on a random undirected graph."""
+    from hedonic_ray.algos.edgesim import edge_jaccard
+
+    n = 40
+    edges = rand_edges(n, 0.12, seed=21)
+    g = make_graph(edges, n, num_parts=5)
+    nbrs = {v: set() for v in range(n)}
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    got = {(r["a"], r["b"]): (r["common"], r["jacc_e9"])
+           for r in edge_jaccard(g).to_pylist()}
+    canon = {(min(u, v), max(u, v)) for u, v in edges}
+    assert set(got) == canon
+    for a, b in canon:
+        c = len(nbrs[a] & nbrs[b])
+        u = len(nbrs[a] | nbrs[b])
+        assert got[(a, b)] == (c, c * 10**9 // u), (a, b)
