@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_users": rel.distinct_users_per_type,
         "rel_json_extract": rel.json_props_stats,
         "rel_brand_price_stats": rel.brand_price_stats,
+        "rel_percentiles": rel.price_percentiles,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -951,6 +952,19 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM e GROUP BY user_id
+        """,
+        "rel_percentiles": """
+            -- exact k-th order statistic, k = ceil(q*N) (1-based);
+            -- the selected element is a real double from the column,
+            -- floored to cents on both engines
+            WITH t AS (SELECT l_extendedprice AS v FROM lineitem),
+            n AS (SELECT count(*) AS c FROM t),
+            ks AS (SELECT q_e2, (n.c * q_e2 + 99) // 100 AS k
+                   FROM (VALUES (50), (90), (99)) q(q_e2) CROSS JOIN n),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
+            SELECT CAST(ks.q_e2 AS BIGINT) AS q_e2,
+                   CAST(FLOOR(r.v * 100.0) AS BIGINT) AS value_e2
+            FROM ks JOIN r ON r.rn = ks.k
         """,
         "rel_brand_price_stats": """
             SELECT p.p_brand,

@@ -473,3 +473,17 @@ def brand_price_stats(sf_dir: str):
                          "n_items": t.column("n_items")})
 
     return _out.map_batches(finalize, batch_format="pyarrow")
+
+
+def price_percentiles(sf_dir: str, qs_e2=(50, 90, 99)) -> pa.Table:
+    """(q_e2, value_e2) — exact distributed percentiles (k = ⌈q·N⌉-th
+    smallest, a real dataset element) of ``l_extendedprice`` via the
+    multi-pass histogram-narrowing selection in ``ops/quantiles.py``;
+    the picked double is floored to integer cents for the gate."""
+    from hedonic_ray.ops.quantiles import exact_quantiles
+
+    t = exact_quantiles(_read(sf_dir, "lineitem", ["l_extendedprice"]),
+                        "l_extendedprice", list(qs_e2))
+    val_e2 = np.floor(t.column("value").to_numpy() * 100.0).astype(np.int64)
+    return pa.table({"q_e2": t.column("q_e2"),
+                     "value_e2": pa.array(val_e2, pa.int64())})

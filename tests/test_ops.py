@@ -616,3 +616,35 @@ def test_repetition_signals_exact():
         n_lines, dup, top = oracle(t)
         assert (r["n_lines"], r["dup_line_frac_e9"],
                 r["top_bigram_frac_e9"]) == (n_lines, dup, top), t
+
+
+def test_exact_quantiles_vs_numpy():
+    """Multi-round histogram narrowing (final_max=8 forces real
+    narrowing rounds) vs the numpy k-th order statistic, on skewed
+    data with heavy duplicates."""
+    import ray.data as rd
+    from hedonic_ray.ops.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.lognormal(3, 2, 5000),
+                           np.full(2000, 42.0),          # duplicate spike
+                           rng.uniform(-5, 0, 1000)])
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(7)
+    got = exact_quantiles(ds, "v", [1, 50, 90, 99], final_max=8)
+    s = np.sort(vals)
+    n = len(vals)
+    for q, v in zip(got.column("q_e2").to_pylist(),
+                    got.column("value").to_pylist()):
+        k = max(1, -(-n * q // 100))
+        assert v == s[k - 1], q
+
+
+def test_exact_quantiles_all_equal_and_empty():
+    import ray.data as rd
+    from hedonic_ray.ops.quantiles import exact_quantiles
+
+    ds = rd.from_arrow(pa.table({"v": np.full(100, 3.25)}))
+    got = exact_quantiles(ds, "v", [50, 99], final_max=4)
+    assert got.column("value").to_pylist() == [3.25, 3.25]
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert exact_quantiles(empty, "v", [50]).num_rows == 0
