@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_json_extract": rel.json_props_stats,
         "rel_brand_price_stats": rel.brand_price_stats,
         "rel_percentiles": rel.price_percentiles,
+        "rel_rollup": rel.brand_container_rollup,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -952,6 +953,18 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM e GROUP BY user_id
+        """,
+        "rel_rollup": """
+            -- ROLLUP(p_brand, p_type); rolled-up dims surface as
+            -- the 'ALL' sentinel (part has no real NULLs), prices
+            -- floored to cents before summing on both engines
+            SELECT COALESCE(p_brand, 'ALL') AS p_brand,
+                   COALESCE(p_type, 'ALL') AS p_type,
+                   count(*) AS n_parts,
+                   CAST(sum(CAST(FLOOR(p_retailprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS sum_price_e2
+            FROM part
+            GROUP BY ROLLUP (p_brand, p_type)
         """,
         "rel_percentiles": """
             -- exact k-th order statistic, k = ceil(q*N) (1-based);

@@ -487,3 +487,62 @@ def price_percentiles(sf_dir: str, qs_e2=(50, 90, 99)) -> pa.Table:
     val_e2 = np.floor(t.column("value").to_numpy() * 100.0).astype(np.int64)
     return pa.table({"q_e2": t.column("q_e2"),
                      "value_e2": pa.array(val_e2, pa.int64())})
+
+
+def brand_container_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP(p_brand, p_type) over part: count + retail price
+    (floored to integer cents BEFORE summing — order-free) at three
+    grouping levels, rolled-up dimensions as the 'ALL' sentinel (the
+    gate hashes values, sentinels beat NULL-sort ambiguity).
+
+    Rollup the classic way: ONE distributed pre-aggregate per batch
+    (Arrow hash group_by — the combiner) → one small
+    ``groupby().aggregate`` to the finest (brand, container) level →
+    the coarser levels derive from the finest grid with numpy, no
+    second scan of the fact table."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t.column("p_retailprice"),
+                                             100.0)), pa.int64())
+        g = pa.table({"p_brand": t.column("p_brand"),
+                      "p_type": t.column("p_type"),
+                      "price_e2": cents,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return g.group_by(["p_brand", "p_type"]).aggregate(
+            [("price_e2", "sum"), ("n", "sum")]).rename_columns(
+            ["p_brand", "p_type", "price_e2", "n"])
+
+    fine = (_read(sf_dir, "part",
+                  ["p_brand", "p_type", "p_retailprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["p_brand", "p_type"])
+            .aggregate(Sum("price_e2", alias_name="sum_price_e2"),
+                       Sum("n", alias_name="n_parts")))
+
+    # the finest grid is |brands|×|types| rows — tiny by
+    # construction; derive the rollup levels driver-side
+    ft = pa.Table.from_pandas(fine.to_pandas(), preserve_index=False)
+    brand = ft.column("p_brand").to_numpy(zero_copy_only=False)
+    price = ft.column("sum_price_e2").to_numpy()
+    n = ft.column("n_parts").to_numpy()
+
+    def level(keys_arrs, names):
+        import pandas as pd
+
+        df = pd.DataFrame({**{nm: k for nm, k in zip(names, keys_arrs)},
+                           "sum_price_e2": price, "n_parts": n})
+        return df.groupby(names, as_index=False).sum()
+
+    lv2 = level([brand, ft.column("p_type").to_numpy(zero_copy_only=False)],
+                ["p_brand", "p_type"])
+    lv1 = level([brand], ["p_brand"])
+    lv1["p_type"] = "ALL"
+    import pandas as pd
+
+    lv0 = pd.DataFrame({"p_brand": ["ALL"], "p_type": ["ALL"],
+                        "sum_price_e2": [price.sum()], "n_parts": [n.sum()]})
+    out = pd.concat([lv2, lv1, lv0], ignore_index=True)
+    out = out[["p_brand", "p_type", "n_parts", "sum_price_e2"]]
+    return pa.Table.from_pandas(out.astype(
+        {"n_parts": "int64", "sum_price_e2": "int64"}), preserve_index=False)

@@ -93,7 +93,7 @@ SQL_CHECKED = sorted([
     # round 3, session 4: traversal + nav-graph + link-prediction +
     # quantile/rollup relational operators
     "graph_bfs_dist", "graph_reciprocity", "text_repetition",
-    "graph_hits", "graph_edge_jaccard", "rel_percentiles",
+    "graph_hits", "graph_edge_jaccard", "rel_percentiles", "rel_rollup",
 ])
 
 
