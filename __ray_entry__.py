@@ -511,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_brand_price_stats": rel.brand_price_stats,
         "rel_percentiles": rel.price_percentiles,
         "rel_rollup": rel.brand_container_rollup,
+        "rel_sessionize": rel.sessionize,
+        "rel_mode": rel.brand_mode_type,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -978,6 +980,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ks.q_e2 AS BIGINT) AS q_e2,
                    CAST(FLOOR(r.v * 100.0) AS BIGINT) AS value_e2
             FROM ks JOIN r ON r.rn = ks.k
+        """,
+        "rel_sessionize": """
+            -- full session table: gap-islands (>30 min) per user,
+            -- ordered by (ts, event_id); timestamps as epoch µs
+            WITH o AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, event_id, tus,
+                       CASE WHEN prev IS NULL
+                                 OR tus - prev > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ),
+            nbr AS (
+                SELECT user_id, tus,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_seq
+                FROM f
+            )
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
+                   CAST(min(tus) AS BIGINT) AS start_us,
+                   CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
+            FROM nbr GROUP BY user_id, session_seq
+        """,
+        "rel_mode": """
+            -- grouped MODE, ties broken to the smallest p_type
+            WITH c AS (
+                SELECT p_brand, p_type, count(*) AS n
+                FROM part GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT p_brand, p_type, n,
+                       row_number() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY n DESC, p_type ASC
+                       ) AS rn
+                FROM c
+            )
+            SELECT p_brand, p_type AS mode_type,
+                   CAST(n AS BIGINT) AS mode_count
+            FROM r WHERE rn = 1
         """,
         "rel_brand_price_stats": """
             SELECT p.p_brand,

@@ -431,6 +431,77 @@ def sessions_per_user(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sess, batch_format="numpy")
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Full session TABLE (one row per gap-island), not just the
+    per-user counts of :func:`sessions_per_user`:
+    ``(user_id, session_seq, n_events, start_us, dur_us)`` with
+    sessions split wherever consecutive events of one user are more
+    than ``gap_minutes`` apart.  Ordering inside a user is
+    ``(ts, event_id)`` so simultaneous events are deterministic.
+
+    Scale shape: ONE hash exchange (``groupby(user)``); each group is
+    segmented with vectorized numpy (sort → diff → boundary flags →
+    ``reduceat``).  The single partitioning assumption — one user's
+    history fits a worker — is the standard sessionization contract
+    (same as ``graph/nav.py``).  Generalizes the reference's
+    per-key ordered folding (``scripts/data_reader.py``)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def sess(group: dict) -> dict:
+        ts = group["ts"].astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((group["event_id"], ts))
+        ts = ts[order]
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = np.diff(ts) > gap_us
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ts)) - 1
+        return {
+            "user_id": np.broadcast_to(group["user_id"][:1].astype(np.int64),
+                                       len(starts)).copy(),
+            "session_seq": np.arange(1, len(starts) + 1, dtype=np.int64),
+            "n_events": (ends - starts + 1).astype(np.int64),
+            "start_us": ts[starts],
+            "dur_us": ts[ends] - ts[starts],
+        }
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="numpy")
+
+
+def brand_mode_type(sf_dir: str):
+    """Grouped MODE with a deterministic tie-break: per brand, the most
+    frequent ``p_type`` (ties → lexicographically smallest type) and
+    its count.  Two stages: a (brand, type) count — pre-combined per
+    batch with Arrow hash group_by so the exchange carries the distinct
+    grid, not the fact rows — then an argmax inside
+    ``groupby(brand).map_groups`` over the tiny per-brand grid."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"p_brand": t.column("p_brand"),
+                      "p_type": t.column("p_type"),
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return g.group_by(["p_brand", "p_type"]).aggregate(
+            [("n", "sum")]).rename_columns(["p_brand", "p_type", "n"])
+
+    counts = (_read(sf_dir, "part", ["p_brand", "p_type"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["p_brand", "p_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def argmax(g: pa.Table) -> pa.Table:
+        n = g.column("n").to_numpy()
+        typ = g.column("p_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((typ, -n))  # max count, then smallest type
+        i = order[0]
+        return pa.table({"p_brand": g.column("p_brand").slice(0, 1),
+                         "mode_type": pa.array([typ[i]], pa.string()),
+                         "mode_count": pa.array([n[i]], pa.int64())})
+
+    return counts.groupby("p_brand").map_groups(argmax,
+                                                batch_format="pyarrow")
+
+
 def brand_price_stats(sf_dir: str):
     """lineitem ⋈ part (broadcast dimension join) → per-brand stats."""
     import ray

@@ -94,6 +94,9 @@ SQL_CHECKED = sorted([
     # quantile/rollup relational operators
     "graph_bfs_dist", "graph_reciprocity", "text_repetition",
     "graph_hits", "graph_edge_jaccard", "rel_percentiles", "rel_rollup",
+    # round 3, session 5: session table, grouped mode, host graph,
+    # URL canonicalization, containment dedup, assortativity
+    "rel_sessionize", "rel_mode",
 ])
 
 
