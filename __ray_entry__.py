@@ -513,6 +513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": rel.brand_container_rollup,
         "rel_sessionize": rel.sessionize,
         "rel_mode": rel.brand_mode_type,
+        "rel_pivot": rel.event_type_pivot,
+        "rel_interarrival": rel.user_interarrival,
+        "rel_covariance": rel.brand_price_size_cov,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -1030,6 +1033,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, p_type AS mode_type,
                    CAST(n AS BIGINT) AS mode_count
             FROM r WHERE rn = 1
+        """,
+        "rel_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        "rel_interarrival": """
+            -- per-user inter-event gap stats over the (ts, event_id)
+            -- order; single-event users emit nothing
+            WITH o AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   COUNT(gap) AS n_gaps,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+            FROM o GROUP BY user_id HAVING COUNT(gap) > 0
+        """,
+        "rel_covariance": """
+            -- grouped covariance sufficient stats, all-integer;
+            -- cov_e4 uses // which truncates toward zero in DuckDB
+            WITH s AS (
+                SELECT p_brand,
+                       CAST(ROUND(p_retailprice * 100) AS BIGINT) AS x,
+                       CAST(p_size AS BIGINT) AS y
+                FROM part
+            ),
+            g AS (
+                SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx,
+                       SUM(y) AS sy, SUM(x * y) AS sxy
+                FROM s GROUP BY p_brand
+            )
+            SELECT p_brand, CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+                   CAST(sxy AS BIGINT) AS sxy,
+                   CAST((n * sxy - sx * sy) * 10000 // (n * n)
+                        AS BIGINT) AS cov_e4
+            FROM g
         """,
         "rel_brand_price_stats": """
             SELECT p.p_brand,

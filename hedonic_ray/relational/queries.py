@@ -617,3 +617,123 @@ def brand_container_rollup(sf_dir: str) -> pa.Table:
     out = out[["p_brand", "p_type", "n_parts", "sum_price_e2"]]
     return pa.Table.from_pandas(out.astype(
         {"n_parts": "int64", "sum_price_e2": "int64"}), preserve_index=False)
+
+
+def event_type_pivot(sf_dir: str):
+    """PIVOT: one row per user with the event-type counts spread into
+    columns (plus the row total) — the wide-table shape feature
+    pipelines feed to trainers.  The type domain is the table's own
+    closed vocabulary (events.event_type is categorical by
+    construction; an unexpected type raises rather than being silently
+    dropped).
+
+    Scale shape: the pivot happens INSIDE ``map_batches`` (per-batch
+    Arrow group_by over user × indicator columns), so the one hash
+    exchange carries at most one row per (user, batch) — never the
+    fact rows.  Generalizes the reference's pivoted grouped means
+    (``scripts/plot/paper_plots/plot_figures.py:214-320``)."""
+    from ray.data.aggregate import Sum
+
+    types = ("click", "error", "purchase", "signup", "view")
+    cols = [f"n_{t}" for t in types]
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        seen = pc.unique(et).to_pylist()
+        unknown = set(seen) - set(types)
+        if unknown:
+            raise ValueError(f"unexpected event_type values: {unknown}")
+        g = {"user_id": t.column("user_id")}
+        for ty, c in zip(types, cols):
+            g[c] = pc.cast(pc.equal(et, pa.scalar(ty)), pa.int64())
+        g["n_total"] = pa.array(np.ones(t.num_rows, np.int64))
+        tt = pa.table(g)
+        return tt.group_by(["user_id"]).aggregate(
+            [(c, "sum") for c in (*cols, "n_total")]).rename_columns(
+            ["user_id", *cols, "n_total"])
+
+    return (_read(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(*[Sum(c, alias_name=c) for c in (*cols, "n_total")]))
+
+
+def user_interarrival(sf_dir: str):
+    """LEAD/LAG window logic: per-user inter-event gap statistics
+    (count, min, max, sum in µs) over the ``(ts, event_id)`` order —
+    users with fewer than two events emit nothing (their gap set is
+    empty, mirroring the SQL ``HAVING count(prev) > 0``).
+
+    Scale shape: ONE ``groupby(user)`` exchange, vectorized numpy
+    diff per group (same partitioning contract as :func:`sessionize`:
+    one user's history fits a worker)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def gaps(group: dict) -> dict:
+        ts = group["ts"].astype("datetime64[us]").astype(np.int64)
+        if len(ts) < 2:
+            return {"user_id": np.empty(0, np.int64),
+                    "n_gaps": np.empty(0, np.int64),
+                    "min_gap_us": np.empty(0, np.int64),
+                    "max_gap_us": np.empty(0, np.int64),
+                    "sum_gap_us": np.empty(0, np.int64)}
+        order = np.lexsort((group["event_id"], ts))
+        d = np.diff(ts[order])
+        u = group["user_id"][:1].astype(np.int64)
+        return {"user_id": u,
+                "n_gaps": np.array([len(d)], np.int64),
+                "min_gap_us": np.array([d.min()], np.int64),
+                "max_gap_us": np.array([d.max()], np.int64),
+                "sum_gap_us": np.array([d.sum()], np.int64)}
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="numpy")
+
+
+def brand_price_size_cov(sf_dir: str):
+    """Grouped COVARIANCE via a sufficient-statistics combiner: per
+    brand, the population covariance of (retail price in cents,
+    p_size), reported as exact integers — the raw sufficient stats
+    (n, Σx, Σy, Σxy) plus ``cov_e4 = trunc((n·Σxy − Σx·Σy)·10⁴ / n²)``
+    (truncation toward zero to match SQL integer division; all
+    arithmetic int64, no float summation anywhere, so the result is
+    hash-stable against the oracle).
+
+    Scale shape: each batch collapses to one partial-stats row per
+    brand inside ``map_batches``; the global exchange carries only
+    the per-brand stat rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t.column("p_retailprice"),
+                                         pa.scalar(100.0))), pa.int64())
+        y = pc.cast(t.column("p_size"), pa.int64())
+        g = pa.table({"p_brand": t.column("p_brand"),
+                      "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "sx": x, "sy": y, "sxy": pc.multiply(x, y)})
+        return g.group_by(["p_brand"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum")]).rename_columns(
+            ["p_brand", "n", "sx", "sy", "sxy"])
+
+    stats = (_read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("p_brand")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxy", alias_name="sxy")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        sx = t.column("sx").to_numpy()
+        sy = t.column("sy").to_numpy()
+        sxy = t.column("sxy").to_numpy()
+        num = (n * sxy - sx * sy) * np.int64(10_000)
+        den = n * n
+        cov = np.sign(num) * (np.abs(num) // den)  # SQL // truncates
+        return pa.table({"p_brand": t.column("p_brand"),
+                         "n": pa.array(n), "sx": pa.array(sx),
+                         "sy": pa.array(sy), "sxy": pa.array(sxy),
+                         "cov_e4": pa.array(cov.astype(np.int64))})
+
+    return stats.map_batches(finalize, batch_format="pyarrow")

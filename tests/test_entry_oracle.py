@@ -97,6 +97,8 @@ SQL_CHECKED = sorted([
     # round 3, session 5: session table, grouped mode, host graph,
     # URL canonicalization, containment dedup, assortativity
     "rel_sessionize", "rel_mode",
+    # round 3, session 6: pivot, lead/lag gaps, grouped covariance
+    "rel_pivot", "rel_interarrival", "rel_covariance",
 ])
 
 
