@@ -526,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_term_df": tx.term_df_top,
         "text_sample": tx.sampled_docs,
         "text_repetition": tx.repetition_signals,
+        "text_ttr": tx.ttr,
+        "text_passage_dedup": tx.dup_passages,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
         "dedup_simhash": tx.simhash_dup_pairs,
@@ -1150,6 +1152,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN lc ON lc.doc_id = d.doc_id
             LEFT JOIN btop ON btop.doc_id = d.doc_id
+        """,
+        "text_ttr": """
+            -- type-token ratio per doc, all-integer (// truncates;
+            -- operands are non-negative so trunc ≡ floor)
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT w) AS n_types,
+                   CAST(count(DISTINCT w) * 1000000 // count(*)
+                        AS BIGINT) AS ttr_e6
+            FROM w GROUP BY doc_id
+        """,
+        "text_passage_dedup": """
+            -- passages = consecutive 16-word chunks (trailing partial
+            -- kept); report every passage occurring more than once
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           - 1 AS idx
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, idx // 16 AS chunk,
+                       string_agg(w, ' ' ORDER BY idx) AS passage
+                FROM w GROUP BY doc_id, idx // 16
+            )
+            SELECT passage, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM c GROUP BY passage HAVING count(*) > 1
         """,
         "sim_topk_cosine": """
             WITH qq AS (

@@ -321,3 +321,102 @@ def add_repetition_signals(ds, col: str = "text"):
     ``map_batches`` stage."""
     return ds.map_batches(lambda b: repetition_batch(b, col),
                           batch_format="pyarrow")
+
+
+def _flat_words(batch: pa.Table, col: str):
+    """Arrow split → (flat word StringArray, per-row word counts,
+    per-word row index) — the shared explode for the per-doc
+    vocabulary kernels below.  Pure Arrow/numpy."""
+    words = pc.split_pattern(batch.column(col), " ").combine_chunks()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(offs)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return words.flatten(), lens, doc_of
+
+
+def add_ttr(ds, col: str = "text"):
+    """Type-token ratio per document: ``(doc_id, n_tokens, n_types,
+    ttr_e6 = n_types·10⁶ // n_tokens)`` — all integers (no float tie
+    risk against the SQL oracle).
+
+    Vectorized: one Arrow split per batch, one ``np.unique`` over the
+    batch vocabulary, one over the packed (doc, word) keys — no
+    per-document Python.  The lexical-diversity signal quality
+    filters use (Gopher-style vocabulary stats)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, lens, doc_of = _flat_words(batch, col)
+        n = batch.num_rows
+        n_types = np.zeros(n, dtype=np.int64)
+        if len(doc_of):
+            # dictionary-encode the batch vocabulary, then count
+            # distinct (doc, word_code) pairs per doc
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            key = np.unique(doc_of * (codes.max() + 1) + codes)
+            n_types = np.bincount(key // (codes.max() + 1),
+                                  minlength=n).astype(np.int64)
+        ttr = np.zeros(n, dtype=np.int64)
+        np.floor_divide(n_types * np.int64(1_000_000), lens, out=ttr,
+                        where=lens > 0)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(lens),
+                         "n_types": pa.array(n_types),
+                         "ttr_e6": pa.array(ttr)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def duplicated_passages(ds, col: str = "text", chunk_words: int = 16):
+    """Passage-level exact dedup (the C4/RefinedWeb intra-corpus
+    stage): documents are cut into consecutive ``chunk_words``-word
+    passages (the trailing partial passage included) and every passage
+    occurring more than once corpus-wide is reported as
+    ``(passage, n_occ, n_docs)``.
+
+    Shape: per batch, passages are materialized once and collapsed to
+    ``(passage, n_occ_partial, n_docs_partial)`` — documents never
+    straddle batches, so per-batch distinct-doc counts sum exactly —
+    then ONE ``groupby(passage)`` exchange carries only the distinct
+    passage grid.  The per-chunk ``str.join`` is O(tokens/chunk_words)
+    string builds per batch (inherent to emitting variable-length
+    text), everything around it is numpy."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, lens, doc_of = _flat_words(batch, col)
+        empty = pa.table({"passage": pa.array([], pa.string()),
+                          "n_occ": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if not len(doc_of):
+            return empty
+        idx = np.arange(len(doc_of), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        # chunk boundaries: new doc OR word index hits a multiple of W
+        new = np.ones(len(doc_of), dtype=bool)
+        new[1:] = (doc_of[1:] != doc_of[:-1]) | (idx[1:] % chunk_words == 0)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(doc_of))
+        words = flat.to_pylist()
+        passages = [" ".join(words[s:e]) for s, e in
+                    zip(starts.tolist(), ends.tolist())]
+        chunk_doc = doc_of[starts]
+        uniq, inv = np.unique(np.array(passages, dtype=object).astype(str),
+                              return_inverse=True)
+        n_occ = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        dkey = np.unique(inv * np.int64(batch.num_rows) + chunk_doc)
+        n_docs = np.bincount(dkey // batch.num_rows,
+                             minlength=len(uniq)).astype(np.int64)
+        return pa.table({"passage": pa.array(uniq.astype(object),
+                                             pa.string()),
+                         "n_occ": pa.array(n_occ),
+                         "n_docs": pa.array(n_docs)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=2048)
+    agg = partials.groupby("passage").aggregate(
+        Sum("n_occ", alias_name="n_occ"),
+        Sum("n_docs", alias_name="n_docs"))
+    return agg.filter(expr="n_occ > 1")

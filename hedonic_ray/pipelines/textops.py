@@ -260,3 +260,14 @@ def repetition_signals(sf_dir: str):
     Gopher-style repetition quality signals (duplicate-line fraction,
     top word-bigram fraction) as floor-scaled integers."""
     return ts.add_repetition_signals(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def ttr(sf_dir: str):
+    """Per-doc type-token ratio (exact integers)."""
+    return ts.add_ttr(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def dup_passages(sf_dir: str):
+    """Corpus-wide duplicated 16-word passages (exact passage-level
+    dedup stage)."""
+    return ts.duplicated_passages(_docs(sf_dir, ["doc_id", "text"]))

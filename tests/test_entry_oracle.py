@@ -97,8 +97,10 @@ SQL_CHECKED = sorted([
     # round 3, session 5: session table, grouped mode, host graph,
     # URL canonicalization, containment dedup, assortativity
     "rel_sessionize", "rel_mode",
-    # round 3, session 6: pivot, lead/lag gaps, grouped covariance
+    # round 3, session 6: pivot, lead/lag gaps, grouped covariance,
+    # lexical diversity + passage-level dedup
     "rel_pivot", "rel_interarrival", "rel_covariance",
+    "text_ttr", "text_passage_dedup",
 ])
 
 
