@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_passage_dedup": tx.dup_passages,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
+        "dedup_containment": tx.ngram_containment_pairs,
         "dedup_simhash": tx.simhash_dup_pairs,
         "dedup_embedding": tx.embedding_neardup,
         "sim_topk_cosine": tx.topk_similarity,
@@ -659,6 +660,36 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE 10 * i >= 7 * (sa.n + sb.n - i)
+            ORDER BY a, b
+        """,
+        "dedup_containment": r"""
+            -- exact word-3-gram CONTAINMENT >= 8/10: same inverted
+            -- index as dedup_ngram, denominator = min(|A|, |B|)
+            WITH words AS MATERIALIZED (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+                       generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+                FROM documents
+            ),
+            sh AS MATERIALIZED (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM words a
+                JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ),
+            sizes AS MATERIALIZED (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST((i * 1000000000) // least(sa.n, sb.n) AS BIGINT)
+                       AS cont_e9
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE 10 * i >= 8 * least(sa.n, sb.n)
             ORDER BY a, b
         """,
         "dedup_simhash": r"""

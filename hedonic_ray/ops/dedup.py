@@ -1028,6 +1028,23 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
                          "b": t.column("b").take(idx),
                          "jacc_e9": pa.array(jacc[keep])})
 
+    return _attach_sizes_and_score(counts, sizes, n_docs, method, finish,
+                                   score_col="jacc_e9")
+
+
+def _attach_sizes_and_score(counts, sizes, n_docs: int, method: str,
+                            finish, score_col: str):
+    """Shared denominator-attach tail for the intersection-count pair
+    scorers: pair counts (a, b, i) get both docs' gram-set sizes
+    attached — broadcast int64 LUT below ``broadcast_max`` docs, two
+    hash-partitioned joins above — then ``finish(t, na, nb)`` applies
+    the caller's integer threshold/score.  ``score_col`` only names the
+    typed empty block (Ray Data operators can emit schema-less empty
+    blocks)."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      score_col: pa.array([], pa.int64())})
+
     if method == "broadcast":
         import ray
 
@@ -1038,9 +1055,7 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
 
         def bfin(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
-                return pa.table({"a": pa.array([], pa.int64()),
-                                 "b": pa.array([], pa.int64()),
-                                 "jacc_e9": pa.array([], pa.int64())})
+                return empty
             lt = ray.get(lut_ref)
             a = t.column("a").to_numpy().astype(np.int64)
             b = t.column("b").to_numpy().astype(np.int64)
@@ -1053,13 +1068,60 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
 
     def jfin(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "jacc_e9": pa.array([], pa.int64())})
+            return empty
         return finish(t, t.column("n_grams_a").to_numpy().astype(np.int64),
                       t.column("n_grams_b").to_numpy().astype(np.int64))
 
     return joined.map_batches(jfin, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(ds, n_docs: int, *, k: int = 3,
+                            threshold_num: int = 8, threshold_den: int = 10,
+                            method: str = "auto",
+                            broadcast_max: int = 500_000,
+                            max_df: int | None = None):
+    """EXACT word-k-gram CONTAINMENT near-dup pairs: report (a < b)
+    whenever ``|A ∩ B| ≥ t · min(|A|, |B|)`` — the asymmetric
+    complement of :func:`ngram_jaccard_pairs` that catches a short
+    document wholly embedded in a longer one (quote inclusion, page
+    boilerplate + article), which Jaccard misses because the union is
+    dominated by the longer side (Broder 1997's *containment* measure).
+
+    Same inverted-index shape and integer arithmetic as the Jaccard
+    variant (explode → gram groupby → packed pair counts → size attach
+    → threshold); the reported score is
+    ``cont_e9 = i·10⁹ // min(|A|, |B|)``.  ``max_df`` is the same
+    documented under-approximation knob and defaults to None/exact."""
+    if method == "auto":
+        from hedonic_ray.context import force_scale
+
+        method = ("join" if force_scale()
+                  else "broadcast" if n_docs <= broadcast_max else "join")
+    if method not in ("broadcast", "join"):
+        raise ValueError(f"unknown ngram_containment_pairs method {method!r}")
+
+    grams = ngram_gram_rows(ds, k)
+    sizes = ngram_sizes(ds, k)
+    pairs = grams.groupby("gh").map_groups(
+        lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
+    counts = _packed_pair_counts(pairs)
+
+    tnum, tden = int(threshold_num), int(threshold_den)
+
+    def finish(t: pa.Table, na: np.ndarray, nb: np.ndarray) -> pa.Table:
+        i = t.column("i").to_numpy().astype(np.int64)
+        denom = np.minimum(na, nb)
+        keep = tden * i >= tnum * denom
+        cont = np.zeros(len(i), dtype=np.int64)
+        np.floor_divide(i * np.int64(1_000_000_000), denom, out=cont,
+                        where=denom > 0)
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({"a": t.column("a").take(idx),
+                         "b": t.column("b").take(idx),
+                         "cont_e9": pa.array(cont[keep])})
+
+    return _attach_sizes_and_score(counts, sizes, n_docs, method, finish,
+                                   score_col="cont_e9")
 
 
 # -------------------------------------------------- embedding-cosine near-dup

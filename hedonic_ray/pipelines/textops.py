@@ -271,3 +271,10 @@ def dup_passages(sf_dir: str):
     """Corpus-wide duplicated 16-word passages (exact passage-level
     dedup stage)."""
     return ts.duplicated_passages(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def ngram_containment_pairs(sf_dir: str):
+    """Exact word-3-gram containment ≥ 0.8 pairs (short-doc-inside-
+    long-doc near-dups Jaccard misses)."""
+    return dd.ngram_containment_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), _n_docs(sf_dir)).sort(["a", "b"])

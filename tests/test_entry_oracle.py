@@ -100,7 +100,7 @@ SQL_CHECKED = sorted([
     # round 3, session 6: pivot, lead/lag gaps, grouped covariance,
     # lexical diversity + passage-level dedup
     "rel_pivot", "rel_interarrival", "rel_covariance",
-    "text_ttr", "text_passage_dedup",
+    "text_ttr", "text_passage_dedup", "dedup_containment",
 ])
 
 
@@ -134,6 +134,7 @@ def test_query_matches_oracle(entry_module, name):
 # oracle-verified, not just equal-tested
 FORCED_SCALE = sorted([
     "dedup_ngram",          # prefix+positional index AND join denominators
+    "dedup_containment",    # join denominator-attach path
     "dedup_minhash",        # verify joins + distributed dup clustering
     "graph_triangles_docs",  # bucketed (no-broadcast) triangle probe
     "graph_components",     # shuffle gather
