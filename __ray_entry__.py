@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs_dist": lg.doc_bfs_table,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
+        "graph_assortativity": lg.doc_assortativity_table,
+        "graph_common_neighbors": lg.doc_common_neighbors_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -758,6 +760,50 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON da.v = u.a
             JOIN deg db ON db.v = u.b
             LEFT JOIN cn ON cn.a = u.a AND cn.b = u.b
+        """,
+        "graph_assortativity": f"""
+            -- degree assortativity over the 2m symmetric arcs:
+            -- integer sufficient stats; r_e6 = trunc(1e6·num/den)
+            -- (operands positive-den; // truncates on both engines)
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            arcs AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT src AS v, count(*) AS d FROM arcs GROUP BY src),
+            s AS (SELECT da.d AS x, db.d AS y
+                  FROM arcs
+                  JOIN deg da ON da.v = arcs.src
+                  JOIN deg db ON db.v = arcs.dst),
+            g AS (SELECT count(*) AS m2, sum(x) AS sx,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy
+                  FROM s)
+            SELECT CAST(m2 AS BIGINT) AS m2, CAST(sx AS BIGINT) AS sx,
+                   CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+                   CAST(CASE WHEN m2 * sxx - sx * sx > 0
+                             THEN (m2 * sxy - sx * sx) * 1000000
+                                  // (m2 * sxx - sx * sx)
+                             ELSE 0 END AS BIGINT) AS r_e6
+            FROM g
+        """,
+        "graph_common_neighbors": f"""
+            -- top-20 NON-adjacent pairs by common-neighbor count,
+            -- deterministic ties (common desc, a, b)
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            arcs AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+            cn AS (SELECT x.dst AS a, y.dst AS b, count(*) AS common
+                   FROM arcs x
+                   JOIN arcs y ON y.src = x.src AND x.dst < y.dst
+                   GROUP BY 1, 2)
+            SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common
+            FROM cn
+            LEFT JOIN und ON und.a = cn.a AND und.b = cn.b
+            WHERE und.a IS NULL
+            ORDER BY cn.common DESC, cn.a, cn.b
+            LIMIT 20
         """,
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
         "graph_reciprocity": """

@@ -1,0 +1,194 @@
+"""Link-prediction / graph-shape primitives over the undirected CSR
+LinkGraph: degree assortativity and common-neighbor candidate scoring.
+
+Not in the reference repo (its similarity notions are community-level,
+``hedonic/__init__.py:300-340``); these are the standard hyperlink-
+graph structure signals (Newman 2002 assortativity; common-neighbors
+link prediction, Liben-Nowell & Kleinberg 2003).
+
+Shapes:
+
+- ``degree_assortativity``: a pure REDUCTION — each CSR block emits one
+  int64 sufficient-stats row (m2, Σx, Σx², Σxy over its arcs, degrees
+  read from a broadcast array), the driver sums ≤ num_parts rows with
+  arbitrary-precision Python ints and applies the exact rational
+  ``r = (m2·Σxy − Σx²ᵖᵃᶦʳ) / (m2·Σx² − (Σx)²)``.  No shuffle at all.
+- ``common_neighbors_topk``: full wedge enumeration per block (every
+  center vertex's neighbor pairs — O(Σ deg²) wedge rows, pre-combined
+  per task with ``np.unique``), ONE ``groupby(pair_key)`` exchange,
+  then a vectorized non-adjacency filter against the broadcast
+  canonical edge set and a per-batch local top-k combiner; the driver
+  merges ≤ k rows per block.  Hub vertices make Σ deg² the scale
+  hazard — ``max_degree`` skips centers above the cap (documented
+  UNDER-approximation, default None/exact; the gate corpus is
+  hub-free by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hedonic_ray.engine.superstep import iter_block_views
+
+_PAIR_CHUNK = 8_000_000
+
+
+def degree_assortativity(g) -> pa.Table:
+    """One-row exact integer degree-assortativity statistics of an
+    undirected LinkGraph: over the 2m (symmetric) arcs, with
+    x = deg(src), y = deg(dst):
+
+        m2, sx = Σx, sxx = Σx², sxy = Σxy          (int64 exact)
+        r_e6 = trunc(10⁶ · (m2·sxy − sx²) / (m2·sxx − sx²))
+
+    Symmetry makes sy ≡ sx and syy ≡ sxx, so the Pearson r of the
+    degree pairs is the single rational above — no float anywhere
+    (truncation toward zero matches SQL ``//``).  r_e6 = 0 when the
+    variance vanishes (regular graph)."""
+    import ray
+
+    if g.directed:
+        raise ValueError("degree_assortativity needs an undirected graph")
+    deg_ref = ray.put(g.out_degree.astype(np.int64))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        deg = ray.get(deg_ref)
+        m2 = sx = sxx = sxy = 0
+        for bv in iter_block_views(batch):
+            x = deg[bv.src_per_edge()]
+            y = deg[bv.indices]
+            m2 += len(x)
+            sx += int(x.sum())
+            sxx += int((x * x).sum())
+            sxy += int((x * y).sum())
+        return pa.table({"m2": pa.array([m2], pa.int64()),
+                         "sx": pa.array([sx], pa.int64()),
+                         "sxx": pa.array([sxx], pa.int64()),
+                         "sxy": pa.array([sxy], pa.int64())})
+
+    rows = g.blocks.map_batches(stats, batch_format="pyarrow",
+                                batch_size=4).take_all()
+    m2 = sum(int(r["m2"]) for r in rows)
+    sx = sum(int(r["sx"]) for r in rows)
+    sxx = sum(int(r["sxx"]) for r in rows)
+    sxy = sum(int(r["sxy"]) for r in rows)
+    num = m2 * sxy - sx * sx          # Python ints: no overflow at any scale
+    den = m2 * sxx - sx * sx
+    r_e6 = 0
+    if den > 0:
+        a = abs(num) * 1_000_000 // den
+        r_e6 = a if num >= 0 else -a
+    return pa.table({"m2": pa.array([m2], pa.int64()),
+                     "sx": pa.array([sx], pa.int64()),
+                     "sxx": pa.array([sxx], pa.int64()),
+                     "sxy": pa.array([sxy], pa.int64()),
+                     "r_e6": pa.array([r_e6], pa.int64())})
+
+
+def _full_segments(bv):
+    """A block's FULL adjacency (no orientation filter), neighbor-id
+    sorted per source — every wedge through every local center."""
+    src = bv.src_per_edge()
+    order = np.lexsort((bv.indices, src))
+    return bv.indptr.astype(np.int64), bv.indices[order]
+
+
+def _center_pairs_batch(batch: pa.Table, n_: int, max_degree) -> pa.Table:
+    from hedonic_ray.algos.triangles import _ordered_pairs
+
+    n = np.int64(n_)
+    parts: list[np.ndarray] = []
+    for bv in iter_block_views(batch):
+        indptr, srt = _full_segments(bv)
+        nv = bv.hi - bv.lo
+        cnt = np.diff(indptr)
+        if max_degree is not None:
+            # drop capped hubs' segments wholesale (documented
+            # under-approximation) by zeroing them out of the decode
+            hot = np.flatnonzero(cnt > max_degree)
+            if len(hot):
+                keep = np.ones(len(srt), dtype=bool)
+                for h in hot:
+                    keep[indptr[h]:indptr[h + 1]] = False
+                srt = srt[keep]
+                cnt = np.where(cnt > max_degree, 0, cnt)
+                indptr = np.zeros(nv + 1, dtype=np.int64)
+                np.cumsum(cnt, out=indptr[1:])
+        lo_u = 0
+        while lo_u < nv:
+            hi_u = lo_u
+            pairs = 0
+            while hi_u < nv and (pairs == 0 or pairs < _PAIR_CHUNK):
+                pairs += int(cnt[hi_u] * (cnt[hi_u] - 1) // 2)
+                hi_u += 1
+            _, a, b = _ordered_pairs(indptr, srt, lo_u, hi_u)
+            if len(a):
+                parts.append(a * n + b)
+            lo_u = hi_u
+    if not parts:
+        return pa.table({"key": pa.array([], pa.int64()),
+                         "val": pa.array([], pa.int64())})
+    uk, uc = np.unique(np.concatenate(parts), return_counts=True)
+    return pa.table({"key": pa.array(uk, pa.int64()),
+                     "val": pa.array(uc.astype(np.int64), pa.int64())})
+
+
+def common_neighbors_topk(g, k: int = 20, max_degree=None) -> pa.Table:
+    """Top-k NON-adjacent vertex pairs by common-neighbor count
+    (the classic link-prediction ranking): ``(a, b, common)`` sorted by
+    (common desc, a, b) — integer-exact, deterministic ties.
+
+    Adjacent pairs are excluded (predicting existing edges is vacuous)
+    via a vectorized ``searchsorted`` against the broadcast canonical
+    edge keys; top-k runs as a per-batch combiner before the ≤
+    k·blocks driver merge."""
+    import ray
+
+    if g.directed:
+        raise ValueError("common_neighbors_topk needs an undirected graph")
+    n = g.n
+    assert n < (1 << 31), "pair keys pack two ids into int64"
+
+    canon_chunks: list[np.ndarray] = []
+    for batch in g.blocks.iter_batches(batch_size=4, batch_format="pyarrow"):
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            keep = src < bv.indices  # each undirected edge once
+            canon_chunks.append(src[keep] * np.int64(n) + bv.indices[keep])
+    canon = np.sort(np.concatenate(canon_chunks)) if canon_chunks \
+        else np.empty(0, np.int64)
+    canon_ref = ray.put(canon)
+
+    from ray.data.aggregate import Sum
+
+    msgs = g.blocks.map_batches(
+        lambda t: _center_pairs_batch(t, n, max_degree),
+        batch_format="pyarrow", batch_size=1)
+    counts = msgs.groupby("key").aggregate(Sum("val", alias_name="common"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "common": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return empty
+        key = t.column("key").to_numpy().astype(np.int64)
+        common = t.column("common").to_numpy().astype(np.int64)
+        edges = ray.get(canon_ref)
+        if len(edges):
+            pos = np.searchsorted(edges, key)
+            adj = ((pos < len(edges))
+                   & (edges[np.minimum(pos, len(edges) - 1)] == key))
+            key, common = key[~adj], common[~adj]
+        order = np.lexsort((key, -common))[:k]
+        return pa.table({"key": pa.array(key[order], pa.int64()),
+                         "common": pa.array(common[order], pa.int64())})
+
+    rows = counts.map_batches(local_topk, batch_format="pyarrow").take_all()
+    key = np.array([r["key"] for r in rows], dtype=np.int64)
+    common = np.array([r["common"] for r in rows], dtype=np.int64)
+    order = np.lexsort((key, -common))[:k]
+    key, common = key[order], common[order]
+    return pa.table({"a": pa.array(key // n, pa.int64()),
+                     "b": pa.array(key % n, pa.int64()),
+                     "common": pa.array(common, pa.int64())})

@@ -284,6 +284,22 @@ def doc_edge_jaccard_table(sf_dir: str) -> pa.Table:
     return edge_jaccard(doc_graph(sf_dir, directed=False))
 
 
+def doc_assortativity_table(sf_dir: str) -> pa.Table:
+    """Degree-assortativity sufficient stats + truncated ×1e6 Pearson r
+    of the undirected doc-link graph (one row, all integers)."""
+    from hedonic_ray.algos.linkpred import degree_assortativity
+
+    return degree_assortativity(doc_graph(sf_dir, directed=False))
+
+
+def doc_common_neighbors_table(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k non-adjacent pairs by common-neighbor count
+    (link-prediction ranking) on the undirected doc-link graph."""
+    from hedonic_ray.algos.linkpred import common_neighbors_topk
+
+    return common_neighbors_topk(doc_graph(sf_dir, directed=False), k=k)
+
+
 def doc_spectrum_table(sf_dir: str) -> pa.Table:
     """Resolution spectrum (hedonic/__init__.py:432-449) with EXACT
     integer satisfaction tests over the grid α = i/10, evaluated on the

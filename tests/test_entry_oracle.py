@@ -101,6 +101,7 @@ SQL_CHECKED = sorted([
     # lexical diversity + passage-level dedup
     "rel_pivot", "rel_interarrival", "rel_covariance",
     "text_ttr", "text_passage_dedup", "dedup_containment",
+    "graph_assortativity", "graph_common_neighbors",
 ])
 
 
