@@ -518,6 +518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pivot": rel.event_type_pivot,
         "rel_interarrival": rel.user_interarrival,
         "rel_covariance": rel.brand_price_size_cov,
+        "rel_deciles": rel.acctbal_deciles,
+        "rel_running_total": rel.user_running_total,
+        "rel_latest_event": rel.latest_event_per_type,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -537,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": tx.embedding_neardup,
         "sim_topk_cosine": tx.topk_similarity,
         "sim_ivf_topk": tx.ivf_similarity,
+        "sim_range_search": tx.range_similarity,
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
@@ -1113,6 +1117,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS mode_count
             FROM r WHERE rn = 1
         """,
+        "rel_deciles": """
+            -- decile bucketing by exact cut values (k-th order
+            -- statistics); ties sit in the lower bucket
+            WITH t AS (SELECT c_acctbal AS v FROM customer),
+            n AS (SELECT count(*) AS c FROM t),
+            ks AS (SELECT (n.c * q + 99) // 100 AS k
+                   FROM (VALUES (10), (20), (30), (40), (50),
+                                (60), (70), (80), (90)) q(q)
+                   CROSS JOIN n),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+            cuts AS (SELECT r.v AS cut FROM ks JOIN r ON r.rn = ks.k),
+            a AS (SELECT t.v,
+                         1 + (SELECT count(*) FROM cuts
+                              WHERE cut < t.v) AS bucket
+                  FROM t)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   count(*) AS n_customers,
+                   CAST(FLOOR(min(v) * 100) AS BIGINT) AS min_e2,
+                   CAST(FLOOR(max(v) * 100) AS BIGINT) AS max_e2
+            FROM a GROUP BY bucket
+        """,
+        "rel_running_total": """
+            -- per-user running total of value-in-cents over the
+            -- (ts, event_id) order
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_value_e2
+            FROM events
+        """,
+        "rel_latest_event": """
+            -- latest-record compaction per (user, event_type)
+            WITH r AS (
+                SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            SELECT user_id, event_type, event_id,
+                   CAST(ts_us AS BIGINT) AS ts_us
+            FROM r WHERE rn = 1
+        """,
         "rel_pivot": """
             SELECT user_id,
                    COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -1283,6 +1330,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
                    CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
             FROM ranked WHERE rank <= 5
+        """,
+        "sim_range_search": """
+            -- radius search: membership decided on the ROUNDED ×1e6
+            -- score, so the set is integer-stable across engines
+            WITH qq AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                       embedding AS qv
+                FROM embeddings
+                WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT 3)
+            ),
+            scored AS (
+                SELECT qq.query_id, e.vec_id,
+                       CAST(ROUND(list_cosine_similarity(
+                                CAST(qq.qv AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) * 1e6)
+                            AS BIGINT) AS score_e6
+                FROM qq CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, score_e6
+            FROM scored WHERE score_e6 >= 300000
         """,
         "multimodal_decode": """
             SELECT doc_id,

@@ -197,3 +197,40 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
     partials = filtered.map_batches(local_topk, batch_format="pyarrow",
                                     batch_size=4096)
     return _merge_topk(partials, k)
+
+
+def range_search_cosine(emb_ds, queries: np.ndarray, threshold_e6: int, *,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dtype=np.float64):
+    """RANGE search: every (query, vector) pair whose cosine clears the
+    threshold — the radius-based complement of :func:`topk_cosine`
+    (retrieval filters that want "everything similar enough", not a
+    fixed k).
+
+    Membership is decided on the ×1e6 ROUNDED score
+    (``score_e6 ≥ threshold_e6``), so the result set is integer-stable
+    against the SQL oracle — a raw float ``cos ≥ τ`` test could flip
+    on the last ulp between engines.  Streams: one broadcast of the
+    (Q × d) query matrix, a matmul + filter per batch, no driver
+    materialization (output is a Dataset, O(matches))."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=dtype))
+    q_ref = ray.put(q)
+    thr = int(threshold_e6)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy()
+        m = _normalize(_batch_matrix(batch, vec_col, qm.dtype))
+        cos = qm @ m.T  # (Q, B)
+        e6 = np.rint(cos * 1e6).astype(np.int64)
+        qi, vi = np.nonzero(e6 >= thr)
+        return pa.table({
+            "query_id": pa.array(qi.astype(np.int64), pa.int64()),
+            "vec_id": pa.array(ids[vi], pa.int64()),
+            "score_e6": pa.array(e6[qi, vi], pa.int64()),
+        })
+
+    return emb_ds.map_batches(scan, batch_format="pyarrow",
+                              batch_size=4096)

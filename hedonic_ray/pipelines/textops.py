@@ -278,3 +278,13 @@ def ngram_containment_pairs(sf_dir: str):
     long-doc near-dups Jaccard misses)."""
     return dd.ngram_containment_pairs(
         _docs(sf_dir, ["doc_id", "text"]), _n_docs(sf_dir)).sort(["a", "b"])
+
+
+def range_similarity(sf_dir: str, threshold_e6: int = 300_000):
+    """All (query, vector) pairs with rounded cosine ≥ 0.3 for the
+    3 deterministic query rows (radius search)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.range_search_cosine(emb, _query_matrix(sf_dir), threshold_e6)

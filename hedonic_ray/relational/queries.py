@@ -737,3 +737,76 @@ def brand_price_size_cov(sf_dir: str):
                          "cov_e4": pa.array(cov.astype(np.int64))})
 
     return stats.map_batches(finalize, batch_format="pyarrow")
+
+
+def acctbal_deciles(sf_dir: str):
+    """Distributed QUANTILE BUCKETING: customers are assigned to
+    deciles of ``c_acctbal`` by comparing against the nine exact
+    decile cut values (k = ⌈q·N⌉-th order statistics from the
+    histogram-narrowing selector — each cut is a real column element),
+    then per-bucket count/min/max are aggregated.  Ties sit in the
+    LOWER bucket (``bucket = 1 + |{cut : cut < v}|``), so membership
+    is deterministic with no row-numbering shuffle — the scale win
+    over NTILE, which needs a global sort.  Min/max are floored to
+    cents per row before aggregation (floor is monotone, so
+    floor-then-min ≡ min-then-floor)."""
+    from ray.data.aggregate import Count, Max, Min
+    from hedonic_ray.ops.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    cuts_t = exact_quantiles(ds, "c_acctbal",
+                             [10, 20, 30, 40, 50, 60, 70, 80, 90])
+    cuts = np.sort(cuts_t.column("value").to_numpy())
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column("c_acctbal").to_numpy()
+        bucket = 1 + np.searchsorted(cuts, v, side="left")
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "bal_e2": pa.array(np.floor(v * 100.0).astype(np.int64)),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Count(alias_name="n_customers"),
+                       Min("bal_e2", alias_name="min_e2"),
+                       Max("bal_e2", alias_name="max_e2")))
+
+
+def user_running_total(sf_dir: str):
+    """Windowed PREFIX SCAN: per user, the cumulative sum of the event
+    ``value`` (in exact cents) over the ``(ts, event_id)`` order —
+    the running-total shape of CDC / feature-backfill pipelines.
+    One ``groupby(user)`` exchange, vectorized ``np.cumsum`` per
+    group; values are scaled to int64 cents per row first, so the
+    running sums are bit-stable."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def scan(group: dict) -> dict:
+        ts = group["ts"].astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((group["event_id"], ts))
+        v_e2 = np.rint(group["value"][order] * 100.0).astype(np.int64)
+        return {"user_id": group["user_id"].astype(np.int64)[order],
+                "event_id": group["event_id"].astype(np.int64)[order],
+                "cum_value_e2": np.cumsum(v_e2)}
+
+    return ds.groupby("user_id").map_groups(scan, batch_format="numpy")
+
+
+def latest_event_per_type(sf_dir: str):
+    """Per-key LATEST-record compaction (the CDC "keep the newest
+    version" dedup): for every (user_id, event_type), the most recent
+    event by ``(ts, event_id)``.  One grouped exchange, vectorized
+    argmax per group — no global sort."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def latest(group: dict) -> dict:
+        ts = group["ts"].astype("datetime64[us]").astype(np.int64)
+        i = np.lexsort((group["event_id"], ts))[-1]
+        return {"user_id": group["user_id"][i:i + 1].astype(np.int64),
+                "event_type": group["event_type"][i:i + 1],
+                "event_id": group["event_id"][i:i + 1].astype(np.int64),
+                "ts_us": ts[i:i + 1]}
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        latest, batch_format="numpy")

@@ -102,6 +102,8 @@ SQL_CHECKED = sorted([
     "rel_pivot", "rel_interarrival", "rel_covariance",
     "text_ttr", "text_passage_dedup", "dedup_containment",
     "graph_assortativity", "graph_common_neighbors",
+    "rel_deciles", "rel_running_total", "rel_latest_event",
+    "sim_range_search",
 ])
 
 
