@@ -466,6 +466,12 @@ def _nav_reciprocity(sf_dir: str):
     return nav_reciprocity(sf_dir)
 
 
+def _nav_top_transitions(sf_dir: str):
+    from hedonic_ray.graph.nav import nav_top_transitions
+
+    return nav_top_transitions(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hedonic_ray.pipelines import linkgraph as lg
     from hedonic_ray.pipelines import textops as tx
@@ -497,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles_supplier": lg.supplier_triangles,
         "graph_lp_onepass": lg.supplier_lp_onepass,
         "graph_reciprocity": _nav_reciprocity,
+        "graph_top_transitions": _nav_top_transitions,
         # --- relational operators ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_top_revenue_orders": rel.top_revenue_orders,
@@ -521,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_deciles": rel.acctbal_deciles,
         "rel_running_total": rel.user_running_total,
         "rel_latest_event": rel.latest_event_per_type,
+        "rel_full_outer": rel.daily_orders_vs_shipments,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -533,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": tx.repetition_signals,
         "text_ttr": tx.ttr,
         "text_passage_dedup": tx.dup_passages,
+        "text_term_tf": tx.term_tf_top,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
         "dedup_containment": tx.ngram_containment_pairs,
@@ -1160,6 +1169,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ts_us AS BIGINT) AS ts_us
             FROM r WHERE rn = 1
         """,
+        "rel_full_outer": """
+            -- per-day order stats FULL OUTER per-day shipment stats on
+            -- the epoch-day key; outer nulls filled with 0 + flags
+            WITH o AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day,
+                       count(*) AS n_orders,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS price_e2
+                FROM orders GROUP BY 1),
+            s AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                                 CAST(l_shipdate AS DATE)) AS day,
+                       count(*) AS n_items,
+                       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                           AS qty_e2
+                FROM lineitem GROUP BY 1)
+            SELECT CAST(COALESCE(o.day, s.day) AS BIGINT) AS day,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(o.price_e2, 0) AS BIGINT) AS price_e2,
+                   CAST(COALESCE(s.n_items, 0) AS BIGINT) AS n_items,
+                   CAST(COALESCE(s.qty_e2, 0) AS BIGINT) AS qty_e2,
+                   CAST(CASE WHEN o.day IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS has_orders,
+                   CAST(CASE WHEN s.day IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS has_items
+            FROM o FULL OUTER JOIN s ON s.day = o.day
+        """,
         "rel_pivot": """
             SELECT user_id,
                    COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -1276,6 +1313,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN lc ON lc.doc_id = d.doc_id
             LEFT JOIN btop ON btop.doc_id = d.doc_id
+        """,
+        "graph_top_transitions": """
+            -- weighted click-graph: top-20 transitions by click count
+            WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS node
+                FROM events),
+            hop AS (
+                SELECT node AS src,
+                       lead(node) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+                FROM ev)
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM hop WHERE dst IS NOT NULL AND dst <> src
+            GROUP BY src, dst
+            ORDER BY n DESC, src, dst
+            LIMIT 20
+        """,
+        "text_term_tf": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY term
+            ORDER BY tf DESC, term LIMIT 100
         """,
         "text_ttr": """
             -- type-token ratio per doc, all-integer (// truncates;

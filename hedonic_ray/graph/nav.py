@@ -139,3 +139,44 @@ def nav_reciprocity(sf_dir: str):
                              rec * np.int64(1_000_000_000) // out)})
 
     return deg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _consecutive_multi(group: pa.Table) -> pa.Table:
+    """One user's history → (src, dst, n) WEIGHTED consecutive
+    transitions (self-loops dropped, no dedup — the weight is the
+    click count)."""
+    ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = group.column("event_id").to_numpy()
+    node = group.column("node").to_numpy()
+    order = np.lexsort((eid, ts))
+    nd = node[order]
+    src, dst = nd[:-1], nd[1:]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if src.size:
+        uniq, cnt = np.unique(np.stack([src, dst], axis=1), axis=0,
+                              return_counts=True)
+        return pa.table({"src": pa.array(uniq[:, 0], pa.int64()),
+                         "dst": pa.array(uniq[:, 1], pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+    return pa.table({"src": pa.array([], pa.int64()),
+                     "dst": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())})
+
+
+def nav_top_transitions(sf_dir: str, k: int = 20):
+    """Top-k WEIGHTED transitions of the navigation click graph:
+    ``(src, dst, n)`` by click count, deterministic ties
+    (n desc, src, dst).  The per-user fold is the combiner (one
+    grouped exchange on user), the (src, dst) groupby carries the
+    distinct arc grid, and the top-k is a sort + limit over that
+    small grid."""
+    from ray.data.aggregate import Sum
+
+    pairs = (nav_events(sf_dir)
+             .groupby("user_id")
+             .map_groups(_consecutive_multi, batch_format="pyarrow"))
+    counts = pairs.groupby(["src", "dst"]).aggregate(
+        Sum("n", alias_name="n"))
+    return counts.sort(["n", "src", "dst"],
+                       descending=[True, False, False]).limit(k)

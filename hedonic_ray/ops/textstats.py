@@ -420,3 +420,26 @@ def duplicated_passages(ds, col: str = "text", chunk_words: int = 16):
         Sum("n_occ", alias_name="n_occ"),
         Sum("n_docs", alias_name="n_docs"))
     return agg.filter(expr="n_occ > 1")
+
+
+def term_total_frequency(ds, col: str = "text"):
+    """Distributed term frequency (total occurrences, not document
+    frequency): per batch, one Arrow split + ``np.unique`` with counts
+    (the combiner), then ONE ``groupby(term).sum`` — shuffle volume is
+    the batch vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _flat_words(batch, col)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf_partial": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(flat).astype(str),
+                              return_counts=True)
+        return pa.table({"term": pa.array(uniq.astype(object), pa.string()),
+                         "tf_partial": pa.array(cnt.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=2048)
+    return partials.groupby("term").aggregate(Sum("tf_partial",
+                                                  alias_name="tf"))

@@ -288,3 +288,16 @@ def range_similarity(sf_dir: str, threshold_e6: int = 300_000):
     configure_context()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return sim.range_search_cosine(emb, _query_matrix(sf_dir), threshold_e6)
+
+
+def term_tf_top(sf_dir: str, k: int = 100) -> pa.Table:
+    """Top-k whitespace terms by TOTAL occurrence count (term
+    frequency; ties → term asc) — the TF complement of the
+    document-frequency wordcount."""
+    tf = ts.term_total_frequency(_docs(sf_dir, ["doc_id", "text"]))
+    top = tf.sort(["tf", "term"], descending=[True, False]).limit(k)
+    rows = top.take_all()
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "tf": pa.array([int(r["tf"]) for r in rows], pa.int64()),
+    })

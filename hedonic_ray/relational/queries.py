@@ -810,3 +810,72 @@ def latest_event_per_type(sf_dir: str):
 
     return ds.groupby(["user_id", "event_type"]).map_groups(
         latest, batch_format="numpy")
+
+
+def daily_orders_vs_shipments(sf_dir: str, num_partitions: int = 8):
+    """FULL OUTER fact-fact join: per-day order stats (count, total
+    price in cents) against per-day shipment stats (count, total
+    quantity ×100) on the epoch-day key.  Ship dates trail order dates
+    by months, so BOTH exclusive sides are non-empty — the operator
+    under test is Ray Data's hash-partitioned ``full_outer`` join.
+
+    Both facts are pre-aggregated to their small per-day grids inside
+    ``map_batches`` (combiner) + one grouped exchange each BEFORE the
+    join, so the join moves day rows, never fact rows.  Nulls from the
+    outer sides are filled with 0 / presence flags (the gate hashes
+    values — NaN is not hash-stable)."""
+    from ray.data.aggregate import Sum
+
+    def day_partial(t: pa.Table, date_col: str, val_col: str,
+                    n_name: str, v_name: str) -> pa.Table:
+        d = (t.column(date_col).to_numpy()
+             .astype("datetime64[D]").astype(np.int64))
+        v = np.rint(t.column(val_col).to_numpy() * 100.0).astype(np.int64)
+        g = pa.table({"day": pa.array(d),
+                      n_name: pa.array(np.ones(len(d), np.int64)),
+                      v_name: pa.array(v)})
+        return g.group_by(["day"]).aggregate(
+            [(n_name, "sum"), (v_name, "sum")]).rename_columns(
+            ["day", n_name, v_name])
+
+    orders = (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+              .map_batches(lambda t: day_partial(
+                  t, "o_orderdate", "o_totalprice", "n_orders", "price_e2"),
+                  batch_format="pyarrow")
+              .groupby("day")
+              .aggregate(Sum("n_orders", alias_name="n_orders"),
+                         Sum("price_e2", alias_name="price_e2")))
+    ships = (_read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+             .map_batches(lambda t: day_partial(
+                 t, "l_shipdate", "l_quantity", "n_items", "qty_e2"),
+                 batch_format="pyarrow")
+             .groupby("day")
+             .aggregate(Sum("n_items", alias_name="n_items"),
+                        Sum("qty_e2", alias_name="qty_e2")))
+
+    j = orders.join(ships, "full_outer", num_partitions,
+                    on=("day",), right_suffix="_r")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in t.column_names}
+        day_l = cols["day"].to_numpy(zero_copy_only=False)
+        day_r = cols.get("day_r", cols["day"]).to_numpy(zero_copy_only=False)
+        day = np.where(np.isnan(day_l.astype(np.float64)), day_r, day_l)
+
+        def fill(name):
+            a = cols[name].to_numpy(zero_copy_only=False).astype(np.float64)
+            return np.where(np.isnan(a), 0, a).astype(np.int64)
+
+        n_orders = fill("n_orders")
+        n_items = fill("n_items")
+        return pa.table({
+            "day": pa.array(day.astype(np.int64)),
+            "n_orders": pa.array(n_orders),
+            "price_e2": pa.array(fill("price_e2")),
+            "n_items": pa.array(n_items),
+            "qty_e2": pa.array(fill("qty_e2")),
+            "has_orders": pa.array((n_orders > 0).astype(np.int64)),
+            "has_items": pa.array((n_items > 0).astype(np.int64)),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -103,7 +103,8 @@ SQL_CHECKED = sorted([
     "text_ttr", "text_passage_dedup", "dedup_containment",
     "graph_assortativity", "graph_common_neighbors",
     "rel_deciles", "rel_running_total", "rel_latest_event",
-    "sim_range_search",
+    "sim_range_search", "rel_full_outer", "graph_top_transitions",
+    "text_term_tf",
 ])
 
 
