@@ -78,6 +78,38 @@ SELECT v AS vertex, CAST(ROUND(r * 1e9) AS BIGINT) AS rank_e9 FROM r{iters}""")
     return "".join(parts)
 
 
+def _ppr_chain_sql(iters: int = 5, damping: float = 0.85,
+                   stride: int = 101) -> str:
+    """Fixed-iteration PERSONALIZED PageRank (random walk with restart
+    to the uniform seed distribution, seeds = doc_id ≡ 0 mod stride) as
+    a chain of CTE steps; mirrors PersonalizedPageRankStep.apply
+    exactly: r' = (1-d)·p + d·(contrib + dangling_mass·p)."""
+    parts = [f"""WITH {_LINKS_CTE},
+ns AS (SELECT count(*) AS s FROM documents WHERE doc_id % {stride} = 0),
+p AS (SELECT d.doc_id AS v,
+             CASE WHEN d.doc_id % {stride} = 0
+                  THEN 1.0 / ns.s ELSE 0.0 END AS pv
+      FROM documents d CROSS JOIN ns),
+outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT v, pv AS r FROM p)"""]
+    for i in range(iters):
+        parts.append(f""",
+dang{i} AS (SELECT COALESCE(sum(r), 0) AS s FROM r{i}
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = r{i}.v)),
+c{i} AS (SELECT e.dst AS v, sum(r{i}.r / outdeg.d) AS c
+         FROM e JOIN r{i} ON r{i}.v = e.src
+         JOIN outdeg ON outdeg.src = e.src GROUP BY e.dst),
+r{i + 1} AS (SELECT p.v,
+             CAST({(1.0 - damping)!r} AS DOUBLE) * p.pv
+             + {damping} * (COALESCE(c{i}.c, 0) + dang{i}.s * p.pv) AS r
+             FROM p CROSS JOIN dang{i}
+             LEFT JOIN c{i} ON c{i}.v = p.v)""")
+    parts.append(f"""
+SELECT v AS vertex, CAST(FLOOR(r * 1e9 + 0.5) AS BIGINT) AS rank_e9
+FROM r{iters}""")
+    return "".join(parts)
+
+
 _ARCS_CTE = "arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
 
 
@@ -484,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree": lg.doc_degree_table,
         "graph_pagerank_onestep": lambda sf: lg.doc_pagerank_table(sf, max_iters=1),
         "graph_pagerank_full": lg.doc_pagerank_full,
+        "graph_ppr": lg.doc_ppr_table,
         "graph_components": lg.doc_components_table,
         "graph_hedonic": lg.doc_hedonic_table,
         "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
@@ -563,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "analytics_partition_metrics": _metrics_sql(),
         "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",
         "graph_pagerank_full": _pagerank_chain_sql(iters=5),
+        "graph_ppr": _ppr_chain_sql(iters=5, stride=101),
         "graph_hedonic_2pass": _hedonic_chain_sql(iters=2),
         "graph_labelprop": _labelprop_chain_sql(iters=2),
         "graph_components": f"""

@@ -284,6 +284,25 @@ def doc_edge_jaccard_table(sf_dir: str) -> pa.Table:
     return edge_jaccard(doc_graph(sf_dir, directed=False))
 
 
+def doc_ppr_table(sf_dir: str, *, iters: int = 5,
+                  stride: int = 101) -> pa.Table:
+    """Personalized PageRank on the DIRECTED doc-link graph from the
+    deterministic seed set ``{v : v ≡ 0 (mod stride)}`` after exactly
+    ``iters`` iterations (the fixed-iteration semantic the SQL oracle
+    unrolls), ×1e9 rounded."""
+    from hedonic_ray.algos.pagerank import personalized_pagerank
+
+    g = doc_graph(sf_dir, directed=True)
+    seeds = np.arange(0, g.n, stride, dtype=np.int64)
+    res = personalized_pagerank(g, seeds, max_iters=iters, tol=0.0)
+    # half-UP (floor(x+0.5)), not rint: the seed distribution produces
+    # short binary fractions whose ×1e9 value lands exactly on .5, where
+    # np.rint (half-even) and SQL ROUND (half-away) disagree
+    rank_e9 = np.floor(res.state["rank"] * 1e9 + 0.5).astype(np.int64)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "rank_e9": pa.array(rank_e9, pa.int64())})
+
+
 def doc_assortativity_table(sf_dir: str) -> pa.Table:
     """Degree-assortativity sufficient stats + truncated ×1e6 Pearson r
     of the undirected doc-link graph (one row, all integers)."""
