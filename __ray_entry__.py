@@ -562,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_running_total": rel.user_running_total,
         "rel_latest_event": rel.latest_event_per_type,
         "rel_full_outer": rel.daily_orders_vs_shipments,
+        "rel_event_sequence": rel.user_event_sequence,
+        "rel_set_ops": rel.user_set_ops,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -1230,6 +1232,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN s.day IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS has_items
             FROM o FULL OUTER JOIN s ON s.day = o.day
+        """,
+        "rel_event_sequence": """
+            -- per-user '>'-joined path of the first 10 events in
+            -- (ts, event_id) order, plus the total event count
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n_events
+                FROM events)
+            SELECT user_id, CAST(min(n_events) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 10
+            GROUP BY user_id
+        """,
+        "rel_set_ops": """
+            -- click/purchase user-set Venn as four labeled counts
+            WITH f AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1
+                                ELSE 0 END) AS c,
+                       max(CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END) AS p
+                FROM events GROUP BY user_id)
+            SELECT op, CAST(n_users AS BIGINT) AS n_users FROM (
+                SELECT 'intersect' AS op,
+                       count(*) FILTER (c = 1 AND p = 1) AS n_users FROM f
+                UNION ALL
+                SELECT 'click_only',
+                       count(*) FILTER (c = 1 AND p = 0) FROM f
+                UNION ALL
+                SELECT 'purchase_only',
+                       count(*) FILTER (c = 0 AND p = 1) FROM f
+                UNION ALL
+                SELECT 'union',
+                       count(*) FILTER (c = 1 OR p = 1) FROM f
+            )
         """,
         "rel_pivot": """
             SELECT user_id,

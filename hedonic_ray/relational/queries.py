@@ -879,3 +879,72 @@ def daily_orders_vs_shipments(sf_dir: str, num_partitions: int = 8):
         })
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def user_event_sequence(sf_dir: str, head: int = 10):
+    """Ordered grouped STRING FOLD: per user, the '>'-joined
+    event-type path of the first ``head`` events in ``(ts, event_id)``
+    order plus the total count — the behavioral-sequence feature shape
+    (session-path mining).  One grouped exchange; the fold is a bounded
+    ``str.join`` per group."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def fold(group: dict) -> dict:
+        ts = group["ts"].astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((group["event_id"], ts))[:head]
+        path = ">".join(group["event_type"][order].tolist())
+        return {"user_id": group["user_id"][:1].astype(np.int64),
+                "n_events": np.array([len(ts)], np.int64),
+                "path": np.array([path], dtype=object)}
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="numpy")
+
+
+def user_set_ops(sf_dir: str):
+    """SET OPERATIONS over derived key sets: the click/purchase user
+    Venn — |clicked ∩ purchased|, |clicked ∖ purchased|,
+    |purchased ∖ clicked|, |clicked ∪ purchased| — as four labeled
+    rows.  Per-batch indicator partials collapse to one row per
+    (user, batch); one grouped exchange ORs them; the four counts are
+    a tiny driver fold of per-batch partial sums."""
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        g = pa.table({
+            "user_id": t.column("user_id"),
+            "clicked": pc.cast(pc.equal(et, pa.scalar("click")), pa.int64()),
+            "purchased": pc.cast(pc.equal(et, pa.scalar("purchase")),
+                                 pa.int64()),
+        })
+        return g.group_by(["user_id"]).aggregate(
+            [("clicked", "max"), ("purchased", "max")]).rename_columns(
+            ["user_id", "clicked", "purchased"])
+
+    flags = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Max("clicked", alias_name="clicked"),
+                        Max("purchased", alias_name="purchased")))
+
+    def counts(t: pa.Table) -> pa.Table:
+        c = t.column("clicked").to_numpy().astype(bool)
+        p = t.column("purchased").to_numpy().astype(bool)
+        return pa.table({
+            "n_intersect": pa.array([int((c & p).sum())], pa.int64()),
+            "n_click_only": pa.array([int((c & ~p).sum())], pa.int64()),
+            "n_purchase_only": pa.array([int((~c & p).sum())], pa.int64()),
+            "n_union": pa.array([int((c | p).sum())], pa.int64()),
+        })
+
+    parts = flags.map_batches(counts, batch_format="pyarrow").take_all()
+    agg = {k: sum(int(r[k]) for r in parts) for k in
+           ("n_intersect", "n_click_only", "n_purchase_only", "n_union")}
+    return pa.table({
+        "op": pa.array(["intersect", "click_only", "purchase_only",
+                        "union"], pa.string()),
+        "n_users": pa.array([agg["n_intersect"], agg["n_click_only"],
+                             agg["n_purchase_only"], agg["n_union"]],
+                            pa.int64()),
+    })

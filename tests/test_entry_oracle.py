@@ -104,7 +104,7 @@ SQL_CHECKED = sorted([
     "graph_assortativity", "graph_common_neighbors",
     "rel_deciles", "rel_running_total", "rel_latest_event",
     "sim_range_search", "rel_full_outer", "graph_top_transitions",
-    "text_term_tf", "graph_ppr",
+    "text_term_tf", "graph_ppr", "rel_event_sequence", "rel_set_ops",
 ])
 
 
