@@ -281,15 +281,30 @@ def top_parts_per_brand(sf_dir: str, k: int = 3):
             .sort(["p_brand", "rnk"]))
 
 
-def customers_without_events(sf_dir: str, num_partitions: int = 8):
+def customers_without_events(sf_dir: str, num_partitions: int = 8,
+                             method: str = "auto"):
     """Anti-join (TPC-H Q22 shape): per market segment, the count and
     exact integer-cent account-balance sum of customers with NO click
     events.  Uses Ray Data's native ``left_anti`` hash join; the
     events side is pre-shrunk by a per-batch ``np.unique`` combiner
     (only distinct user ids per batch enter the exchange — at scale
-    that is |users| keys, not |events| rows)."""
+    that is |users| keys, not |events| rows).
+
+    ``method="bloom"`` (auto under force_scale — the 100-TB shape):
+    a broadcast Bloom filter of the key side splits the big side
+    INSIDE each map task — bloom-miss rows are definitely anti-matches
+    and bypass the join entirely; only bloom-hit rows (true matches +
+    ≈0.6 % false positives) enter the hash-join exchange, which then
+    decides them exactly.  No false negatives ⇒ identical output,
+    exchange volume |matches| + ε·|big| instead of |big|."""
     from ray.data.aggregate import Count, Sum
-    from hedonic_ray.context import drop_empty_blocks
+    from hedonic_ray.context import drop_empty_blocks, force_scale
+
+    if method == "auto":
+        method = "bloom" if force_scale() else "join"
+    if method not in ("join", "bloom"):
+        raise ValueError(f"unknown customers_without_events method "
+                         f"{method!r}")
 
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_mktsegment", "c_acctbal"])
@@ -302,8 +317,36 @@ def customers_without_events(sf_dir: str, num_partitions: int = 8):
         _read(sf_dir, "events", ["user_id"])
         .map_batches(distinct_keys, batch_format="pyarrow"),
         pa.schema([("user_id", pa.int64())]))
-    anti = cust.join(evk, "left_anti", num_partitions,
-                     on=("c_custkey",), right_on=("user_id",))
+
+    if method == "bloom":
+        import ray
+        from hedonic_ray.ops.bloom import build_bloom, bloom_maybe_contains
+
+        keys = np.unique(np.concatenate(
+            [b.column("user_id").to_numpy()
+             for b in evk.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]))
+        bloom_ref = ray.put(build_bloom(keys))
+
+        def split(t: pa.Table) -> pa.Table:
+            hit = bloom_maybe_contains(
+                ray.get(bloom_ref), t.column("c_custkey").to_numpy())
+            return t.append_column("_hit", pa.array(hit))
+
+        tagged = cust.map_batches(split, batch_format="pyarrow")
+        misses = tagged.filter(expr="_hit == False").drop_columns(["_hit"])
+        hits = tagged.filter(expr="_hit == True").drop_columns(["_hit"])
+        schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_mktsegment", pa.string()),
+                            ("c_acctbal", pa.float64())])
+        anti_hits = drop_empty_blocks(hits, schema).join(
+            evk, "left_anti", num_partitions,
+            on=("c_custkey",), right_on=("user_id",))
+        anti = misses.union(anti_hits)
+    else:
+        anti = cust.join(evk, "left_anti", num_partitions,
+                         on=("c_custkey",), right_on=("user_id",))
 
     def to_e2(t: pa.Table) -> pa.Table:
         e2 = np.floor(t.column("c_acctbal").to_numpy() * 100.0)

@@ -139,6 +139,7 @@ def test_query_matches_oracle(entry_module, name):
 FORCED_SCALE = sorted([
     "dedup_ngram",          # prefix+positional index AND join denominators
     "dedup_containment",    # join denominator-attach path
+    "rel_anti_join",        # broadcast-Bloom pre-filtered anti-join
     "dedup_minhash",        # verify joins + distributed dup clustering
     "graph_triangles_docs",  # bucketed (no-broadcast) triangle probe
     "graph_components",     # shuffle gather

@@ -648,3 +648,38 @@ def test_exact_quantiles_all_equal_and_empty():
     assert got.column("value").to_pylist() == [3.25, 3.25]
     empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     assert exact_quantiles(empty, "v", [50]).num_rows == 0
+
+
+# ---------------------------------------------------------- bloom pre-filter
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    import numpy as np
+    from hedonic_ray.ops.bloom import bloom_maybe_contains, build_bloom
+
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 1 << 40, size=20_000))
+    words = build_bloom(keys)
+    assert bloom_maybe_contains(words, keys).all()  # no false negatives
+    other = np.setdiff1d(rng.integers(0, 1 << 40, size=50_000), keys)
+    fp = bloom_maybe_contains(words, other).mean()
+    assert fp < 0.03, fp  # 12 bits/key, k=4 → ~0.6 %; generous bound
+
+
+def test_bloom_empty_key_set():
+    import numpy as np
+    from hedonic_ray.ops.bloom import bloom_maybe_contains, build_bloom
+
+    words = build_bloom(np.empty(0, np.int64))
+    assert not bloom_maybe_contains(words, np.arange(100)).any()
+
+
+def test_anti_join_bloom_path_equals_join_path():
+    from hedonic_ray.relational.queries import customers_without_events
+
+    sf = "/root/testdata/sf0.001"
+    base = customers_without_events(sf, method="join").to_pandas()
+    bloom = customers_without_events(sf, method="bloom").to_pandas()
+    base = base.sort_values("c_mktsegment").reset_index(drop=True)
+    bloom = bloom.sort_values("c_mktsegment").reset_index(drop=True)
+    assert base.equals(bloom)
