@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ttr": tx.ttr,
         "text_passage_dedup": tx.dup_passages,
         "text_term_tf": tx.term_tf_top,
+        "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
         "dedup_containment": tx.ngram_containment_pairs,
@@ -585,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_topk_cosine": tx.topk_similarity,
         "sim_ivf_topk": tx.ivf_similarity,
         "sim_range_search": tx.range_similarity,
+        "sim_filtered_topk": tx.filtered_topk_similarity,
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
@@ -1413,6 +1415,29 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY term
             ORDER BY tf DESC, term LIMIT 100
         """,
+        "text_tfidf": r"""
+            -- per-doc top-3 keywords by integer score tf*N//df
+            -- (rational idf ordering, no float log; ties -> term asc)
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         tf.tf * n.n // df.df AS score
+                  FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rn
+                  FROM s)
+            SELECT doc_id, CAST(rn AS BIGINT) AS rank, term,
+                   CAST(score AS BIGINT) AS score
+            FROM r WHERE rn <= 3
+        """,
         "text_ttr": """
             -- type-token ratio per doc, all-integer (// truncates;
             -- operands are non-negative so trunc ≡ floor)
@@ -1457,6 +1482,32 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(CAST(qq.qv AS DOUBLE[]),
                                               CAST(e.embedding AS DOUBLE[])) AS score
                 FROM qq CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+                   CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
+            FROM ranked WHERE rank <= 5
+        """,
+        "sim_filtered_topk": """
+            -- label-filtered top-k: each query ranks only vectors
+            -- sharing its label
+            WITH qq AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                       embedding AS qv, label AS qlabel
+                FROM embeddings
+                WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                 ORDER BY vec_id LIMIT 3)
+            ),
+            scored AS (
+                SELECT qq.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(qq.qv AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[]))
+                           AS score
+                FROM qq JOIN embeddings e ON e.label = qq.qlabel
             ),
             ranked AS (
                 SELECT *, row_number() OVER (

@@ -234,3 +234,46 @@ def range_search_cosine(emb_ds, queries: np.ndarray, threshold_e6: int, *,
 
     return emb_ds.map_batches(scan, batch_format="pyarrow",
                               batch_size=4096)
+
+
+def topk_cosine_filtered(emb_ds, queries: np.ndarray,
+                         query_labels: np.ndarray, k: int = 10, *,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         label_col: str = "label",
+                         dtype=np.float64) -> pa.Table:
+    """Metadata-FILTERED top-k: each query ranks only the vectors
+    sharing its label (the filtered-ANN shape every retrieval stack
+    needs — tenant / language / source filters).  Single pass: the
+    per-batch matmul masks mismatched labels to −inf before the local
+    top-k, so the filter costs one broadcast int vector, not a
+    separate filtered scan per query."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=dtype))
+    ql = np.asarray(query_labels, dtype=np.int64)
+    q_ref = ray.put(q)
+    ql_ref = ray.put(ql)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        qlab = ray.get(ql_ref)
+        ids = batch.column(id_col).to_numpy()
+        labs = batch.column(label_col).to_numpy().astype(np.int64)
+        m = _normalize(_batch_matrix(batch, vec_col, qm.dtype))
+        cos = qm @ m.T  # (Q, B)
+        cos = np.where(qlab[:, None] == labs[None, :], cos, -np.inf)
+        kk = min(k, cos.shape[1])
+        idx = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(np.arange(cos.shape[0]), kk)
+        sel = idx.reshape(-1)
+        sc = cos[rows_q, sel]
+        keep = np.isfinite(sc)  # masked candidates never leave the task
+        return pa.table({
+            "query_id": pa.array(rows_q[keep], pa.int64()),
+            "vec_id": pa.array(ids[sel[keep]], pa.int64()),
+            "score": pa.array(sc[keep].astype(np.float64)),
+        })
+
+    partials = emb_ds.map_batches(local_topk, batch_format="pyarrow",
+                                  batch_size=4096)
+    return _merge_topk(partials, k)

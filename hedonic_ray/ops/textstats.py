@@ -443,3 +443,113 @@ def term_total_frequency(ds, col: str = "text"):
                               batch_size=2048)
     return partials.groupby("term").aggregate(Sum("tf_partial",
                                                   alias_name="tf"))
+
+
+def tfidf_top_terms(ds, n_docs: int, k: int = 3, col: str = "text",
+                    method: str = "auto", broadcast_max: int = 2_000_000):
+    """Integer TF-IDF keyword extraction: per document, the top-``k``
+    terms by ``score = tf · N // df`` (ties → term asc) — the rational
+    tf/df ratio IS the idf ordering without a float log, so the result
+    is bit-exact against SQL.
+
+    Two stages: the distributed wordcount (document frequency), then a
+    second corpus pass scoring each doc's terms.  The df table rides
+    to the scorers as a broadcast sorted (term, df) pair below
+    ``broadcast_max`` distinct terms (``ray.put`` once, searchsorted
+    per batch); above it — or under force_scale — the (doc, term, tf)
+    explosion joins the df table with a hash-partitioned
+    ``Dataset.join`` and the per-doc top-k runs in a grouped exchange
+    instead."""
+    import ray
+    from hedonic_ray.context import force_scale
+
+    df_ds = term_document_frequency(ds, col)
+    if method == "auto":
+        method = "join" if force_scale() else "broadcast"
+    if method not in ("broadcast", "join"):
+        raise ValueError(f"unknown tfidf_top_terms method {method!r}")
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        flat, lens, doc_of = _flat_words(batch, col)
+        if not len(doc_of):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        words = np.asarray(flat).astype(str)
+        uniq, inv = np.unique(words, return_inverse=True)
+        key = doc_of * np.int64(len(uniq)) + inv
+        uk, tf = np.unique(key, return_counts=True)
+        d_idx = (uk // len(uniq)).astype(np.int64)
+        t_idx = (uk % len(uniq)).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({"doc_id": pa.array(ids[d_idx], pa.int64()),
+                         "term": pa.array(uniq[t_idx].astype(object),
+                                          pa.string()),
+                         "tf": pa.array(tf.astype(np.int64))})
+
+    def topk_within(doc_ids, terms, tf, df):
+        score = tf * np.int64(n_docs) // df
+        # per-doc top-k: sort by (doc, -score, term), keep first k
+        order = np.lexsort((terms, -score, doc_ids))
+        d = doc_ids[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        pos = np.arange(len(d)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(d)), 0))
+        keep = pos < k
+        sel = order[keep]
+        return pa.table({"doc_id": pa.array(doc_ids[sel], pa.int64()),
+                         "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+                         "term": pa.array(terms[sel].astype(object),
+                                          pa.string()),
+                         "score": pa.array(score[sel], pa.int64())})
+
+    if method == "broadcast":
+        rows = df_ds.take_all()
+        terms_sorted = np.array(sorted(r["term"] for r in rows), dtype=str)
+        df_by_term = dict((r["term"], int(r["df"])) for r in rows)
+        df_sorted = np.array([df_by_term[t] for t in terms_sorted.tolist()],
+                             dtype=np.int64)
+        lut_ref = ray.put((terms_sorted, df_sorted))
+
+        # FUSED with the tf explosion (one pass over the raw docs): a
+        # document's term rows must never straddle the per-doc top-k's
+        # batch boundary, and Ray re-batches between stages — rows of
+        # the raw documents table ARE whole documents, so fusing makes
+        # the boundary guarantee structural
+        def score_batch(batch: pa.Table) -> pa.Table:
+            t = doc_tf(batch)
+            if t.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "rank": pa.array([], pa.int64()),
+                                 "term": pa.array([], pa.string()),
+                                 "score": pa.array([], pa.int64())})
+            ts, dfs = ray.get(lut_ref)
+            terms = t.column("term").to_numpy(zero_copy_only=False).astype(str)
+            df = dfs[np.searchsorted(ts, terms)]
+            return topk_within(t.column("doc_id").to_numpy().astype(np.int64),
+                               terms, t.column("tf").to_numpy().astype(np.int64),
+                               df)
+
+        return ds.map_batches(score_batch, batch_format="pyarrow",
+                              batch_size=2048)
+
+    tf_ds = ds.map_batches(doc_tf, batch_format="pyarrow", batch_size=2048)
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    s_tf = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                      ("tf", pa.int64())])
+    s_df = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    j = drop_empty_blocks(tf_ds, s_tf).join(
+        drop_empty_blocks(df_ds, s_df), "inner", 8, on=("term",))
+
+    def group_topk(g: dict) -> dict:
+        t = topk_within(g["doc_id"].astype(np.int64),
+                        g["term"].astype(str),
+                        g["tf"].astype(np.int64),
+                        g["df"].astype(np.int64))
+        return {c: t.column(c).to_numpy(zero_copy_only=False)
+                for c in t.column_names}
+
+    return j.groupby("doc_id").map_groups(group_topk, batch_format="numpy")

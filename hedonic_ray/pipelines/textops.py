@@ -301,3 +301,38 @@ def term_tf_top(sf_dir: str, k: int = 100) -> pa.Table:
         "term": pa.array([r["term"] for r in rows], pa.string()),
         "tf": pa.array([int(r["tf"]) for r in rows], pa.int64()),
     })
+
+
+def _query_labels(sf_dir: str, n_queries: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label"])
+    order = np.argsort(t.column("vec_id").to_numpy())[:n_queries]
+    return t.column("label").to_numpy()[order].astype(np.int64)
+
+
+def filtered_topk_similarity(sf_dir: str, k: int = 5) -> pa.Table:
+    """Metadata-filtered top-k: each query ranks only the vectors with
+    its own label."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.topk_cosine_filtered(emb, _query_matrix(sf_dir),
+                                   _query_labels(sf_dir), k=k)
+    return pa.table({
+        "query_id": out.column("query_id"),
+        "rank": out.column("rank"),
+        "vec_id": out.column("vec_id"),
+        "score_e6": pc.cast(pc.round(pc.multiply(out.column("score"),
+                                                 pa.scalar(1e6))), pa.int64()),
+    })
+
+
+def tfidf_keywords(sf_dir: str, k: int = 3):
+    """Per-doc top-3 keywords by integer tf·N//df (exact TF-IDF
+    ordering without a float log)."""
+    return ts.tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]),
+                              _n_docs(sf_dir), k=k)

@@ -105,6 +105,7 @@ SQL_CHECKED = sorted([
     "rel_deciles", "rel_running_total", "rel_latest_event",
     "sim_range_search", "rel_full_outer", "graph_top_transitions",
     "text_term_tf", "graph_ppr", "rel_event_sequence", "rel_set_ops",
+    "sim_filtered_topk", "text_tfidf",
 ])
 
 
@@ -140,6 +141,7 @@ FORCED_SCALE = sorted([
     "dedup_ngram",          # prefix+positional index AND join denominators
     "dedup_containment",    # join denominator-attach path
     "rel_anti_join",        # broadcast-Bloom pre-filtered anti-join
+    "text_tfidf",           # df join + grouped top-k path
     "dedup_minhash",        # verify joins + distributed dup clustering
     "graph_triangles_docs",  # bucketed (no-broadcast) triangle probe
     "graph_components",     # shuffle gather
