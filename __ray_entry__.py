@@ -518,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_full": lg.doc_pagerank_full,
         "graph_ppr": lg.doc_ppr_table,
         "graph_components": lg.doc_components_table,
+        "graph_component_stats": lg.doc_component_stats,
         "graph_hedonic": lg.doc_hedonic_table,
         "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
         "graph_labelprop": lg.doc_labelprop_table,
@@ -564,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_full_outer": rel.daily_orders_vs_shipments,
         "rel_event_sequence": rel.user_event_sequence,
         "rel_set_ops": rel.user_set_ops,
+        "rel_grouped_median": rel.brand_median_price,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -1235,6 +1237,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS has_items
             FROM o FULL OUTER JOIN s ON s.day = o.day
         """,
+        "rel_grouped_median": """
+            -- grouped exact lower median of integer cents
+            WITH s AS (SELECT p_brand,
+                              CAST(ROUND(p_retailprice * 100) AS BIGINT) AS x
+                       FROM part),
+            r AS (SELECT p_brand, x,
+                         row_number() OVER (PARTITION BY p_brand
+                                            ORDER BY x) AS rn,
+                         count(*) OVER (PARTITION BY p_brand) AS n
+                  FROM s)
+            SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+                   CAST(x AS BIGINT) AS median_e2
+            FROM r WHERE rn = (n + 1) // 2
+        """,
         "rel_event_sequence": """
             -- per-user '>'-joined path of the first 10 events in
             -- (ts, event_id) order, plus the total event count
@@ -1388,6 +1404,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN lc ON lc.doc_id = d.doc_id
             LEFT JOIN btop ON btop.doc_id = d.doc_id
+        """,
+        "graph_component_stats": f"""
+            -- per-component vertex/edge counts + integer density
+            -- 2m*1e9 // (n*(n-1))
+            WITH RECURSIVE {_LINKS_CTE},
+            arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, a.dst FROM reach r JOIN arcs a ON a.src = r.u
+            ),
+            comp AS (SELECT v, min(u) AS c FROM reach GROUP BY v),
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            ec AS (SELECT comp.c, count(*) AS m
+                   FROM und JOIN comp ON comp.v = und.a GROUP BY comp.c),
+            vc AS (SELECT c AS component, count(*) AS n FROM comp GROUP BY c)
+            SELECT CAST(vc.component AS BIGINT) AS component,
+                   CAST(vc.n AS BIGINT) AS n_vertices,
+                   CAST(COALESCE(ec.m, 0) AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN vc.n > 1
+                             THEN 2 * COALESCE(ec.m, 0) * 1000000000
+                                  // (vc.n * (vc.n - 1))
+                             ELSE 0 END AS BIGINT) AS density_e9
+            FROM vc LEFT JOIN ec ON ec.c = vc.component
         """,
         "graph_top_transitions": """
             -- weighted click-graph: top-20 transitions by click count

@@ -303,6 +303,52 @@ def doc_ppr_table(sf_dir: str, *, iters: int = 5,
                      "rank_e9": pa.array(rank_e9, pa.int64())})
 
 
+def doc_component_stats(sf_dir: str) -> pa.Table:
+    """Per-component structure stats of the undirected doc-link graph:
+    (component, n_vertices, n_edges, density_e9) with
+    ``density_e9 = 2·m·10⁹ // (n·(n−1))`` — exact integers.  Edge
+    counts are a distributed per-block reduction against the broadcast
+    membership (each canonical edge lies in exactly one component);
+    vertex counts are a bincount over the converged labels."""
+    import ray
+    from ray.data.aggregate import Sum
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    g = doc_graph(sf_dir, directed=False)
+    comp = connected_components(g).state["component"].astype(np.int64)
+    comp_ref = ray.put(comp)
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        c = ray.get(comp_ref)
+        keys: list[np.ndarray] = []
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            keep = src < bv.indices  # canonical: each edge once
+            keys.append(c[src[keep]])
+        if not keys:
+            return pa.table({"component": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
+        uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({"component": pa.array(uk, pa.int64()),
+                         "m": pa.array(cnt.astype(np.int64))})
+
+    rows = (g.blocks.map_batches(edge_partials, batch_format="pyarrow",
+                                 batch_size=4)
+            .groupby("component").aggregate(Sum("m", alias_name="m"))
+            .take_all())
+    m_by_comp = {int(r["component"]): int(r["m"]) for r in rows}
+    comps, n_v = np.unique(comp, return_counts=True)
+    m = np.array([m_by_comp.get(int(c), 0) for c in comps], dtype=np.int64)
+    den = n_v.astype(np.int64) * (n_v.astype(np.int64) - 1)
+    dens = np.zeros(len(comps), dtype=np.int64)
+    np.floor_divide(2 * m * np.int64(1_000_000_000), den, out=dens,
+                    where=den > 0)
+    return pa.table({"component": pa.array(comps, pa.int64()),
+                     "n_vertices": pa.array(n_v.astype(np.int64)),
+                     "n_edges": pa.array(m),
+                     "density_e9": pa.array(dens)})
+
+
 def doc_assortativity_table(sf_dir: str) -> pa.Table:
     """Degree-assortativity sufficient stats + truncated ×1e6 Pearson r
     of the undirected doc-link graph (one row, all integers)."""

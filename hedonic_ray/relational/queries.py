@@ -991,3 +991,20 @@ def user_set_ops(sf_dir: str):
                              agg["n_purchase_only"], agg["n_union"]],
                             pa.int64()),
     })
+
+
+def brand_median_price(sf_dir: str):
+    """Grouped EXACT MEDIAN (lower median, k = ⌈n/2⌉-th smallest of the
+    integer cents): per brand, (n_parts, median_e2).  One grouped
+    exchange, an O(n) ``np.partition`` selection per group — no global
+    sort, no row numbering."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def med(group: dict) -> dict:
+        x = np.rint(group["p_retailprice"] * 100.0).astype(np.int64)
+        k = (len(x) + 1) // 2 - 1
+        return {"p_brand": group["p_brand"][:1],
+                "n_parts": np.array([len(x)], np.int64),
+                "median_e2": np.array([np.partition(x, k)[k]], np.int64)}
+
+    return ds.groupby("p_brand").map_groups(med, batch_format="numpy")

@@ -105,7 +105,8 @@ SQL_CHECKED = sorted([
     "rel_deciles", "rel_running_total", "rel_latest_event",
     "sim_range_search", "rel_full_outer", "graph_top_transitions",
     "text_term_tf", "graph_ppr", "rel_event_sequence", "rel_set_ops",
-    "sim_filtered_topk", "text_tfidf",
+    "sim_filtered_topk", "text_tfidf", "graph_component_stats",
+    "rel_grouped_median",
 ])
 
 
