@@ -421,3 +421,93 @@ def test_edge_jaccard_matches_brute_force():
         c = len(nbrs[a] & nbrs[b])
         u = len(nbrs[a] | nbrs[b])
         assert got[(a, b)] == (c, c * 10**9 // u), (a, b)
+
+
+# ------------------------------------------------- linkpred / PPR additions
+
+
+def test_ppr_with_all_seeds_equals_pagerank():
+    """Seeds = every vertex ⇒ p is uniform ⇒ PPR IS PageRank (exact
+    same float recurrence) — a closed-form cross-check of the PPR
+    apply rule."""
+    from hedonic_ray.algos.pagerank import pagerank, personalized_pagerank
+    from tests.fixtures import make_graph, rand_edges
+
+    g = make_graph(rand_edges(40, 0.12, seed=3), 40, directed=True)
+    pr = pagerank(g, max_iters=4, tol=0.0).state["rank"]
+    ppr = personalized_pagerank(
+        g, np.arange(40), max_iters=4, tol=0.0).state["rank"]
+    np.testing.assert_allclose(ppr, pr, rtol=0, atol=1e-15)
+
+
+def test_ppr_mass_and_seed_concentration():
+    from hedonic_ray.algos.pagerank import personalized_pagerank
+    from tests.fixtures import make_graph
+
+    # path 0-1-2-3-4 plus isolated-ish tail; seed at 0
+    g = make_graph([(0, 1), (1, 2), (2, 3), (3, 4)], 5, directed=False)
+    r = personalized_pagerank(g, np.array([0]), max_iters=30).state["rank"]
+    assert abs(r.sum() - 1.0) < 1e-9
+    # mass concentrates around the seed end (the deg-1 seed forwards
+    # everything to vertex 1, so 1 can outrank 0 — that's correct PPR)
+    assert r[0] + r[1] > 0.55
+    assert r[1] > r[2] > r[3] > r[4]    # decays with hop distance
+    assert r[0] > r[2]
+
+
+def test_assortativity_star_is_minus_one():
+    """A star graph is perfectly disassortative: every edge joins the
+    hub (deg n−1) to a leaf (deg 1) ⇒ r = −1 exactly."""
+    from hedonic_ray.algos.linkpred import degree_assortativity
+    from tests.fixtures import make_graph
+
+    g = make_graph([(0, i) for i in range(1, 7)], 7, directed=False)
+    t = degree_assortativity(g)
+    assert t.column("r_e6")[0].as_py() == -1_000_000
+
+
+def test_assortativity_matches_dense_oracle():
+    from hedonic_ray.algos.linkpred import degree_assortativity
+    from tests.fixtures import make_graph, rand_edges
+
+    edges = rand_edges(30, 0.15, seed=11)
+    g = make_graph(edges, 30, directed=False)
+    t = degree_assortativity(g)
+    deg = np.zeros(30, dtype=np.int64)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    x, y = np.array(xs, float), np.array(ys, float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(t.column("r_e6")[0].as_py() / 1e6 - r) < 2e-6
+
+
+def test_common_neighbors_path_graph():
+    """Path 0-1-2-3-4: non-adjacent distance-2 pairs are (0,2),(1,3),
+    (2,4) with exactly one common neighbor each; ties break to (a,b)
+    ascending."""
+    from hedonic_ray.algos.linkpred import common_neighbors_topk
+    from tests.fixtures import make_graph
+
+    g = make_graph([(0, 1), (1, 2), (2, 3), (3, 4)], 5, directed=False)
+    t = common_neighbors_topk(g, k=10)
+    rows = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                    t.column("common").to_pylist()))
+    assert rows == [(0, 2, 1), (1, 3, 1), (2, 4, 1)]
+
+
+def test_common_neighbors_excludes_adjacent_and_counts():
+    """Triangle + pendant: 0-1,1-2,0-2,2-3.  Non-adjacent pairs:
+    (0,3),(1,3) each share neighbor 2; adjacent pairs never appear."""
+    from hedonic_ray.algos.linkpred import common_neighbors_topk
+    from tests.fixtures import make_graph
+
+    g = make_graph([(0, 1), (1, 2), (0, 2), (2, 3)], 4, directed=False)
+    t = common_neighbors_topk(g, k=10)
+    rows = set(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                   t.column("common").to_pylist()))
+    assert rows == {(0, 3, 1), (1, 3, 1)}
