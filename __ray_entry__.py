@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_event_sequence": rel.user_event_sequence,
         "rel_set_ops": rel.user_set_ops,
         "rel_grouped_median": rel.brand_median_price,
+        "rel_histogram": rel.event_value_histogram,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -583,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
         "dedup_containment": tx.ngram_containment_pairs,
+        "dedup_keep_list": tx.dedup_keep_list,
         "dedup_simhash": tx.simhash_dup_pairs,
         "dedup_embedding": tx.embedding_neardup,
         "sim_topk_cosine": tx.topk_similarity,
@@ -664,6 +666,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS dup_group
             FROM reach GROUP BY v
+        """,
+        "dedup_keep_list": f"""
+            -- per near-dup cluster: keep the longest doc (ties ->
+            -- smallest doc_id); the keep-list step after clustering
+            WITH RECURSIVE {_SHINGLES_CTE},
+            und AS (SELECT a AS src, b AS dst FROM jpairs
+                    UNION ALL SELECT b, a FROM jpairs),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, a.dst FROM reach r JOIN und a ON a.src = r.u
+            ),
+            comp AS (SELECT v AS doc_id, min(u) AS dup_group
+                     FROM reach GROUP BY v),
+            j AS (SELECT comp.dup_group, d.doc_id,
+                         length(d.text) AS n_chars
+                  FROM comp JOIN documents d USING (doc_id)),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY dup_group
+                             ORDER BY n_chars DESC, doc_id) AS rn,
+                         count(*) OVER (PARTITION BY dup_group)
+                             AS cluster_size
+                  FROM j)
+            SELECT CAST(dup_group AS BIGINT) AS dup_group,
+                   doc_id AS kept_doc, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(cluster_size AS BIGINT) AS cluster_size
+            FROM r WHERE rn = 1
         """,
         "rel_asof_join": """
             -- backward as-of join, deterministic tie-break (latest
@@ -1236,6 +1265,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN s.day IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS has_items
             FROM o FULL OUTER JOIN s ON s.day = o.day
+        """,
+        "rel_histogram": """
+            -- fixed-width histogram of exact integer cents; // floors
+            -- toward zero on both engines and values are non-negative
+            WITH s AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_type, CAST(v // 1000 AS BIGINT) AS bin,
+                   count(*) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_value_e2
+            FROM s GROUP BY event_type, v // 1000
         """,
         "rel_grouped_median": """
             -- grouped exact lower median of integer cents

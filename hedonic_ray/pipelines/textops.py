@@ -336,3 +336,42 @@ def tfidf_keywords(sf_dir: str, k: int = 3):
     ordering without a float log)."""
     return ts.tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]),
                               _n_docs(sf_dir), k=k)
+
+
+def dedup_keep_list(sf_dir: str):
+    """Duplicate-cluster REPRESENTATIVE selection — the step that turns
+    near-dup clusters into an actual keep-list: per cluster, keep the
+    longest document (ties → smallest doc_id), reporting
+    (dup_group, kept_doc, n_chars, cluster_size).
+
+    Shape: the converged cluster labels broadcast via ``ray.put``; one
+    vectorized tag pass over ``documents`` and ONE
+    ``groupby(dup_group)`` argmax exchange."""
+    import ray
+    import pyarrow.compute as pc
+
+    comp, _pairs = dd.minhash_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                                    _n_docs(sf_dir), verify="exact")
+    comp_ref = ray.put(np.asarray(comp, dtype=np.int64))
+
+    def tag(t: pa.Table) -> pa.Table:
+        c = ray.get(comp_ref)
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "dup_group": pa.array(c[ids], pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        })
+
+    tagged = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tag, batch_format="pyarrow")
+
+    def keep(g: dict) -> dict:
+        i = np.lexsort((g["doc_id"], -g["n_chars"]))[0]
+        return {"dup_group": g["dup_group"][:1].astype(np.int64),
+                "kept_doc": g["doc_id"][i:i + 1].astype(np.int64),
+                "n_chars": g["n_chars"][i:i + 1].astype(np.int64),
+                "cluster_size": np.array([len(g["doc_id"])], np.int64)}
+
+    return tagged.groupby("dup_group").map_groups(keep,
+                                                  batch_format="numpy")

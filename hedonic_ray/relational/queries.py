@@ -1008,3 +1008,29 @@ def brand_median_price(sf_dir: str):
                 "median_e2": np.array([np.partition(x, k)[k]], np.int64)}
 
     return ds.groupby("p_brand").map_groups(med, batch_format="numpy")
+
+
+def event_value_histogram(sf_dir: str, bin_e2: int = 1000):
+    """Fixed-width HISTOGRAM per event type: values bucketed into
+    ``bin_e2``-cent bins (floor division of the exact integer cents),
+    one (type, bin) grid row with count + exact cent sum.  Per-batch
+    Arrow group_by combiner, one grouped exchange — the grid, never
+    the events, crosses the wire."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        b = np.floor_divide(v, np.int64(bin_e2))
+        g = pa.table({"event_type": t.column("event_type"),
+                      "bin": pa.array(b),
+                      "n": pa.array(np.ones(len(b), np.int64)),
+                      "sum_value_e2": pa.array(v)})
+        return g.group_by(["event_type", "bin"]).aggregate(
+            [("n", "sum"), ("sum_value_e2", "sum")]).rename_columns(
+            ["event_type", "bin", "n", "sum_value_e2"])
+
+    return (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bin"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value_e2", alias_name="sum_value_e2")))

@@ -106,7 +106,7 @@ SQL_CHECKED = sorted([
     "sim_range_search", "rel_full_outer", "graph_top_transitions",
     "text_term_tf", "graph_ppr", "rel_event_sequence", "rel_set_ops",
     "sim_filtered_topk", "text_tfidf", "graph_component_stats",
-    "rel_grouped_median",
+    "rel_grouped_median", "dedup_keep_list", "rel_histogram",
 ])
 
 
