@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ppr": lg.doc_ppr_table,
         "graph_components": lg.doc_components_table,
         "graph_component_stats": lg.doc_component_stats,
+        "graph_scc": lg.doc_scc_table,
         "graph_hedonic": lg.doc_hedonic_table,
         "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
         "graph_labelprop": lg.doc_labelprop_table,
@@ -1444,6 +1445,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN lc ON lc.doc_id = d.doc_id
             LEFT JOIN btop ON btop.doc_id = d.doc_id
+        """,
+        "graph_scc": f"""
+            -- strongly connected components by mutual reachability;
+            -- label = min mutually-reachable id (reach includes self)
+            WITH RECURSIVE {_LINKS_CTE},
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, e.dst FROM reach r JOIN e ON e.src = r.u
+            )
+            SELECT a.v AS vertex, CAST(min(a.u) AS BIGINT) AS scc
+            FROM reach a JOIN reach b ON b.v = a.u AND b.u = a.v
+            GROUP BY a.v
         """,
         "graph_component_stats": f"""
             -- per-component vertex/edge counts + integer density

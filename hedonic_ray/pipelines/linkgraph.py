@@ -303,6 +303,28 @@ def doc_ppr_table(sf_dir: str, *, iters: int = 5,
                      "rank_e9": pa.array(rank_e9, pa.int64())})
 
 
+def doc_scc_table(sf_dir: str) -> pa.Table:
+    """Strongly connected components of the DIRECTED doc-link graph
+    (label = min member id; the SQL oracle computes the same label via
+    mutual reachability).  The reversed graph is built from the same
+    cached edge table with src/dst swapped."""
+    from hedonic_ray.algos.scc import strongly_connected_components
+
+    g_fwd = doc_graph(sf_dir, directed=True)
+    key = (sf_dir, "bwd")
+    if key not in _GRAPH_CACHE:
+        edges, urls_ref, n = _GRAPH_CACHE[(sf_dir, "edges")]
+        rev = edges.map_batches(
+            lambda t: pa.table({"src": t.column("dst"),
+                                "dst": t.column("src")}),
+            batch_format="pyarrow")
+        _GRAPH_CACHE[key] = build_link_graph(rev, n, directed=True)
+    g_bwd = _GRAPH_CACHE[key]
+    scc = strongly_connected_components(g_fwd, g_bwd)
+    return pa.table({"vertex": pa.array(np.arange(g_fwd.n), pa.int64()),
+                     "scc": pa.array(scc, pa.int64())})
+
+
 def doc_component_stats(sf_dir: str) -> pa.Table:
     """Per-component structure stats of the undirected doc-link graph:
     (component, n_vertices, n_edges, density_e9) with

@@ -511,3 +511,58 @@ def test_common_neighbors_excludes_adjacent_and_counts():
     rows = set(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
                    t.column("common").to_pylist()))
     assert rows == {(0, 3, 1), (1, 3, 1)}
+
+
+def test_scc_matches_bruteforce_mutual_reachability():
+    from hedonic_ray.algos.scc import strongly_connected_components
+    from tests.fixtures import make_graph
+
+    rng = np.random.default_rng(5)
+    n = 24
+    arcs = [(int(u), int(v)) for u in range(n) for v in range(n)
+            if u != v and rng.random() < 0.08]
+    # make sure at least one nontrivial cycle exists
+    arcs += [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)]
+    arcs = sorted(set(arcs))
+    g_fwd = make_graph(arcs, n, directed=True)
+    g_bwd = make_graph([(v, u) for u, v in arcs], n, directed=True)
+    got = strongly_connected_components(g_fwd, g_bwd)
+
+    # brute force: boolean transitive closure
+    adj = np.zeros((n, n), dtype=bool)
+    for u, v in arcs:
+        adj[u, v] = True
+    reach = adj | np.eye(n, dtype=bool)
+    for _ in range(n):
+        reach = reach | (reach @ reach)
+    mutual = reach & reach.T
+    expect = np.array([np.flatnonzero(mutual[v]).min() for v in range(n)])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_scc_pure_cycle_and_chain():
+    from hedonic_ray.algos.scc import strongly_connected_components
+    from tests.fixtures import make_graph
+
+    # chain 0→1→2 plus cycle 3→4→5→3
+    arcs = [(0, 1), (1, 2), (3, 4), (4, 5), (5, 3), (2, 3)]
+    g_fwd = make_graph(arcs, 6, directed=True)
+    g_bwd = make_graph([(v, u) for u, v in arcs], 6, directed=True)
+    got = strongly_connected_components(g_fwd, g_bwd)
+    np.testing.assert_array_equal(got, [0, 1, 2, 3, 3, 3])
+
+
+def test_scc_backends_bit_identical():
+    from hedonic_ray.algos.scc import strongly_connected_components
+    from tests.fixtures import make_graph
+
+    rng = np.random.default_rng(17)
+    n = 30
+    arcs = sorted({(int(u), int(v)) for u in range(n) for v in range(n)
+                   if u != v and rng.random() < 0.07} |
+                  {(4, 5), (5, 6), (6, 4)})
+    g_fwd = make_graph(arcs, n, directed=True)
+    g_bwd = make_graph([(v, u) for u, v in arcs], n, directed=True)
+    a = strongly_connected_components(g_fwd, g_bwd, backend="local")
+    b = strongly_connected_components(g_fwd, g_bwd, backend="ray")
+    np.testing.assert_array_equal(a, b)

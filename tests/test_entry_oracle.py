@@ -107,6 +107,7 @@ SQL_CHECKED = sorted([
     "text_term_tf", "graph_ppr", "rel_event_sequence", "rel_set_ops",
     "sim_filtered_topk", "text_tfidf", "graph_component_stats",
     "rel_grouped_median", "dedup_keep_list", "rel_histogram",
+    "graph_scc",
 ])
 
 
@@ -143,6 +144,7 @@ FORCED_SCALE = sorted([
     "dedup_containment",    # join denominator-attach path
     "rel_anti_join",        # broadcast-Bloom pre-filtered anti-join
     "text_tfidf",           # df join + grouped top-k path
+    "graph_scc",            # distributed coloring backend
     "dedup_minhash",        # verify joins + distributed dup clustering
     "graph_triangles_docs",  # bucketed (no-broadcast) triangle probe
     "graph_components",     # shuffle gather
