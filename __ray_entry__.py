@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": tx.redacted_docs,
         "text_term_df": tx.term_df_top,
         "text_sample": tx.sampled_docs,
+        "text_bottomk_sample": tx.bottomk_sampled_docs,
+        "text_norm_dedup": tx.normalized_dedup_kept,
         "text_repetition": tx.repetition_signals,
         "text_ttr": tx.ttr,
         "text_passage_dedup": tx.dup_passages,
@@ -645,6 +647,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
             WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 < 1
+        """,
+        "text_bottomk_sample": """
+            -- bottom-k sketch: the 50 smallest md5(id) values form a
+            -- fixed-size uniform sample; ties break on doc_id
+            SELECT doc_id FROM documents
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 50
+        """,
+        "text_norm_dedup": """
+            -- exact dedup on the normalized form (lowercase,
+            -- non-alphanumeric runs -> single space, trimmed)
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text),
+                                           '[^a-z0-9]+', ' ', 'g')) AS t
+                FROM documents),
+            r AS (SELECT doc_id, row_number() OVER (
+                      PARTITION BY t ORDER BY doc_id) AS rn FROM n)
+            SELECT doc_id FROM r WHERE rn = 1
         """,
         "text_term_df": r"""
             WITH toks AS (

@@ -1269,3 +1269,23 @@ def _embedding_neardup_ivf(emb_ds, *, threshold, id_col, vec_col,
     pairs = assigned.groupby("bucket").map_groups(bucket_pairs,
                                                   batch_format="pyarrow")
     return distinct_pairs(pairs, extra_min=("cosine",))
+
+
+def normalized_exact_dedup(ds, col: str = "text", key: str = "doc_id"):
+    """NEAR-exact dedup on NORMALIZED text (the C4-style canonical
+    form: lowercase, every non-alphanumeric run collapsed to one
+    space, trimmed) — catches case/punctuation/whitespace variants
+    plain exact dedup misses.  Normalization is three pure
+    pyarrow.compute kernels per batch (RE2, no Python per row); then
+    the same hash → groupby(hash) → min-key shape as
+    :func:`exact_dedup`."""
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t.column(col))
+        s = pc.replace_substring_regex(s, "[^a-z0-9]+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({key: t.column(key), "norm_text": s})
+
+    normed = ds.map_batches(norm, batch_format="pyarrow")
+    return exact_dedup(normed, col="norm_text", key=key)

@@ -60,3 +60,39 @@ def deterministic_sample(ds, *, id_col: str, rate_num: int, rate_den: int,
         return t.filter(pa.array(_keep_mask(ids, num, den, method)))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bottomk_sample(ds, *, id_col: str, k: int, method: str = "md5"):
+    """FIXED-SIZE deterministic sample via the bottom-k sketch: keep
+    the k rows with the smallest hash of their id.  Unlike the rate
+    gate above, the output size is exactly k regardless of the input
+    count (the "give me 10k examples" shape), still coordination-free:
+    each task keeps its local bottom-k (the combiner) and a tiny
+    driver merge keeps the global k — bottom-k of a union is the
+    bottom-k of the parts' bottom-ks.  ``method="md5"`` is
+    SQL-reproducible (``md5_number_lower``); ``"splitmix"`` is the
+    vectorized engine-only path (A/B-tested for size + determinism)."""
+    import pyarrow as pa
+    from hedonic_ray.functions.hashing import splitmix64
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        if method == "md5":
+            from hedonic_ray.ops.dedup import md5_low64
+
+            h = np.fromiter((md5_low64(str(int(i))) for i in ids),
+                            dtype=np.uint64, count=len(ids))
+        elif method == "splitmix":
+            h = splitmix64(ids.astype(np.uint64))
+        else:
+            raise ValueError(f"unknown bottomk_sample method {method!r}")
+        order = np.lexsort((ids, h))[:k]  # (hash, id) total order
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "h": pa.array(h[order].astype(np.uint64))})
+
+    parts = ds.map_batches(local, batch_format="pyarrow")
+    rows = parts.take_all()  # ≤ k per input block
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    h = np.array([r["h"] for r in rows], dtype=np.uint64)
+    order = np.lexsort((ids, h))[:k]
+    return pa.table({id_col: pa.array(np.sort(ids[order]), pa.int64())})

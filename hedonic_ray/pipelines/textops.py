@@ -375,3 +375,17 @@ def dedup_keep_list(sf_dir: str):
 
     return tagged.groupby("dup_group").map_groups(keep,
                                                   batch_format="numpy")
+
+
+def bottomk_sampled_docs(sf_dir: str, k: int = 50) -> pa.Table:
+    """Fixed-size deterministic sample: the k docs with the smallest
+    md5 hash (bottom-k sketch; SQL-reproducible membership)."""
+    from hedonic_ray.ops.sampling import bottomk_sample
+
+    return bottomk_sample(_docs(sf_dir, ["doc_id"]), id_col="doc_id", k=k)
+
+
+def normalized_dedup_kept(sf_dir: str):
+    """Keep-list of the case/punctuation-normalized exact dedup."""
+    out = dd.normalized_exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id"]).sort("doc_id")
