@@ -683,3 +683,32 @@ def test_anti_join_bloom_path_equals_join_path():
     base = base.sort_values("c_mktsegment").reset_index(drop=True)
     bloom = bloom.sort_values("c_mktsegment").reset_index(drop=True)
     assert base.equals(bloom)
+
+
+def test_normalized_dedup_collapses_variants():
+    import ray.data as rd
+    import pyarrow as pa
+    from hedonic_ray.ops.dedup import normalized_exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["Hello, World!", "hello   world", "hello world.",
+                          "different doc", "Different DOC"], pa.string()),
+    })
+    kept = sorted(r["doc_id"] for r in
+                  normalized_exact_dedup(rd.from_arrow(t)).take_all())
+    assert kept == [0, 3]
+
+
+def test_bottomk_sample_methods_fixed_size_and_deterministic():
+    import ray.data as rd
+    import pyarrow as pa
+    from hedonic_ray.ops.sampling import bottomk_sample
+
+    t = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64())})
+    a = bottomk_sample(rd.from_arrow(t), id_col="doc_id", k=20,
+                       method="splitmix")
+    b = bottomk_sample(rd.from_arrow(t).repartition(7), id_col="doc_id",
+                       k=20, method="splitmix")
+    assert a.num_rows == 20
+    assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
