@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_set_ops": rel.user_set_ops,
         "rel_grouped_median": rel.brand_median_price,
         "rel_histogram": rel.event_value_histogram,
+        "rel_cube": rel.brand_container_cube,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -1153,6 +1154,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_e2
             FROM part
             GROUP BY ROLLUP (p_brand, p_type)
+        """,
+        "rel_cube": """
+            -- CUBE(p_brand, p_type), 'ALL' sentinels, floored cents
+            SELECT COALESCE(p_brand, 'ALL') AS p_brand,
+                   COALESCE(p_type, 'ALL') AS p_type,
+                   count(*) AS n_parts,
+                   CAST(sum(CAST(FLOOR(p_retailprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS sum_price_e2
+            FROM part
+            GROUP BY CUBE (p_brand, p_type)
         """,
         "rel_percentiles": """
             -- exact k-th order statistic, k = ceil(q*N) (1-based);

@@ -635,31 +635,62 @@ def brand_container_rollup(sf_dir: str) -> pa.Table:
                        Sum("n", alias_name="n_parts")))
 
     # the finest grid is |brands|×|types| rows — tiny by
-    # construction; derive the rollup levels driver-side
-    ft = pa.Table.from_pandas(fine.to_pandas(), preserve_index=False)
-    brand = ft.column("p_brand").to_numpy(zero_copy_only=False)
-    price = ft.column("sum_price_e2").to_numpy()
-    n = ft.column("n_parts").to_numpy()
-
-    def level(keys_arrs, names):
-        import pandas as pd
-
-        df = pd.DataFrame({**{nm: k for nm, k in zip(names, keys_arrs)},
-                           "sum_price_e2": price, "n_parts": n})
-        return df.groupby(names, as_index=False).sum()
-
-    lv2 = level([brand, ft.column("p_type").to_numpy(zero_copy_only=False)],
-                ["p_brand", "p_type"])
-    lv1 = level([brand], ["p_brand"])
-    lv1["p_type"] = "ALL"
+    # construction; derive the coarser levels driver-side
     import pandas as pd
 
+    df = fine.to_pandas()
+    return _grouping_sets(df, with_type_margin=False)
+
+
+def _grouping_sets(df, *, with_type_margin: bool) -> pa.Table:
+    """Derive the ROLLUP (and optionally the CUBE's (ALL, type)
+    margin) levels from the finest (brand, type) grid — numpy/pandas
+    over ≤ |brands|×|types| rows, no second fact scan."""
+    import pandas as pd
+
+    lv2 = df.groupby(["p_brand", "p_type"], as_index=False).sum()
+    lv1 = df.groupby(["p_brand"], as_index=False)[
+        ["sum_price_e2", "n_parts"]].sum()
+    lv1["p_type"] = "ALL"
+    levels = [lv2, lv1]
+    if with_type_margin:
+        lvt = df.groupby(["p_type"], as_index=False)[
+            ["sum_price_e2", "n_parts"]].sum()
+        lvt["p_brand"] = "ALL"
+        levels.append(lvt)
     lv0 = pd.DataFrame({"p_brand": ["ALL"], "p_type": ["ALL"],
-                        "sum_price_e2": [price.sum()], "n_parts": [n.sum()]})
-    out = pd.concat([lv2, lv1, lv0], ignore_index=True)
+                        "sum_price_e2": [df["sum_price_e2"].sum()],
+                        "n_parts": [df["n_parts"].sum()]})
+    out = pd.concat(levels + [lv0], ignore_index=True)
     out = out[["p_brand", "p_type", "n_parts", "sum_price_e2"]]
     return pa.Table.from_pandas(out.astype(
         {"n_parts": "int64", "sum_price_e2": "int64"}), preserve_index=False)
+
+
+def brand_container_cube(sf_dir: str) -> pa.Table:
+    """CUBE(p_brand, p_type): the ROLLUP levels plus the (ALL, type)
+    column margin — same one-fact-scan shape, every grouping set
+    derived from the finest distributed grid."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t.column("p_retailprice"),
+                                             100.0)), pa.int64())
+        g = pa.table({"p_brand": t.column("p_brand"),
+                      "p_type": t.column("p_type"),
+                      "price_e2": cents,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return g.group_by(["p_brand", "p_type"]).aggregate(
+            [("price_e2", "sum"), ("n", "sum")]).rename_columns(
+            ["p_brand", "p_type", "price_e2", "n"])
+
+    fine = (_read(sf_dir, "part",
+                  ["p_brand", "p_type", "p_retailprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["p_brand", "p_type"])
+            .aggregate(Sum("price_e2", alias_name="sum_price_e2"),
+                       Sum("n", alias_name="n_parts")))
+    return _grouping_sets(fine.to_pandas(), with_type_margin=True)
 
 
 def event_type_pivot(sf_dir: str):

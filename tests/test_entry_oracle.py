@@ -107,7 +107,7 @@ SQL_CHECKED = sorted([
     "text_term_tf", "graph_ppr", "rel_event_sequence", "rel_set_ops",
     "sim_filtered_topk", "text_tfidf", "graph_component_stats",
     "rel_grouped_median", "dedup_keep_list", "rel_histogram",
-    "graph_scc", "text_bottomk_sample", "text_norm_dedup",
+    "graph_scc", "text_bottomk_sample", "text_norm_dedup", "rel_cube",
 ])
 
 
