@@ -110,6 +110,43 @@ FROM r{iters}""")
     return "".join(parts)
 
 
+def _nav_wpr_chain_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Fixed-iteration WEIGHTED PageRank over the nav click graph
+    (contribution r·w/W, uniform dangling) as chained CTEs; mirrors
+    graph/nav.py:nav_weighted_pagerank exactly."""
+    parts = [f"""WITH ev AS (
+    SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+    FROM events),
+hop AS (
+    SELECT node AS src,
+           lead(node) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS dst
+    FROM ev),
+arcs AS (SELECT src, dst, count(*) AS w FROM hop
+         WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT node AS v FROM ev),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS tw FROM arcs GROUP BY src),
+r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+dang{i} AS (SELECT COALESCE(sum(r), 0) AS s FROM r{i}
+            WHERE NOT EXISTS (SELECT 1 FROM arcs WHERE arcs.src = r{i}.v)),
+c{i} AS (SELECT arcs.dst AS v, sum(r{i}.r * arcs.w / outw.tw) AS c
+         FROM arcs JOIN r{i} ON r{i}.v = arcs.src
+         JOIN outw ON outw.src = arcs.src GROUP BY arcs.dst),
+r{i + 1} AS (SELECT nodes.v,
+             (1 - {damping}) / nn.n
+             + {damping} * (COALESCE(c{i}.c, 0) + dang{i}.s / nn.n) AS r
+             FROM nodes CROSS JOIN nn CROSS JOIN dang{i}
+             LEFT JOIN c{i} ON c{i}.v = nodes.v)""")
+    parts.append(f"""
+SELECT v AS node, CAST(FLOOR(r * 1e9 + 0.5) AS BIGINT) AS rank_e9
+FROM r{iters}""")
+    return "".join(parts)
+
+
 _ARCS_CTE = "arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
 
 
@@ -504,6 +541,12 @@ def _nav_top_transitions(sf_dir: str):
     return nav_top_transitions(sf_dir)
 
 
+def _nav_weighted_pagerank(sf_dir: str):
+    from hedonic_ray.graph.nav import nav_weighted_pagerank
+
+    return nav_weighted_pagerank(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hedonic_ray.pipelines import linkgraph as lg
     from hedonic_ray.pipelines import textops as tx
@@ -539,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_lp_onepass": lg.supplier_lp_onepass,
         "graph_reciprocity": _nav_reciprocity,
         "graph_top_transitions": _nav_top_transitions,
+        "graph_weighted_pagerank": _nav_weighted_pagerank,
         # --- relational operators ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_top_revenue_orders": rel.top_revenue_orders,
@@ -1516,6 +1560,7 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS density_e9
             FROM vc LEFT JOIN ec ON ec.c = vc.component
         """,
+        "graph_weighted_pagerank": _nav_wpr_chain_sql(iters=3),
         "graph_top_transitions": """
             -- weighted click-graph: top-20 transitions by click count
             WITH ev AS (
