@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
         "graph_clustering_coef": lg.doc_clustering_table,
+        "graph_global_clustering": lg.doc_global_clustering,
         "graph_kcore": lg.doc_kcore_table,
         "graph_bfs_dist": lg.doc_bfs_table,
         "graph_hits": lg.doc_hits_table,
@@ -613,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_grouped_median": rel.brand_median_price,
         "rel_histogram": rel.event_value_histogram,
         "rel_cube": rel.brand_container_cube,
+        "rel_funnel": rel.event_funnel,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -681,6 +683,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS vertex,
                    CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
             FROM documents d LEFT JOIN cnt ON cnt.v = d.doc_id
+        """,
+        "graph_global_clustering": f"""
+            -- transitivity: 3*triangles / wedges, exact integers
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            tri AS (
+                SELECT count(*) AS t
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            arcs AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+            deg AS (SELECT v, count(*) AS d FROM arcs GROUP BY v),
+            wed AS (SELECT sum(d * (d - 1) // 2) AS w FROM deg)
+            SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+                   CAST(wed.w AS BIGINT) AS n_wedges,
+                   CAST(CASE WHEN wed.w > 0
+                             THEN 3 * tri.t * 1000000000 // wed.w
+                             ELSE 0 END AS BIGINT) AS gcc_e9
+            FROM tri CROSS JOIN wed
+        """,
+        "rel_funnel": """
+            -- conversion funnel view -> click -> purchase: greedy
+            -- earliest-match subsequence over the (ts, event_id) order
+            WITH o AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS i
+                FROM events),
+            s1 AS (SELECT user_id, min(i) AS i FROM o
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT o.user_id, min(o.i) AS i FROM o
+                   JOIN s1 ON s1.user_id = o.user_id AND o.i > s1.i
+                   WHERE o.event_type = 'click' GROUP BY o.user_id),
+            s3 AS (SELECT o.user_id, min(o.i) AS i FROM o
+                   JOIN s2 ON s2.user_id = o.user_id AND o.i > s2.i
+                   WHERE o.event_type = 'purchase' GROUP BY o.user_id)
+            SELECT CAST(step AS BIGINT) AS step, event_type,
+                   CAST(n_users AS BIGINT) AS n_users
+            FROM (VALUES
+                (1, 'view', (SELECT count(*) FROM s1)),
+                (2, 'click', (SELECT count(*) FROM s2)),
+                (3, 'purchase', (SELECT count(*) FROM s3))
+            ) t(step, event_type, n_users)
         """,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprints": _fingerprints_sql(),

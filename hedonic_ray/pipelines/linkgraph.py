@@ -229,6 +229,21 @@ def doc_kcore_table(sf_dir: str, k: int = 5, rounds: int = 6) -> pa.Table:
                      "in_core": pa.array(alive.astype(np.int64))})
 
 
+def doc_global_clustering(sf_dir: str) -> pa.Table:
+    """GLOBAL clustering coefficient (transitivity) of the undirected
+    doc-link graph: one row ``(n_triangles, n_wedges, gcc_e9)`` with
+    ``gcc_e9 = 3·T·10⁹ // W`` — exact integers (wedges from the CSR
+    degrees, triangles from the distributed wedge probe)."""
+    g = doc_graph(sf_dir, directed=False)
+    t = int(triangle_count(g).total)
+    deg = g.out_degree.astype(object)  # Python ints: no overflow at scale
+    w = int(sum(d * (d - 1) // 2 for d in deg.tolist()))
+    gcc = (3 * t * 1_000_000_000 // w) if w else 0
+    return pa.table({"n_triangles": pa.array([t], pa.int64()),
+                     "n_wedges": pa.array([w], pa.int64()),
+                     "gcc_e9": pa.array([gcc], pa.int64())})
+
+
 def doc_clustering_table(sf_dir: str) -> pa.Table:
     """Local clustering coefficient per vertex of the doc-link graph:
     ``2·triangles / (d·(d−1))`` as a floored ×1e9 integer (0 when

@@ -1065,3 +1065,46 @@ def event_value_histogram(sf_dir: str, bin_e2: int = 1000):
             .groupby(["event_type", "bin"])
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sum_value_e2", alias_name="sum_value_e2")))
+
+
+def event_funnel(sf_dir: str, steps=("view", "click", "purchase")):
+    """FUNNEL analysis: per step k, how many users have events of
+    types steps[0..k] in strictly increasing timestamp order (the
+    product-analytics conversion funnel; a user converts at step k if
+    an ordered subsequence exists).  One grouped exchange; per user a
+    vectorized greedy subsequence match over the (ts, event_id)-sorted
+    history (greedy earliest-match is optimal for subsequence
+    existence)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    steps = tuple(steps)
+
+    def depth(group: dict) -> dict:
+        ts = group["ts"].astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((group["event_id"], ts))
+        et = group["event_type"][order]
+        k = 0
+        for t in et.tolist():  # bounded by the user's history length
+            if k < len(steps) and t == steps[k]:
+                k += 1
+        return {"user_id": group["user_id"][:1].astype(np.int64),
+                "depth": np.array([k], np.int64)}
+
+    depths = ds.groupby("user_id").map_groups(depth, batch_format="numpy")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("depth").to_numpy()
+        counts = np.array([(d >= k).sum() for k in range(1, len(steps) + 1)],
+                          dtype=np.int64)
+        return pa.table({"step": pa.array(np.arange(1, len(steps) + 1)),
+                         "n_users": pa.array(counts)})
+
+    rows = depths.map_batches(partial, batch_format="pyarrow").take_all()
+    agg = np.zeros(len(steps), dtype=np.int64)
+    for r in rows:
+        agg[int(r["step"]) - 1] += int(r["n_users"])
+    return pa.table({
+        "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+        "event_type": pa.array(list(steps), pa.string()),
+        "n_users": pa.array(agg),
+    })

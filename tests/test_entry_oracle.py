@@ -108,7 +108,7 @@ SQL_CHECKED = sorted([
     "sim_filtered_topk", "text_tfidf", "graph_component_stats",
     "rel_grouped_median", "dedup_keep_list", "rel_histogram",
     "graph_scc", "text_bottomk_sample", "text_norm_dedup", "rel_cube",
-    "graph_weighted_pagerank",
+    "graph_weighted_pagerank", "graph_global_clustering", "rel_funnel",
 ])
 
 
