@@ -705,20 +705,27 @@ def oracle_sql() -> dict[str, str]:
             FROM tri CROSS JOIN wed
         """,
         "rel_funnel": """
-            -- conversion funnel view -> click -> purchase: greedy
-            -- earliest-match subsequence over the (ts, event_id) order
+            -- anchored funnel view -> click -> purchase: each step is
+            -- the first matching event strictly after the previous
+            -- anchor and within 1h of it ((ts, event_id) order)
             WITH o AS (
-                SELECT user_id, event_type,
+                SELECT user_id, event_type, epoch_us(ts) AS tus,
                        row_number() OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS i
                 FROM events),
             s1 AS (SELECT user_id, min(i) AS i FROM o
                    WHERE event_type = 'view' GROUP BY user_id),
+            a1 AS (SELECT o.user_id, o.i, o.tus FROM o
+                   JOIN s1 ON s1.user_id = o.user_id AND s1.i = o.i),
             s2 AS (SELECT o.user_id, min(o.i) AS i FROM o
-                   JOIN s1 ON s1.user_id = o.user_id AND o.i > s1.i
+                   JOIN a1 ON a1.user_id = o.user_id AND o.i > a1.i
+                          AND o.tus <= a1.tus + 3600000000
                    WHERE o.event_type = 'click' GROUP BY o.user_id),
+            a2 AS (SELECT o.user_id, o.i, o.tus FROM o
+                   JOIN s2 ON s2.user_id = o.user_id AND s2.i = o.i),
             s3 AS (SELECT o.user_id, min(o.i) AS i FROM o
-                   JOIN s2 ON s2.user_id = o.user_id AND o.i > s2.i
+                   JOIN a2 ON a2.user_id = o.user_id AND o.i > a2.i
+                          AND o.tus <= a2.tus + 3600000000
                    WHERE o.event_type = 'purchase' GROUP BY o.user_id)
             SELECT CAST(step AS BIGINT) AS step, event_type,
                    CAST(n_users AS BIGINT) AS n_users

@@ -1067,26 +1067,38 @@ def event_value_histogram(sf_dir: str, bin_e2: int = 1000):
                        Sum("sum_value_e2", alias_name="sum_value_e2")))
 
 
-def event_funnel(sf_dir: str, steps=("view", "click", "purchase")):
-    """FUNNEL analysis: per step k, how many users have events of
-    types steps[0..k] in strictly increasing timestamp order (the
-    product-analytics conversion funnel; a user converts at step k if
-    an ordered subsequence exists).  One grouped exchange; per user a
-    vectorized greedy subsequence match over the (ts, event_id)-sorted
-    history (greedy earliest-match is optimal for subsequence
-    existence)."""
+def event_funnel(sf_dir: str, steps=("view", "click", "purchase"),
+                 window_s: int = 3600):
+    """ANCHORED conversion FUNNEL: per step k, how many users reached
+    it — step 1 anchors at the user's FIRST ``steps[0]`` event, each
+    later step at the first ``steps[k]`` event strictly after the
+    previous anchor and within ``window_s`` seconds of it (the
+    standard first-touch funnel convention; anchoring makes the
+    semantics deterministic and SQL-mirrorable, unlike
+    exists-any-subsequence-with-windows).  One grouped exchange; per
+    user a few ``searchsorted`` probes over the (ts, event_id)-sorted
+    history."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
                                   "event_type"])
     steps = tuple(steps)
+    win_us = np.int64(window_s) * 1_000_000
 
     def depth(group: dict) -> dict:
         ts = group["ts"].astype("datetime64[us]").astype(np.int64)
         order = np.lexsort((group["event_id"], ts))
+        ts = ts[order]
         et = group["event_type"][order]
         k = 0
-        for t in et.tolist():  # bounded by the user's history length
-            if k < len(steps) and t == steps[k]:
-                k += 1
+        pos = -1  # index of the current anchor
+        for step in steps:
+            cand = np.flatnonzero(et == step)
+            cand = cand[cand > pos]
+            if k > 0 and len(cand):
+                cand = cand[ts[cand] <= ts[pos] + win_us]
+            if not len(cand):
+                break
+            pos = int(cand[0])
+            k += 1
         return {"user_id": group["user_id"][:1].astype(np.int64),
                 "depth": np.array([k], np.int64)}
 
