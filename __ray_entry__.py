@@ -635,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": tx.ngram_dup_pairs,
         "dedup_containment": tx.ngram_containment_pairs,
         "dedup_keep_list": tx.dedup_keep_list,
+        "dedup_substring": tx.substring_dup_windows,
         "dedup_simhash": tx.simhash_dup_pairs,
         "dedup_embedding": tx.embedding_neardup,
         "sim_topk_cosine": tx.topk_similarity,
@@ -813,6 +814,24 @@ def oracle_sql() -> dict[str, str]:
                    doc_id AS kept_doc, CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(cluster_size AS BIGINT) AS cluster_size
             FROM r WHERE rn = 1
+        """,
+        "dedup_substring": """
+            -- sliding 32-char-window substring dedup (Lee et al.
+            -- suffix-array stage): per doc, distinct windows shared
+            -- with >=1 other doc.  Ray takes BYTE windows == char
+            -- windows on this ASCII corpus.
+            WITH w AS (
+              SELECT doc_id, substr(text, CAST(o AS INT), 32) AS win
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, CAST(greatest(length(text) - 31,
+                                                         0) + 1 AS BIGINT)))
+                               AS o
+                    FROM documents)
+            ), p AS (SELECT DISTINCT doc_id, win FROM w),
+            dup AS (SELECT win FROM p GROUP BY win HAVING COUNT(*) >= 2)
+            SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+            FROM p JOIN dup USING (win)
+            GROUP BY p.doc_id ORDER BY p.doc_id
         """,
         "rel_asof_join": """
             -- backward as-of join, deterministic tie-break (latest

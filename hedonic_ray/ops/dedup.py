@@ -1289,3 +1289,135 @@ def normalized_exact_dedup(ds, col: str = "text", key: str = "doc_id"):
 
     normed = ds.map_batches(norm, batch_format="pyarrow")
     return exact_dedup(normed, col="norm_text", key=key)
+
+
+# --- sliding-window substring dedup (character-level) ----------------
+
+def _text_window_words(t: pa.Table, L: int, mode: str,
+                       col: str = "text", key: str = "doc_id") -> pa.Table:
+    """Every L-BYTE sliding window of each text, encoded as int64
+    words.  ``mode="exact"`` emits the window VALUE as L/8
+    order-preserving words (big-endian bytes, sign-bit-flipped so
+    int64 ordering equals bytewise ordering — a bijection, so equality
+    is exact); ``mode="hash"`` folds the words into ONE int64 (the
+    100-TB exchange-size path; collisions are ~2⁻⁶⁴ per pair and the
+    fixture-scale equality with the exact path is unit-tested).
+
+    Fully vectorized: the batch's texts are read as one UTF-8 byte
+    buffer straight out of the Arrow offsets/data buffers,
+    ``sliding_window_view`` + one fancy-index copy materializes all
+    windows, and the per-(window, doc) DISTINCT is an Arrow group_by.
+    Windows are BYTE windows — identical to SQL ``substr`` character
+    windows on ASCII corpora (the oracle's applicability condition).
+    """
+    nwords = L // 8
+    arr = t.column(col).combine_chunks()
+    arr = arr.cast(pa.large_string())
+    docs = t.column(key).to_numpy()
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = np.diff(offs)
+    counts = np.maximum(lens - L + 1, 0)
+    total = int(counts.sum())
+    names = ([f"w{i}" for i in range(nwords)] if mode == "exact" else ["w0"])
+    if total == 0:
+        return pa.table({key: pa.array([], pa.int64()),
+                         **{n: pa.array([], pa.int64()) for n in names}})
+    shift = np.cumsum(counts) - counts
+    starts = (np.repeat(offs[:-1], counts)
+              + (np.arange(total, dtype=np.int64) - np.repeat(shift, counts)))
+    wins = np.lib.stride_tricks.sliding_window_view(data, L)[starts]
+    words = wins.view(">u8").astype(np.uint64)          # (total, nwords)
+    if mode == "exact":
+        signed = (words ^ np.uint64(1 << 63)).view(np.int64)
+        cols = {names[i]: signed[:, i] for i in range(nwords)}
+    else:
+        muls = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                         0xD6E8FEB86659FD93, 0xA0761D6478BD642F],
+                        np.uint64)[:nwords]
+        h = np.zeros(total, np.uint64)
+        for i in range(words.shape[1]):
+            h ^= (words[:, i] * muls[i]) + np.uint64(i)
+        cols = {"w0": h.view(np.int64)}
+    g = pa.table({key: pa.array(np.repeat(docs, counts)),
+                  **{n: pa.array(c) for n, c in cols.items()}})
+    return g.group_by([key] + names).aggregate([]).select([key] + names)
+
+
+def substring_dup_counts(ds, L: int = 32, mode: str = "auto",
+                         col: str = "text", key: str = "doc_id"):
+    """Sliding-window substring dedup (the suffix-array stage of Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, re-expressed for Ray Data): for every
+    document, count how many of its DISTINCT L-byte windows also occur
+    in at least one OTHER document.  Returns (key, n_dup_windows) for
+    documents with at least one shared window, sorted by key.
+
+    Shape: window rows (already per-(doc,window) distinct — a doc's
+    windows never straddle batches, so the per-batch Arrow distinct is
+    globally exact) → ONE range-partitioned sort on the window words →
+    per-block vectorized run-length counting.  After the sort, equal
+    keys are contiguous across the block sequence, so any key that is
+    not the first or last key of its block is provably block-local and
+    its dup verdict is final; only the ≤2 boundary keys per block go
+    through a real (tiny) groupby.  Per-doc totals then need only a
+    doc-keyed count over O(dup windows) rows.  No driver state, no
+    per-row Python, exact at any scale (``mode="exact"``);
+    ``mode="hash"`` ships 1 word instead of L/8 per window (forced by
+    ``HEDONIC_RAY_FORCE_SCALE``).
+    """
+    from ray.data.aggregate import Count
+    from hedonic_ray.context import force_scale
+
+    if L % 8 != 0:
+        raise ValueError("L must be a multiple of 8")
+    if mode == "auto":
+        mode = "hash" if force_scale() else "exact"
+    if mode not in ("exact", "hash"):
+        raise ValueError(f"unknown substring_dup_counts mode {mode!r}")
+    names = [f"w{i}" for i in range(L // 8)] if mode == "exact" else ["w0"]
+
+    P = ds.map_batches(lambda t: _text_window_words(t, L, mode, col, key),
+                       batch_format="pyarrow")
+
+    def split(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          **{c: pa.array([], pa.int64()) for c in names},
+                          "edge": pa.array([], pa.bool_())})
+        if n == 0:
+            return empty
+        arr = np.column_stack([t.column(c).to_numpy() for c in names])
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = np.any(arr[1:] != arr[:-1], axis=1)
+        gid = np.cumsum(change) - 1
+        ngroups = int(gid[-1]) + 1
+        sizes = np.bincount(gid, minlength=ngroups)
+        is_edge = (gid == 0) | (gid == ngroups - 1)
+        keep_int = (~is_edge) & (sizes[gid] >= 2)
+        idx = np.flatnonzero(keep_int | is_edge)
+        return pa.table({key: t.column(key).take(pa.array(idx)),
+                         **{c: t.column(c).take(pa.array(idx))
+                            for c in names},
+                         "edge": pa.array(is_edge[idx])})
+
+    parts = P.sort(names).map_batches(
+        split, batch_format="pyarrow", batch_size=None).materialize()
+
+    interior = parts.filter(expr="edge == False").select_columns([key])
+
+    def edge_group(group: dict) -> dict:
+        d = group[key]
+        if len(d) >= 2:
+            return {key: d.astype(np.int64)}
+        return {key: np.array([], np.int64)}
+
+    edge = (parts.filter(expr="edge == True")
+            .groupby(names).map_groups(edge_group, batch_format="numpy"))
+
+    return (interior.union(edge)
+            .groupby(key)
+            .aggregate(Count(alias_name="n_dup_windows"))
+            .sort(key))

@@ -389,3 +389,11 @@ def normalized_dedup_kept(sf_dir: str):
     """Keep-list of the case/punctuation-normalized exact dedup."""
     out = dd.normalized_exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
     return out.select_columns(["doc_id"]).sort("doc_id")
+
+
+def substring_dup_windows(sf_dir: str, L: int = 32):
+    """Per-document count of distinct L-char sliding windows shared
+    with at least one other document (sub-passage, alignment-free
+    exact substring dedup — the character-level complement of
+    :func:`dup_passages`)."""
+    return dd.substring_dup_counts(_docs(sf_dir, ["doc_id", "text"]), L=L)

@@ -109,6 +109,8 @@ SQL_CHECKED = sorted([
     "rel_grouped_median", "dedup_keep_list", "rel_histogram",
     "graph_scc", "text_bottomk_sample", "text_norm_dedup", "rel_cube",
     "graph_weighted_pagerank", "graph_global_clustering", "rel_funnel",
+    # round 3, session 7: sliding-window substring dedup
+    "dedup_substring",
 ])
 
 
@@ -151,6 +153,7 @@ FORCED_SCALE = sorted([
     "graph_components",     # shuffle gather
     "graph_labelprop",      # shuffle gather
     "graph_hedonic_2pass",  # shuffle gather through the hedonic step
+    "dedup_substring",      # 1-word hashed window exchange
 ])
 
 

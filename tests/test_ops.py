@@ -712,3 +712,42 @@ def test_bottomk_sample_methods_fixed_size_and_deterministic():
                        k=20, method="splitmix")
     assert a.num_rows == 20
     assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+
+
+def test_substring_dup_counts_exact_semantics():
+    """Hand-checkable fixture: docs 0/1 share one 32-char span (3
+    shared windows for a 34-char common region), doc 2 repeats a
+    window INTERNALLY only (must not count), doc 3 is shorter than L
+    (no windows), doc 4 is disjoint."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.dedup import substring_dup_counts
+
+    span = "the quick brown fox jumps over it"  # 33 chars -> 2 windows/owner
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "A" * 10 + span + "B" * 10,
+            "C" * 7 + span + "D" * 3,
+            ("x" * 32) + "q" + ("x" * 32),   # internal repeat only
+            "tiny",
+            "z" * 80,
+        ]),
+    })
+    out = {r["doc_id"]: r["n_dup_windows"]
+           for r in substring_dup_counts(
+               rd.from_arrow(t).repartition(3), L=32).take_all()}
+    # span has 33 chars -> 2 distinct 32-char windows shared by 0 and 1
+    assert out == {0: 2, 1: 2}
+
+
+def test_substring_dup_counts_hash_equals_exact():
+    import ray.data as rd
+
+    from hedonic_ray.ops.dedup import substring_dup_counts
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    exact = substring_dup_counts(ds, L=32, mode="exact").take_all()
+    hashed = substring_dup_counts(ds, L=32, mode="hash").take_all()
+    assert exact == hashed and len(exact) > 0
