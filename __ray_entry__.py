@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
         "graph_common_neighbors": lg.doc_common_neighbors_table,
+        "graph_resource_alloc": lg.doc_resource_alloc_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -615,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_histogram": rel.event_value_histogram,
         "rel_cube": rel.brand_container_cube,
         "rel_funnel": rel.event_funnel,
+        "rel_retention": rel.cohort_retention,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -833,6 +835,24 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN dup USING (win)
             GROUP BY p.doc_id ORDER BY p.doc_id
         """,
+        "rel_retention": """
+            -- cohort retention: users cohorted by first active day;
+            -- per (cohort, offset<=7) the count active that day.
+            -- integer epoch-day arithmetic (positive: floor==trunc)
+            WITH ud AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 86400000000 AS day
+                        FROM events),
+            c AS (SELECT user_id, MIN(day) AS cohort
+                  FROM ud GROUP BY user_id)
+            SELECT CAST(CAST(epoch_ms(c.cohort * 86400000) AS DATE)
+                        AS VARCHAR) AS cohort_day,
+                   CAST(ud.day - c.cohort AS BIGINT) AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ud JOIN c USING (user_id)
+            WHERE ud.day - c.cohort <= 7
+            GROUP BY c.cohort, 2
+            ORDER BY 1, 2
+        """,
         "rel_asof_join": """
             -- backward as-of join, deterministic tie-break (latest
             -- o_orderdate, then smallest o_orderkey); -1 sentinels for
@@ -1024,6 +1044,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN und ON und.a = cn.a AND und.b = cn.b
             WHERE und.a IS NULL
             ORDER BY cn.common DESC, cn.a, cn.b
+            LIMIT 20
+        """,
+        "graph_resource_alloc": f"""
+            -- top-20 NON-adjacent pairs by the resource-allocation
+            -- index, exact integer: each common neighbor z scores
+            -- 10^9 // deg(z); deterministic ties (ra_e9 desc, a, b)
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            arcs AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT src AS v, count(*) AS d FROM arcs GROUP BY src),
+            ra AS (SELECT x.dst AS a, y.dst AS b,
+                          SUM(1000000000 // deg.d) AS ra_e9
+                   FROM arcs x
+                   JOIN arcs y ON y.src = x.src AND x.dst < y.dst
+                   JOIN deg ON deg.v = x.src
+                   GROUP BY 1, 2)
+            SELECT ra.a, ra.b, CAST(ra.ra_e9 AS BIGINT) AS ra_e9
+            FROM ra
+            LEFT JOIN und ON und.a = ra.a AND und.b = ra.b
+            WHERE und.a IS NULL
+            ORDER BY ra.ra_e9 DESC, ra.a, ra.b
             LIMIT 20
         """,
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),

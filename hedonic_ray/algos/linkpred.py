@@ -94,11 +94,18 @@ def _full_segments(bv):
     return bv.indptr.astype(np.int64), bv.indices[order]
 
 
-def _center_pairs_batch(batch: pa.Table, n_: int, max_degree) -> pa.Table:
+def _center_pairs_batch(batch: pa.Table, n_: int, max_degree,
+                        weighted: bool = False) -> pa.Table:
+    """Wedge rows per block.  ``weighted=False`` scores each wedge 1
+    (common-neighbor counting); ``weighted=True`` scores it
+    ``10⁹ // deg(center)`` (resource-allocation index, exact
+    integer — the center's degree is its full segment length, local
+    to the block, so no broadcast is needed)."""
     from hedonic_ray.algos.triangles import _ordered_pairs
 
     n = np.int64(n_)
     parts: list[np.ndarray] = []
+    wparts: list[np.ndarray] = []
     for bv in iter_block_views(batch):
         indptr, srt = _full_segments(bv)
         nv = bv.hi - bv.lo
@@ -115,6 +122,10 @@ def _center_pairs_batch(batch: pa.Table, n_: int, max_degree) -> pa.Table:
                 cnt = np.where(cnt > max_degree, 0, cnt)
                 indptr = np.zeros(nv + 1, dtype=np.int64)
                 np.cumsum(cnt, out=indptr[1:])
+        wvec = None
+        if weighted:
+            wvec = np.floor_divide(np.int64(1_000_000_000),
+                                   np.maximum(cnt, 1))
         lo_u = 0
         while lo_u < nv:
             hi_u = lo_u
@@ -122,16 +133,24 @@ def _center_pairs_batch(batch: pa.Table, n_: int, max_degree) -> pa.Table:
             while hi_u < nv and (pairs == 0 or pairs < _PAIR_CHUNK):
                 pairs += int(cnt[hi_u] * (cnt[hi_u] - 1) // 2)
                 hi_u += 1
-            _, a, b = _ordered_pairs(indptr, srt, lo_u, hi_u)
+            u, a, b = _ordered_pairs(indptr, srt, lo_u, hi_u)
             if len(a):
                 parts.append(a * n + b)
+                if weighted:
+                    wparts.append(wvec[u])
             lo_u = hi_u
     if not parts:
         return pa.table({"key": pa.array([], pa.int64()),
                          "val": pa.array([], pa.int64())})
-    uk, uc = np.unique(np.concatenate(parts), return_counts=True)
+    keys = np.concatenate(parts)
+    uk, inv = np.unique(keys, return_inverse=True)
+    if weighted:
+        uc = np.zeros(len(uk), np.int64)
+        np.add.at(uc, inv, np.concatenate(wparts))
+    else:
+        uc = np.bincount(inv, minlength=len(uk)).astype(np.int64)
     return pa.table({"key": pa.array(uk, pa.int64()),
-                     "val": pa.array(uc.astype(np.int64), pa.int64())})
+                     "val": pa.array(uc, pa.int64())})
 
 
 def common_neighbors_topk(g, k: int = 20, max_degree=None) -> pa.Table:
@@ -143,10 +162,29 @@ def common_neighbors_topk(g, k: int = 20, max_degree=None) -> pa.Table:
     via a vectorized ``searchsorted`` against the broadcast canonical
     edge keys; top-k runs as a per-batch combiner before the ≤
     k·blocks driver merge."""
+    return _pair_score_topk(g, k, max_degree, weighted=False,
+                            score_col="common")
+
+
+def resource_allocation_topk(g, k: int = 20, max_degree=None) -> pa.Table:
+    """Top-k non-adjacent pairs by the RESOURCE-ALLOCATION index (Zhou,
+    Lü & Zhang 2009) — each common neighbor z contributes 1/deg(z),
+    scored as the exact integer ``Σ 10⁹ // deg(z)`` so the ranking is
+    float-free and SQL-mirrorable: ``(a, b, ra_e9)`` sorted by
+    (ra_e9 desc, a, b).  Same single-exchange wedge pipeline as
+    :func:`common_neighbors_topk`; the weight is block-local (the
+    center's own segment length), so the weighted variant broadcasts
+    nothing extra."""
+    return _pair_score_topk(g, k, max_degree, weighted=True,
+                            score_col="ra_e9")
+
+
+def _pair_score_topk(g, k: int, max_degree, weighted: bool,
+                     score_col: str) -> pa.Table:
     import ray
 
     if g.directed:
-        raise ValueError("common_neighbors_topk needs an undirected graph")
+        raise ValueError("pair-score top-k needs an undirected graph")
     n = g.n
     assert n < (1 << 31), "pair keys pack two ids into int64"
 
@@ -163,32 +201,32 @@ def common_neighbors_topk(g, k: int = 20, max_degree=None) -> pa.Table:
     from ray.data.aggregate import Sum
 
     msgs = g.blocks.map_batches(
-        lambda t: _center_pairs_batch(t, n, max_degree),
+        lambda t: _center_pairs_batch(t, n, max_degree, weighted),
         batch_format="pyarrow", batch_size=1)
-    counts = msgs.groupby("key").aggregate(Sum("val", alias_name="common"))
+    counts = msgs.groupby("key").aggregate(Sum("val", alias_name=score_col))
 
     def local_topk(t: pa.Table) -> pa.Table:
         empty = pa.table({"key": pa.array([], pa.int64()),
-                          "common": pa.array([], pa.int64())})
+                          score_col: pa.array([], pa.int64())})
         if t.num_rows == 0 or "key" not in t.column_names:
             return empty
         key = t.column("key").to_numpy().astype(np.int64)
-        common = t.column("common").to_numpy().astype(np.int64)
+        score = t.column(score_col).to_numpy().astype(np.int64)
         edges = ray.get(canon_ref)
         if len(edges):
             pos = np.searchsorted(edges, key)
             adj = ((pos < len(edges))
                    & (edges[np.minimum(pos, len(edges) - 1)] == key))
-            key, common = key[~adj], common[~adj]
-        order = np.lexsort((key, -common))[:k]
+            key, score = key[~adj], score[~adj]
+        order = np.lexsort((key, -score))[:k]
         return pa.table({"key": pa.array(key[order], pa.int64()),
-                         "common": pa.array(common[order], pa.int64())})
+                         score_col: pa.array(score[order], pa.int64())})
 
     rows = counts.map_batches(local_topk, batch_format="pyarrow").take_all()
     key = np.array([r["key"] for r in rows], dtype=np.int64)
-    common = np.array([r["common"] for r in rows], dtype=np.int64)
-    order = np.lexsort((key, -common))[:k]
-    key, common = key[order], common[order]
+    score = np.array([r[score_col] for r in rows], dtype=np.int64)
+    order = np.lexsort((key, -score))[:k]
+    key, score = key[order], score[order]
     return pa.table({"a": pa.array(key // n, pa.int64()),
                      "b": pa.array(key % n, pa.int64()),
-                     "common": pa.array(common, pa.int64())})
+                     score_col: pa.array(score, pa.int64())})

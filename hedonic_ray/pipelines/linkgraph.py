@@ -402,6 +402,16 @@ def doc_common_neighbors_table(sf_dir: str, k: int = 20) -> pa.Table:
     return common_neighbors_topk(doc_graph(sf_dir, directed=False), k=k)
 
 
+def doc_resource_alloc_table(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k non-adjacent pairs by the exact-integer resource-
+    allocation index Σ 10⁹//deg(z) over common neighbors z
+    (degree-discounted link prediction — hubs contribute less than in
+    :func:`doc_common_neighbors_table`)."""
+    from hedonic_ray.algos.linkpred import resource_allocation_topk
+
+    return resource_allocation_topk(doc_graph(sf_dir, directed=False), k=k)
+
+
 def doc_spectrum_table(sf_dir: str) -> pa.Table:
     """Resolution spectrum (hedonic/__init__.py:432-449) with EXACT
     integer satisfaction tests over the grid α = i/10, evaluated on the

@@ -1120,3 +1120,47 @@ def event_funnel(sf_dir: str, steps=("view", "click", "purchase"),
         "event_type": pa.array(list(steps), pa.string()),
         "n_users": pa.array(agg),
     })
+
+
+def cohort_retention(sf_dir: str, max_offset: int = 7):
+    """Classic COHORT-RETENTION matrix: users are cohorted by their
+    FIRST active day; for each (cohort_day, day_offset ≤ max_offset)
+    cell, how many of that cohort's users were active again exactly
+    offset days later.  Per user: distinct active days → min day →
+    offset rows; the (user, day) grid is pre-distincted per batch so
+    only it crosses the one grouped exchange, then the cell counts
+    are a second tiny grid aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def user_days(t: pa.Table) -> pa.Table:
+        # post-epoch timestamps: integer-divide truncation == floor
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"user_id": t.column("user_id"), "day": day})
+        return g.group_by(["user_id", "day"]).aggregate([])
+
+    def offsets(group: dict) -> dict:
+        days = np.unique(group["day"])
+        offs = days - days[0]
+        offs = offs[offs <= max_offset]
+        return {"cohort_day": np.full(len(offs), days[0], np.int64),
+                "day_offset": offs.astype(np.int64),
+                "n_users": np.ones(len(offs), np.int64)}
+
+    cells = (ds.map_batches(user_days, batch_format="pyarrow")
+             .groupby("user_id").map_groups(offsets, batch_format="numpy")
+             .groupby(["cohort_day", "day_offset"])
+             .aggregate(Sum("n_users", alias_name="n_users")))
+
+    def to_date(t: pa.Table) -> pa.Table:
+        d = t.column("cohort_day").to_numpy().astype("datetime64[D]")
+        return pa.table({
+            "cohort_day": pa.array(np.datetime_as_string(d).astype(object),
+                                   pa.string()),
+            "day_offset": t.column("day_offset"),
+            "n_users": t.column("n_users")})
+
+    return (cells.map_batches(to_date, batch_format="pyarrow")
+            .sort(["cohort_day", "day_offset"]))

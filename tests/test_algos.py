@@ -566,3 +566,50 @@ def test_scc_backends_bit_identical():
     a = strongly_connected_components(g_fwd, g_bwd, backend="local")
     b = strongly_connected_components(g_fwd, g_bwd, backend="ray")
     np.testing.assert_array_equal(a, b)
+
+
+def test_resource_allocation_weights_by_center_degree():
+    """Star center 0 with leaves 1..3 plus edge 1-2: non-adjacent
+    pairs through center 0 (deg 3) score 1e9//3; pair (1,3) also has
+    no second common neighbor; (2,3) likewise.  Closed-form:
+      (1,3): common={0} -> 333333333
+      (2,3): common={0} -> 333333333
+    and the RA ranking equals brute force on a random graph."""
+    from hedonic_ray.algos.linkpred import resource_allocation_topk
+    from tests.fixtures import make_graph
+
+    g = make_graph([(0, 1), (0, 2), (0, 3), (1, 2)], 4, directed=False)
+    t = resource_allocation_topk(g, k=10)
+    rows = set(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                   t.column("ra_e9").to_pylist()))
+    assert rows == {(1, 3, 333333333), (2, 3, 333333333)}
+
+
+def test_resource_allocation_matches_bruteforce():
+    import numpy as np
+
+    from hedonic_ray.algos.linkpred import resource_allocation_topk
+    from tests.fixtures import make_graph
+
+    rng = np.random.default_rng(11)
+    n = 30
+    edges = sorted({(int(a), int(b)) for a in range(n) for b in range(a + 1, n)
+                    if rng.random() < 0.15})
+    g = make_graph(edges, n, directed=False)
+    nbr = [set() for _ in range(n)]
+    for a, b in edges:
+        nbr[a].add(b); nbr[b].add(a)
+    brute = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if b in nbr[a]:
+                continue
+            s = sum(1_000_000_000 // len(nbr[z]) for z in nbr[a] & nbr[b])
+            if s:
+                brute.append((-s, a, b))
+    brute.sort()
+    want = [(a, b, -s) for s, a, b in brute[:10]]
+    t = resource_allocation_topk(g, k=10)
+    got = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
+                   t.column("ra_e9").to_pylist()))
+    assert got == want

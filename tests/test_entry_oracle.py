@@ -109,8 +109,9 @@ SQL_CHECKED = sorted([
     "rel_grouped_median", "dedup_keep_list", "rel_histogram",
     "graph_scc", "text_bottomk_sample", "text_norm_dedup", "rel_cube",
     "graph_weighted_pagerank", "graph_global_clustering", "rel_funnel",
-    # round 3, session 7: sliding-window substring dedup
-    "dedup_substring",
+    # round 3, session 7: sliding-window substring dedup, cohort
+    # retention, resource-allocation link prediction
+    "dedup_substring", "rel_retention", "graph_resource_alloc",
 ])
 
 

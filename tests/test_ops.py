@@ -751,3 +751,28 @@ def test_substring_dup_counts_hash_equals_exact():
     exact = substring_dup_counts(ds, L=32, mode="exact").take_all()
     hashed = substring_dup_counts(ds, L=32, mode="hash").take_all()
     assert exact == hashed and len(exact) > 0
+
+
+def test_cohort_retention_semantics():
+    """Two cohorts; user 1 active days 0,1,9 (offset 9 excluded),
+    user 2 active day 0 only, user 3 cohorted a day later, active
+    offsets 0 and 2."""
+    import pandas as pd
+    import ray.data as rd
+
+    from hedonic_ray.relational import queries as rel
+
+    day = 86_400_000_000
+    rows = [(1, 0), (1, 1 * day), (1, 9 * day),
+            (2, 5), (3, 1 * day), (3, 3 * day)]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([ts for _, ts in rows], pa.timestamp("us")),
+    })
+    import tempfile, os, pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = rel.cohort_retention(d).to_pandas()
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [("1970-01-01", 0, 2), ("1970-01-01", 1, 1),
+                   ("1970-01-02", 0, 1), ("1970-01-02", 2, 1)]
