@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cube": rel.brand_container_cube,
         "rel_funnel": rel.event_funnel,
         "rel_retention": rel.cohort_retention,
+        "rel_moving_avg": rel.user_moving_avg,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -632,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ttr": tx.ttr,
         "text_passage_dedup": tx.dup_passages,
         "text_term_tf": tx.term_tf_top,
+        "text_bigrams": tx.bigram_tf_top,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
@@ -644,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_topk": tx.ivf_similarity,
         "sim_range_search": tx.range_similarity,
         "sim_filtered_topk": tx.filtered_topk_similarity,
+        "sim_knn_graph": tx.knn_graph_table,
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
@@ -834,6 +837,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
             FROM p JOIN dup USING (win)
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "text_bigrams": r"""
+            -- top-50 word bigrams by total count (ties -> bigram asc)
+            WITH words AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+                       generate_subscripts(regexp_extract_all(text, '\S+'),
+                                           1) AS i
+                FROM documents
+            ),
+            bg AS (SELECT a.w || ' ' || b.w AS bigram
+                   FROM words a
+                   JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM bg GROUP BY bigram
+            ORDER BY tf DESC, bigram LIMIT 50
+        """,
+        "rel_moving_avg": """
+            -- trailing 3-row moving average per user on exact cents;
+            -- values are non-negative so // truncation == floor
+            WITH s AS (SELECT user_id, event_id, ts,
+                              CAST(ROUND(value * 100) AS BIGINT) AS v
+                       FROM events)
+            SELECT user_id, event_id,
+                   CAST(SUM(v) OVER w // COUNT(*) OVER w AS BIGINT)
+                       AS mavg_e2
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id
         """,
         "rel_retention": """
             -- cohort retention: users cohorted by first active day;
@@ -1804,6 +1836,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
                    CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
             FROM ranked WHERE rank <= 5
+        """,
+        "sim_knn_graph": """
+            -- k-NN graph: per vector, top-3 OTHER vectors ranked on
+            -- the ROUNDED x1e6 integer cosine (ties -> lowest nbr)
+            WITH scored AS (
+                SELECT a.vec_id AS src, b.vec_id AS nbr,
+                       CAST(ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) * 1e6)
+                            AS BIGINT) AS score_e6
+                FROM embeddings a JOIN embeddings b
+                     ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src
+                    ORDER BY score_e6 DESC, nbr) AS rank
+                FROM scored
+            )
+            SELECT src, CAST(rank AS BIGINT) AS rank, nbr, score_e6
+            FROM ranked WHERE rank <= 3
+            ORDER BY src, rank
         """,
         "sim_range_search": """
             -- radius search: membership decided on the ROUNDED ×1e6

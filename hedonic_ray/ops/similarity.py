@@ -277,3 +277,130 @@ def topk_cosine_filtered(emb_ds, queries: np.ndarray,
     partials = emb_ds.map_batches(local_topk, batch_format="pyarrow",
                                   batch_size=4096)
     return _merge_topk(partials, k)
+
+
+_KNN_MASK = np.int64(-2_000_000)   # below any valid score_e6 (>= -1e6)
+
+
+def _rank_grid(src_ids: np.ndarray, cand_ids, score_e6: np.ndarray,
+               k: int) -> pa.Table:
+    """Integer top-k per row of an (n_src, n_cand) rounded-score grid
+    (masked cells carry ``_KNN_MASK``): the composite int64 key
+    ``score·2³² + (2³²−1−id)`` ranks (score desc, id asc) in ONE
+    argpartition per grid — no per-row Python, no float compare."""
+    n, w = score_e6.shape
+    kk = min(k + 1, w)  # one spare so a masked self cell still leaves k
+    cand = np.asarray(cand_ids)
+    if cand.ndim == 1:
+        cand = np.broadcast_to(cand, (n, w))
+    key = (score_e6 << np.int64(32)) + (np.int64(0xFFFFFFFF) - cand)
+    top = (np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+           if kk < w else np.argsort(-key, axis=1))
+    rows = np.repeat(np.arange(n), top.shape[1])
+    sel = top.reshape(-1)
+    kv = key[rows, sel]
+    order = np.lexsort((-kv, src_ids[rows]))
+    rows, sel, kv = rows[order], sel[order], kv[order]
+    nbr = cand[rows, sel]
+    score = (kv - (np.int64(0xFFFFFFFF) - nbr)) >> np.int64(32)
+    keep = score > _KNN_MASK // 2
+    rows, kv, nbr, score = rows[keep], kv[keep], nbr[keep], score[keep]
+    srcs = src_ids[rows]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], srcs[1:] != srcs[:-1]))) if len(srcs) else np.array([], int)
+    seg = np.repeat(starts, np.diff(np.append(starts, len(srcs))))
+    rank = np.arange(len(srcs), dtype=np.int64) - seg + 1
+    m = rank <= k
+    return pa.table({"src": pa.array(srcs[m], pa.int64()),
+                     "rank": pa.array(rank[m]),
+                     "nbr": pa.array(nbr[m], pa.int64()),
+                     "score_e6": pa.array(score[m], pa.int64())})
+
+
+def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
+              vec_col: str = "embedding", method: str = "auto",
+              broadcast_max: int = 2_000_000,
+              dtype=np.float64) -> pa.Table:
+    """k-NEAREST-NEIGHBOR GRAPH over the embedding column — the
+    all-vs-all self-join semantic-dedup clustering and knn-graph
+    community detection start from: for every vector, its ``k`` most
+    cosine-similar OTHER vectors as ``(src, rank, nbr, score_e6)``
+    sorted by (src, rank).
+
+    Ranking happens on the ROUNDED ×10⁶ INTEGER score (ties → lowest
+    neighbor id): with hundreds of near-tied candidates per source, a
+    raw-float ranking is one summation-order ulp away from flipping
+    ranks between engines, while the integer ranking is stable (the
+    residual exposure — a cosine within 5e-7 of a rounding boundary —
+    is the same convention the other sim_* oracles accept).
+
+    ``method="broadcast"`` (default below ``broadcast_max`` corpus
+    rows): normalized corpus gathered once → ``ray.put`` → every batch
+    finishes its own rows with one matmul + the vectorized integer
+    top-k; per-batch results are FINAL (no merge, no shuffle).
+    ``method="ivf"`` (forced by ``HEDONIC_RAY_FORCE_SCALE``) routes
+    through :func:`ivf_topk`'s bucketed probe machinery with a full
+    probe sweep and a k+4 raw-float head re-ranked on the integer
+    score — exact by construction at full probe, and the shape that
+    survives corpora too large to broadcast."""
+    import ray
+    from hedonic_ray.context import force_scale
+
+    if method == "auto":
+        method = "ivf" if force_scale() else "broadcast"
+    if method not in ("broadcast", "ivf"):
+        raise ValueError(f"unknown knn_graph method {method!r}")
+
+    ids_parts, mat_parts = [], []
+    for batch in emb_ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        ids_parts.append(batch.column(id_col).to_numpy().astype(np.int64))
+        mat_parts.append(_batch_matrix(batch, vec_col, dtype))
+    ids = np.concatenate(ids_parts)
+    assert ids.max(initial=0) < (1 << 31), "composite key packs id in 32 bits"
+
+    if method == "ivf":
+        mat = np.concatenate(mat_parts)
+        n_clusters = min(16, max(1, len(ids) // 32))
+        raw = ivf_topk(emb_ds, mat, k=min(k + 4, len(ids)),
+                       n_clusters=n_clusters, nprobe=n_clusters,
+                       id_col=id_col, vec_col=vec_col)
+        qid = raw.column("query_id").to_numpy()
+        nbr = raw.column("vec_id").to_numpy().astype(np.int64)
+        se6 = np.rint(raw.column("score").to_numpy() * 1e6).astype(np.int64)
+        se6[nbr == ids[qid]] = _KNN_MASK           # mask self
+        counts = np.bincount(qid, minlength=len(ids))
+        width = int(counts.max(initial=1))
+        grid = np.full((len(ids), width), _KNN_MASK, np.int64)
+        gnbr = np.zeros((len(ids), width), np.int64)
+        col = np.concatenate([np.arange(c) for c in counts]) \
+            if counts.sum() else np.array([], int)
+        grid[qid, col] = se6
+        gnbr[qid, col] = nbr
+        return _rank_grid(ids, gnbr, grid, k)
+
+    if len(ids) > broadcast_max:
+        raise ValueError(
+            f"knn_graph broadcast path got {len(ids)} rows > "
+            f"broadcast_max={broadcast_max}; use method='ivf'")
+    corpus_ref = ray.put((ids, _normalize(np.concatenate(mat_parts))))
+
+    def local(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(corpus_ref)
+        bids = batch.column(id_col).to_numpy().astype(np.int64)
+        bm = _normalize(_batch_matrix(batch, vec_col, cmat.dtype))
+        se6 = np.rint((bm @ cmat.T) * 1e6).astype(np.int64)
+        se6[bids[:, None] == cids[None, :]] = _KNN_MASK
+        return _rank_grid(bids, cids, se6, k)
+
+    parts = [b for b in emb_ds.map_batches(
+        local, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    t = pa.concat_tables(parts) if parts else _rank_grid(
+        np.array([], np.int64), np.array([], np.int64),
+        np.full((0, 1), _KNN_MASK, np.int64), k)
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(t, sort_keys=[("src", "ascending"),
+                                        ("rank", "ascending")])
+    return t.take(idx)

@@ -553,3 +553,43 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 3, col: str = "text",
                 for c in t.column_names}
 
     return j.groupby("doc_id").map_groups(group_topk, batch_format="numpy")
+
+
+def bigram_total_frequency(ds, col: str = "text"):
+    """Distributed BIGRAM counts (adjacent whitespace-token pairs
+    within a document — the n-gram LM statistics stage): per batch,
+    one Arrow split + the same-doc adjacency mask + an Arrow
+    ``binary_join_element_wise`` builds the batch's bigram strings,
+    ``np.unique`` pre-counts them (the combiner), then ONE
+    ``groupby(bigram).sum`` — shuffle volume is the batch's bigram
+    vocabulary, not its token count."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "tf_partial": pa.array([], pa.int64())})
+        words = pc.split_pattern_regex(
+            batch.column(col), r"\s+").combine_chunks()
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = words.flatten()
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        if len(doc_of) < 2:
+            return empty
+        same = doc_of[:-1] == doc_of[1:]
+        w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        w2 = flat.slice(1).filter(pa.array(same))
+        if len(w1) == 0:
+            return empty
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        uniq, cnt = np.unique(np.asarray(bg).astype(str),
+                              return_counts=True)
+        return pa.table({"bigram": pa.array(uniq.astype(object),
+                                            pa.string()),
+                         "tf_partial": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bigram")
+            .aggregate(Sum("tf_partial", alias_name="tf")))

@@ -397,3 +397,26 @@ def substring_dup_windows(sf_dir: str, L: int = 32):
     exact substring dedup — the character-level complement of
     :func:`dup_passages`)."""
     return dd.substring_dup_counts(_docs(sf_dir, ["doc_id", "text"]), L=L)
+
+
+def knn_graph_table(sf_dir: str, k: int = 3) -> pa.Table:
+    """k-NN graph over the embeddings table (integer-ranked cosine;
+    the semantic-dedup / clustering front-end self-join)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return sim.knn_graph(emb, k=k)
+
+
+def bigram_tf_top(sf_dir: str, k: int = 50) -> pa.Table:
+    """Top-k word bigrams by total occurrence count (ties → bigram
+    asc) — the n-gram LM statistics stage."""
+    tf = ts.bigram_total_frequency(_docs(sf_dir, ["doc_id", "text"]))
+    top = tf.sort(["tf", "bigram"], descending=[True, False]).limit(k)
+    rows = top.take_all()
+    return pa.table({
+        "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
+        "tf": pa.array([int(r["tf"]) for r in rows], pa.int64()),
+    })

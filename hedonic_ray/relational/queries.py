@@ -1164,3 +1164,31 @@ def cohort_retention(sf_dir: str, max_offset: int = 7):
 
     return (cells.map_batches(to_date, batch_format="pyarrow")
             .sort(["cohort_day", "day_offset"]))
+
+
+def user_moving_avg(sf_dir: str, window: int = 3):
+    """Trailing MOVING AVERAGE per user (ROWS frame, last ``window``
+    events by (ts, event_id)): exact integers — v_e2 = round(value
+    ·100) cents, mavg_e2 = window_sum // window_count (values are
+    non-negative, so floor == the SQL ``//`` truncation).  One
+    grouped exchange; per group a cumsum-difference, no Python per
+    row."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    w = int(window)
+
+    def roll(group: dict) -> dict:
+        ts_ = group["ts"].astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((group["event_id"], ts_))
+        v = np.rint(group["value"][order] * 100.0).astype(np.int64)
+        n = len(v)
+        c = np.cumsum(v)
+        s = c.copy()
+        if n > w:
+            s[w:] = c[w:] - c[:-w]
+        cnt = np.minimum(np.arange(n, dtype=np.int64) + 1, w)
+        return {"user_id": group["user_id"][order].astype(np.int64),
+                "event_id": group["event_id"][order].astype(np.int64),
+                "mavg_e2": np.floor_divide(s, cnt)}
+
+    return (ds.groupby("user_id").map_groups(roll, batch_format="numpy")
+            .sort(["user_id", "event_id"]))

@@ -112,6 +112,7 @@ SQL_CHECKED = sorted([
     # round 3, session 7: sliding-window substring dedup, cohort
     # retention, resource-allocation link prediction
     "dedup_substring", "rel_retention", "graph_resource_alloc",
+    "sim_knn_graph", "text_bigrams", "rel_moving_avg",
 ])
 
 
@@ -155,6 +156,7 @@ FORCED_SCALE = sorted([
     "graph_labelprop",      # shuffle gather
     "graph_hedonic_2pass",  # shuffle gather through the hedonic step
     "dedup_substring",      # 1-word hashed window exchange
+    "sim_knn_graph",        # IVF bucketed probe path (full sweep)
 ])
 
 

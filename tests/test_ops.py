@@ -776,3 +776,63 @@ def test_cohort_retention_semantics():
     got = list(out.itertuples(index=False, name=None))
     assert got == [("1970-01-01", 0, 2), ("1970-01-01", 1, 1),
                    ("1970-01-02", 0, 1), ("1970-01-02", 2, 1)]
+
+
+def test_knn_graph_closed_form_and_methods_equal():
+    """4 unit vectors in 2-D at angles 0, 30, 60, 90 degrees: each
+    vector's nearest neighbor is its angular neighbor; rank-2 is the
+    next one over.  Broadcast and IVF paths must agree exactly."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.similarity import knn_graph
+
+    ang = np.deg2rad([0.0, 30.0, 60.0, 90.0])
+    vecs = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    out = knn_graph(ds, k=2)
+    got = list(zip(out.column("src").to_pylist(),
+                   out.column("rank").to_pylist(),
+                   out.column("nbr").to_pylist()))
+    cos30 = round(np.cos(np.deg2rad(30)) * 1e6)
+    assert got == [(0, 1, 1), (0, 2, 2), (1, 1, 0), (1, 2, 2),
+                   (2, 1, 1), (2, 2, 3), (3, 1, 2), (3, 2, 1)]
+    assert out.column("score_e6")[0].as_py() == cos30
+    ivf = knn_graph(rd.from_arrow(t).repartition(2), k=2, method="ivf")
+    assert ivf.to_pydict() == out.to_pydict()
+
+
+def test_moving_avg_vs_brute():
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.relational import queries as rel
+
+    rng = np.random.default_rng(3)
+    n = 400
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 9, n), pa.int64()),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, n), pa.timestamp("us")),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = rel.user_moving_avg(d).to_pandas()
+    got = {(r.user_id, r.event_id): r.mavg_e2
+           for r in out.itertuples(index=False)}
+    u = t.column("user_id").to_numpy()
+    e = t.column("event_id").to_numpy()
+    tsv = t.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+    v = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+    for uid in np.unique(u):
+        idx = np.flatnonzero(u == uid)
+        idx = idx[np.lexsort((e[idx], tsv[idx]))]
+        for j, i in enumerate(idx):
+            w = v[idx[max(0, j - 2):j + 1]]
+            assert got[(uid, e[i])] == int(w.sum()) // len(w)
+    assert len(got) == n
