@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": lg.doc_assortativity_table,
         "graph_common_neighbors": lg.doc_common_neighbors_table,
         "graph_resource_alloc": lg.doc_resource_alloc_table,
+        "graph_two_hop": lg.doc_two_hop_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -618,6 +619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_funnel": rel.event_funnel,
         "rel_retention": rel.cohort_retention,
         "rel_moving_avg": rel.user_moving_avg,
+        "rel_weighted_avg": rel.linestatus_weighted_avg,
+        "rel_skewness": rel.event_value_skewness,
+        "rel_rank_ties": rel.rank_ties_per_brand,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -837,6 +841,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
             FROM p JOIN dup USING (win)
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "rel_weighted_avg": """
+            -- quantity-weighted mean price, exact integers end-to-end
+            WITH s AS (SELECT l_returnflag, l_linestatus,
+                              CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                              CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                  AS p
+                       FROM lineitem)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(q) AS BIGINT) AS sum_qty,
+                   CAST(SUM(p * q) // SUM(q) AS BIGINT) AS wavg_price_e2
+            FROM s GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_skewness": """
+            -- grouped skewness g1 = M3/M2^1.5 from exact integer
+            -- moment sums; every float op is IEEE correctly-rounded
+            -- (cast, *, /, sqrt) so FLOOR(1000*g1) is engine-stable
+            WITH s AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS v
+                       FROM events),
+            m AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS s1,
+                         SUM(v * v) AS s2, SUM(v * v * v) AS s3
+                  FROM s GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN n * s2 - s1 * s1 > 0 THEN
+                        FLOOR(1000.0 * (
+                            CAST(n * n * s3 - 3 * n * s1 * s2
+                                 + 2 * s1 * s1 * s1 AS DOUBLE)
+                            / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                               * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))))
+                        ELSE 0 END AS BIGINT) AS skew_e3
+            FROM m ORDER BY event_type
+        """,
+        "rel_rank_ties": """
+            -- grouped top-3 WITH TIES (RANK, not row_number): tied
+            -- integer-cent prices share a rank and all survive
+            WITH s AS (SELECT p_brand, p_partkey,
+                              CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+                                  AS price_e2
+                       FROM part),
+            r AS (SELECT *, RANK() OVER (PARTITION BY p_brand
+                                         ORDER BY price_e2 DESC) AS rnk
+                  FROM s)
+            SELECT p_brand, p_partkey, price_e2, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
+            ORDER BY p_brand, rnk, p_partkey
         """,
         "text_bigrams": r"""
             -- top-50 word bigrams by total count (ties -> bigram asc)
@@ -1077,6 +1128,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE und.a IS NULL
             ORDER BY cn.common DESC, cn.a, cn.b
             LIMIT 20
+        """,
+        "graph_two_hop": f"""
+            -- distinct <=2-hop neighborhood size per vertex
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            arcs AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+            two AS (SELECT DISTINCT x.src AS v, y.dst AS w
+                    FROM arcs x JOIN arcs y ON y.src = x.dst
+                    WHERE y.dst <> x.src),
+            clo AS (SELECT v, w FROM two
+                    UNION SELECT src, dst FROM arcs),
+            cnt AS (SELECT v, COUNT(*) AS n FROM clo GROUP BY v)
+            SELECT d.doc_id AS vertex,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_2hop
+            FROM documents d LEFT JOIN cnt ON cnt.v = d.doc_id
         """,
         "graph_resource_alloc": f"""
             -- top-20 NON-adjacent pairs by the resource-allocation

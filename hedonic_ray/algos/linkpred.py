@@ -230,3 +230,58 @@ def _pair_score_topk(g, k: int, max_degree, weighted: bool,
     return pa.table({"a": pa.array(key // n, pa.int64()),
                      "b": pa.array(key % n, pa.int64()),
                      score_col: pa.array(score, pa.int64())})
+
+
+def two_hop_counts(g) -> pa.Table:
+    """|N≤2(v)| for every vertex of an undirected LinkGraph: the
+    number of DISTINCT other vertices within two hops (the classic
+    neighborhood-growth / supernode-risk signal for web graphs).
+
+    Shape: the wedge decode already enumerates every distance-2 pair
+    through each center (same kernel as common-neighbors), so the
+    2-hop closure is wedge pairs ∪ direct edges — one distinct
+    exchange on the packed pair key, then each surviving pair votes
+    +1 for both endpoints into a vertex-keyed count.  Σ deg² wedge
+    rows bound the exchange exactly as in
+    :func:`common_neighbors_topk` (same ``max_degree`` hazard note).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if g.directed:
+        raise ValueError("two_hop_counts needs an undirected graph")
+    n = g.n
+    assert n < (1 << 31), "pair keys pack two ids into int64"
+
+    wedge_keys = g.blocks.map_batches(
+        lambda t: _center_pairs_batch(t, n, None).select(["key"]),
+        batch_format="pyarrow", batch_size=1)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        parts = []
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            keep = src < bv.indices
+            parts.append(src[keep] * np.int64(n) + bv.indices[keep])
+        k = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        return pa.table({"key": pa.array(np.unique(k), pa.int64())})
+
+    closure = wedge_keys.union(
+        g.blocks.map_batches(edge_keys, batch_format="pyarrow",
+                             batch_size=4))
+    distinct = closure.groupby("key").aggregate(Count(alias_name="_c"))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy().astype(np.int64)
+        v = np.concatenate([key // n, key % n])
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    rows = (distinct.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("c", alias_name="n_2hop"))
+            .take_all())
+    out = np.zeros(n, dtype=np.int64)
+    for r in rows:
+        out[int(r["v"])] = int(r["n_2hop"])
+    return pa.table({"vertex": pa.array(np.arange(n, dtype=np.int64)),
+                     "n_2hop": pa.array(out)})

@@ -544,3 +544,10 @@ def flagship(sf_dir: str) -> pa.Table:
         "component": pa.array(cc.state["component"], pa.int64()),
         "coalition": pa.array(hed.state["coalition"], pa.int64()),
     })
+
+
+def doc_two_hop_table(sf_dir: str) -> pa.Table:
+    """Distinct ≤2-hop neighborhood size per document vertex."""
+    from hedonic_ray.algos.linkpred import two_hop_counts
+
+    return two_hop_counts(doc_graph(sf_dir, directed=False))

@@ -1192,3 +1192,115 @@ def user_moving_avg(sf_dir: str, window: int = 3):
 
     return (ds.groupby("user_id").map_groups(roll, batch_format="numpy")
             .sort(["user_id", "event_id"]))
+
+
+def linestatus_weighted_avg(sf_dir: str):
+    """Quantity-WEIGHTED grouped mean price per (returnflag,
+    linestatus): wavg_e2 = Σ(price_c2·qty) // Σqty — exact integers
+    end-to-end (quantities are integral, prices 2dp).  Per-batch
+    int64 sufficient-stat combiner, one tiny grouped exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        pc2 = np.rint(t.column("l_extendedprice").to_numpy()
+                      * 100.0).astype(np.int64)
+        g = pa.table({"l_returnflag": t.column("l_returnflag"),
+                      "l_linestatus": t.column("l_linestatus"),
+                      "num": pa.array(pc2 * qty), "den": pa.array(qty)})
+        return g.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("num", "sum"), ("den", "sum")]).rename_columns(
+            ["l_returnflag", "l_linestatus", "num", "den"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("num", alias_name="num"),
+                      Sum("den", alias_name="den")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        num = t.column("num").to_numpy()
+        den = t.column("den").to_numpy()
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "sum_qty": pa.array(den),
+                         "wavg_price_e2": pa.array(
+                             np.floor_divide(num, den))})
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort(["l_returnflag", "l_linestatus"]))
+
+
+def event_value_skewness(sf_dir: str):
+    """Grouped SKEWNESS per event type from exact integer moment
+    sums (n, Σv, Σv², Σv³ on cents, Python-int exact), finished as
+    g₁ = M3d / (M2d·√M2d) with M2 = n·s2 − s1², M3 = n²·s3 − 3n·s1·s2
+    + 2·s1³ — every float op (int→double cast, ×, ÷, √) is IEEE
+    correctly-rounded, so FLOOR(1000·g₁) is engine-stable without any
+    float summation."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(len(v), np.int64)),
+                      "s1": pa.array(v), "s2": pa.array(v * v),
+                      "s3": pa.array(v * v * v)})
+        return g.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum"),
+             ("s3", "sum")]).rename_columns(
+            ["event_type", "n", "s1", "s2", "s3"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2"),
+                      Sum("s3", alias_name="s3")))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    types, ns, skews = [], [], []
+    for r in rows:
+        n, s1, s2, s3 = (int(r["n"]), int(r["s1"]), int(r["s2"]),
+                         int(r["s3"]))
+        m2 = n * s2 - s1 * s1                  # = n·Σ(v−μ)²   (exact int)
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3  # = n²·Σ(v−μ)³
+        # g₁ = (Σ(v−μ)³/n) / (Σ(v−μ)²/n)^1.5 simplifies to M3/M2^1.5
+        if m2 > 0:
+            m2d = float(m2)
+            g1 = float(m3) / (m2d * np.sqrt(m2d))
+        else:
+            g1 = 0.0
+        types.append(r["event_type"])
+        ns.append(n)
+        skews.append(int(np.floor(1000.0 * g1)))
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "n": pa.array(ns, pa.int64()),
+                     "skew_e3": pa.array(skews, pa.int64())})
+
+
+def rank_ties_per_brand(sf_dir: str, k: int = 3):
+    """Grouped top-k WITH TIES (RANK semantics, vs
+    :func:`top_parts_per_brand`'s row_number): every part whose
+    competition rank by integer-cent price is ≤ k — tied prices share
+    a rank and all survive, so groups can exceed k rows."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+
+    def ranks(group: dict) -> dict:
+        e2 = np.floor(group["p_retailprice"] * 100.0).astype(np.int64)
+        key = group["p_partkey"].astype(np.int64)
+        order = np.lexsort((key, -e2))
+        e2, key = e2[order], key[order]
+        starts = np.flatnonzero(np.concatenate(([True], e2[1:] != e2[:-1])))
+        rnk = np.repeat(starts, np.diff(np.append(starts, len(e2)))) + 1
+        m = rnk <= k
+        return {"p_brand": group["p_brand"][order][m],
+                "p_partkey": key[m], "price_e2": e2[m],
+                "rnk": rnk[m].astype(np.int64)}
+
+    return (ds.groupby("p_brand").map_groups(ranks, batch_format="numpy")
+            .sort(["p_brand", "rnk", "p_partkey"]))

@@ -613,3 +613,17 @@ def test_resource_allocation_matches_bruteforce():
     got = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist(),
                    t.column("ra_e9").to_pylist()))
     assert got == want
+
+
+def test_two_hop_counts_closed_form():
+    """Path 0-1-2-3-4: N<=2 sizes are 2,3,4,3,2; star 0-{1,2,3}: the
+    center sees 3, each leaf sees all 3 others."""
+    from hedonic_ray.algos.linkpred import two_hop_counts
+    from tests.fixtures import make_graph
+
+    g = make_graph([(0, 1), (1, 2), (2, 3), (3, 4)], 5, directed=False)
+    t = two_hop_counts(g)
+    assert t.column("n_2hop").to_pylist() == [2, 3, 4, 3, 2]
+
+    g2 = make_graph([(0, 1), (0, 2), (0, 3)], 4, directed=False)
+    assert two_hop_counts(g2).column("n_2hop").to_pylist() == [3, 3, 3, 3]

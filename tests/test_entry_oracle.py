@@ -113,6 +113,7 @@ SQL_CHECKED = sorted([
     # retention, resource-allocation link prediction
     "dedup_substring", "rel_retention", "graph_resource_alloc",
     "sim_knn_graph", "text_bigrams", "rel_moving_avg",
+    "rel_weighted_avg", "rel_skewness", "rel_rank_ties", "graph_two_hop",
 ])
 
 

@@ -836,3 +836,48 @@ def test_moving_avg_vs_brute():
             w = v[idx[max(0, j - 2):j + 1]]
             assert got[(uid, e[i])] == int(w.sum()) // len(w)
     assert len(got) == n
+
+
+def test_skewness_matches_float_reference():
+    """The integer-moment g1 must equal the straightforward float
+    computation to ~1e-9 relative (both describe the same cents
+    population)."""
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.relational import queries as rel
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    vals = np.round(rng.gamma(2.0, 7.0, n), 2)   # right-skewed
+    t = pa.table({"event_type": pa.array(["a"] * n, pa.string()),
+                  "value": pa.array(vals)})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = rel.event_value_skewness(d).to_pandas()
+    v = np.rint(vals * 100)
+    mu = v.mean()
+    g1 = ((v - mu) ** 3).mean() / (((v - mu) ** 2).mean() ** 1.5)
+    assert out.loc[0, "n"] == n
+    assert abs(out.loc[0, "skew_e3"] - np.floor(1000 * g1)) <= 1
+    assert out.loc[0, "skew_e3"] > 500  # gamma(2) is visibly right-skewed
+
+
+def test_rank_ties_includes_all_tied_rows():
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.relational import queries as rel
+
+    t = pa.table({
+        "p_brand": pa.array(["B"] * 5, pa.string()),
+        "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "p_retailprice": pa.array([9.99, 9.99, 5.0, 5.0, 1.0]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "part.parquet"))
+        out = rel.rank_ties_per_brand(d).to_pandas()
+    # ranks: 1,1 (tie), 3,3 (tie) -> four rows survive rnk<=3, price 1.0
+    # has rank 5 and is excluded
+    assert list(zip(out["p_partkey"], out["rnk"])) == [
+        (1, 1), (2, 1), (3, 3), (4, 3)]
