@@ -622,6 +622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_weighted_avg": rel.linestatus_weighted_avg,
         "rel_skewness": rel.event_value_skewness,
         "rel_rank_ties": rel.rank_ties_per_brand,
+        "rel_correlation": rel.qty_price_correlation,
+        "rel_gini": rel.event_value_gini,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -644,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": tx.ngram_containment_pairs,
         "dedup_keep_list": tx.dedup_keep_list,
         "dedup_substring": tx.substring_dup_windows,
+        "dedup_fingerprint": tx.fingerprint_overlap,
         "dedup_simhash": tx.simhash_dup_pairs,
         "dedup_embedding": tx.embedding_neardup,
         "sim_topk_cosine": tx.topk_similarity,
@@ -841,6 +844,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
             FROM p JOIN dup USING (win)
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        "dedup_fingerprint": f"""
+            -- MOSS-style overlap: pairs sharing >=12 distinct
+            -- winnowing fingerprints, exact shared counts
+            WITH fp AS MATERIALIZED ({_fingerprints_sql()})
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM fp x JOIN fp y ON y.fingerprint = x.fingerprint
+                 AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 12
+            ORDER BY a, b
+        """,
+        "rel_correlation": """
+            -- grouped Pearson r from exact integer sufficient stats,
+            -- finished as M11/(sqrt(M2x)*sqrt(M2y)) — separate square
+            -- roots avoid any HUGEINT product overflow, and every
+            -- float op is IEEE correctly-rounded
+            WITH s AS (SELECT l_returnflag,
+                              CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                              CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                  AS y
+                       FROM lineitem),
+            m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x * x) AS sxx,
+                         SUM(y * y) AS syy, SUM(x * y) AS sxy
+                  FROM s GROUP BY l_returnflag)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN n * sxx - sx * sx > 0
+                              AND n * syy - sy * sy > 0 THEN
+                        FLOOR(1000000.0 * (
+                            CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))))
+                        ELSE 0 END AS BIGINT) AS corr_e6
+            FROM m ORDER BY l_returnflag
+        """,
+        "rel_gini": """
+            -- Gini per event type, all-integer closed form on the
+            -- ascending sort (1-based ranks; tie-safe)
+            WITH s AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS v
+                       FROM events),
+            r AS (SELECT event_type, v, row_number() OVER (
+                      PARTITION BY event_type ORDER BY v) AS i FROM s),
+            m AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS s,
+                         SUM(i * v) AS sw
+                  FROM r GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN n > 0 AND s > 0 THEN
+                        (2 * sw - (n + 1) * s) * 1000000 // (n * s)
+                        ELSE 0 END AS BIGINT) AS gini_e6
+            FROM m ORDER BY event_type
         """,
         "rel_weighted_avg": """
             -- quantity-weighted mean price, exact integers end-to-end

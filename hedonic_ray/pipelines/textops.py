@@ -420,3 +420,10 @@ def bigram_tf_top(sf_dir: str, k: int = 50) -> pa.Table:
         "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
         "tf": pa.array([int(r["tf"]) for r in rows], pa.int64()),
     })
+
+
+def fingerprint_overlap(sf_dir: str, min_shared: int = 12):
+    """Winnowing-fingerprint overlap pairs (MOSS-style plagiarism /
+    boilerplate detection on top of :func:`fingerprints`)."""
+    fp = ts.add_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+    return dd.fingerprint_overlap_pairs(fp, min_shared=min_shared)

@@ -1304,3 +1304,79 @@ def rank_ties_per_brand(sf_dir: str, k: int = 3):
 
     return (ds.groupby("p_brand").map_groups(ranks, batch_format="numpy")
             .sort(["p_brand", "rnk", "p_partkey"]))
+
+
+def qty_price_correlation(sf_dir: str):
+    """Grouped PEARSON CORRELATION between quantity and price per
+    returnflag, from exact integer sufficient stats (n, Σx, Σy, Σx²,
+    Σy², Σxy — int64 per batch, Python-int exact at the finish) —
+    r = M11 / (√M2x·√M2y) with M11 = n·Σxy−ΣxΣy, M2• = n·Σ•²−(Σ•)².
+    Each float op is IEEE correctly-rounded (cast, ×, ÷, √ — note the
+    separate square roots, so no HUGEINT-overflowing M2x·M2y product
+    exists on either engine), making FLOOR(10⁶·r) engine-stable."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        y = np.rint(t.column("l_extendedprice").to_numpy()
+                    * 100.0).astype(np.int64)
+        g = pa.table({"l_returnflag": t.column("l_returnflag"),
+                      "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxx": pa.array(x * x), "syy": pa.array(y * y),
+                      "sxy": pa.array(x * y)})
+        return g.group_by(["l_returnflag"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        ).rename_columns(["l_returnflag", "n", "sx", "sy", "sxx",
+                          "syy", "sxy"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+    rows = sorted(agg.take_all(), key=lambda r: r["l_returnflag"])
+    flags, ns, res = [], [], []
+    for r in rows:
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        m11 = n * int(r["sxy"]) - sx * sy
+        m2x = n * int(r["sxx"]) - sx * sx
+        m2y = n * int(r["syy"]) - sy * sy
+        if m2x > 0 and m2y > 0:
+            rr = float(m11) / (np.sqrt(float(m2x)) * np.sqrt(float(m2y)))
+        else:
+            rr = 0.0
+        flags.append(r["l_returnflag"])
+        ns.append(n)
+        res.append(int(np.floor(1_000_000.0 * rr)))
+    return pa.table({"l_returnflag": pa.array(flags, pa.string()),
+                     "n": pa.array(ns, pa.int64()),
+                     "corr_e6": pa.array(res, pa.int64())})
+
+
+def event_value_gini(sf_dir: str):
+    """GINI COEFFICIENT of the value distribution per event type —
+    all-integer closed form on the per-group ascending sort:
+    gini_e6 = (2·Σ i·vᵢ − (n+1)·Σv) · 10⁶ // (n·Σv), 1-based ranks
+    (tied values contribute identically under any tie order, so the
+    formula is tie-safe).  One grouped exchange; per group a sort +
+    two integer dot products."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def gini(group: dict) -> dict:
+        v = np.sort(np.rint(group["value"] * 100.0).astype(np.int64))
+        n = len(v)
+        s = int(v.sum())
+        if n == 0 or s == 0:
+            g = 0
+        else:
+            sw = int((np.arange(1, n + 1, dtype=np.int64) * v).sum())
+            g = (2 * sw - (n + 1) * s) * 1_000_000 // (n * s)
+        return {"event_type": group["event_type"][:1],
+                "n": np.array([n], np.int64),
+                "gini_e6": np.array([g], np.int64)}
+
+    return (ds.groupby("event_type").map_groups(gini, batch_format="numpy")
+            .sort("event_type"))

@@ -114,6 +114,7 @@ SQL_CHECKED = sorted([
     "dedup_substring", "rel_retention", "graph_resource_alloc",
     "sim_knn_graph", "text_bigrams", "rel_moving_avg",
     "rel_weighted_avg", "rel_skewness", "rel_rank_ties", "graph_two_hop",
+    "rel_correlation", "rel_gini", "dedup_fingerprint",
 ])
 
 

@@ -881,3 +881,57 @@ def test_rank_ties_includes_all_tied_rows():
     # has rank 5 and is excluded
     assert list(zip(out["p_partkey"], out["rnk"])) == [
         (1, 1), (2, 1), (3, 3), (4, 3)]
+
+
+def test_gini_closed_form():
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.relational import queries as rel
+
+    t = pa.table({
+        "event_type": pa.array(["eq"] * 4 + ["ab"] * 2, pa.string()),
+        "value": pa.array([5.0, 5.0, 5.0, 5.0, 0.01, 0.03]),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = rel.event_value_gini(d).to_pandas()
+    g = dict(zip(out["event_type"], out["gini_e6"]))
+    # [1, 3] cents: G = (2*(1*1+2*3) - 3*4) / (2*4) = 0.25
+    assert g == {"ab": 250000, "eq": 0}
+
+
+def test_correlation_perfect_and_sign():
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.relational import queries as rel
+
+    n = 50
+    x = np.arange(1.0, n + 1)
+    t = pa.table({
+        "l_returnflag": pa.array(["P"] * n + ["N"] * n, pa.string()),
+        "l_quantity": pa.array(np.concatenate([x, x])),
+        "l_extendedprice": pa.array(np.concatenate([3 * x, -3 * x + 200])),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        out = rel.qty_price_correlation(d).to_pandas()
+    c = dict(zip(out["l_returnflag"], out["corr_e6"]))
+    assert c["P"] in (999999, 1000000)      # r = +1 up to one float ulp
+    assert c["N"] in (-1000000, -999999 - 1)  # r = -1
+
+
+def test_fingerprint_overlap_identical_docs():
+    import ray.data as rd
+
+    from hedonic_ray.ops.dedup import fingerprint_overlap_pairs
+    from hedonic_ray.ops.textstats import add_fingerprints
+
+    base = _doc(42, 120)
+    other = " ".join(f"zq{i}xx{i * 3 % 7}" for i in range(120))
+    fp = add_fingerprints(_docs_ds([base, base, other]))
+    rows = fingerprint_overlap_pairs(fp, min_shared=2).take_all()
+    pairs = {(r["a"], r["b"]): r["shared"] for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert (0, 2) not in pairs and (1, 2) not in pairs
