@@ -150,6 +150,37 @@ FROM r{iters}""")
 _ARCS_CTE = "arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
 
 
+def _truss_chain_sql(k: int = 3, rounds: int = 6) -> str:
+    """Fixed-round k-truss peel as unrolled CTEs (e0 → e{rounds}):
+    e_{i+1} = edges of e_i supported by ≥ k−2 triangles inside e_i;
+    mirrors algos/truss.py round for round (its early-stop fires only
+    at a fixed point, where further rounds are no-ops).  Each e_i is
+    MATERIALIZED (referenced three times by the triangle join)."""
+    parts = [f"""WITH {_LINKS_CTE},
+e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+                    GREATEST(src, dst) AS b FROM e)"""]
+    for i in range(rounds):
+        parts.append(f""",
+t{i} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.b
+         JOIN e{i} e3 ON e3.a = e1.a AND e3.b = e2.b),
+cr{i} AS (SELECT x AS a, y AS b FROM t{i}
+          UNION ALL SELECT x, z FROM t{i}
+          UNION ALL SELECT y, z FROM t{i}),
+sup{i} AS (SELECT a, b, COUNT(*) AS s FROM cr{i} GROUP BY a, b),
+e{i + 1} AS MATERIALIZED (
+    SELECT ei.a, ei.b FROM e{i} ei
+    JOIN sup{i} s ON s.a = ei.a AND s.b = ei.b
+    WHERE s.s >= {k - 2})""")
+    parts.append(f"""
+SELECT e0.a, e0.b,
+       CAST(CASE WHEN fin.a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS in_truss
+FROM e0 LEFT JOIN e{rounds} fin ON fin.a = e0.a AND fin.b = e0.b
+ORDER BY e0.a, e0.b""")
+    return "".join(parts)
+
+
 def _kcore_chain_sql(k: int = 2, rounds: int = 4) -> str:
     """Fixed-round k-core peel as unrolled CTEs (a0 → a{rounds}):
     a_{i+1} = vertices of a_i with ≥ k neighbors inside a_i; mirrors
@@ -577,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_common_neighbors": lg.doc_common_neighbors_table,
         "graph_resource_alloc": lg.doc_resource_alloc_table,
         "graph_two_hop": lg.doc_two_hop_table,
+        "graph_truss": lg.doc_truss_table,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -640,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_passage_dedup": tx.dup_passages,
         "text_term_tf": tx.term_tf_top,
         "text_bigrams": tx.bigram_tf_top,
+        "text_length_stats": tx.length_stats_by_lang,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
@@ -944,6 +977,26 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 3
             ORDER BY p_brand, rnk, p_partkey
         """,
+        "text_length_stats": """
+            -- per-lang length audit: exact ceil(q*n)-th order stats
+            -- (percentile_disc) + median absolute deviation
+            WITH p AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                       percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY n_chars) AS p50,
+                       percentile_disc(0.9) WITHIN GROUP
+                           (ORDER BY n_chars) AS p90
+                FROM documents GROUP BY lang),
+            d AS (SELECT doc.lang, ABS(doc.n_chars - p.p50) AS dev
+                  FROM documents doc JOIN p USING (lang)),
+            m AS (SELECT lang, percentile_disc(0.5) WITHIN GROUP
+                             (ORDER BY dev) AS mad
+                  FROM d GROUP BY lang)
+            SELECT p.lang, p.n, CAST(p.p50 AS BIGINT) AS p50,
+                   CAST(p.p90 AS BIGINT) AS p90,
+                   CAST(m.mad AS BIGINT) AS mad
+            FROM p JOIN m USING (lang) ORDER BY p.lang
+        """,
         "text_bigrams": r"""
             -- top-50 word bigrams by total count (ties -> bigram asc)
             WITH words AS (
@@ -1115,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
+        "graph_truss": _truss_chain_sql(k=3, rounds=6),
         "graph_hits": _hits_chain_sql(iters=2),
         "graph_edge_jaccard": f"""
             -- neighborhood Jaccard per canonical undirected edge:

@@ -551,3 +551,11 @@ def doc_two_hop_table(sf_dir: str) -> pa.Table:
     from hedonic_ray.algos.linkpred import two_hop_counts
 
     return two_hop_counts(doc_graph(sf_dir, directed=False))
+
+
+def doc_truss_table(sf_dir: str, k: int = 3, rounds: int = 6) -> pa.Table:
+    """k-truss membership flag per canonical edge of the doc graph."""
+    from hedonic_ray.algos.truss import ktruss_edges
+
+    return ktruss_edges(doc_graph(sf_dir, directed=False), k=k,
+                        rounds=rounds)

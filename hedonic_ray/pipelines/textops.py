@@ -427,3 +427,34 @@ def fingerprint_overlap(sf_dir: str, min_shared: int = 12):
     boilerplate detection on top of :func:`fingerprints`)."""
     fp = ts.add_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
     return dd.fingerprint_overlap_pairs(fp, min_shared=min_shared)
+
+
+def length_stats_by_lang(sf_dir: str, qs_e2=(50, 90)) -> "object":
+    """Per-language document-length audit (the length-distribution
+    check every training-data intake runs): exact ⌈q·n⌉-th order
+    statistics of ``n_chars`` plus the MEDIAN ABSOLUTE DEVIATION
+    (MAD = lower median of |len − p50|) — all integers, no float.
+    One grouped exchange; per group two sorts over its lengths."""
+    import ray.data as rd
+
+    configure_context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    qs = tuple(int(q) for q in qs_e2)
+
+    def stats(group: dict) -> dict:
+        v = np.sort(group["n_chars"].astype(np.int64))
+        n = len(v)
+        picks = {q: int(v[max(1, -(-n * q // 100)) - 1]) for q in qs}
+        dev = np.sort(np.abs(v - picks[50]))
+        mad = int(dev[max(1, -(-n * 50 // 100)) - 1])
+        out = {"lang": group["lang"][:1],
+               "n": np.array([n], np.int64),
+               "mad": np.array([mad], np.int64)}
+        for q in qs:
+            out[f"p{q}"] = np.array([picks[q]], np.int64)
+        return out
+
+    cols = ["lang", "n"] + [f"p{q}" for q in qs] + ["mad"]
+    return (ds.groupby("lang").map_groups(stats, batch_format="numpy")
+            .sort("lang").select_columns(cols))

@@ -627,3 +627,29 @@ def test_two_hop_counts_closed_form():
 
     g2 = make_graph([(0, 1), (0, 2), (0, 3)], 4, directed=False)
     assert two_hop_counts(g2).column("n_2hop").to_pylist() == [3, 3, 3, 3]
+
+
+def test_ktruss_closed_form():
+    """K4 plus a pendant: every K4 edge has support 2 (in the 4-truss
+    and 3-truss); the pendant edge is never in a triangle.  Two
+    triangles sharing one edge: all survive 3-truss, all peel at
+    4-truss (the outer edges have support 1, and removing them
+    strands the shared edge)."""
+    from hedonic_ray.algos.truss import ktruss_edges
+    from tests.fixtures import make_graph
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    g = make_graph(k4, 5, directed=False)
+    t3 = {(r["a"], r["b"]): r["in_truss"]
+          for r in ktruss_edges(g, k=3).to_pylist()}
+    assert t3[(3, 4)] == 0 and sum(t3.values()) == 6
+    t4 = {(r["a"], r["b"]): r["in_truss"]
+          for r in ktruss_edges(g, k=4).to_pylist()}
+    assert t4[(3, 4)] == 0 and sum(t4.values()) == 6
+
+    bowtie = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    g2 = make_graph(bowtie, 4, directed=False)
+    assert sum(r["in_truss"] for r in
+               ktruss_edges(g2, k=3).to_pylist()) == 5
+    assert sum(r["in_truss"] for r in
+               ktruss_edges(g2, k=4).to_pylist()) == 0
