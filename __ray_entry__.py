@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": lg.doc_components_table,
         "graph_component_stats": lg.doc_component_stats,
         "graph_scc": lg.doc_scc_table,
+        "graph_scc_dag": lg.doc_scc_dag,
         "graph_hedonic": lg.doc_hedonic_table,
         "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
         "graph_labelprop": lg.doc_labelprop_table,
@@ -687,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_range_search": tx.range_similarity,
         "sim_filtered_topk": tx.filtered_topk_similarity,
         "sim_knn_graph": tx.knn_graph_table,
+        "sim_knn_clusters": tx.knn_mutual_clusters,
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
@@ -1859,6 +1861,26 @@ def oracle_sql() -> dict[str, str]:
             FROM reach a JOIN reach b ON b.v = a.u AND b.u = a.v
             GROUP BY a.v
         """,
+        "graph_scc_dag": f"""
+            -- SCC condensation: distinct arcs between different
+            -- components (labels = min mutually-reachable id)
+            WITH RECURSIVE {_LINKS_CTE},
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, e2.dst FROM reach r JOIN e e2 ON e2.src = r.u
+            ),
+            comp AS MATERIALIZED (
+                SELECT a.v, min(a.u) AS scc
+                FROM reach a JOIN reach b ON b.v = a.u AND b.u = a.v
+                GROUP BY a.v)
+            SELECT DISTINCT CAST(c1.scc AS BIGINT) AS src_scc,
+                            CAST(c2.scc AS BIGINT) AS dst_scc
+            FROM e JOIN comp c1 ON c1.v = e.src
+                   JOIN comp c2 ON c2.v = e.dst
+            WHERE c1.scc <> c2.scc
+            ORDER BY src_scc, dst_scc
+        """,
         "graph_component_stats": f"""
             -- per-component vertex/edge counts + integer density
             -- 2m*1e9 // (n*(n-1))
@@ -2035,6 +2057,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, CAST(rank AS BIGINT) AS rank, nbr, score_e6
             FROM ranked WHERE rank <= 3
             ORDER BY src, rank
+        """,
+        "sim_knn_clusters": """
+            -- mutual-kNN clustering: components over edges present in
+            -- BOTH endpoints' integer-ranked top-3; label = min vec_id
+            WITH RECURSIVE scored AS (
+                SELECT a.vec_id AS src, b.vec_id AS nbr,
+                       CAST(ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) * 1e6)
+                            AS BIGINT) AS score_e6
+                FROM embeddings a JOIN embeddings b
+                     ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (SELECT *, row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY score_e6 DESC, nbr) AS rank
+                       FROM scored),
+            knn AS MATERIALIZED (SELECT src, nbr FROM ranked
+                                 WHERE rank <= 3),
+            mut AS MATERIALIZED (
+                SELECT x.src AS a, x.nbr AS b
+                FROM knn x JOIN knn y ON y.src = x.nbr AND y.nbr = x.src
+                WHERE x.src < x.nbr),
+            arcs AS (SELECT a AS src, b AS dst FROM mut
+                     UNION ALL SELECT b, a FROM mut),
+            reach(v, u) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT r.v, a.dst FROM reach r JOIN arcs a ON a.src = r.u
+            )
+            SELECT v AS vec_id, CAST(min(u) AS BIGINT) AS cluster
+            FROM reach GROUP BY v ORDER BY vec_id
         """,
         "sim_range_search": """
             -- radius search: membership decided on the ROUNDED ×1e6

@@ -559,3 +559,30 @@ def doc_truss_table(sf_dir: str, k: int = 3, rounds: int = 6) -> pa.Table:
 
     return ktruss_edges(doc_graph(sf_dir, directed=False), k=k,
                         rounds=rounds)
+
+
+def doc_scc_dag(sf_dir: str) -> pa.Table:
+    """SCC CONDENSATION DAG of the directed doc graph: the distinct
+    (src_scc, dst_scc) arcs between different components — the
+    quotient graph every reachability/ordering analysis runs on.
+    Labels broadcast once; per-batch map + distinct combiner; one
+    grouped distinct exchange."""
+    import ray
+    from ray.data.aggregate import Count
+
+    scc = doc_scc_table(sf_dir)
+    labels_ref = ray.put(scc.column("scc").to_numpy().astype(np.int64))
+    edges, _urls, _n = _GRAPH_CACHE[(sf_dir, "edges")]
+
+    def remap(t: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        s = lab[t.column("src").to_numpy()]
+        d = lab[t.column("dst").to_numpy()]
+        m = s != d
+        g = pa.table({"src_scc": pa.array(s[m]), "dst_scc": pa.array(d[m])})
+        return g.group_by(["src_scc", "dst_scc"]).aggregate([])
+
+    return (edges.map_batches(remap, batch_format="pyarrow")
+            .groupby(["src_scc", "dst_scc"])
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+            .sort(["src_scc", "dst_scc"]))

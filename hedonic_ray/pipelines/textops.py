@@ -458,3 +458,41 @@ def length_stats_by_lang(sf_dir: str, qs_e2=(50, 90)) -> "object":
     cols = ["lang", "n"] + [f"p{q}" for q in qs] + ["mad"]
     return (ds.groupby("lang").map_groups(stats, batch_format="numpy")
             .sort("lang").select_columns(cols))
+
+
+def knn_mutual_clusters(sf_dir: str, k: int = 3) -> pa.Table:
+    """MUTUAL-kNN semantic clustering: connected components over the
+    edges where a is in b's top-k AND b is in a's (the standard
+    symmetrization that keeps hub vectors from chaining unrelated
+    clusters); component label = min vec_id.  Composition: integer-
+    ranked :func:`knn_graph_table` → packed-pair mutuality count →
+    the dedup family's cluster machinery.  The mutuality filter runs
+    on the knn result, which the broadcast knn path already returns
+    driver-resident (n·k rows); at corpus scale the knn edges stay a
+    Dataset and the same count==2 filter is ``_packed_pair_counts``
+    — the machinery ``duplicate_clusters`` already scale-switches
+    into."""
+    import ray.data as rd
+
+    knn = knn_graph_table(sf_dir, k=k)
+    src = knn.column("src").to_numpy()
+    nbr = knn.column("nbr").to_numpy()
+    a = np.minimum(src, nbr)
+    b = np.maximum(src, nbr)
+    key = a * np.int64(1 << 31) + b
+    uk, cnt = np.unique(key, return_counts=True)
+    mut = uk[cnt == 2]          # both directions present
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(mut // (1 << 31), pa.int64()),
+        "b": pa.array(mut % (1 << 31), pa.int64())}))
+    from hedonic_ray.ops.dedup import duplicate_clusters
+
+    comp = duplicate_clusters(pairs, _n_vecs(sf_dir))
+    return pa.table({"vec_id": pa.array(np.arange(len(comp)), pa.int64()),
+                     "cluster": pa.array(comp, pa.int64())})
+
+
+def _n_vecs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows

@@ -115,7 +115,8 @@ SQL_CHECKED = sorted([
     "sim_knn_graph", "text_bigrams", "rel_moving_avg",
     "rel_weighted_avg", "rel_skewness", "rel_rank_ties", "graph_two_hop",
     "rel_correlation", "rel_gini", "dedup_fingerprint",
-    "text_length_stats", "graph_truss",
+    "text_length_stats", "graph_truss", "graph_scc_dag",
+    "sim_knn_clusters",
 ])
 
 

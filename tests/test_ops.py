@@ -935,3 +935,28 @@ def test_fingerprint_overlap_identical_docs():
     pairs = {(r["a"], r["b"]): r["shared"] for r in rows}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_knn_mutual_clusters_invariants_and_dag_acyclic():
+    """Mutual-kNN clustering invariants on the gate fixture (the
+    synthetic embeddings are NOT label-separable at k=3, so no purity
+    claim): labels are min-member ids, non-vacuous multi-member
+    clusters exist, and the run is deterministic.  The SCC
+    condensation must contain no 2-cycles (a mutual arc would have
+    merged the two SCCs)."""
+    from hedonic_ray.pipelines import textops as tx
+    from hedonic_ray.pipelines import linkgraph as lg
+
+    SF = "/root/testdata/sf0.001"
+    out = tx.knn_mutual_clusters(SF).to_pandas()
+    assert (out.groupby("cluster")["vec_id"].min()
+            == out.groupby("cluster")["vec_id"].apply(
+                lambda s: s.name)).all()
+    sizes = out.groupby("cluster").size()
+    assert (sizes >= 2).sum() >= 2 and (sizes == 1).sum() >= 1
+    again = tx.knn_mutual_clusters(SF).to_pandas()
+    assert out.equals(again)
+
+    dag = lg.doc_scc_dag(SF).to_pandas()
+    arcs = set(zip(dag["src_scc"], dag["dst_scc"]))
+    assert arcs and all((b, a) not in arcs for a, b in arcs)
