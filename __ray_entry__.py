@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_resource_alloc": lg.doc_resource_alloc_table,
         "graph_two_hop": lg.doc_two_hop_table,
         "graph_truss": lg.doc_truss_table,
+        "graph_degree_hist": lg.doc_degree_hist,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -657,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rank_ties": rel.rank_ties_per_brand,
         "rel_correlation": rel.qty_price_correlation,
         "rel_gini": rel.event_value_gini,
+        "rel_active_users": rel.active_users,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -674,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_term_tf": tx.term_tf_top,
         "text_bigrams": tx.bigram_tf_top,
         "text_length_stats": tx.length_stats_by_lang,
+        "text_char_classes": tx.char_classes,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
@@ -979,6 +982,33 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 3
             ORDER BY p_brand, rnk, p_partkey
         """,
+        "text_char_classes": r"""
+            -- character-class census: class count = length minus the
+            -- class-stripped length; ratio = FLOOR(1e9 * c/max(n,1))
+            WITH s AS (
+                SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(text) - length(regexp_replace(
+                           text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+                       CAST(length(text) - length(regexp_replace(
+                           text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                       CAST(length(text) - length(regexp_replace(
+                           text, '\s', '', 'g')) AS BIGINT) AS n_space
+                FROM documents)
+            SELECT doc_id, n_chars,
+                   n_upper,
+                   CAST(FLOOR((CAST(n_upper AS DOUBLE)
+                        / greatest(n_chars, 1)) * 1e9) AS BIGINT)
+                       AS upper_ratio_e9,
+                   n_digit,
+                   CAST(FLOOR((CAST(n_digit AS DOUBLE)
+                        / greatest(n_chars, 1)) * 1e9) AS BIGINT)
+                       AS digit_ratio_e9,
+                   n_space,
+                   CAST(FLOOR((CAST(n_space AS DOUBLE)
+                        / greatest(n_chars, 1)) * 1e9) AS BIGINT)
+                       AS space_ratio_e9
+            FROM s
+        """,
         "text_length_stats": """
             -- per-lang length audit: exact ceil(q*n)-th order stats
             -- (percentile_disc) + median absolute deviation
@@ -1027,6 +1057,24 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "rel_active_users": """
+            -- DAU + trailing 7-day WAU per active day: each distinct
+            -- (user, day) fans out to the 7 days it keeps the user
+            -- active for
+            WITH ud AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 86400000000 AS day
+                        FROM events),
+            dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+                    FROM ud GROUP BY day),
+            f AS (SELECT DISTINCT user_id, day + o AS day
+                  FROM ud, unnest(range(0, 7)) AS t(o)),
+            wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+                    FROM f GROUP BY day)
+            SELECT CAST(CAST(epoch_ms(d.day * 86400000) AS DATE)
+                        AS VARCHAR) AS day,
+                   d.dau, w.wau
+            FROM dau d JOIN wau w USING (day) ORDER BY 1
         """,
         "rel_retention": """
             -- cohort retention: users cohorted by first active day;
@@ -1239,6 +1287,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE und.a IS NULL
             ORDER BY cn.common DESC, cn.a, cn.b
             LIMIT 20
+        """,
+        "graph_degree_hist": f"""
+            -- degree distribution incl. the isolated-vertex bucket
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            verts AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+            deg AS (SELECT v, count(*) AS d FROM verts GROUP BY v),
+            alldeg AS (SELECT doc.doc_id, COALESCE(deg.d, 0) AS d
+                       FROM documents doc LEFT JOIN deg
+                            ON deg.v = doc.doc_id)
+            SELECT CAST(d AS BIGINT) AS degree,
+                   CAST(COUNT(*) AS BIGINT) AS n_vertices
+            FROM alldeg GROUP BY d ORDER BY d
         """,
         "graph_two_hop": f"""
             -- distinct <=2-hop neighborhood size per vertex

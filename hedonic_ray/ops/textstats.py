@@ -593,3 +593,29 @@ def bigram_total_frequency(ds, col: str = "text"):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("bigram")
             .aggregate(Sum("tf_partial", alias_name="tf")))
+
+
+def add_char_classes(ds, col: str = "text"):
+    """Per-document character-class census (the case/digit/whitespace
+    signals quality filters cut on, complementing
+    :func:`add_quality_scores`): counts of uppercase / digit /
+    whitespace characters plus ×10⁹ FLOOR ratios — pure
+    ``count_substring_regex`` column kernels, zero Python per row,
+    integers only (FLOOR of an exact int/int double has no tie
+    rule)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.column(col)
+        n = pc.cast(pc.utf8_length(t), pa.int64())
+        out = {"doc_id": batch.column("doc_id"), "n_chars": n}
+        nf = pc.cast(pc.max_element_wise(n, 1), pa.float64())
+        for name, pat in (("upper", "[A-Z]"), ("digit", "[0-9]"),
+                          ("space", r"\s")):
+            c = pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+            out[f"n_{name}"] = c
+            ratio = pc.divide(pc.cast(c, pa.float64()), nf)
+            out[f"{name}_ratio_e9"] = pc.cast(
+                pc.floor(pc.multiply(ratio, pa.scalar(1e9))), pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")

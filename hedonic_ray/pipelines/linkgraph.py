@@ -586,3 +586,17 @@ def doc_scc_dag(sf_dir: str) -> pa.Table:
             .groupby(["src_scc", "dst_scc"])
             .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
             .sort(["src_scc", "dst_scc"]))
+
+
+def doc_degree_hist(sf_dir: str) -> pa.Table:
+    """DEGREE DISTRIBUTION of the undirected doc graph — the first
+    statistic of any web-graph audit: (degree, n_vertices) including
+    the isolated-vertex bucket, sorted by degree.  The degree vector
+    is engine state (one bincount); nothing leaves the driver but the
+    histogram."""
+    g = doc_graph(sf_dir, directed=False)
+    deg = g.out_degree.astype(np.int64)
+    cnt = np.bincount(deg)
+    nz = np.flatnonzero(cnt)
+    return pa.table({"degree": pa.array(nz, pa.int64()),
+                     "n_vertices": pa.array(cnt[nz], pa.int64())})

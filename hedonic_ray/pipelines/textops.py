@@ -496,3 +496,8 @@ def _n_vecs(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+
+
+def char_classes(sf_dir: str):
+    """Per-doc uppercase/digit/whitespace census (column kernels)."""
+    return ts.add_char_classes(_docs(sf_dir, ["doc_id", "text"]))

@@ -1380,3 +1380,55 @@ def event_value_gini(sf_dir: str):
 
     return (ds.groupby("event_type").map_groups(gini, batch_format="numpy")
             .sort("event_type"))
+
+
+def active_users(sf_dir: str, window_days: int = 7):
+    """DAU + trailing WAU per day: the (user, day) grid is distincted
+    per batch, then each grid row FANS OUT to the ``window_days``
+    target days it keeps the user active for; one distinct exchange
+    per metric — no per-day rescan, no driver state.  Only days with
+    actual activity are reported (wau counts users active in
+    [day−6, day])."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def user_days(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"user_id": t.column("user_id"), "day": day})
+        return g.group_by(["user_id", "day"]).aggregate([])
+
+    # per-batch distinct is only a combiner — a user's events can
+    # straddle batches, so the grid needs one global distinct
+    grid = (ds.map_batches(user_days, batch_format="pyarrow")
+            .groupby(["user_id", "day"])
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+            .materialize())
+    dau = grid.groupby("day").aggregate(Count(alias_name="dau"))
+
+    def fan(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        d = t.column("day").to_numpy()
+        w = np.int64(window_days)
+        tu = np.repeat(u, w)
+        td = np.repeat(d, w) + np.tile(np.arange(w, dtype=np.int64),
+                                       len(d))
+        g = pa.table({"user_id": pa.array(tu), "day": pa.array(td)})
+        return g.group_by(["user_id", "day"]).aggregate([])
+
+    wau = (grid.map_batches(fan, batch_format="pyarrow")
+           .groupby(["user_id", "day"])                 # global distinct
+           .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+           .groupby("day").aggregate(Count(alias_name="wau")))
+
+    d_rows = {int(r["day"]): int(r["dau"]) for r in dau.take_all()}
+    w_rows = {int(r["day"]): int(r["wau"]) for r in wau.take_all()}
+    days = sorted(d_rows)  # only days with actual activity
+    dd = np.array(days, np.int64)
+    date = np.datetime_as_string(dd.astype("datetime64[D]")).astype(object)
+    return pa.table({
+        "day": pa.array(date, pa.string()),
+        "dau": pa.array([d_rows[d] for d in days], pa.int64()),
+        "wau": pa.array([w_rows[d] for d in days], pa.int64()),
+    })

@@ -116,7 +116,8 @@ SQL_CHECKED = sorted([
     "rel_weighted_avg", "rel_skewness", "rel_rank_ties", "graph_two_hop",
     "rel_correlation", "rel_gini", "dedup_fingerprint",
     "text_length_stats", "graph_truss", "graph_scc_dag",
-    "sim_knn_clusters",
+    "sim_knn_clusters", "text_char_classes", "graph_degree_hist",
+    "rel_active_users",
 ])
 
 

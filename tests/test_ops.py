@@ -960,3 +960,36 @@ def test_knn_mutual_clusters_invariants_and_dag_acyclic():
     dag = lg.doc_scc_dag(SF).to_pandas()
     arcs = set(zip(dag["src_scc"], dag["dst_scc"]))
     assert arcs and all((b, a) not in arcs for a, b in arcs)
+
+
+def test_active_users_dau_wau_brute():
+    """Users active across several days, duplicate (user, day) events
+    split over partitions (exercises the global grid distinct): DAU
+    and trailing 7-day WAU must match the brute computation."""
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.relational import queries as rel
+
+    day = 86_400_000_000
+    rng = np.random.default_rng(9)
+    rows = []
+    for u in range(12):
+        for d in sorted(rng.choice(20, 6, replace=False)):
+            rows.append((u, int(d) * day))
+            rows.append((u, int(d) * day + 7))   # same user-day twice
+    rng.shuffle(rows)
+    t = pa.table({"user_id": pa.array([u for u, _ in rows], pa.int64()),
+                  "ts": pa.array([x for _, x in rows], pa.timestamp("us"))})
+    with tempfile.TemporaryDirectory() as d_:
+        pq.write_table(t, os.path.join(d_, "events.parquet"),
+                       row_group_size=16)   # many batches
+        out = rel.active_users(d_).to_pandas()
+    days = {(u, x // day) for u, x in rows}
+    got = {r.day: (r.dau, r.wau) for r in out.itertuples(index=False)}
+    for dd in sorted({d for _, d in days}):
+        key = str(np.datetime64(int(dd), "D"))
+        dau = sum(1 for u, d2 in days if d2 == dd)
+        wau = len({u for u, d2 in days if dd - 6 <= d2 <= dd})
+        assert got[key] == (dau, wau), key
+    assert len(got) == len({d for _, d in days})
