@@ -631,6 +631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": rel.order_range_density,
         "rel_topk_per_brand": rel.top_parts_per_brand,
         "rel_anti_join": rel.customers_without_events,
+        "rel_semi_join": rel.customers_with_events,
+        "rel_unpivot": rel.part_unpivot_stats,
         "rel_distinct_users": rel.distinct_users_per_type,
         "rel_json_extract": rel.json_props_stats,
         "rel_brand_price_stats": rel.brand_price_stats,
@@ -684,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_list": tx.dedup_keep_list,
         "dedup_substring": tx.substring_dup_windows,
         "dedup_fingerprint": tx.fingerprint_overlap,
+        "dedup_editdist": tx.editdist_dup_pairs,
         "dedup_simhash": tx.simhash_dup_pairs,
         "dedup_embedding": tx.embedding_neardup,
         "sim_topk_cosine": tx.topk_similarity,
@@ -1204,6 +1207,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) FILTER (x.bit <> y.bit) <= 3
         """,
+        "dedup_editdist": r"""
+            -- simhash recall (hamming<=3, lossless 4x16-bit banding)
+            -- -> exact prefix-200 Levenshtein <= 60 verify
+            WITH words AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents
+                UNION ALL
+                SELECT doc_id, '' FROM documents
+                WHERE length(regexp_extract_all(text, '\S+')) = 0
+            ),
+            wh AS (SELECT doc_id, md5_number_lower(w) AS h FROM words),
+            bits AS (
+                SELECT doc_id, b.j,
+                       sum(CASE WHEN (h >> CAST(b.j AS UTINYINT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS score
+                FROM wh CROSS JOIN range(64) b(j)
+                GROUP BY doc_id, b.j
+            ),
+            bsign AS (
+                SELECT doc_id, j,
+                       CASE WHEN score > 0 THEN 1 ELSE 0 END AS bit
+                FROM bits
+            ),
+            cand AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM bsign x JOIN bsign y
+                     ON x.j = y.j AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+                HAVING count(*) FILTER (x.bit <> y.bit) <= 3
+            )
+            SELECT c.a, c.b,
+                   CAST(levenshtein(substr(da.text, 1, 200),
+                                    substr(db.text, 1, 200)) AS BIGINT)
+                       AS dist
+            FROM cand c JOIN documents da ON da.doc_id = c.a
+                        JOIN documents db ON db.doc_id = c.b
+            WHERE levenshtein(substr(da.text, 1, 200),
+                              substr(db.text, 1, 200)) <= 60
+            ORDER BY c.a, c.b
+        """,
         "dedup_embedding": """
             WITH pr AS (
                 SELECT list_cosine_similarity(
@@ -1509,6 +1552,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM events e
                               WHERE e.user_id = c.c_custkey)
             GROUP BY c.c_mktsegment
+        """,
+        "rel_semi_join": """
+            -- customers WITH at least one click event (semi-join
+            -- complement of rel_anti_join)
+            SELECT c.c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(FLOOR(c.c_acctbal * 100.0) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_e2
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey)
+            GROUP BY c.c_mktsegment
+        """,
+        "rel_unpivot": """
+            -- UNPIVOT the part table's numeric attrs to long form,
+            -- then aggregate per attribute (exact integer scaling)
+            WITH long AS (
+                SELECT 'p_size' AS attr,
+                       CAST(p_size AS BIGINT) * 100 AS value_e2
+                FROM part
+                UNION ALL
+                SELECT 'p_retailprice',
+                       CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                FROM part)
+            SELECT attr, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(value_e2) AS BIGINT) AS sum_value_e2,
+                   CAST(MAX(value_e2) AS BIGINT) AS max_value_e2
+            FROM long GROUP BY attr ORDER BY attr
         """,
         "rel_topk_per_brand": """
             -- grouped top-3 by retail price per brand, ties -> smallest

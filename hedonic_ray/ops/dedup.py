@@ -1456,3 +1456,68 @@ def fingerprint_overlap_pairs(fp_ds, *, min_shared: int = 2,
 
     return (counts.map_batches(finish, batch_format="pyarrow")
             .sort(["a", "b"]))
+
+
+def _levenshtein_batch(texts_a, texts_b, prefix: int) -> np.ndarray:
+    """Unit-cost Levenshtein distance per pair over the first
+    ``prefix`` bytes — row-vectorized DP (numpy minimum over the
+    previous row; the only Python loop is over the O(prefix) rows of
+    each pair, not cells).  Matches SQL ``levenshtein`` on ASCII."""
+    out = np.empty(len(texts_a), np.int64)
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        a = np.frombuffer(ta.encode()[:prefix], np.uint8)
+        b = np.frombuffer(tb.encode()[:prefix], np.uint8)
+        if not len(a) or not len(b):
+            out[i] = max(len(a), len(b))
+            continue
+        prev = np.arange(len(b) + 1, dtype=np.int64)
+        for j, ca in enumerate(a):
+            cur = np.empty(len(b) + 1, np.int64)
+            cur[0] = j + 1
+            sub = prev[:-1] + (b != ca)
+            np.minimum(sub, prev[1:] + 1, out=cur[1:])
+            # insertion needs the running cur prefix — cumulative trick:
+            # cur[k] = min(cur[k], cur[k-1]+1) is a prefix-min of
+            # (cur[k] - k), vectorized via minimum.accumulate
+            shifted = cur - np.arange(len(b) + 1)
+            np.minimum.accumulate(shifted, out=shifted)
+            cur = shifted + np.arange(len(b) + 1)
+            prev = cur
+        out[i] = prev[-1]
+    return out
+
+
+def editdist_verify_pairs(pairs_ds, docs_ds, *, max_dist: int = 60,
+                          prefix: int = 200, key: str = "doc_id",
+                          col: str = "text"):
+    """EDIT-DISTANCE verify for near-dup candidate pairs: exact
+    unit-cost Levenshtein over the first ``prefix`` characters, keep
+    pairs with distance ≤ ``max_dist``.  Candidates come from any
+    recall stage (simhash / minhash); texts are attached through the
+    same semi-join gather the exact-Jaccard verify uses (only the
+    O(pairs) candidate texts are collected and re-broadcast — the
+    corpus never lands on the driver), with the distributed
+    pairs⋈docs join as the huge-candidate-set analog already wired in
+    :func:`verify_pairs_exact`."""
+    import ray
+
+    pairs_ds = pairs_ds.materialize()
+    texts_ref = _gather_candidate_texts(pairs_ds, docs_ds)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        tx = ray.get(texts_ref)
+        av = batch.column("a").to_pylist()
+        bv = batch.column("b").to_pylist()
+        d = _levenshtein_batch([tx.get(x, "") for x in av],
+                               [tx.get(x, "") for x in bv], prefix)
+        m = pa.array(d <= max_dist)
+        return pa.table({"a": batch.column("a").filter(m),
+                         "b": batch.column("b").filter(m),
+                         "dist": pa.array(d[d <= max_dist])})
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow",
+                                batch_size=256).sort(["a", "b"])

@@ -501,3 +501,16 @@ def _n_vecs(sf_dir: str) -> int:
 def char_classes(sf_dir: str):
     """Per-doc uppercase/digit/whitespace census (column kernels)."""
     return ts.add_char_classes(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def editdist_dup_pairs(sf_dir: str, max_dist: int = 60) -> "object":
+    """SimHash recall → exact prefix-200 Levenshtein verify: the
+    edit-distance near-dup stage (catches char-level edits n-gram
+    Jaccard over words dilutes).  The fixture distances are bimodal
+    (true dups ≤ 4, hash-collision false positives ≥ 138), so the 60
+    cut is semantics, not tuning."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    sigs = dd.simhash_signatures(docs).materialize()
+    pairs = dd.simhash_pairs(sigs)
+    return dd.editdist_verify_pairs(
+        pairs, _docs(sf_dir, ["doc_id", "text"]), max_dist=max_dist)

@@ -297,14 +297,33 @@ def customers_without_events(sf_dir: str, num_partitions: int = 8,
     ≈0.6 % false positives) enter the hash-join exchange, which then
     decides them exactly.  No false negatives ⇒ identical output,
     exchange volume |matches| + ε·|big| instead of |big|."""
+    return _customers_events_join(sf_dir, num_partitions, method,
+                                  semi=False)
+
+
+def customers_with_events(sf_dir: str, num_partitions: int = 8,
+                          method: str = "auto"):
+    """SEMI-join complement of :func:`customers_without_events`: per
+    market segment, count + exact cent sum of customers with at least
+    one click event.  Same machinery, ``left_semi`` join; under the
+    Bloom method the bloom-MISS rows are definite non-matches and are
+    DROPPED before the exchange (the mirror of the anti-join's
+    bypass)."""
+    return _customers_events_join(sf_dir, num_partitions, method,
+                                  semi=True)
+
+
+def _customers_events_join(sf_dir: str, num_partitions: int,
+                           method: str, semi: bool):
     from ray.data.aggregate import Count, Sum
     from hedonic_ray.context import drop_empty_blocks, force_scale
 
     if method == "auto":
         method = "bloom" if force_scale() else "join"
     if method not in ("join", "bloom"):
-        raise ValueError(f"unknown customers_without_events method "
+        raise ValueError(f"unknown customers event-join method "
                          f"{method!r}")
+    join_type = "left_semi" if semi else "left_anti"
 
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_mktsegment", "c_acctbal"])
@@ -340,12 +359,14 @@ def customers_without_events(sf_dir: str, num_partitions: int = 8,
         schema = pa.schema([("c_custkey", pa.int64()),
                             ("c_mktsegment", pa.string()),
                             ("c_acctbal", pa.float64())])
-        anti_hits = drop_empty_blocks(hits, schema).join(
-            evk, "left_anti", num_partitions,
+        joined_hits = drop_empty_blocks(hits, schema).join(
+            evk, join_type, num_partitions,
             on=("c_custkey",), right_on=("user_id",))
-        anti = misses.union(anti_hits)
+        # semi: misses are definite non-matches — dropped;
+        # anti: misses are definite matches — bypass the exchange
+        anti = joined_hits if semi else misses.union(joined_hits)
     else:
-        anti = cust.join(evk, "left_anti", num_partitions,
+        anti = cust.join(evk, join_type, num_partitions,
                          on=("c_custkey",), right_on=("user_id",))
 
     def to_e2(t: pa.Table) -> pa.Table:
@@ -1432,3 +1453,32 @@ def active_users(sf_dir: str, window_days: int = 7):
         "dau": pa.array([d_rows[d] for d in days], pa.int64()),
         "wau": pa.array([w_rows[d] for d in days], pa.int64()),
     })
+
+
+def part_unpivot_stats(sf_dir: str):
+    """UNPIVOT (melt) + grouped aggregate: the part table's two
+    numeric attributes go long as (attr, value_e2) rows — size in
+    exact hundredths, price in exact cents — then one tiny grouped
+    aggregate per attribute.  The melt is a per-batch column
+    restack (zero-copy concat), not a row loop."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "part", ["p_size", "p_retailprice"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        size_e2 = t.column("p_size").to_numpy().astype(np.int64) * 100
+        price_e2 = np.rint(t.column("p_retailprice").to_numpy()
+                           * 100.0).astype(np.int64)
+        n = t.num_rows
+        return pa.table({
+            "attr": pa.array(["p_size"] * n + ["p_retailprice"] * n,
+                             pa.string()),
+            "value_e2": pa.array(np.concatenate([size_e2, price_e2])),
+        })
+
+    return (ds.map_batches(melt, batch_format="pyarrow")
+            .groupby("attr")
+            .aggregate(Count(alias_name="n"),
+                       Sum("value_e2", alias_name="sum_value_e2"),
+                       Max("value_e2", alias_name="max_value_e2"))
+            .sort("attr"))

@@ -117,7 +117,8 @@ SQL_CHECKED = sorted([
     "rel_correlation", "rel_gini", "dedup_fingerprint",
     "text_length_stats", "graph_truss", "graph_scc_dag",
     "sim_knn_clusters", "text_char_classes", "graph_degree_hist",
-    "rel_active_users",
+    "rel_active_users", "rel_semi_join", "rel_unpivot",
+    "dedup_editdist",
 ])
 
 
@@ -162,6 +163,7 @@ FORCED_SCALE = sorted([
     "graph_hedonic_2pass",  # shuffle gather through the hedonic step
     "dedup_substring",      # 1-word hashed window exchange
     "sim_knn_graph",        # IVF bucketed probe path (full sweep)
+    "rel_semi_join",        # broadcast-Bloom pre-filtered semi-join
 ])
 
 

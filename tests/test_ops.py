@@ -993,3 +993,53 @@ def test_active_users_dau_wau_brute():
         wau = len({u for u, d2 in days if dd - 6 <= d2 <= dd})
         assert got[key] == (dau, wau), key
     assert len(got) == len({d for _, d in days})
+
+
+def test_levenshtein_kernel_reference():
+    from hedonic_ray.ops.dedup import _levenshtein_batch
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev = dp[:]
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+        return dp[-1]
+
+    rng = np.random.default_rng(4)
+    cases = [("", ""), ("a", ""), ("", "abc"), ("kitten", "sitting"),
+             ("flaw", "lawn"), ("abcdef", "abcdef")]
+    for _ in range(30):
+        n1, n2 = rng.integers(0, 40, 2)
+        a = "".join(rng.choice(list("abcd"), n1))
+        b = "".join(rng.choice(list("abcd"), n2))
+        cases.append((a, b))
+    got = _levenshtein_batch([a for a, _ in cases],
+                             [b for _, b in cases], prefix=200)
+    exp = [ref(a, b) for a, b in cases]
+    assert got.tolist() == exp
+
+
+def test_semi_plus_anti_partition_customers():
+    """Semi-join and anti-join must partition the customer table:
+    per-segment counts and cent sums add up to the full table."""
+    from hedonic_ray.relational.queries import (
+        customers_with_events, customers_without_events)
+    import pyarrow.parquet as pq
+
+    SF = "/root/testdata/sf0.001"
+    semi = customers_with_events(SF).to_pandas().set_index("c_mktsegment")
+    anti = customers_without_events(SF).to_pandas().set_index("c_mktsegment")
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_mktsegment", "c_acctbal"]).to_pandas()
+    cust["e2"] = np.floor(cust["c_acctbal"] * 100).astype(np.int64)
+    full = cust.groupby("c_mktsegment").agg(n=("e2", "size"),
+                                            s=("e2", "sum"))
+    for seg, row in full.iterrows():
+        n = (semi["n_customers"].get(seg, 0)
+             + anti["n_customers"].get(seg, 0))
+        s = (semi["sum_acctbal_e2"].get(seg, 0)
+             + anti["sum_acctbal_e2"].get(seg, 0))
+        assert (n, s) == (row["n"], row["s"]), seg
