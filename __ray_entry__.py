@@ -477,6 +477,74 @@ def _lang_id_sql() -> str:
     """
 
 
+def _intake_filter_sql() -> str:
+    """Mirrors pipelines.textops.intake_filter: the composed C4-style
+    rule chain — lang-ID argmax (same CTEs as text_lang_id), Gopher
+    top-bigram fraction (same CTEs as text_repetition), plus exact
+    integer length/uppercase rules."""
+    from hedonic_ray.ops.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    counts = ",\n           ".join(
+        "length(regexp_extract_all(text, '(?i)\\b("
+        + "|".join(sorted(_STOPWORDS[lang]))
+        + ")\\b')) AS c_" + lang
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    cases = " ".join(f"WHEN c_{la} = best THEN '{la}'"
+                     for la in langs[:-1])
+    return rf"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+           {counts}
+            FROM documents
+        ), ranked AS (
+            SELECT *, {best} AS best FROM scored
+        ), lp AS (
+            SELECT doc_id, lang, text,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN best = 0 THEN 'und'
+                        {cases}
+                        ELSE '{langs[-1]}' END AS lang_pred
+            FROM ranked
+        ), words AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+                   generate_subscripts(regexp_extract_all(text, '\S+'),
+                                       1) AS i
+            FROM documents
+        ), bc AS (
+            SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c
+            FROM words a
+            JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            GROUP BY 1, 2
+        ), btop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                    FROM bc GROUP BY doc_id),
+        rules AS (
+            SELECT lp.doc_id,
+                   CASE WHEN length(lp.text) BETWEEN 50 AND 2000
+                        THEN 1 ELSE 0 END AS len_ok,
+                   CASE WHEN lp.lang_pred = lp.lang
+                        THEN 1 ELSE 0 END AS lang_ok,
+                   CASE WHEN 10 * (length(lp.text)
+                            - length(regexp_replace(lp.text, '[A-Z]',
+                                                    '', 'g')))
+                            < length(lp.text)
+                        THEN 1 ELSE 0 END AS upper_ok,
+                   CASE WHEN COALESCE(btop.mx * 1000000000 // btop.tot,
+                                      0) <= 200000000
+                        THEN 1 ELSE 0 END AS repeat_ok
+            FROM lp LEFT JOIN btop ON btop.doc_id = lp.doc_id)
+        SELECT doc_id, CAST(len_ok AS BIGINT) AS len_ok,
+               CAST(lang_ok AS BIGINT) AS lang_ok,
+               CAST(upper_ok AS BIGINT) AS upper_ok,
+               CAST(repeat_ok AS BIGINT) AS repeat_ok,
+               CAST(len_ok * lang_ok * upper_ok * repeat_ok AS BIGINT)
+                   AS keep
+        FROM rules
+    """
+
+
 def _redact_sql() -> str:
     """Mirrors ops.textstats.redact_batch: the SAME ordered RE2 rule
     chain, each rule one global regexp_replace."""
@@ -679,6 +747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigrams": tx.bigram_tf_top,
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
+        "text_stratified_sample": tx.stratified_sample,
+        "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
         "dedup_ngram": tx.ngram_dup_pairs,
@@ -790,6 +860,20 @@ def oracle_sql() -> dict[str, str]:
             ) t(step, event_type, n_users)
         """,
         "text_lang_id": _lang_id_sql(),
+        "text_intake_filter": _intake_filter_sql(),
+        "text_stratified_sample": """
+            -- per-language bottom-20 by md5(doc_id): the stratified
+            -- deterministic sample (mix control)
+            WITH h AS (SELECT lang, doc_id,
+                              md5_number_lower(CAST(doc_id AS VARCHAR))
+                                  AS hv
+                       FROM documents),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY lang ORDER BY hv, doc_id) AS rn
+                  FROM h)
+            SELECT lang, doc_id FROM r WHERE rn <= 20
+            ORDER BY lang, doc_id
+        """,
         "text_fingerprints": _fingerprints_sql(),
         "text_redact": _redact_sql(),
         "text_sample": """

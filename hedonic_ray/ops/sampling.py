@@ -96,3 +96,55 @@ def bottomk_sample(ds, *, id_col: str, k: int, method: str = "md5"):
     h = np.array([r["h"] for r in rows], dtype=np.uint64)
     order = np.lexsort((ids, h))[:k]
     return pa.table({id_col: pa.array(np.sort(ids[order]), pa.int64())})
+
+
+def stratified_bottomk_sample(ds, *, id_col: str, stratum_col: str,
+                              k: int, method: str = "md5"):
+    """STRATIFIED fixed-size sample: bottom-k by id hash WITHIN each
+    stratum (per-language / per-source balanced sampling — the
+    training-data mix-control shape).  Same coordination-free bottom-k
+    algebra as :func:`bottomk_sample`, keyed: each task keeps its
+    local per-stratum bottom-k (the combiner), one grouped exchange of
+    ≤ k·strata·blocks rows, and a per-stratum merge finishes.  Returns
+    (stratum, id, h) rows, ≤ k per stratum."""
+    import pyarrow as pa
+    from hedonic_ray.functions.hashing import splitmix64
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        strata = t.column(stratum_col)
+        if method == "md5":
+            from hedonic_ray.ops.dedup import md5_low64
+
+            h = np.fromiter((md5_low64(str(int(i))) for i in ids),
+                            dtype=np.uint64, count=len(ids))
+        elif method == "splitmix":
+            h = splitmix64(ids.astype(np.uint64))
+        else:
+            raise ValueError(f"unknown stratified sample method {method!r}")
+        # local per-stratum bottom-k: sort by (stratum, h, id), keep
+        # the first k of each stratum run
+        svals, sinv = np.unique(np.asarray(strata).astype(str),
+                                return_inverse=True)
+        order = np.lexsort((ids, h, sinv))
+        sel_s = sinv[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], sel_s[1:] != sel_s[:-1]))) if len(sel_s) else \
+            np.array([], int)
+        seg = np.repeat(starts, np.diff(np.append(starts, len(sel_s))))
+        rank = np.arange(len(sel_s)) - seg
+        keep = order[rank < k]
+        return pa.table({stratum_col: strata.take(pa.array(keep)),
+                         id_col: pa.array(ids[keep], pa.int64()),
+                         "h": pa.array(h[keep].astype(np.uint64))})
+
+    def merge(group: dict) -> dict:
+        h = group["h"]
+        ids = group[id_col]
+        order = np.lexsort((ids, h))[:k]
+        return {stratum_col: group[stratum_col][order],
+                id_col: ids[order].astype(np.int64),
+                "h": h[order]}
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby(stratum_col).map_groups(merge, batch_format="numpy"))

@@ -514,3 +514,62 @@ def editdist_dup_pairs(sf_dir: str, max_dist: int = 60) -> "object":
     pairs = dd.simhash_pairs(sigs)
     return dd.editdist_verify_pairs(
         pairs, _docs(sf_dir, ["doc_id", "text"]), max_dist=max_dist)
+
+
+def stratified_sample(sf_dir: str, k: int = 20):
+    """Per-language fixed-size deterministic sample (mix-control):
+    bottom-k md5(doc_id) within each lang, sorted output."""
+    from hedonic_ray.ops.sampling import stratified_bottomk_sample
+
+    out = stratified_bottomk_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), id_col="doc_id",
+        stratum_col="lang", k=k)
+
+    def drop_h(t: pa.Table) -> pa.Table:
+        return t.select(["lang", "doc_id"])
+
+    return (out.map_batches(drop_h, batch_format="pyarrow")
+            .sort(["lang", "doc_id"]))
+
+
+def intake_filter(sf_dir: str):
+    """The C4/RefinedWeb-style INTAKE FILTER chain as ONE fused map
+    stage — per doc, integer rule flags plus the final keep:
+      len_ok      50 ≤ n_chars ≤ 2000
+      lang_ok     lang-ID prediction == the labeled lang
+      upper_ok    10·n_upper < n_chars  (uppercase ratio < 10 %,
+                  exact integer comparison — no float)
+      repeat_ok   top-bigram fraction ≤ 20 % (floor-e9 ≤ 2·10⁸)
+    keep = all four.  Each rule reuses a kernel a dedicated gate
+    query already verifies (lang-ID argmax, char census regex counts,
+    Gopher repetition signals); this is the composed filter DAG a
+    real intake runs, with NO extra exchange — all rules evaluate
+    inside the same batch."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        lp = ts.lang_id_batch(batch).column("lang_pred")
+        rep = ts.repetition_batch(batch)    # positional: same rows
+        n = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
+        nup = pc.count_substring_regex(t, "[A-Z]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        len_ok = (n >= 50) & (n <= 2000)
+        lang_ok = pc.equal(lp, batch.column("lang")).to_numpy(
+            zero_copy_only=False)
+        upper_ok = 10 * nup < n
+        rep_ok = (rep.column("top_bigram_frac_e9").to_numpy()
+                  <= 200_000_000)
+        keep = len_ok & lang_ok & upper_ok & rep_ok
+
+        def b(x):
+            return pa.array(x.astype(np.int64))
+
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "len_ok": b(len_ok), "lang_ok": b(lang_ok),
+                         "upper_ok": b(upper_ok), "repeat_ok": b(rep_ok),
+                         "keep": b(keep)})
+
+    return ds.map_batches(rules, batch_format="pyarrow")

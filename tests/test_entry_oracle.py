@@ -118,7 +118,7 @@ SQL_CHECKED = sorted([
     "text_length_stats", "graph_truss", "graph_scc_dag",
     "sim_knn_clusters", "text_char_classes", "graph_degree_hist",
     "rel_active_users", "rel_semi_join", "rel_unpivot",
-    "dedup_editdist",
+    "dedup_editdist", "text_stratified_sample", "text_intake_filter",
 ])
 
 

@@ -1043,3 +1043,71 @@ def test_semi_plus_anti_partition_customers():
         s = (semi["sum_acctbal_e2"].get(seg, 0)
              + anti["sum_acctbal_e2"].get(seg, 0))
         assert (n, s) == (row["n"], row["s"]), seg
+
+
+def test_stratified_sample_size_and_determinism():
+    import ray.data as rd
+
+    from hedonic_ray.ops.sampling import stratified_bottomk_sample
+
+    rng = np.random.default_rng(6)
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(rng.choice(["en", "de", "fr"], n), pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+
+    def run(method):
+        out = stratified_bottomk_sample(ds, id_col="doc_id",
+                                        stratum_col="lang", k=7,
+                                        method=method).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["lang"], []).append(r["doc_id"])
+        return {k_: sorted(v) for k_, v in got.items()}
+
+    a = run("splitmix")
+    assert set(a) == {"en", "de", "fr"}
+    assert all(len(v) == 7 for v in a.values())
+    assert run("splitmix") == a          # deterministic
+    # brute per-stratum bottom-k check
+    from hedonic_ray.functions.hashing import splitmix64
+    langs = t.column("lang").to_pylist()
+    ids = t.column("doc_id").to_numpy()
+    h = splitmix64(ids.astype(np.uint64))
+    for lang in a:
+        idx = [i for i in range(n) if langs[i] == lang]
+        idx.sort(key=lambda i: (h[i], ids[i]))
+        assert a[lang] == sorted(int(ids[i]) for i in idx[:7])
+
+
+def test_intake_filter_every_rule_bites():
+    from hedonic_ray.pipelines.textops import intake_filter
+
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    out = intake_filter("/root/testdata/sf0.001").to_pandas()
+    # the fixture corpus is lowercase low-repetition word salad, so
+    # upper_ok / repeat_ok are vacuously 1 there — length and lang
+    # rules bite on the fixture, the other two on synthetic docs below
+    for col in ("len_ok", "lang_ok"):
+        assert 0 < out[col].sum() < len(out), col
+    assert (out["keep"] == (out["len_ok"] & out["lang_ok"]
+                            & out["upper_ok"] & out["repeat_ok"])).all()
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["THE QUICK BROWN FOX " * 5,
+                          "the quick brown fox jumps over a lazy dog "
+                          "near an old river bank while birds circle "
+                          "slowly above tall green trees this morning",
+                          "spam ham " * 30]),
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        o2 = intake_filter(d).to_pandas().set_index("doc_id")
+    assert o2.loc[0, "upper_ok"] == 0 and o2.loc[1, "upper_ok"] == 1
+    assert o2.loc[2, "repeat_ok"] == 0 and o2.loc[1, "repeat_ok"] == 1
