@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_two_hop": lg.doc_two_hop_table,
         "graph_truss": lg.doc_truss_table,
         "graph_degree_hist": lg.doc_degree_hist,
+        "graph_neighbor_degree": lg.doc_neighbor_degree,
         "analytics_spectrum": lg.doc_spectrum_table,
         "analytics_partition_metrics": lg.doc_analytics_table,
         # --- graph algorithms on dimension-derived graphs (SQL-checkable) ---
@@ -729,6 +730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_correlation": rel.qty_price_correlation,
         "rel_gini": rel.event_value_gini,
         "rel_active_users": rel.active_users,
+        "rel_dow_profile": rel.event_dow_profile,
+        "rel_chi2": rel.brand_container_chi2,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -1145,6 +1148,47 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
         """,
+        "rel_dow_profile": """
+            -- day-of-week activity profile (epoch day 0 = Thursday,
+            -- +3 makes 0 = Monday); exact cents
+            WITH s AS (SELECT event_type,
+                              (epoch_us(ts) // 86400000000 + 3) % 7
+                                  AS dow,
+                              CAST(ROUND(value * 100) AS BIGINT) AS v
+                       FROM events)
+            SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sum_value_e2
+            FROM s GROUP BY event_type, dow ORDER BY event_type, dow
+        """,
+        "rel_chi2": """
+            -- chi-square statistic of the brand x type table as
+            -- the SUM OF FLOORED integer cells (the engine's exact
+            -- definition): cell = (n*O - r*c)^2 * 1e6 // (n*r*c)
+            WITH o AS (SELECT p_brand, p_type, COUNT(*) AS o
+                       FROM part GROUP BY 1, 2),
+            r AS (SELECT p_brand, SUM(o) AS rb FROM o GROUP BY 1),
+            c AS (SELECT p_type, SUM(o) AS cc FROM o GROUP BY 1),
+            nn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM o),
+            grid AS (SELECT r.p_brand, c.p_type,
+                            CAST(r.rb AS HUGEINT) AS rb,
+                            CAST(c.cc AS HUGEINT) AS cc
+                     FROM r CROSS JOIN c),
+            cell AS (SELECT g.rb, g.cc,
+                            CAST(COALESCE(o.o, 0) AS HUGEINT) AS o
+                     FROM grid g LEFT JOIN o
+                          ON o.p_brand = g.p_brand
+                          AND o.p_type = g.p_type)
+            SELECT CAST(nn.n AS BIGINT) AS n,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_brands,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+                       AS n_types,
+                   CAST(SUM((nn.n * cell.o - cell.rb * cell.cc)
+                            * (nn.n * cell.o - cell.rb * cell.cc)
+                            * 1000000 // (nn.n * cell.rb * cell.cc))
+                        AS BIGINT) AS chi2_e6
+            FROM cell, nn GROUP BY nn.n
+        """,
         "rel_active_users": """
             -- DAU + trailing 7-day WAU per active day: each distinct
             -- (user, day) fans out to the 7 days it keeps the user
@@ -1414,6 +1458,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE und.a IS NULL
             ORDER BY cn.common DESC, cn.a, cn.b
             LIMIT 20
+        """,
+        "graph_neighbor_degree": f"""
+            -- average neighbor degree per vertex, exact e9 integer
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            arcs AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT src AS v, count(*) AS d FROM arcs GROUP BY src),
+            snd AS (SELECT a.src AS v, SUM(deg.d) AS s
+                    FROM arcs a JOIN deg ON deg.v = a.dst
+                    GROUP BY a.src)
+            SELECT doc.doc_id AS vertex,
+                   CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+                   CAST(COALESCE(snd.s, 0) AS BIGINT) AS sum_nbr_deg,
+                   CAST(CASE WHEN COALESCE(deg.d, 0) > 0
+                             THEN COALESCE(snd.s, 0) * 1000000000
+                                  // deg.d
+                             ELSE 0 END AS BIGINT) AS avg_nbr_deg_e9
+            FROM documents doc
+            LEFT JOIN deg ON deg.v = doc.doc_id
+            LEFT JOIN snd ON snd.v = doc.doc_id
         """,
         "graph_degree_hist": f"""
             -- degree distribution incl. the isolated-vertex bucket

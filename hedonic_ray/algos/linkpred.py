@@ -285,3 +285,40 @@ def two_hop_counts(g) -> pa.Table:
         out[int(r["v"])] = int(r["n_2hop"])
     return pa.table({"vertex": pa.array(np.arange(n, dtype=np.int64)),
                      "n_2hop": pa.array(out)})
+
+
+def avg_neighbor_degree(g) -> pa.Table:
+    """Average neighbor degree per vertex (the local form of the
+    assortativity signal — hub-adjacency profile): ``(vertex, degree,
+    sum_nbr_deg, avg_nbr_deg_e9)`` with the average as the exact
+    ``Σdeg(nbr)·10⁹ // deg`` integer, 0 for isolated vertices.  One
+    scatter over the CSR blocks against the broadcast degree array —
+    partial sums per block, driver combine of ≤ blocks vectors
+    (the triangles dense-gather posture)."""
+    import ray
+
+    if g.directed:
+        raise ValueError("avg_neighbor_degree needs an undirected graph")
+    deg = g.out_degree.astype(np.int64)
+    deg_ref = ray.put(deg)
+    n = g.n
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        acc = np.zeros(n, np.int64)
+        for bv in iter_block_views(batch):
+            np.add.at(acc, bv.src_per_edge(), d[bv.indices])
+        return pa.table({"s": pa.array([acc])})  # one dense-vector row
+
+    parts = g.blocks.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=4).take_all()
+    s = np.zeros(n, np.int64)
+    for r in parts:
+        s += np.asarray(r["s"], dtype=np.int64)
+    avg = np.zeros(n, np.int64)
+    np.floor_divide(s * np.int64(1_000_000_000), deg, out=avg,
+                    where=deg > 0)
+    return pa.table({"vertex": pa.array(np.arange(n, dtype=np.int64)),
+                     "degree": pa.array(deg),
+                     "sum_nbr_deg": pa.array(s),
+                     "avg_nbr_deg_e9": pa.array(avg)})

@@ -600,3 +600,10 @@ def doc_degree_hist(sf_dir: str) -> pa.Table:
     nz = np.flatnonzero(cnt)
     return pa.table({"degree": pa.array(nz, pa.int64()),
                      "n_vertices": pa.array(cnt[nz], pa.int64())})
+
+
+def doc_neighbor_degree(sf_dir: str) -> pa.Table:
+    """Average neighbor degree per doc vertex (local assortativity)."""
+    from hedonic_ray.algos.linkpred import avg_neighbor_degree
+
+    return avg_neighbor_degree(doc_graph(sf_dir, directed=False))

@@ -1482,3 +1482,70 @@ def part_unpivot_stats(sf_dir: str):
                        Sum("value_e2", alias_name="sum_value_e2"),
                        Max("value_e2", alias_name="max_value_e2"))
             .sort("attr"))
+
+
+def event_dow_profile(sf_dir: str):
+    """Day-of-week activity profile per event type (seasonality
+    audit): counts + exact cent sums keyed by ISO-ish dow (0 =
+    Monday; epoch day 0 was a Thursday, hence the +3 shift).  One
+    per-batch combiner + a tiny grouped exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                         pa.scalar(86_400_000_000, pa.int64()))
+               .to_numpy())
+        dow = (day + 3) % 7
+        v = np.rint(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "dow": pa.array(dow.astype(np.int64)),
+                      "n": pa.array(np.ones(len(dow), np.int64)),
+                      "sum_value_e2": pa.array(v)})
+        return g.group_by(["event_type", "dow"]).aggregate(
+            [("n", "sum"), ("sum_value_e2", "sum")]).rename_columns(
+            ["event_type", "dow", "n", "sum_value_e2"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_value_e2", alias_name="sum_value_e2"))
+            .sort(["event_type", "dow"]))
+
+
+def brand_container_chi2(sf_dir: str):
+    """CHI-SQUARE independence statistic for the brand × type
+    contingency table, deterministic by construction: per cell,
+    chi2_cell_e6 = (n·O − r·c)²·10⁶ // (n·r·c) — exact integer
+    arithmetic (Python ints at the finish; the total is the sum of
+    the floored cells, documented as the engine's definition so no
+    float summation order exists anywhere).  One grouped count
+    exchange; margins and cells finish on ≤ |brands|·|containers|
+    rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_type"])
+    cells = (ds.groupby(["p_brand", "p_type"])
+             .aggregate(Count(alias_name="o")).take_all())
+    n = sum(int(r["o"]) for r in cells)
+    row = {}
+    col = {}
+    for r in cells:
+        row[r["p_brand"]] = row.get(r["p_brand"], 0) + int(r["o"])
+        col[r["p_type"]] = col.get(r["p_type"], 0) + int(r["o"])
+    # zero-count cells contribute (0 - rc/n)^2/(rc/n) = rc/n: include
+    # the full grid so the statistic is the real chi-square
+    obs = {(r["p_brand"], r["p_type"]): int(r["o"]) for r in cells}
+    total = 0
+    for b, rb in row.items():
+        for c, cc in col.items():
+            o = obs.get((b, c), 0)
+            num = (n * o - rb * cc) ** 2 * 1_000_000
+            total += num // (n * rb * cc)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_brands": pa.array([len(row)], pa.int64()),
+        "n_types": pa.array([len(col)], pa.int64()),
+        "chi2_e6": pa.array([total], pa.int64()),
+    })

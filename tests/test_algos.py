@@ -653,3 +653,20 @@ def test_ktruss_closed_form():
                ktruss_edges(g2, k=3).to_pylist()) == 5
     assert sum(r["in_truss"] for r in
                ktruss_edges(g2, k=4).to_pylist()) == 0
+
+
+def test_avg_neighbor_degree_closed_form():
+    """Star 0-{1,2,3}: center's neighbors all have degree 1 (avg 1);
+    each leaf's sole neighbor has degree 3 (avg 3); plus an isolated
+    vertex reporting zeros."""
+    from hedonic_ray.algos.linkpred import avg_neighbor_degree
+    from tests.fixtures import make_graph
+
+    g = make_graph([(0, 1), (0, 2), (0, 3)], 5, directed=False)
+    t = avg_neighbor_degree(g)
+    rows = {r["vertex"]: (r["degree"], r["sum_nbr_deg"],
+                          r["avg_nbr_deg_e9"]) for r in t.to_pylist()}
+    e9 = 1_000_000_000
+    assert rows[0] == (3, 3, e9)
+    assert rows[1] == rows[2] == rows[3] == (1, 3, 3 * e9)
+    assert rows[4] == (0, 0, 0)

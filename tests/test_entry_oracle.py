@@ -119,6 +119,7 @@ SQL_CHECKED = sorted([
     "sim_knn_clusters", "text_char_classes", "graph_degree_hist",
     "rel_active_users", "rel_semi_join", "rel_unpivot",
     "dedup_editdist", "text_stratified_sample", "text_intake_filter",
+    "rel_dow_profile", "rel_chi2", "graph_neighbor_degree",
 ])
 
 
