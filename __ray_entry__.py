@@ -760,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": tx.substring_dup_windows,
         "dedup_fingerprint": tx.fingerprint_overlap,
         "dedup_editdist": tx.editdist_dup_pairs,
+        "dedup_funnel": tx.dedup_funnel,
         "dedup_simhash": tx.simhash_dup_pairs,
         "dedup_embedding": tx.embedding_neardup,
         "sim_topk_cosine": tx.topk_similarity,
@@ -927,6 +928,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS dup_group
             FROM reach GROUP BY v
+        """,
+        "dedup_funnel": f"""
+            -- dedup survivorship funnel: docs surviving each stage
+            -- (intersection of the per-stage keep-sets; monotone)
+            WITH RECURSIVE {_SHINGLES_CTE},
+            und AS (SELECT a AS src, b AS dst FROM jpairs
+                    UNION ALL SELECT b, a FROM jpairs),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, a.dst FROM reach r JOIN und a ON a.src = r.u
+            ),
+            reps AS (SELECT DISTINCT min(u) AS doc_id
+                     FROM reach GROUP BY v),
+            exact AS (SELECT min(doc_id) AS doc_id
+                      FROM documents GROUP BY text),
+            normd AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g'))
+                        ORDER BY doc_id) AS rn
+                    FROM documents) WHERE rn = 1),
+            s1 AS (SELECT doc_id FROM exact),
+            s2 AS (SELECT s1.doc_id FROM s1 JOIN normd USING (doc_id)),
+            s3 AS (SELECT s2.doc_id FROM s2 JOIN reps USING (doc_id))
+            SELECT * FROM (
+                SELECT CAST(0 AS BIGINT) AS stage, 'corpus' AS name,
+                       CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+                           AS n_docs
+                UNION ALL SELECT 1, 'exact',
+                       CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+                UNION ALL SELECT 2, 'normalized',
+                       CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+                UNION ALL SELECT 3, 'near_dup',
+                       CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+            ) ORDER BY stage
         """,
         "dedup_keep_list": f"""
             -- per near-dup cluster: keep the longest doc (ties ->

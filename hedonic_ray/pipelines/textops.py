@@ -573,3 +573,35 @@ def intake_filter(sf_dir: str):
                          "keep": b(keep)})
 
     return ds.map_batches(rules, batch_format="pyarrow")
+
+
+def dedup_funnel(sf_dir: str) -> pa.Table:
+    """DEDUP SURVIVORSHIP FUNNEL — the intake report every corpus
+    pipeline publishes: documents surviving each successive stage
+      0 corpus        all documents
+      1 exact         byte-identical dedup keep-list
+      2 normalized    + case/punct/whitespace-canonical dedup
+      3 near_dup      + MinHash→exact-Jaccard cluster representatives
+                        (min doc_id per cluster, the keep rule)
+    Each stage is an operator with its own green gate query; the
+    funnel composes their keep-sets by intersection (a doc survives
+    stage k iff it survived every stage ≤ k), so the counts are
+    monotone by construction."""
+    exact = set(r["doc_id"] for r in
+                exact_dedup_kept(sf_dir).take_all())
+    norm = set(r["doc_id"] for r in
+               normalized_dedup_kept(sf_dir).take_all())
+    comp = minhash_components(sf_dir)
+    grp = comp.column("dup_group").to_numpy()
+    # cluster label IS the min member doc_id — the representatives
+    reps = set(int(x) for x in np.unique(grp))
+    n = _n_docs(sf_dir)
+    s1 = exact
+    s2 = s1 & norm
+    s3 = s2 & reps
+    return pa.table({
+        "stage": pa.array([0, 1, 2, 3], pa.int64()),
+        "name": pa.array(["corpus", "exact", "normalized", "near_dup"],
+                         pa.string()),
+        "n_docs": pa.array([n, len(s1), len(s2), len(s3)], pa.int64()),
+    })
