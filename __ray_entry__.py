@@ -732,6 +732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_active_users": rel.active_users,
         "rel_dow_profile": rel.event_dow_profile,
         "rel_chi2": rel.brand_container_chi2,
+        "rel_cumulative_users": rel.cumulative_users,
+        "graph_type_projection": rel.event_type_projection,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
         "text_quality": tx.quality_scores,
@@ -750,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigrams": tx.bigram_tf_top,
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
+        "text_wordlen_hist": tx.wordlen_hist,
         "text_stratified_sample": tx.stratified_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
@@ -1185,6 +1188,38 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "rel_cumulative_users": """
+            -- expanding-window distinct: cumulative users seen so
+            -- far = running sum of first-seen-day cohort sizes
+            WITH ud AS (SELECT user_id,
+                               MIN(epoch_us(ts) // 86400000000) AS day
+                        FROM events GROUP BY user_id),
+            c AS (SELECT day, COUNT(*) AS new_users FROM ud GROUP BY day)
+            SELECT CAST(CAST(epoch_ms(day * 86400000) AS DATE)
+                        AS VARCHAR) AS day,
+                   CAST(new_users AS BIGINT) AS new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM c ORDER BY day
+        """,
+        "graph_type_projection": """
+            -- bipartite user x type graph projected onto types:
+            -- distinct co-engaging users per unordered type pair
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS t1, b.event_type AS t2,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM ut a JOIN ut b ON b.user_id = a.user_id
+                 AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "text_wordlen_hist": r"""
+            WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                           AS t
+                       FROM documents)
+            SELECT CAST(length(t) AS BIGINT) AS word_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         "rel_dow_profile": """
             -- day-of-week activity profile (epoch day 0 = Thursday,

@@ -619,3 +619,27 @@ def add_char_classes(ds, col: str = "text"):
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def word_length_histogram(ds, col: str = "text"):
+    """Corpus-wide WORD-LENGTH HISTOGRAM (tokenizer sanity signal):
+    (word_len, n_words) over whitespace tokens — one Arrow split +
+    ``np.bincount`` per batch (the combiner), one tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _flat_words(batch, col)
+        if len(flat) == 0:
+            return pa.table({"word_len": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64())})
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        lens = lens[lens > 0]        # split artifacts
+        cnt = np.bincount(lens)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"word_len": pa.array(nz.astype(np.int64)),
+                         "n_words": pa.array(cnt[nz].astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word_len")
+            .aggregate(Sum("n_words", alias_name="n_words"))
+            .sort("word_len"))

@@ -605,3 +605,8 @@ def dedup_funnel(sf_dir: str) -> pa.Table:
                          pa.string()),
         "n_docs": pa.array([n, len(s1), len(s2), len(s3)], pa.int64()),
     })
+
+
+def wordlen_hist(sf_dir: str):
+    """Corpus word-length histogram."""
+    return ts.word_length_histogram(_docs(sf_dir, ["doc_id", "text"]))

@@ -1549,3 +1549,65 @@ def brand_container_chi2(sf_dir: str):
         "n_types": pa.array([len(col)], pa.int64()),
         "chi2_e6": pa.array([total], pa.int64()),
     })
+
+
+def cumulative_users(sf_dir: str):
+    """EXPANDING-WINDOW DISTINCT: per active day, the cumulative
+    number of distinct users seen so far.  Expanding distinct counts
+    don't need a rescan: cumulative(d) = Σ cohort sizes ≤ d, so the
+    pipeline is first-seen-day per user (one grouped min) → cohort
+    sizes → a tiny driver cumsum over the day grid."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def user_days(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        g = pa.table({"user_id": t.column("user_id"), "day": day})
+        return g.group_by(["user_id"]).aggregate([("day", "min")]) \
+            .rename_columns(["user_id", "day"])
+
+    first = (ds.map_batches(user_days, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("day", alias_name="day")))
+    sizes = first.groupby("day").aggregate(Count(alias_name="n"))
+    rows = sorted((int(r["day"]), int(r["n"])) for r in sizes.take_all())
+    days = [d for d, _ in rows]
+    cum = np.cumsum([n for _, n in rows]).astype(np.int64)
+    date = np.datetime_as_string(
+        np.array(days, np.int64).astype("datetime64[D]")).astype(object)
+    return pa.table({"day": pa.array(date, pa.string()),
+                     "new_users": pa.array([n for _, n in rows],
+                                           pa.int64()),
+                     "cum_users": pa.array(cum)})
+
+
+def event_type_projection(sf_dir: str):
+    """BIPARTITE PROJECTION of the user × event-type graph onto event
+    types: for each unordered type pair, the number of DISTINCT users
+    engaging in both (the co-engagement graph).  Per-user type-set →
+    vectorized pair decode (one grouped exchange); the pair grid is
+    |types|² rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def distinct_ut(t: pa.Table) -> pa.Table:
+        return (pa.table({"user_id": t.column("user_id"),
+                          "event_type": t.column("event_type")})
+                .group_by(["user_id", "event_type"]).aggregate([]))
+
+    def pairs(group: dict) -> dict:
+        types = np.unique(group["event_type"].astype(str))
+        if len(types) < 2:
+            return {"t1": np.array([], object), "t2": np.array([], object),
+                    "n": np.array([], np.int64)}
+        iu = np.triu_indices(len(types), k=1)
+        return {"t1": types[iu[0]].astype(object),
+                "t2": types[iu[1]].astype(object),
+                "n": np.ones(len(iu[0]), np.int64)}
+
+    return (ds.map_batches(distinct_ut, batch_format="pyarrow")
+            .groupby("user_id").map_groups(pairs, batch_format="numpy")
+            .groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="n_users"))
+            .sort(["t1", "t2"]))

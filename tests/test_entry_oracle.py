@@ -120,7 +120,8 @@ SQL_CHECKED = sorted([
     "rel_active_users", "rel_semi_join", "rel_unpivot",
     "dedup_editdist", "text_stratified_sample", "text_intake_filter",
     "rel_dow_profile", "rel_chi2", "graph_neighbor_degree",
-    "dedup_funnel",
+    "dedup_funnel", "rel_cumulative_users", "graph_type_projection",
+    "text_wordlen_hist",
 ])
 
 

@@ -1111,3 +1111,17 @@ def test_intake_filter_every_rule_bites():
         o2 = intake_filter(d).to_pandas().set_index("doc_id")
     assert o2.loc[0, "upper_ok"] == 0 and o2.loc[1, "upper_ok"] == 1
     assert o2.loc[2, "repeat_ok"] == 0 and o2.loc[1, "repeat_ok"] == 1
+
+
+def test_cumulative_users_monotone_and_total():
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.relational.queries import cumulative_users
+
+    SF = "/root/testdata/sf0.001"
+    out = cumulative_users(SF).to_pandas()
+    users = pq.read_table(f"{SF}/events.parquet",
+                          columns=["user_id"]).column("user_id")
+    assert (out["cum_users"].diff().dropna() > 0).all() or len(out) == 1
+    assert out["cum_users"].iloc[-1] == len(set(users.to_pylist()))
+    assert (out["new_users"].cumsum() == out["cum_users"]).all()
