@@ -733,6 +733,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_dow_profile": rel.event_dow_profile,
         "rel_chi2": rel.brand_container_chi2,
         "rel_cumulative_users": rel.cumulative_users,
+        "rel_ship_delay": rel.ship_delay_histogram,
+        "rel_order_sizes": rel.order_size_histogram,
+        "rel_outliers": rel.event_value_outliers,
         "graph_type_projection": rel.event_type_projection,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -1188,6 +1191,45 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "rel_ship_delay": """
+            -- fact-fact join + per-priority delay-day histogram
+            SELECT o.o_orderpriority,
+                   CAST(epoch_us(l.l_shipdate) // 86400000000
+                        - epoch_us(o.o_orderdate) // 86400000000
+                        AS BIGINT) AS delay_days,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rel_order_sizes": """
+            -- two-level aggregation: lines per order, then the
+            -- distribution of order sizes
+            WITH s AS (SELECT l_orderkey, COUNT(*) AS sz
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(sz AS BIGINT) AS order_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM s GROUP BY sz ORDER BY order_size
+        """,
+        "rel_outliers": """
+            -- 3-sigma outliers per event type, exact integers:
+            -- z^2 = dev^2 / M2 with dev = n*v - s1, M2 = n*s2 - s1^2
+            WITH sv AS (SELECT event_type, event_id,
+                               CAST(ROUND(value * 100) AS BIGINT) AS v
+                        FROM events),
+            m AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS s1,
+                         SUM(v * v) AS s2
+                  FROM sv GROUP BY 1),
+            fl AS (SELECT sv.event_type, sv.event_id
+                   FROM sv JOIN m USING (event_type)
+                   WHERE m.n * m.s2 - m.s1 * m.s1 > 0
+                     AND 1000000 * CAST(m.n * sv.v - m.s1 AS HUGEINT)
+                         * (m.n * sv.v - m.s1)
+                         >= 9000000 * (m.n * m.s2 - m.s1 * m.s1))
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event
+            FROM fl GROUP BY 1 ORDER BY 1
         """,
         "rel_cumulative_users": """
             -- expanding-window distinct: cumulative users seen so

@@ -1611,3 +1611,120 @@ def event_type_projection(sf_dir: str):
             .groupby("user_id").map_groups(pairs, batch_format="numpy")
             .groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="n_users"))
             .sort(["t1", "t2"]))
+
+
+def ship_delay_histogram(sf_dir: str, num_partitions: int = 8):
+    """FACT-FACT join + derived-column histogram: lineitem ⋈ orders by
+    orderkey (both fact tables — Ray's hash-partitioned join, no
+    broadcast side), delay = l_shipdate − o_orderdate in whole days,
+    histogrammed per order priority.  The join output never
+    materializes anywhere: the histogram combiner runs per joined
+    batch."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = li.join(orders, "inner", num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+                // 86_400_000_000)
+        od = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+              // 86_400_000_000)
+        delay = ship - od
+        g = pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                      "delay_days": pa.array(delay.astype(np.int64)),
+                      "n": pa.array(np.ones(len(delay), np.int64))})
+        return g.group_by(["o_orderpriority", "delay_days"]).aggregate(
+            [("n", "sum")]).rename_columns(
+            ["o_orderpriority", "delay_days", "n"])
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "delay_days"])
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["o_orderpriority", "delay_days"]))
+
+
+def order_size_histogram(sf_dir: str):
+    """TWO-LEVEL aggregation: lines per order (first groupby), then
+    the distribution of order sizes (second, tiny groupby) — the
+    classic fan-in histogram."""
+    from ray.data.aggregate import Count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    sizes = li.groupby("l_orderkey").aggregate(Count(alias_name="sz"))
+    hist = sizes.groupby("sz").aggregate(Count(alias_name="n_orders"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["order_size", "n_orders"])
+
+    return hist.map_batches(rename, batch_format="pyarrow") \
+        .sort("order_size")
+
+
+def event_value_outliers(sf_dir: str, z2_e6_min: int = 9_000_000):
+    """Z-SCORE OUTLIER DETECTION per event type with exact integer
+    arithmetic: with dev = n·v − Σv and M2 = n·Σv² − (Σv)², the
+    squared z-score is exactly dev²/M2, so the flag is the integer
+    test 10⁶·dev² ≥ z2_e6_min·M2 (Python-int exact on the few
+    float-prefiltered candidates).  Two passes: one moment reduction,
+    then a flag scan against the broadcast per-type moments; emits
+    (event_type, n_outliers, min/max outlier event ids) so the
+    output stays tiny at any scale."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(len(v), np.int64)),
+                      "s1": pa.array(v), "s2": pa.array(v * v)})
+        return g.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")]).rename_columns(
+            ["event_type", "n", "s1", "s2"])
+
+    mom = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2"))).take_all()
+    stats = {r["event_type"]: (int(r["n"]), int(r["s1"]), int(r["s2"]))
+             for r in mom}
+    stats_ref = ray.put(stats)
+
+    def flags(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        et = np.asarray(t.column("event_type").to_numpy(
+            zero_copy_only=False))
+        eid = t.column("event_id").to_numpy()
+        v = np.rint(t.column("value").to_numpy() * 100.0).astype(np.int64)
+        out_t, out_id = [], []
+        for typ in np.unique(et):
+            n, s1, s2 = st[str(typ)]
+            m2 = n * s2 - s1 * s1
+            if m2 <= 0:
+                continue
+            idx = np.flatnonzero(et == typ)
+            dev = (np.int64(n) * v[idx] - np.int64(s1)).astype(np.float64)
+            # loose float pre-filter, then exact Python-int verdicts
+            cand = idx[dev * dev >= (z2_e6_min / 1e6 - 1.0) * m2]
+            keep = [i for i in cand
+                    if 1_000_000 * (n * int(v[i]) - s1) ** 2
+                    >= z2_e6_min * m2]
+            out_t.extend([str(typ)] * len(keep))
+            out_id.extend(int(eid[i]) for i in keep)
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "event_id": pa.array(out_id, pa.int64())})
+
+    rows = (ds.map_batches(flags, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(lambda g: {
+                "event_type": g["event_type"][:1],
+                "n_outliers": np.array([len(g["event_id"])], np.int64),
+                "min_event": np.array([g["event_id"].min()], np.int64),
+                "max_event": np.array([g["event_id"].max()], np.int64),
+            }, batch_format="numpy"))
+    return rows.sort("event_type")

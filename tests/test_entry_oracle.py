@@ -121,7 +121,8 @@ SQL_CHECKED = sorted([
     "dedup_editdist", "text_stratified_sample", "text_intake_filter",
     "rel_dow_profile", "rel_chi2", "graph_neighbor_degree",
     "dedup_funnel", "rel_cumulative_users", "graph_type_projection",
-    "text_wordlen_hist",
+    "text_wordlen_hist", "rel_ship_delay", "rel_order_sizes",
+    "rel_outliers",
 ])
 
 
