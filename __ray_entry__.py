@@ -150,6 +150,37 @@ FROM r{iters}""")
 _ARCS_CTE = "arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
 
 
+def _walks_chain_sql(stride: int = 101, steps: int = 5) -> str:
+    """Fixed-step deterministic walks as unrolled CTEs: hop i picks
+    the ``md5_low64(f"{v}-{i}") % deg(v)``-th ascending-id neighbor —
+    mirrors algos/linkpred.py:deterministic_walks hop for hop."""
+    parts = [f"""WITH {_LINKS_CTE},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                        GREATEST(src, dst) AS b FROM e),
+arcs AS (SELECT a AS src, b AS dst FROM und
+         UNION ALL SELECT b, a FROM und),
+nbr AS (SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                   AS ord,
+               COUNT(*) OVER (PARTITION BY src) AS deg
+        FROM arcs),
+w0 AS (SELECT doc_id AS seed, doc_id AS v FROM documents
+       WHERE doc_id % {stride} = 0)"""]
+    for i in range(steps):
+        parts.append(f""",
+w{i + 1} AS (SELECT w{i}.seed, nbr.dst AS v
+     FROM w{i} JOIN nbr ON nbr.src = w{i}.v
+     AND nbr.ord = CAST(md5_number_lower(CAST(w{i}.v AS VARCHAR)
+                        || '-{i}') % CAST(nbr.deg AS UBIGINT)
+                        AS BIGINT))""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT seed, CAST({i} AS BIGINT) AS step, v AS vertex FROM w{i}"
+        for i in range(steps + 1))
+    parts.append(f"""
+SELECT * FROM ({unions}) ORDER BY seed, step""")
+    return "".join(parts)
+
+
 def _truss_chain_sql(k: int = 3, rounds: int = 6) -> str:
     """Fixed-round k-truss peel as unrolled CTEs (e0 → e{rounds}):
     e_{i+1} = edges of e_i supported by ≥ k−2 triangles inside e_i;
@@ -678,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_resource_alloc": lg.doc_resource_alloc_table,
         "graph_two_hop": lg.doc_two_hop_table,
         "graph_truss": lg.doc_truss_table,
+        "graph_walks": lg.doc_walks_table,
         "graph_degree_hist": lg.doc_degree_hist,
         "graph_neighbor_degree": lg.doc_neighbor_degree,
         "analytics_spectrum": lg.doc_spectrum_table,
@@ -1505,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
         "graph_truss": _truss_chain_sql(k=3, rounds=6),
+        "graph_walks": _walks_chain_sql(stride=101, steps=5),
         "graph_hits": _hits_chain_sql(iters=2),
         "graph_edge_jaccard": f"""
             -- neighborhood Jaccard per canonical undirected edge:

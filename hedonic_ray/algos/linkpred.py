@@ -322,3 +322,79 @@ def avg_neighbor_degree(g) -> pa.Table:
                      "degree": pa.array(deg),
                      "sum_nbr_deg": pa.array(s),
                      "avg_nbr_deg_e9": pa.array(avg)})
+
+
+def deterministic_walks(g, *, stride: int = 101, steps: int = 5) -> pa.Table:
+    """DETERMINISTIC RANDOM WALKS (the DeepWalk/node2vec sampling
+    stage, made oracle-checkable): from every seed vertex (id % stride
+    == 0), walk ``steps`` hops where the next vertex is the
+    ``md5_low64(f"{v}-{step}") % deg(v)``-th neighbor in ascending-id
+    order — a cross-engine-reproducible hash choice instead of an
+    RNG.  Walks stop at isolated vertices.  Returns (seed, step,
+    vertex) incl. step 0, sorted.
+
+    Shape: the walker frontier is tiny (seeds), so each hop is ONE
+    ``map_batches`` over the CSR blocks with the walker set broadcast
+    — a block advances exactly the walkers whose current vertex it
+    owns; the driver carries only the walker array between hops."""
+    import ray
+    from hedonic_ray.ops.dedup import md5_low64
+
+    if g.directed:
+        raise ValueError("deterministic_walks needs an undirected graph")
+    n = g.n
+    seeds = np.arange(0, n, stride, dtype=np.int64)
+    cur = seeds.copy()
+    alive = np.ones(len(seeds), bool)
+    out_seed = [seeds.copy()]
+    out_step = [np.zeros(len(seeds), np.int64)]
+    out_vert = [seeds.copy()]
+
+    for step in range(steps):
+        walkers = np.flatnonzero(alive)
+        if not len(walkers):
+            break
+        wv = cur[walkers]
+        w_ref = ray.put((walkers, wv, step))
+
+        def advance(batch: pa.Table) -> pa.Table:
+            widx, wvert, st = ray.get(w_ref)
+            outs_w, outs_next = [], []
+            for bv in iter_block_views(batch):
+                sel = np.flatnonzero((wvert >= bv.lo) & (wvert < bv.hi))
+                if not len(sel):
+                    continue
+                indptr = bv.indptr.astype(np.int64)
+                order = np.lexsort((bv.indices, bv.src_per_edge()))
+                srt = bv.indices[order]   # ascending ids per source
+                for s in sel:
+                    v = int(wvert[s])
+                    lo, hi = indptr[v - bv.lo], indptr[v - bv.lo + 1]
+                    deg = int(hi - lo)
+                    if deg == 0:
+                        continue
+                    pick = md5_low64(f"{v}-{st}") % deg
+                    outs_w.append(int(widx[s]))
+                    outs_next.append(int(srt[lo + pick]))
+            return pa.table({"w": pa.array(outs_w, pa.int64()),
+                             "nxt": pa.array(outs_next, pa.int64())})
+
+        rows = g.blocks.map_batches(advance, batch_format="pyarrow",
+                                    batch_size=4).take_all()
+        moved = np.zeros(len(seeds), bool)
+        for r in rows:
+            cur[int(r["w"])] = int(r["nxt"])
+            moved[int(r["w"])] = True
+        alive &= moved
+        live = np.flatnonzero(alive)
+        out_seed.append(seeds[live])
+        out_step.append(np.full(len(live), step + 1, np.int64))
+        out_vert.append(cur[live])
+
+    t = pa.table({"seed": pa.array(np.concatenate(out_seed)),
+                  "step": pa.array(np.concatenate(out_step)),
+                  "vertex": pa.array(np.concatenate(out_vert))})
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("seed", "ascending"),
+                                                ("step", "ascending")]))

@@ -607,3 +607,14 @@ def doc_neighbor_degree(sf_dir: str) -> pa.Table:
     from hedonic_ray.algos.linkpred import avg_neighbor_degree
 
     return avg_neighbor_degree(doc_graph(sf_dir, directed=False))
+
+
+def doc_walks_table(sf_dir: str, stride: int = 101,
+                    steps: int = 5) -> pa.Table:
+    """Deterministic random walks from the stride seeds (the
+    DeepWalk/node2vec sampling stage with a reproducible hash
+    choice)."""
+    from hedonic_ray.algos.linkpred import deterministic_walks
+
+    return deterministic_walks(doc_graph(sf_dir, directed=False),
+                               stride=stride, steps=steps)

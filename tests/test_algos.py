@@ -670,3 +670,36 @@ def test_avg_neighbor_degree_closed_form():
     assert rows[0] == (3, 3, e9)
     assert rows[1] == rows[2] == rows[3] == (1, 3, 3 * e9)
     assert rows[4] == (0, 0, 0)
+
+
+def test_deterministic_walks_brute():
+    """The hash choice is independently recomputable: walk the same
+    graph in pure Python with adjacency dicts and the same
+    md5-mod-degree rule; an isolated seed stops at step 0."""
+    from hedonic_ray.algos.linkpred import deterministic_walks
+    from hedonic_ray.ops.dedup import md5_low64
+    from tests.fixtures import make_graph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 3)]
+    n = 7                      # 5..6 isolated
+    g = make_graph(edges, n, directed=False)
+    got = [(r["seed"], r["step"], r["vertex"]) for r in
+           deterministic_walks(g, stride=3, steps=4).to_pylist()]
+
+    nbr = {v: [] for v in range(n)}
+    for a, b in edges:
+        nbr[a].append(b)
+        nbr[b].append(a)
+    exp = []
+    for seed in range(0, n, 3):           # 0, 3, 6
+        v = seed
+        exp.append((seed, 0, v))
+        for step in range(4):
+            ns = sorted(nbr[v])
+            if not ns:
+                break
+            v = ns[md5_low64(f"{v}-{step}") % len(ns)]
+            exp.append((seed, step + 1, v))
+    assert sorted(got) == sorted(exp)
+    assert (6, 0, 6) in got and not any(s == 6 and st > 0
+                                        for s, st, _ in got)
