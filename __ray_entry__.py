@@ -788,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
+        "text_pack_plan": tx.pack_plan,
         "text_stratified_sample": tx.stratified_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
@@ -1286,6 +1287,28 @@ def oracle_sql() -> dict[str, str]:
             FROM ut a JOIN ut b ON b.user_id = a.user_id
                  AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "text_pack_plan": r"""
+            -- concat-and-chunk packing plan: global token offsets in
+            -- doc_id order, 512-token chunks (exact integers)
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+            o AS (SELECT doc_id, n_tokens,
+                         CAST(COALESCE(SUM(n_tokens) OVER (
+                             ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                             AS token_offset
+                  FROM c)
+            SELECT doc_id, n_tokens, token_offset,
+                   CAST(token_offset // 512 AS BIGINT) AS first_chunk,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN (token_offset + n_tokens - 1) // 512
+                             ELSE token_offset // 512 END AS BIGINT)
+                       AS last_chunk
+            FROM o ORDER BY doc_id
         """,
         "text_wordlen_hist": r"""
             WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+'))

@@ -643,3 +643,63 @@ def word_length_histogram(ds, col: str = "text"):
             .groupby("word_len")
             .aggregate(Sum("n_words", alias_name="n_words"))
             .sort("word_len"))
+
+
+def pack_plan(ds, chunk_tokens: int = 512, col: str = "text",
+              key: str = "doc_id"):
+    """CONCAT-AND-CHUNK PACKING PLAN — the final stage of every
+    GPT-style pretraining pipeline: documents are concatenated in
+    ``key`` order and cut into fixed ``chunk_tokens`` windows; per
+    doc, emit its whitespace-token count, its global token offset,
+    and the first/last chunk it lands in (exact integers).
+
+    Shape: per-partition token subtotals → a ≤-num-blocks driver
+    offset scan (the classic distributed PREFIX SUM — only the
+    per-partition totals ever leave the workers) → one stateless map
+    attaches offsets.  No sort is needed when the input is already
+    key-ordered (parquet row order); the defensive global sort is one
+    exchange."""
+    import ray
+    import pyarrow.compute as pc_
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({key: t.column(key),
+                         "n_tokens": pc_.cast(pc_.count_substring_regex(
+                             t.column(col), TOKEN_RE), pa.int64())})
+
+    toks = ds.map_batches(counts, batch_format="pyarrow") \
+        .sort(key).materialize()
+
+    # per-block subtotals keyed by the block's FIRST doc id (content-
+    # addressed, no arrival-order assumption): after the sort, block
+    # doc ranges are disjoint, so first-doc-id identifies the block
+    sub = []
+    for b in toks.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            sub.append((int(b.column(key)[0].as_py()),
+                        int(np.sum(b.column("n_tokens").to_numpy()))))
+    sub.sort()
+    bases = {first: int(base) for (first, _), base in zip(
+        sub, np.concatenate(([0], np.cumsum([t for _, t in sub])[:-1])))}
+    bases_ref = ray.put(bases)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "token_offset": pa.array([], pa.int64()),
+                             "first_chunk": pa.array([], pa.int64()),
+                             "last_chunk": pa.array([], pa.int64())})
+        base = ray.get(bases_ref)[int(t.column(key)[0].as_py())]
+        n = t.column("n_tokens").to_numpy()
+        off = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        first = off // chunk_tokens
+        last = np.where(n > 0, (off + n - 1) // chunk_tokens, first)
+        return pa.table({key: t.column(key),
+                         "n_tokens": t.column("n_tokens"),
+                         "token_offset": pa.array(off.astype(np.int64)),
+                         "first_chunk": pa.array(first.astype(np.int64)),
+                         "last_chunk": pa.array(last.astype(np.int64))})
+
+    return toks.map_batches(attach, batch_format="pyarrow",
+                            batch_size=None)

@@ -610,3 +610,9 @@ def dedup_funnel(sf_dir: str) -> pa.Table:
 def wordlen_hist(sf_dir: str):
     """Corpus word-length histogram."""
     return ts.word_length_histogram(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def pack_plan(sf_dir: str, chunk_tokens: int = 512):
+    """GPT-style concat-and-chunk packing plan over the corpus."""
+    return ts.pack_plan(_docs(sf_dir, ["doc_id", "text"]),
+                        chunk_tokens=chunk_tokens).sort("doc_id")

@@ -122,7 +122,7 @@ SQL_CHECKED = sorted([
     "rel_dow_profile", "rel_chi2", "graph_neighbor_degree",
     "dedup_funnel", "rel_cumulative_users", "graph_type_projection",
     "text_wordlen_hist", "rel_ship_delay", "rel_order_sizes",
-    "rel_outliers", "graph_walks",
+    "rel_outliers", "graph_walks", "text_pack_plan",
 ])
 
 

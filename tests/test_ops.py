@@ -1125,3 +1125,32 @@ def test_cumulative_users_monotone_and_total():
     assert (out["cum_users"].diff().dropna() > 0).all() or len(out) == 1
     assert out["cum_users"].iloc[-1] == len(set(users.to_pylist()))
     assert (out["new_users"].cumsum() == out["cum_users"]).all()
+
+
+def test_pack_plan_multiblock_offsets():
+    """Offsets are a global exclusive prefix sum regardless of block
+    layout: shuffled input split over many partitions must produce
+    the same plan as the single-partition run, and chunks must tile
+    the token stream."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.textstats import pack_plan
+
+    rng = np.random.default_rng(8)
+    texts = [" ".join(f"w{j}" for j in range(int(k)))
+             for k in rng.integers(0, 40, 120)]
+    order = rng.permutation(len(texts))
+    t = pa.table({"doc_id": pa.array(order.astype(np.int64)),
+                  "text": pa.array([texts[i] for i in order])})
+
+    def run(parts):
+        out = pack_plan(rd.from_arrow(t).repartition(parts),
+                        chunk_tokens=32).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    assert a.equals(b)
+    n = a["n_tokens"].to_numpy()
+    off = a["token_offset"].to_numpy()
+    assert off[0] == 0 and (off[1:] == off[:-1] + n[:-1]).all()
+    assert (a["first_chunk"] == off // 32).all()
