@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_two_hop": lg.doc_two_hop_table,
         "graph_truss": lg.doc_truss_table,
         "graph_walks": lg.doc_walks_table,
+        "graph_modularity": lg.doc_modularity,
         "graph_degree_hist": lg.doc_degree_hist,
         "graph_neighbor_degree": lg.doc_neighbor_degree,
         "analytics_spectrum": lg.doc_spectrum_table,
@@ -1561,6 +1562,39 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
         "graph_truss": _truss_chain_sql(k=3, rounds=6),
         "graph_walks": _walks_chain_sql(stride=101, steps=5),
+        "graph_modularity": f"""
+            -- Newman modularity of the 2-pass hedonic partition as
+            -- one exact rational: Q = (4m*sum(m_c) - sum(d_c^2))/(4m^2)
+            WITH {_LINKS_CTE},
+            {_ARCS_CTE},
+            {_hedonic_chain_ctes(2)},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM und),
+            ic AS (SELECT CAST(COUNT(*) AS HUGEINT) AS c
+                   FROM und JOIN m2 la ON la.v = und.a
+                            JOIN m2 lb ON lb.v = und.b
+                   WHERE la.lab = lb.lab),
+            deg AS (SELECT src AS v, COUNT(*) AS d FROM arcs
+                    GROUP BY src),
+            dc AS (SELECT l.lab,
+                          CAST(SUM(COALESCE(deg.d, 0)) AS HUGEINT) AS d
+                   FROM m2 l LEFT JOIN deg ON deg.v = l.v
+                   GROUP BY l.lab),
+            st AS (SELECT SUM(d * d) AS sum_dc2, COUNT(*) AS ncomm
+                   FROM dc)
+            SELECT CAST(mm.m AS BIGINT) AS m,
+                   CAST(st.ncomm AS BIGINT) AS n_communities,
+                   CAST(ic.c AS BIGINT) AS intra_edges,
+                   CAST(st.sum_dc2 AS BIGINT) AS sum_dc2,
+                   CAST(CASE WHEN 4 * mm.m * ic.c - st.sum_dc2 >= 0
+                        THEN (4 * mm.m * ic.c - st.sum_dc2)
+                             * 1000000000 // (4 * mm.m * mm.m)
+                        ELSE -((st.sum_dc2 - 4 * mm.m * ic.c)
+                               * 1000000000 // (4 * mm.m * mm.m))
+                        END AS BIGINT) AS q_e9
+            FROM mm, ic, st
+        """,
         "graph_hits": _hits_chain_sql(iters=2),
         "graph_edge_jaccard": f"""
             -- neighborhood Jaccard per canonical undirected edge:

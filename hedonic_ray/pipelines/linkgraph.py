@@ -618,3 +618,51 @@ def doc_walks_table(sf_dir: str, stride: int = 101,
 
     return deterministic_walks(doc_graph(sf_dir, directed=False),
                                stride=stride, steps=steps)
+
+
+def doc_modularity(sf_dir: str) -> pa.Table:
+    """NEWMAN MODULARITY of the SQL-reproducible 2-pass hedonic
+    partition, as one exact rational:
+
+        Q = (4m·Σ_c m_c − Σ_c d_c²) / (4m²)
+
+    (m_c intra-community edges, d_c community degree sum) — reported
+    as ``q_e9 = trunc(10⁹·Q)`` plus the integer terms, so the gate
+    checks the COMMUNITY-QUALITY METRIC itself, not just the
+    partition.  Intra-edge counting is one scatter over the CSR
+    blocks against the broadcast membership; d_c is a driver bincount
+    over engine state."""
+    import ray
+
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    g = doc_graph(sf_dir, directed=False)
+    mem = hedonic_2pass_membership(sf_dir)
+    m = int(g.undirected_edge_count)
+    deg = g.out_degree.astype(np.int64)
+    mem_ref = ray.put(mem)
+
+    def intra(batch: pa.Table) -> pa.Table:
+        mm = ray.get(mem_ref)
+        c = 0
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            keep = src < bv.indices
+            c += int((mm[src[keep]] == mm[bv.indices[keep]]).sum())
+        return pa.table({"c": pa.array([c], pa.int64())})
+
+    rows = g.blocks.map_batches(intra, batch_format="pyarrow",
+                                batch_size=4).take_all()
+    intra_edges = sum(int(r["c"]) for r in rows)
+    dsum = np.bincount(mem, weights=deg).astype(np.int64)
+    sum_dc2 = int(sum(int(x) * int(x) for x in dsum))
+    num = 4 * m * intra_edges - sum_dc2
+    den = 4 * m * m
+    q = (abs(num) * 1_000_000_000 // den) * (1 if num >= 0 else -1)
+    return pa.table({
+        "m": pa.array([m], pa.int64()),
+        "n_communities": pa.array([int(len(np.unique(mem)))], pa.int64()),
+        "intra_edges": pa.array([intra_edges], pa.int64()),
+        "sum_dc2": pa.array([sum_dc2], pa.int64()),
+        "q_e9": pa.array([q], pa.int64()),
+    })

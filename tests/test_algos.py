@@ -703,3 +703,17 @@ def test_deterministic_walks_brute():
     assert sorted(got) == sorted(exp)
     assert (6, 0, 6) in got and not any(s == 6 and st > 0
                                         for s, st, _ in got)
+
+
+def test_modularity_terms_consistent():
+    """Engine invariants at sf0.001: intra_edges <= m, Q in (-1, 1),
+    and the rational reproduces from the emitted integer terms."""
+    from hedonic_ray.pipelines.linkgraph import doc_modularity
+
+    t = doc_modularity("/root/testdata/sf0.001").to_pylist()[0]
+    m, c, s = t["m"], t["intra_edges"], t["sum_dc2"]
+    assert 0 <= c <= m
+    num = 4 * m * c - s
+    den = 4 * m * m
+    q = (abs(num) * 10**9 // den) * (1 if num >= 0 else -1)
+    assert t["q_e9"] == q and -10**9 < q < 10**9
