@@ -790,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
         "text_pack_plan": tx.pack_plan,
+        "text_vocab_growth": tx.vocab_growth,
         "text_stratified_sample": tx.stratified_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
@@ -1288,6 +1289,24 @@ def oracle_sql() -> dict[str, str]:
             FROM ut a JOIN ut b ON b.user_id = a.user_id
                  AND a.event_type < b.event_type
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "text_vocab_growth": r"""
+            -- Heaps-law curve: distinct terms within the first N
+            -- docs (per-doc grid) = running sum of first-seen counts
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+            f AS (SELECT term, MIN(doc_id) AS fd FROM toks
+                  GROUP BY term),
+            b AS (SELECT fd // 1 AS bk, COUNT(*) AS c FROM f
+                  GROUP BY 1),
+            g AS (SELECT unnest(range(0, CAST(mx + 1 AS BIGINT))) AS bk
+                  FROM (SELECT MAX(bk) AS mx FROM b))
+            SELECT CAST((g.bk + 1) * 1 AS BIGINT) AS n_docs,
+                   CAST(SUM(COALESCE(b.c, 0)) OVER (ORDER BY g.bk)
+                        AS BIGINT) AS vocab
+            FROM g LEFT JOIN b ON b.bk = g.bk ORDER BY n_docs
         """,
         "text_pack_plan": r"""
             -- concat-and-chunk packing plan: global token offsets in

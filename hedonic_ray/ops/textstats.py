@@ -703,3 +703,45 @@ def pack_plan(ds, chunk_tokens: int = 512, col: str = "text",
 
     return toks.map_batches(attach, batch_format="pyarrow",
                             batch_size=None)
+
+
+def vocab_growth(ds, col: str = "text", key: str = "doc_id",
+                 bucket: int = 100):
+    """VOCABULARY GROWTH CURVE (the Heaps-law audit): distinct terms
+    seen within the first N documents, for N on a ``bucket`` grid.
+    Expanding distinct needs no rescan — a term enters the vocabulary
+    at its FIRST document, so the curve is the running sum of
+    first-seen counts: per batch (term, min doc) partials → one
+    groupby(term) Min → bucket histogram → tiny driver cumsum."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, lens, doc_of = _flat_words(batch, col)
+        if not len(doc_of):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "first_doc": pa.array([], pa.int64())})
+        ids = batch.column(key).to_numpy()[doc_of]
+        # per-batch combiner: min doc per term
+        terms = np.asarray(flat).astype(str)
+        keep = terms != ""
+        terms, ids = terms[keep], ids[keep]
+        order = np.lexsort((ids, terms))
+        terms, ids = terms[order], ids[order]
+        first = np.concatenate(([True], terms[1:] != terms[:-1]))
+        return pa.table({"term": pa.array(terms[first].astype(object),
+                                          pa.string()),
+                         "first_doc": pa.array(ids[first].astype(np.int64))})
+
+    firsts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Min("first_doc",
+                                             alias_name="first_doc")))
+    rows = firsts.take_all()
+    fd = np.array([r["first_doc"] for r in rows], np.int64)
+    if not len(fd):
+        return pa.table({"n_docs": pa.array([], pa.int64()),
+                         "vocab": pa.array([], pa.int64())})
+    hi = int(fd.max()) // bucket + 1
+    counts = np.bincount(fd // bucket, minlength=hi)
+    grid = (np.arange(hi, dtype=np.int64) + 1) * bucket
+    return pa.table({"n_docs": pa.array(grid),
+                     "vocab": pa.array(np.cumsum(counts).astype(np.int64))})

@@ -616,3 +616,11 @@ def pack_plan(sf_dir: str, chunk_tokens: int = 512):
     """GPT-style concat-and-chunk packing plan over the corpus."""
     return ts.pack_plan(_docs(sf_dir, ["doc_id", "text"]),
                         chunk_tokens=chunk_tokens).sort("doc_id")
+
+
+def vocab_growth(sf_dir: str, bucket: int = 1):
+    """Heaps-law vocabulary growth curve on the doc_id order (the
+    fixture vocabulary saturates within the first 9 docs, so the
+    per-doc grid is the discriminating one)."""
+    return ts.vocab_growth(_docs(sf_dir, ["doc_id", "text"]),
+                           bucket=bucket)
