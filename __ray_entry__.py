@@ -769,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_ship_delay": rel.ship_delay_histogram,
         "rel_order_sizes": rel.order_size_histogram,
         "rel_outliers": rel.event_value_outliers,
+        "rel_benford": rel.benford_first_digit,
         "graph_type_projection": rel.event_type_projection,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -1226,6 +1227,19 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "rel_benford": """
+            -- Benford first-digit audit of positive integer cents
+            WITH s AS (SELECT event_type,
+                              CAST(ROUND(value * 100) AS BIGINT) AS v
+                       FROM events),
+            d AS (SELECT event_type,
+                         CAST(substr(CAST(v AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit
+                  FROM s WHERE v > 0)
+            SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY event_type, digit
+            ORDER BY event_type, digit
         """,
         "rel_ship_delay": """
             -- fact-fact join + per-priority delay-day histogram

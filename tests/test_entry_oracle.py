@@ -123,7 +123,7 @@ SQL_CHECKED = sorted([
     "dedup_funnel", "rel_cumulative_users", "graph_type_projection",
     "text_wordlen_hist", "rel_ship_delay", "rel_order_sizes",
     "rel_outliers", "graph_walks", "text_pack_plan",
-    "graph_modularity", "text_vocab_growth",
+    "graph_modularity", "text_vocab_growth", "rel_benford",
 ])
 
 
