@@ -396,9 +396,9 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
     parts = [b for b in emb_ds.map_batches(
         local, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow")]
-    t = pa.concat_tables(parts) if parts else _rank_grid(
-        np.array([], np.int64), np.array([], np.int64),
-        np.full((0, 1), _KNN_MASK, np.int64), k)
+    empty = pa.table({c: pa.array([], pa.int64())
+                      for c in ("src", "rank", "nbr", "score_e6")})
+    t = pa.concat_tables(parts) if parts else empty
     import pyarrow.compute as pc
 
     idx = pc.sort_indices(t, sort_keys=[("src", "ascending"),

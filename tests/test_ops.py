@@ -1154,3 +1154,36 @@ def test_pack_plan_multiblock_offsets():
     off = a["token_offset"].to_numpy()
     assert off[0] == 0 and (off[1:] == off[:-1] + n[:-1]).all()
     assert (a["first_chunk"] == off // 32).all()
+
+
+def test_new_ops_edge_cases():
+    """Degenerate inputs for the session-7 operators: single-vector
+    knn (no other vector to rank), substring dedup on all-short docs,
+    pack plan on empty docs, L-validation."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.dedup import substring_dup_counts
+    from hedonic_ray.ops.similarity import knn_graph
+    from hedonic_ray.ops.textstats import pack_plan
+
+    one = rd.from_arrow(pa.table({
+        "vec_id": pa.array([7], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32()))}))
+    assert knn_graph(one, k=3).num_rows == 0
+
+    short = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["tiny", "also small"])}))
+    assert substring_dup_counts(short, L=32).count() == 0
+
+    with pytest.raises(ValueError):
+        substring_dup_counts(short, L=10)
+
+    empties = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["", "a b c", ""])}))
+    plan = pack_plan(empties, chunk_tokens=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert plan["n_tokens"].tolist() == [0, 3, 0]
+    assert plan["token_offset"].tolist() == [0, 0, 3]
+    assert plan.loc[1, "first_chunk"] == 0 and plan.loc[1, "last_chunk"] == 1
