@@ -363,7 +363,7 @@ def deterministic_walks(g, *, stride: int = 101, steps: int = 5) -> pa.Table:
             for bv in iter_block_views(batch):
                 sel = np.flatnonzero((wvert >= bv.lo) & (wvert < bv.hi))
                 if not len(sel):
-                    continue
+                    continue  # no walkers here: skip the segment sort
                 indptr = bv.indptr.astype(np.int64)
                 order = np.lexsort((bv.indices, bv.src_per_edge()))
                 srt = bv.indices[order]   # ascending ids per source
