@@ -39,6 +39,10 @@ from hedonic_ray.context import configure_context
 
 _K_PATTERN = r'"k":\s*(?P<node>-?\d+)'
 
+# per-process arc-table cache: the three nav gate queries share one
+# extraction + user-groupby instead of rebuilding the click graph each
+_NAV_CACHE: dict = {}
+
 
 def nav_events(sf_dir: str):
     """(user_id, ts, event_id, node) — the click log with the page id
@@ -83,12 +87,15 @@ def nav_arcs(sf_dir: str):
     ``_consecutive_pairs`` is only a combiner."""
     from ray.data.aggregate import Count
 
-    pairs = (nav_events(sf_dir)
-             .groupby("user_id")
-             .map_groups(_consecutive_pairs, batch_format="pyarrow"))
-    return (pairs.groupby(["src", "dst"])
-            .aggregate(Count(alias_name="_c"))
-            .drop_columns(["_c"]))
+    key = (sf_dir, "arcs")
+    if key not in _NAV_CACHE:
+        pairs = (nav_events(sf_dir)
+                 .groupby("user_id")
+                 .map_groups(_consecutive_pairs, batch_format="pyarrow"))
+        _NAV_CACHE[key] = (pairs.groupby(["src", "dst"])
+                           .aggregate(Count(alias_name="_c"))
+                           .drop_columns(["_c"]).materialize())
+    return _NAV_CACHE[key]
 
 
 def nav_reciprocity(sf_dir: str):
@@ -186,10 +193,15 @@ def nav_weighted_arcs(sf_dir: str):
     """(src, dst, w) weighted transition arcs (w = click count)."""
     from ray.data.aggregate import Sum
 
-    pairs = (nav_events(sf_dir)
-             .groupby("user_id")
-             .map_groups(_consecutive_multi, batch_format="pyarrow"))
-    return pairs.groupby(["src", "dst"]).aggregate(Sum("n", alias_name="w"))
+    key = (sf_dir, "warcs")
+    if key not in _NAV_CACHE:
+        pairs = (nav_events(sf_dir)
+                 .groupby("user_id")
+                 .map_groups(_consecutive_multi, batch_format="pyarrow"))
+        _NAV_CACHE[key] = (pairs.groupby(["src", "dst"])
+                           .aggregate(Sum("n", alias_name="w"))
+                           .materialize())
+    return _NAV_CACHE[key]
 
 
 def nav_weighted_pagerank(sf_dir: str, *, iters: int = 3,
