@@ -770,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_sizes": rel.order_size_histogram,
         "rel_outliers": rel.event_value_outliers,
         "rel_benford": rel.benford_first_digit,
+        "rel_ohlc": rel.daily_ohlc,
         "graph_type_projection": rel.event_type_projection,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -1227,6 +1228,36 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "rel_ohlc": """
+            -- daily OHLC bars per event type, exact integer cents;
+            -- open/close by (ts, event_id) order
+            WITH s AS (SELECT event_type, event_id, ts,
+                              CAST(CAST(epoch_ms(
+                                  (epoch_us(ts) // 86400000000)
+                                  * 86400000) AS DATE) AS VARCHAR) AS day,
+                              CAST(ROUND(value * 100) AS BIGINT) AS v
+                       FROM events),
+            w AS (SELECT event_type, day, v,
+                         first_value(v) OVER (
+                             PARTITION BY event_type, day
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                             UNBOUNDED FOLLOWING) AS open_e2,
+                         last_value(v) OVER (
+                             PARTITION BY event_type, day
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                             UNBOUNDED FOLLOWING) AS close_e2
+                  FROM s)
+            SELECT event_type, day,
+                   CAST(MIN(open_e2) AS BIGINT) AS open_e2,
+                   CAST(MAX(v) AS BIGINT) AS high_e2,
+                   CAST(MIN(v) AS BIGINT) AS low_e2,
+                   CAST(MIN(close_e2) AS BIGINT) AS close_e2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY event_type, day
+            ORDER BY event_type, day
         """,
         "rel_benford": """
             -- Benford first-digit audit of positive integer cents

@@ -1757,3 +1757,43 @@ def benford_first_digit(sf_dir: str):
             .groupby(["event_type", "digit"])
             .aggregate(Sum("n", alias_name="n"))
             .sort(["event_type", "digit"]))
+
+
+def daily_ohlc(sf_dir: str):
+    """OHLC BARS — the classic time-series compaction: per (event
+    type, day), the Open (first value by (ts, event_id)), High, Low
+    and Close (last) in exact integer cents, plus the tick count.
+    One grouped exchange; per group an argmin/argmax over the
+    already-loaded columns."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts", "value"])
+
+    def bars(group: dict) -> dict:
+        ts_ = group["ts"].astype("datetime64[us]").astype(np.int64)
+        day = ts_ // 86_400_000_000
+        v = np.rint(group["value"] * 100.0).astype(np.int64)
+        eid = group["event_id"]
+        out = {k: [] for k in ("event_type", "day", "open_e2", "high_e2",
+                               "low_e2", "close_e2", "n")}
+        for d in np.unique(day):
+            m = day == d
+            order = np.lexsort((eid[m], ts_[m]))
+            vv = v[m][order]
+            out["event_type"].append(group["event_type"][0])
+            out["day"].append(int(d))
+            out["open_e2"].append(int(vv[0]))
+            out["high_e2"].append(int(vv.max()))
+            out["low_e2"].append(int(vv.min()))
+            out["close_e2"].append(int(vv[-1]))
+            out["n"].append(int(len(vv)))
+        date = np.datetime_as_string(np.array(out["day"], np.int64)
+                                     .astype("datetime64[D]")).astype(object)
+        return {"event_type": np.array(out["event_type"], object),
+                "day": date,
+                "open_e2": np.array(out["open_e2"], np.int64),
+                "high_e2": np.array(out["high_e2"], np.int64),
+                "low_e2": np.array(out["low_e2"], np.int64),
+                "close_e2": np.array(out["close_e2"], np.int64),
+                "n": np.array(out["n"], np.int64)}
+
+    return (ds.groupby("event_type").map_groups(bars, batch_format="numpy")
+            .sort(["event_type", "day"]))
