@@ -363,19 +363,20 @@ def deterministic_walks(g, *, stride: int = 101, steps: int = 5) -> pa.Table:
             for bv in iter_block_views(batch):
                 sel = np.flatnonzero((wvert >= bv.lo) & (wvert < bv.hi))
                 if not len(sel):
-                    continue  # no walkers here: skip the segment sort
+                    continue
                 indptr = bv.indptr.astype(np.int64)
-                order = np.lexsort((bv.indices, bv.src_per_edge()))
-                srt = bv.indices[order]   # ascending ids per source
                 for s in sel:
                     v = int(wvert[s])
                     lo, hi = indptr[v - bv.lo], indptr[v - bv.lo + 1]
                     deg = int(hi - lo)
                     if deg == 0:
                         continue
+                    # sort ONLY this walker's segment (O(deg log deg)
+                    # per walker, not O(E log E) per block per hop)
+                    seg = np.sort(bv.indices[lo:hi])
                     pick = md5_low64(f"{v}-{st}") % deg
                     outs_w.append(int(widx[s]))
-                    outs_next.append(int(srt[lo + pick]))
+                    outs_next.append(int(seg[pick]))
             return pa.table({"w": pa.array(outs_w, pa.int64()),
                              "nxt": pa.array(outs_next, pa.int64())})
 

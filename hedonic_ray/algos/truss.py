@@ -58,6 +58,14 @@ def ktruss_edges(g, k: int = 3, rounds: int = 6) -> pa.Table:
     n = np.int64(g.n)
     all_edges = _canonical_edge_keys(g)
     live = all_edges
+    if k <= 2:
+        # support >= k-2 <= 0 holds for EVERY edge (including edges in
+        # no triangle, which never appear in the support table) — the
+        # 2-truss is the whole edge set, no peeling
+        return pa.table({"a": pa.array(all_edges // n, pa.int64()),
+                         "b": pa.array(all_edges % n, pa.int64()),
+                         "in_truss": pa.array(
+                             np.ones(len(all_edges), np.int64))})
 
     for _ in range(rounds):
         if not len(live):

@@ -106,3 +106,19 @@ def default_num_partitions(n_edges: int | None = None,
         # keep blocks under ~16M edges (~256 MiB of uint64 pairs)
         parts = max(parts, -(-n_edges // 16_000_000))
     return parts
+
+
+def session_scoped(cache: dict) -> dict:
+    """Clear a module-level cache of Ray-object-holding values when
+    the Ray session changed (ray.shutdown()/re-init in one process
+    would otherwise leave dead ObjectRefs / MaterializedDatasets in
+    the cache).  The session marker is the driver node id — stable
+    within a session, fresh after re-init."""
+    import ray
+
+    mark = (ray.get_runtime_context().get_node_id()
+            if ray.is_initialized() else None)
+    if cache.get("__session__") != mark:
+        cache.clear()
+        cache["__session__"] = mark
+    return cache

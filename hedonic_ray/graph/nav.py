@@ -87,6 +87,9 @@ def nav_arcs(sf_dir: str):
     ``_consecutive_pairs`` is only a combiner."""
     from ray.data.aggregate import Count
 
+    from hedonic_ray.context import session_scoped
+
+    session_scoped(_NAV_CACHE)
     key = (sf_dir, "arcs")
     if key not in _NAV_CACHE:
         pairs = (nav_events(sf_dir)
@@ -193,6 +196,9 @@ def nav_weighted_arcs(sf_dir: str):
     """(src, dst, w) weighted transition arcs (w = click count)."""
     from ray.data.aggregate import Sum
 
+    from hedonic_ray.context import session_scoped
+
+    session_scoped(_NAV_CACHE)
     key = (sf_dir, "warcs")
     if key not in _NAV_CACHE:
         pairs = (nav_events(sf_dir)

@@ -303,7 +303,9 @@ def _rank_grid(src_ids: np.ndarray, cand_ids, score_e6: np.ndarray,
     rows, sel, kv = rows[order], sel[order], kv[order]
     nbr = cand[rows, sel]
     score = (kv - (np.int64(0xFFFFFFFF) - nbr)) >> np.int64(32)
-    keep = score > _KNN_MASK // 2
+    # strict: a VALID score can be exactly -1e6 (cos = -1); only the
+    # sentinel itself is dropped
+    keep = score > _KNN_MASK
     rows, kv, nbr, score = rows[keep], kv[keep], nbr[keep], score[keep]
     srcs = src_ids[rows]
     starts = np.flatnonzero(np.concatenate(
@@ -340,7 +342,7 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
     top-k; per-batch results are FINAL (no merge, no shuffle).
     ``method="ivf"`` (forced by ``HEDONIC_RAY_FORCE_SCALE``) routes
     through :func:`ivf_topk`'s bucketed probe machinery with a full
-    probe sweep and a k+4 raw-float head re-ranked on the integer
+    probe sweep and a k+16 raw-float head re-ranked on the integer
     score — exact by construction at full probe, and the shape that
     survives corpora too large to broadcast."""
     import ray
@@ -362,7 +364,11 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
     if method == "ivf":
         mat = np.concatenate(mat_parts)
         n_clusters = min(16, max(1, len(ids) // 32))
-        raw = ivf_topk(emb_ds, mat, k=min(k + 4, len(ids)),
+        # head margin 16: the float head must contain every candidate
+        # that can win under the integer (score_e6, id) tie rule; a
+        # divergence needs >16 raw-float-distinct candidates rounding
+        # into the boundary score_e6 — far beyond e6 rounding width
+        raw = ivf_topk(emb_ds, mat, k=min(k + 16, len(ids)),
                        n_clusters=n_clusters, nprobe=n_clusters,
                        id_col=id_col, vec_col=vec_col)
         qid = raw.column("query_id").to_numpy()

@@ -39,8 +39,12 @@ def doc_pages(sf_dir: str):
 
 def doc_graph(sf_dir: str, *, directed: bool):
     """pages → extract → CSR-block LinkGraph (cached per sf_dir within
-    the process; extraction runs ONCE, the materialized edge table
-    feeds both the directed and undirected builds)."""
+    the RAY SESSION; extraction runs ONCE, the materialized edge table
+    feeds both the directed and undirected builds; a ray re-init
+    clears the cache — dead ObjectRefs must not survive it)."""
+    from hedonic_ray.context import session_scoped
+
+    session_scoped(_GRAPH_CACHE)
     key = (sf_dir, directed)
     if key not in _GRAPH_CACHE:
         ekey = (sf_dir, "edges")
@@ -53,6 +57,15 @@ def doc_graph(sf_dir: str, *, directed: bool):
         _GRAPH_CACHE[key] = build_link_graph(edges, n, directed=directed,
                                              urls_ref=urls_ref)
     return _GRAPH_CACHE[key]
+
+
+def doc_edges_cached(sf_dir: str):
+    """The materialized canonical edge Dataset (the accessor that OWNS
+    the (sf_dir, "edges") cache entry — callers must not reach into
+    _GRAPH_CACHE directly)."""
+    doc_graph(sf_dir, directed=True)   # populates the edges entry
+    edges, _urls, _n = _GRAPH_CACHE[(sf_dir, "edges")]
+    return edges
 
 
 def doc_edges_table(sf_dir: str) -> pa.Table:
@@ -572,7 +585,7 @@ def doc_scc_dag(sf_dir: str) -> pa.Table:
 
     scc = doc_scc_table(sf_dir)
     labels_ref = ray.put(scc.column("scc").to_numpy().astype(np.int64))
-    edges, _urls, _n = _GRAPH_CACHE[(sf_dir, "edges")]
+    edges = doc_edges_cached(sf_dir)
 
     def remap(t: pa.Table) -> pa.Table:
         lab = ray.get(labels_ref)

@@ -446,7 +446,8 @@ def length_stats_by_lang(sf_dir: str, qs_e2=(50, 90)) -> "object":
         v = np.sort(group["n_chars"].astype(np.int64))
         n = len(v)
         picks = {q: int(v[max(1, -(-n * q // 100)) - 1]) for q in qs}
-        dev = np.sort(np.abs(v - picks[50]))
+        med = int(v[max(1, -(-n * 50 // 100)) - 1])  # MAD anchors on
+        dev = np.sort(np.abs(v - med))               # p50 regardless of qs
         mad = int(dev[max(1, -(-n * 50 // 100)) - 1])
         out = {"lang": group["lang"][:1],
                "n": np.array([n], np.int64),

@@ -653,6 +653,11 @@ def test_ktruss_closed_form():
                ktruss_edges(g2, k=3).to_pylist()) == 5
     assert sum(r["in_truss"] for r in
                ktruss_edges(g2, k=4).to_pylist()) == 0
+    # the 2-truss is the whole edge set (support >= 0 trivially),
+    # including edges in no triangle — path graph regression
+    path = make_graph([(0, 1), (1, 2)], 3, directed=False)
+    assert [r["in_truss"] for r in
+            ktruss_edges(path, k=2).to_pylist()] == [1, 1]
 
 
 def test_avg_neighbor_degree_closed_form():

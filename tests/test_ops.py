@@ -919,7 +919,7 @@ def test_correlation_perfect_and_sign():
         out = rel.qty_price_correlation(d).to_pandas()
     c = dict(zip(out["l_returnflag"], out["corr_e6"]))
     assert c["P"] in (999999, 1000000)      # r = +1 up to one float ulp
-    assert c["N"] in (-1000000, -999999 - 1)  # r = -1
+    assert c["N"] in (-1000000, -1000001)  # r = -1, one-ulp slack
 
 
 def test_fingerprint_overlap_identical_docs():
@@ -1187,3 +1187,22 @@ def test_new_ops_edge_cases():
     assert plan["n_tokens"].tolist() == [0, 3, 0]
     assert plan["token_offset"].tolist() == [0, 0, 3]
     assert plan.loc[1, "first_chunk"] == 0 and plan.loc[1, "last_chunk"] == 1
+
+
+def test_knn_graph_antipodal_pair():
+    """cos = −1 rounds to exactly −1e6, which must NOT be confused
+    with the self-mask sentinel: a two-vector antipodal corpus has
+    each vector as the other's (only) neighbor."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.similarity import knn_graph
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [-1.0, 0.0]],
+                              pa.list_(pa.float32()))})
+    out = knn_graph(rd.from_arrow(t), k=1)
+    rows = sorted(zip(out.column("src").to_pylist(),
+                      out.column("nbr").to_pylist(),
+                      out.column("score_e6").to_pylist()))
+    assert rows == [(0, 1, -1000000), (1, 0, -1000000)]
