@@ -771,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_outliers": rel.event_value_outliers,
         "rel_benford": rel.benford_first_digit,
         "rel_ohlc": rel.daily_ohlc,
+        "rel_copurchase": rel.copurchase_pairs,
         "graph_type_projection": rel.event_type_projection,
         # --- training-data ops ---
         "text_token_counts": tx.token_counts,
@@ -1228,6 +1229,17 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "rel_copurchase": """
+            -- market-basket: top-20 part pairs by distinct co-orders,
+            -- deterministic ties (n desc, a, b)
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem)
+            SELECT x.l_partkey AS a, y.l_partkey AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM p x JOIN p y ON y.l_orderkey = x.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 ORDER BY n_orders DESC, a, b LIMIT 20
         """,
         "rel_ohlc": """
             -- daily OHLC bars per event type, exact integer cents;

@@ -1797,3 +1797,41 @@ def daily_ohlc(sf_dir: str):
 
     return (ds.groupby("event_type").map_groups(bars, batch_format="numpy")
             .sort(["event_type", "day"]))
+
+
+def copurchase_pairs(sf_dir: str, k: int = 20):
+    """MARKET-BASKET co-occurrence (A-Priori at itemset size 2): the
+    top-k part pairs by the number of distinct orders containing
+    both, ties → (a, b) ascending.  Pair emission per order (distinct
+    parts first, so multi-line duplicates of a part count once) →
+    the sort-based packed pair-count exchange → a driver top-k over
+    the count grid."""
+    from hedonic_ray.ops.dedup import _packed_pair_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(group: dict) -> dict:
+        parts = np.unique(group["l_partkey"].astype(np.int64))
+        if len(parts) < 2:
+            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+        iu = np.triu_indices(len(parts), k=1)
+        return {"a": parts[iu[0]], "b": parts[iu[1]]}
+
+    counts = _packed_pair_counts(
+        ds.groupby("l_orderkey").map_groups(pairs, batch_format="numpy"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        c = t.column("i").to_numpy()
+        order = np.lexsort((b, a, -c))[:k]
+        return pa.table({"a": pa.array(a[order]), "b": pa.array(b[order]),
+                         "n_orders": pa.array(c[order])})
+
+    rows = counts.map_batches(local_topk, batch_format="pyarrow").take_all()
+    a = np.array([r["a"] for r in rows], np.int64)
+    b = np.array([r["b"] for r in rows], np.int64)
+    c = np.array([r["n_orders"] for r in rows], np.int64)
+    order = np.lexsort((b, a, -c))[:k]
+    return pa.table({"a": pa.array(a[order]), "b": pa.array(b[order]),
+                     "n_orders": pa.array(c[order])})

@@ -124,7 +124,7 @@ SQL_CHECKED = sorted([
     "text_wordlen_hist", "rel_ship_delay", "rel_order_sizes",
     "rel_outliers", "graph_walks", "text_pack_plan",
     "graph_modularity", "text_vocab_growth", "rel_benford",
-    "rel_ohlc",
+    "rel_ohlc", "rel_copurchase",
 ])
 
 
