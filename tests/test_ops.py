@@ -1206,3 +1206,23 @@ def test_knn_graph_antipodal_pair():
                       out.column("nbr").to_pylist(),
                       out.column("score_e6").to_pylist()))
     assert rows == [(0, 1, -1000000), (1, 0, -1000000)]
+
+
+def test_fingerprint_overlap_cap_is_recall_only():
+    """The hot-bucket cap replaces the quadratic pair emission with a
+    chain — a documented RECALL trade, never precision: every pair it
+    reports must be a real pair of the exact run, with a count no
+    larger than the exact shared count."""
+    from hedonic_ray.ops.dedup import fingerprint_overlap_pairs
+    from hedonic_ray.ops.textstats import add_fingerprints
+
+    base = _doc(51, 150)
+    texts = [base, base, base, base, _doc(52, 150)]
+    fp = add_fingerprints(_docs_ds(texts)).materialize()
+    exact = {(r["a"], r["b"]): r["shared"] for r in
+             fingerprint_overlap_pairs(fp, min_shared=1).take_all()}
+    capped = {(r["a"], r["b"]): r["shared"] for r in
+              fingerprint_overlap_pairs(fp, min_shared=1,
+                                        cap=2).take_all()}
+    assert capped and set(capped) <= set(exact)
+    assert all(capped[p] <= exact[p] for p in capped)
