@@ -153,20 +153,23 @@ def term_document_frequency(ds, col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column(col).to_pylist()
-        terms: list[str] = []
-        doc_of: list[int] = []
-        for i, t in enumerate(texts):
-            w = t.split()
-            terms.extend(w)
-            doc_of.extend([i] * len(w))
-        if not terms:
+        # one Arrow regex split for the whole batch (the \s+ split +
+        # empty-token filter is exactly str.split() / \S+
+        # tokenization) — no per-document Python
+        words = pc.split_pattern_regex(batch.column(col),
+                                       r"\s+").combine_chunks()
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = words.flatten()
+        docs = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        docs = docs[keep]
+        if not len(docs):
             return pa.table({"term": pa.array([], pa.string()),
                              "df_partial": pa.array([], pa.int64())})
-        arr = np.array(terms, dtype=object)
-        docs = np.array(doc_of, dtype=np.int64)
         # distinct (doc, term) pairs, then count docs per term
-        uniq_terms, inv = np.unique(arr.astype(str), return_inverse=True)
+        uniq_terms, inv = np.unique(np.asarray(flat).astype(str),
+                                    return_inverse=True)
         key = docs * np.int64(len(uniq_terms)) + inv
         uk = np.unique(key)
         tf = np.bincount((uk % len(uniq_terms)).astype(np.int64),
