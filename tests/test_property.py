@@ -60,3 +60,29 @@ def test_substring_dup_counts_matches_python_sets(texts):
         if c:
             exp[i] = c
     assert out == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 30), min_size=0, max_size=12),
+                min_size=1, max_size=8),
+       st.integers(0, 7), st.integers(1, 8))
+def test_ordered_pairs_triangular_decode(segments, lo, width):
+    """_ordered_pairs (the closed-form sqrt triangular decode that
+    feeds triangles, truss, common-neighbors, RA and two-hop) must
+    equal the itertools reference for ANY segment layout and ANY
+    [lo, hi) sub-range."""
+    from itertools import combinations
+
+    from hedonic_ray.algos.triangles import _ordered_pairs
+
+    segs = [sorted(s) for s in segments]
+    indptr = np.zeros(len(segs) + 1, np.int64)
+    np.cumsum([len(s) for s in segs], out=indptr[1:])
+    indices = np.array([x for s in segs for x in s], np.int64)
+    lo_u = min(lo, len(segs))
+    hi_u = min(lo_u + width, len(segs))
+    u, a, b = _ordered_pairs(indptr, indices, lo_u, hi_u)
+    got = sorted(zip(u.tolist(), a.tolist(), b.tolist()))
+    exp = sorted((v, x, y) for v in range(lo_u, hi_u)
+                 for x, y in combinations(segs[v], 2))
+    assert got == exp
