@@ -199,6 +199,11 @@ def _scc_loop(n: int, prims, max_rounds: int, max_iters: int) -> np.ndarray:
             if (new == marked).all():
                 break
             marked = new
+        else:
+            # an incomplete mark set would silently split one SCC
+            # across two labels — fail loudly like the coloring loop
+            raise RuntimeError("SCC backward mark did not converge "
+                               f"within {max_iters} supersteps")
 
         scc[marked] = color[marked].astype(np.int64)
 

@@ -245,26 +245,37 @@ def nav_weighted_pagerank(sf_dir: str, *, iters: int = 3,
         np.add.at(outw, s, b.column("w").to_numpy().astype(np.float64))
 
     d = damping
+    # node-sized vectors broadcast ONCE (ray.put), not re-pickled into
+    # every task via closure capture; only the rank vector changes per
+    # iteration
+    static_ref = ray.put((nodes, outw))
     rank = np.full(n, 1.0 / n, dtype=np.float64)
     for _ in range(iters):
         ref = ray.put(rank)
 
         def contrib(t: pa.Table, _ref=ref) -> pa.Table:
             r = ray.get(_ref)
-            s = np.searchsorted(nodes, t.column("src").to_numpy())
+            nds, ow = ray.get(static_ref)
+            s = np.searchsorted(nds, t.column("src").to_numpy())
             dst = t.column("dst").to_numpy()
             w = t.column("w").to_numpy().astype(np.float64)
-            c = r[s] * w / outw[s]
+            c = r[s] * w / ow[s]
             g = pa.table({"dst": pa.array(dst), "c": pa.array(c)})
             return g.group_by(["dst"]).aggregate(
                 [("c", "sum")]).rename_columns(["dst", "c"])
 
+        # vectorized fill: collect the ≤ n aggregate rows as columns,
+        # ONE searchsorted (not one call per row)
         agg = np.zeros(n, dtype=np.float64)
-        rows = (arcs.map_batches(contrib, batch_format="pyarrow")
-                .groupby("dst").aggregate(Sum("c", alias_name="c"))
-                .take_all())  # ≤ n rows
-        for r_ in rows:
-            agg[np.searchsorted(nodes, int(r_["dst"]))] = float(r_["c"])
+        dst_parts, c_parts = [], []
+        for b in (arcs.map_batches(contrib, batch_format="pyarrow")
+                  .groupby("dst").aggregate(Sum("c", alias_name="c"))
+                  .iter_batches(batch_size=65536, batch_format="pyarrow")):
+            dst_parts.append(b.column("dst").to_numpy())
+            c_parts.append(b.column("c").to_numpy().astype(np.float64))
+        if dst_parts:
+            dsts = np.concatenate(dst_parts)
+            agg[np.searchsorted(nodes, dsts)] = np.concatenate(c_parts)
         dangling = rank[outw == 0].sum()
         rank = (1.0 - d) / n + d * (agg + dangling / n)
 

@@ -1333,12 +1333,16 @@ def _text_window_words(t: pa.Table, L: int, mode: str,
         signed = (words ^ np.uint64(1 << 63)).view(np.int64)
         cols = {names[i]: signed[:, i] for i in range(nwords)}
     else:
-        muls = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
-                         0xD6E8FEB86659FD93, 0xA0761D6478BD642F],
-                        np.uint64)[:nwords]
+        # one odd multiplier per word position, derived for ANY nwords
+        # (splitmix64 of the position index) — a fixed 4-entry table
+        # would IndexError at L > 32
+        from hedonic_ray.functions.hashing import splitmix64
+
+        muls = splitmix64(np.arange(nwords, dtype=np.uint64)) | np.uint64(1)
         h = np.zeros(total, np.uint64)
-        for i in range(words.shape[1]):
-            h ^= (words[:, i] * muls[i]) + np.uint64(i)
+        with np.errstate(over="ignore"):
+            for i in range(words.shape[1]):
+                h ^= (words[:, i] * muls[i]) + np.uint64(i)
         cols = {"w0": h.view(np.int64)}
     g = pa.table({key: pa.array(np.repeat(docs, counts)),
                   **{n: pa.array(c) for n, c in cols.items()}})

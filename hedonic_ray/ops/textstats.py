@@ -329,12 +329,28 @@ def add_repetition_signals(ds, col: str = "text"):
 def _flat_words(batch: pa.Table, col: str):
     """Arrow split → (flat word StringArray, per-row word counts,
     per-word row index) — the shared explode for the per-doc
-    vocabulary kernels below.  Pure Arrow/numpy."""
-    words = pc.split_pattern(batch.column(col), " ").combine_chunks()
+    vocabulary kernels below.  Pure Arrow/numpy.
+
+    Tokenization is ``\\s+`` with empty tokens dropped — the same rule
+    the SQL oracles use (``regexp_extract_all(text, '\\S+')``) and the
+    same rule :func:`term_document_frequency` uses, so every consumer
+    (tf, ttr, bigrams, passages, tfidf) agrees with the oracles on
+    corpora with tabs/newlines/repeated/leading/trailing whitespace,
+    not just on single-space-joined fixtures."""
+    words = pc.split_pattern_regex(batch.column(col), r"\s+").combine_chunks()
     offs = words.offsets.to_numpy().astype(np.int64)
-    lens = np.diff(offs)
-    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    return words.flatten(), lens, doc_of
+    raw_lens = np.diff(offs)
+    flat = words.flatten()
+    doc_of = np.repeat(np.arange(len(raw_lens), dtype=np.int64), raw_lens)
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0)
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    if not ne.all():
+        flat = flat.filter(nonempty)
+        doc_of = doc_of[ne]
+        lens = np.bincount(doc_of, minlength=len(raw_lens)).astype(np.int64)
+    else:
+        lens = raw_lens
+    return flat, lens, doc_of
 
 
 def add_ttr(ds, col: str = "text"):

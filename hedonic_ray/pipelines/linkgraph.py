@@ -667,7 +667,10 @@ def doc_modularity(sf_dir: str) -> pa.Table:
     rows = g.blocks.map_batches(intra, batch_format="pyarrow",
                                 batch_size=4).take_all()
     intra_edges = sum(int(r["c"]) for r in rows)
-    dsum = np.bincount(mem, weights=deg).astype(np.int64)
+    # int64 accumulator, not bincount(weights=) — the float64 path
+    # loses exactness once a community degree sum exceeds 2^53
+    dsum = np.zeros(int(mem.max()) + 1 if len(mem) else 1, np.int64)
+    np.add.at(dsum, mem, deg)
     sum_dc2 = int(sum(int(x) * int(x) for x in dsum))
     num = 4 * m * intra_edges - sum_dc2
     den = 4 * m * m

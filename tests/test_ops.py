@@ -753,6 +753,43 @@ def test_substring_dup_counts_hash_equals_exact():
     assert exact == hashed and len(exact) > 0
 
 
+def test_substring_dup_counts_hash_wide_L():
+    """Hash mode must work for ANY L (multiple of 8), not just ≤ 32 —
+    the fixed 4-entry multiplier table used to IndexError at L=40."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.dedup import substring_dup_counts
+
+    span = "".join(chr(97 + ((i * 7 + 3) % 26)) for i in range(100))
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["A" * 9 + span + "B" * 9,
+                          "C" * 5 + span + "D" * 5,
+                          "z" * 120]),
+    })
+    for L in (40, 64):
+        exact = substring_dup_counts(rd.from_arrow(t), L=L,
+                                     mode="exact").take_all()
+        hashed = substring_dup_counts(rd.from_arrow(t), L=L,
+                                      mode="hash").take_all()
+        assert exact == hashed and len(exact) == 2
+
+
+def test_flat_words_whitespace_and_empties():
+    """_flat_words must tokenize on \\s+ with empty tokens dropped —
+    the rule every SQL oracle uses — so tabs/newlines/double/leading/
+    trailing whitespace cannot silently diverge tf/ttr/tfidf from the
+    oracles (ADVICE r3, medium)."""
+    from hedonic_ray.ops.textstats import _flat_words
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["  a\tb\n\nc ", "x  y", ""])})
+    flat, lens, doc_of = _flat_words(t, "text")
+    assert flat.to_pylist() == ["a", "b", "c", "x", "y"]
+    assert lens.tolist() == [3, 2, 0]
+    assert doc_of.tolist() == [0, 0, 0, 1, 1]
+
+
 def test_cohort_retention_semantics():
     """Two cohorts; user 1 active days 0,1,9 (offset 9 excluded),
     user 2 active day 0 only, user 3 cohorted a day later, active
