@@ -1427,6 +1427,9 @@ def substring_dup_counts(ds, L: int = 32, mode: str = "auto",
             .sort(key))
 
 
+FINGERPRINT_SCALE_CAP = 1024  # force-scale hot-bucket chain threshold
+
+
 def fingerprint_overlap_pairs(fp_ds, *, min_shared: int = 2,
                               cap: int | None = None,
                               key: str = "doc_id",
@@ -1434,10 +1437,20 @@ def fingerprint_overlap_pairs(fp_ds, *, min_shared: int = 2,
     """MOSS-style document overlap detection (Schleimer et al. 2003,
     the consumer of the winnowing fingerprints): pairs of documents
     sharing at least ``min_shared`` DISTINCT fingerprints, with the
-    exact shared count.  ``groupby(fingerprint)`` pair emission (no
-    cap by default — exact semantics; ``cap`` chains hot boilerplate
-    fingerprints at real-corpus scale, a documented recall trade) →
-    the sort-based ``_packed_pair_counts`` exchange → threshold."""
+    exact shared count.  ``groupby(fingerprint)`` pair emission →
+    the sort-based ``_packed_pair_counts`` exchange → threshold.
+
+    ``cap`` chains hot boilerplate fingerprint buckets (recall-only
+    trade: a bucket larger than ``cap`` emits its sorted id chain
+    instead of O(bucket²) pairs).  Default exact semantics below
+    scale; under ``HEDONIC_RAY_FORCE_SCALE`` the cap auto-engages at
+    ``FINGERPRINT_SCALE_CAP`` — mirroring the ``max_df`` posture of
+    the n-gram join — so the production path never emits a quadratic
+    hot bucket."""
+    from hedonic_ray.context import force_scale
+
+    if cap is None and force_scale():
+        cap = FINGERPRINT_SCALE_CAP
 
     def emit(group: dict) -> dict:
         ids = np.sort(group[key].astype(np.int64))

@@ -731,8 +731,11 @@ def vocab_growth(ds, col: str = "text", key: str = "doc_id",
     Expanding distinct needs no rescan — a term enters the vocabulary
     at its FIRST document, so the curve is the running sum of
     first-seen counts: per batch (term, min doc) partials → one
-    groupby(term) Min → bucket histogram → tiny driver cumsum."""
-    from ray.data.aggregate import Min
+    groupby(term) Min → DISTRIBUTED bucket groupby-count → tiny driver
+    cumsum.  The driver collects O(buckets) rows, never O(vocab) —
+    at web scale vocabulary is billions of terms and must stay in the
+    exchange."""
+    from ray.data.aggregate import Count, Min
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, lens, doc_of = _flat_words(batch, col)
@@ -754,13 +757,22 @@ def vocab_growth(ds, col: str = "text", key: str = "doc_id",
     firsts = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("term").aggregate(Min("first_doc",
                                              alias_name="first_doc")))
-    rows = firsts.take_all()
-    fd = np.array([r["first_doc"] for r in rows], np.int64)
-    if not len(fd):
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        fd = t.column("first_doc").to_numpy()
+        return pa.table({"b": pa.array((fd // bucket).astype(np.int64))})
+
+    rows = (firsts.map_batches(to_bucket, batch_format="pyarrow")
+            .groupby("b").aggregate(Count(alias_name="c"))
+            .take_all())  # O(buckets)
+    if not rows:
         return pa.table({"n_docs": pa.array([], pa.int64()),
                          "vocab": pa.array([], pa.int64())})
-    hi = int(fd.max()) // bucket + 1
-    counts = np.bincount(fd // bucket, minlength=hi)
+    bs = np.array([int(r["b"]) for r in rows], np.int64)
+    cs = np.array([int(r["c"]) for r in rows], np.int64)
+    hi = int(bs.max()) + 1
+    counts = np.zeros(hi, np.int64)
+    counts[bs] = cs
     grid = (np.arange(hi, dtype=np.int64) + 1) * bucket
     return pa.table({"n_docs": pa.array(grid),
                      "vocab": pa.array(np.cumsum(counts).astype(np.int64))})

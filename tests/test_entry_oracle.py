@@ -170,6 +170,8 @@ FORCED_SCALE = sorted([
     "dedup_substring",      # 1-word hashed window exchange
     "sim_knn_graph",        # IVF bucketed probe path (full sweep)
     "rel_semi_join",        # broadcast-Bloom pre-filtered semi-join
+    "dedup_fingerprint",    # auto-engaged hot-bucket cap (vacuous at
+                            # fixture scale: max bucket 379 < 1024)
 ])
 
 
