@@ -587,24 +587,60 @@ def dedup_funnel(sf_dir: str) -> pa.Table:
     Each stage is an operator with its own green gate query; the
     funnel composes their keep-sets by intersection (a doc survives
     stage k iff it survived every stage ≤ k), so the counts are
-    monotone by construction."""
-    exact = set(r["doc_id"] for r in
-                exact_dedup_kept(sf_dir).take_all())
-    norm = set(r["doc_id"] for r in
-               normalized_dedup_kept(sf_dir).take_all())
-    comp = minhash_components(sf_dir)
-    grp = comp.column("dup_group").to_numpy()
-    # cluster label IS the min member doc_id — the representatives
-    reps = set(int(x) for x in np.unique(grp))
+    monotone by construction.
+
+    Shape: DISTRIBUTED multi-way semi-join — each stage's keep-list
+    stays a Dataset tagged with a bit weight (exact→1, normalized→2,
+    near-dup rep→4), ONE ``union → groupby(doc_id).Sum`` exchange
+    folds them, and per-batch partial counts of the bit patterns
+    reduce to three integers on the driver.  No keep-list is ever
+    collected as a Python set (the near-dup representatives come from
+    the cluster labels ``minhash_dedup`` already returns; at corpus
+    scale its engine-CC path would hand them over as a Dataset the
+    same way)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
     n = _n_docs(sf_dir)
-    s1 = exact
-    s2 = s1 & norm
-    s3 = s2 & reps
+
+    def tagged(ds, bit: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "tag": pa.array(np.full(t.num_rows, bit, np.int64))})
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    s_exact = tagged(dd.exact_dedup(
+        _docs(sf_dir, ["doc_id", "text"])).select_columns(["doc_id"]), 1)
+    s_norm = tagged(dd.normalized_exact_dedup(
+        _docs(sf_dir, ["doc_id", "text"])).select_columns(["doc_id"]), 2)
+    comp, _pairs = dd.minhash_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                                    n, verify="exact")
+    # cluster label IS the min member doc_id — the representatives
+    s_reps = tagged(rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.unique(np.asarray(comp, np.int64)))})), 4)
+
+    tags = (s_exact.union(s_norm).union(s_reps)
+            .groupby("doc_id").aggregate(Sum("tag", alias_name="t")))
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        v = t.column("t").to_numpy().astype(np.int64)
+        return pa.table({
+            "s1": pa.array([int((v & 1 == 1).sum())], pa.int64()),
+            "s2": pa.array([int((v & 3 == 3).sum())], pa.int64()),
+            "s3": pa.array([int((v == 7).sum())], pa.int64())})
+
+    rows = tags.map_batches(partial_counts,
+                            batch_format="pyarrow").take_all()
+    s1 = sum(int(r["s1"]) for r in rows)
+    s2 = sum(int(r["s2"]) for r in rows)
+    s3 = sum(int(r["s3"]) for r in rows)
     return pa.table({
         "stage": pa.array([0, 1, 2, 3], pa.int64()),
         "name": pa.array(["corpus", "exact", "normalized", "near_dup"],
                          pa.string()),
-        "n_docs": pa.array([n, len(s1), len(s2), len(s3)], pa.int64()),
+        "n_docs": pa.array([n, s1, s2, s3], pa.int64()),
     })
 
 

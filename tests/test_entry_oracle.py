@@ -172,6 +172,8 @@ FORCED_SCALE = sorted([
     "rel_semi_join",        # broadcast-Bloom pre-filtered semi-join
     "dedup_fingerprint",    # auto-engaged hot-bucket cap (vacuous at
                             # fixture scale: max bucket 379 < 1024)
+    "dedup_funnel",         # tag-bit union/groupby semi-join over the
+                            # stage keep-lists (+ minhash scale path)
 ])
 
 
