@@ -319,6 +319,129 @@ def _rank_grid(src_ids: np.ndarray, cand_ids, score_e6: np.ndarray,
                      "score_e6": pa.array(score[m], pa.int64())})
 
 
+def _fit_centroids(emb_ds, vec_col: str, n_clusters: int,
+                   sample_size: int, seed: int) -> np.ndarray:
+    """Centroids from a BOUNDED driver sample (first ``sample_size``
+    rows) — the only driver-side data the IVF self-join touches."""
+    sample, taken = [], 0
+    for batch in emb_ds.select_columns([vec_col]).iter_batches(
+            batch_size=2048, batch_format="pyarrow"):
+        sample.append(_batch_matrix(batch, vec_col, np.float32))
+        taken += batch.num_rows
+        if taken >= sample_size:
+            break
+    if not sample:
+        return np.zeros((0, 0), np.float32)
+    return kmeans_fit(np.concatenate(sample)[:sample_size], n_clusters,
+                      seed=seed)
+
+
+def knn_graph_ds(emb_ds, k: int = 3, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_clusters: int | None = None,
+                 nprobe: int | None = None, sample_size: int = 4096,
+                 seed: int = 0):
+    """DISTRIBUTED k-NN graph self-join (the corpus-scale path): the
+    corpus never lands on the driver — each vector is routed to its
+    nearest-centroid bucket as a CANDIDATE and to its ``nprobe``
+    nearest buckets as a QUERY, one ``groupby(bucket)`` co-locates
+    them, each bucket group ranks its queries against its candidates
+    on the ×10⁶-integer composite key, and one ``groupby(src)`` merges
+    the per-bucket partial top-k into the global top-k.
+
+    Exactness: a vector is a candidate in EXACTLY ONE bucket, so every
+    (query, candidate) pair is scored at most once and the per-src
+    merge of integer-keyed partials equals the global integer top-k
+    over the probed union.  At ``nprobe = n_clusters`` (the default)
+    the probed union is the whole corpus — exact by construction; at
+    smaller ``nprobe`` the standard IVF recall trade applies.
+
+    Cost model at scale: the route stage replicates each embedding
+    ``nprobe`` times (the IVF fan-out), the bucket groupby is the one
+    all-to-all, and the merge exchange carries only O(n·k·nprobe)
+    small rows.  Driver holds centroids only.
+
+    Returns a Dataset ``(src, rank, nbr, score_e6)``, unsorted."""
+    import ray
+
+    n_rows = emb_ds.count()
+    if n_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({c: pa.array([], pa.int64())
+                                       for c in ("src", "rank", "nbr",
+                                                 "score_e6")}))
+    if n_clusters is None:
+        n_clusters = min(16, max(1, n_rows // 32))
+    if nprobe is None:
+        nprobe = n_clusters
+    nprobe = min(nprobe, n_clusters)
+    cent = _fit_centroids(emb_ds, vec_col, n_clusters, sample_size, seed)
+    cent_ref = ray.put(cent)
+
+    def route(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        assert ids.max(initial=0) < (1 << 31), \
+            "composite key packs id in 32 bits"
+        m = _normalize(_batch_matrix(batch, vec_col, np.float32))
+        sim = m @ c.T                                  # (B, C)
+        assigned = np.argmax(sim, axis=1)
+        p = min(nprobe, sim.shape[1])
+        probes = (np.argpartition(-sim, p - 1, axis=1)[:, :p]
+                  if p < sim.shape[1]
+                  else np.broadcast_to(np.arange(sim.shape[1]),
+                                       sim.shape).copy())
+        rows = np.repeat(np.arange(len(ids)), p)
+        buckets = probes.reshape(-1).astype(np.int64)
+        # the argmax bucket is always among the top-p probes, so every
+        # row is query+candidate (role 3) exactly there and query-only
+        # (role 1) in its other probe buckets
+        role = np.where(buckets == assigned[rows], 3, 1).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(buckets),
+            "role": pa.array(role),
+            id_col: pa.array(ids[rows]),
+            vec_col: batch.column(vec_col).take(pa.array(rows)),
+        })
+
+    routed = emb_ds.map_batches(route, batch_format="pyarrow",
+                                batch_size=4096)
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ("src", "nbr", "score_e6")})
+        role = g.column("role").to_numpy()
+        isq = (role & 1).astype(bool)
+        isc = (role & 2).astype(bool)
+        if not isq.any() or not isc.any():
+            return empty
+        ids = g.column(id_col).to_numpy().astype(np.int64)
+        m = _normalize(_batch_matrix(g, vec_col, np.float64))
+        qids, cids = ids[isq], ids[isc]
+        se6 = np.rint((m[isq] @ m[isc].T) * 1e6).astype(np.int64)
+        se6[qids[:, None] == cids[None, :]] = _KNN_MASK
+        return _rank_grid(qids, cids, se6, k).select(
+            ["src", "nbr", "score_e6"])
+
+    partials = routed.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        src = g.column("src").to_numpy().astype(np.int64)
+        nbr = g.column("nbr").to_numpy().astype(np.int64)
+        se6 = g.column("score_e6").to_numpy().astype(np.int64)
+        key = (se6 << np.int64(32)) + (np.int64(0xFFFFFFFF) - nbr)
+        top = np.argsort(-key)[:k]
+        kk = len(top)
+        return pa.table({
+            "src": pa.array(src[top], pa.int64()),
+            "rank": pa.array(np.arange(1, kk + 1, dtype=np.int64)),
+            "nbr": pa.array(nbr[top], pa.int64()),
+            "score_e6": pa.array(se6[top], pa.int64())})
+
+    return partials.groupby("src").map_groups(merge, batch_format="pyarrow")
+
+
 def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
               vec_col: str = "embedding", method: str = "auto",
               broadcast_max: int = 2_000_000,
@@ -340,12 +463,12 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
     rows): normalized corpus gathered once → ``ray.put`` → every batch
     finishes its own rows with one matmul + the vectorized integer
     top-k; per-batch results are FINAL (no merge, no shuffle).
-    ``method="ivf"`` (forced by ``HEDONIC_RAY_FORCE_SCALE``) routes
-    through :func:`ivf_topk`'s bucketed probe machinery with a full
-    probe sweep and a k+16 raw-float head re-ranked on the integer
-    score — exact by construction at full probe, and the shape that
-    survives corpora too large to broadcast."""
+    ``method="ivf"`` (forced by ``HEDONIC_RAY_FORCE_SCALE``) is
+    :func:`knn_graph_ds` — the fully distributed bucketed self-join
+    with NO driver-held corpus state, exact by construction at the
+    default full probe sweep."""
     import ray
+    import pyarrow.compute as pc
     from hedonic_ray.context import force_scale
 
     if method == "auto":
@@ -353,42 +476,31 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
     if method not in ("broadcast", "ivf"):
         raise ValueError(f"unknown knn_graph method {method!r}")
 
+    empty = pa.table({c: pa.array([], pa.int64())
+                      for c in ("src", "rank", "nbr", "score_e6")})
+
+    if method == "ivf":
+        out = knn_graph_ds(emb_ds, k, id_col=id_col, vec_col=vec_col)
+        parts = [b for b in out.iter_batches(batch_size=None,
+                                             batch_format="pyarrow")]
+        t = pa.concat_tables(parts) if parts else empty
+        idx = pc.sort_indices(t, sort_keys=[("src", "ascending"),
+                                            ("rank", "ascending")])
+        return t.take(idx)
+
     ids_parts, mat_parts = [], []
     for batch in emb_ds.select_columns([id_col, vec_col]).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
         ids_parts.append(batch.column(id_col).to_numpy().astype(np.int64))
         mat_parts.append(_batch_matrix(batch, vec_col, dtype))
-    ids = np.concatenate(ids_parts)
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
     assert ids.max(initial=0) < (1 << 31), "composite key packs id in 32 bits"
-
-    if method == "ivf":
-        mat = np.concatenate(mat_parts)
-        n_clusters = min(16, max(1, len(ids) // 32))
-        # head margin 16: the float head must contain every candidate
-        # that can win under the integer (score_e6, id) tie rule; a
-        # divergence needs >16 raw-float-distinct candidates rounding
-        # into the boundary score_e6 — far beyond e6 rounding width
-        raw = ivf_topk(emb_ds, mat, k=min(k + 16, len(ids)),
-                       n_clusters=n_clusters, nprobe=n_clusters,
-                       id_col=id_col, vec_col=vec_col)
-        qid = raw.column("query_id").to_numpy()
-        nbr = raw.column("vec_id").to_numpy().astype(np.int64)
-        se6 = np.rint(raw.column("score").to_numpy() * 1e6).astype(np.int64)
-        se6[nbr == ids[qid]] = _KNN_MASK           # mask self
-        counts = np.bincount(qid, minlength=len(ids))
-        width = int(counts.max(initial=1))
-        grid = np.full((len(ids), width), _KNN_MASK, np.int64)
-        gnbr = np.zeros((len(ids), width), np.int64)
-        col = np.concatenate([np.arange(c) for c in counts]) \
-            if counts.sum() else np.array([], int)
-        grid[qid, col] = se6
-        gnbr[qid, col] = nbr
-        return _rank_grid(ids, gnbr, grid, k)
-
     if len(ids) > broadcast_max:
         raise ValueError(
             f"knn_graph broadcast path got {len(ids)} rows > "
             f"broadcast_max={broadcast_max}; use method='ivf'")
+    if not len(ids):
+        return empty
     corpus_ref = ray.put((ids, _normalize(np.concatenate(mat_parts))))
 
     def local(batch: pa.Table) -> pa.Table:
@@ -402,10 +514,7 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
     parts = [b for b in emb_ds.map_batches(
         local, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow")]
-    empty = pa.table({c: pa.array([], pa.int64())
-                      for c in ("src", "rank", "nbr", "score_e6")})
     t = pa.concat_tables(parts) if parts else empty
-    import pyarrow.compute as pc
 
     idx = pc.sort_indices(t, sort_keys=[("src", "ascending"),
                                         ("rank", "ascending")])

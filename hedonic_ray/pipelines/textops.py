@@ -467,13 +467,43 @@ def knn_mutual_clusters(sf_dir: str, k: int = 3) -> pa.Table:
     symmetrization that keeps hub vectors from chaining unrelated
     clusters); component label = min vec_id.  Composition: integer-
     ranked :func:`knn_graph_table` → packed-pair mutuality count →
-    the dedup family's cluster machinery.  The mutuality filter runs
-    on the knn result, which the broadcast knn path already returns
-    driver-resident (n·k rows); at corpus scale the knn edges stay a
-    Dataset and the same count==2 filter is ``_packed_pair_counts``
-    — the machinery ``duplicate_clusters`` already scale-switches
-    into."""
+    the dedup family's cluster machinery.  Under force-scale the knn
+    edges STAY A DATASET end-to-end: mutuality is the distributed
+    ``_packed_pair_counts`` count==2 filter over the canonicalized
+    edge pairs (same sort-based exchange the dedup family uses), and
+    clustering is ``duplicate_clusters``' scale path — no O(n·k)
+    driver arrays.  Below scale the edges are driver-resident (the
+    broadcast knn path already returns a table) and the same filter
+    is one ``np.unique``."""
     import ray.data as rd
+
+    from hedonic_ray.context import force_scale
+    from hedonic_ray.ops.dedup import duplicate_clusters
+
+    if force_scale():
+        import ray.data as rd
+
+        configure_context()
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        knn_ds = sim.knn_graph_ds(emb, k=k)
+
+        def canon(t: pa.Table) -> pa.Table:
+            src = t.column("src").to_numpy().astype(np.int64)
+            nbr = t.column("nbr").to_numpy().astype(np.int64)
+            return pa.table({"a": pa.array(np.minimum(src, nbr)),
+                             "b": pa.array(np.maximum(src, nbr))})
+
+        from hedonic_ray.ops.dedup import _packed_pair_counts
+
+        counts = _packed_pair_counts(
+            knn_ds.map_batches(canon, batch_format="pyarrow"))
+        mutual = (counts.filter(expr="i == 2")
+                  .select_columns(["a", "b"]))
+        comp = duplicate_clusters(mutual, _n_vecs(sf_dir))
+        return pa.table({"vec_id": pa.array(np.arange(len(comp)),
+                                            pa.int64()),
+                         "cluster": pa.array(comp, pa.int64())})
 
     knn = knn_graph_table(sf_dir, k=k)
     src = knn.column("src").to_numpy()
@@ -486,8 +516,6 @@ def knn_mutual_clusters(sf_dir: str, k: int = 3) -> pa.Table:
     pairs = rd.from_arrow(pa.table({
         "a": pa.array(mut // (1 << 31), pa.int64()),
         "b": pa.array(mut % (1 << 31), pa.int64())}))
-    from hedonic_ray.ops.dedup import duplicate_clusters
-
     comp = duplicate_clusters(pairs, _n_vecs(sf_dir))
     return pa.table({"vec_id": pa.array(np.arange(len(comp)), pa.int64()),
                      "cluster": pa.array(comp, pa.int64())})

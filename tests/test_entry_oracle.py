@@ -174,6 +174,8 @@ FORCED_SCALE = sorted([
                             # fixture scale: max bucket 379 < 1024)
     "dedup_funnel",         # tag-bit union/groupby semi-join over the
                             # stage keep-lists (+ minhash scale path)
+    "sim_knn_clusters",     # Dataset knn edges + distributed mutuality
+                            # pair-count + distributed CC
 ])
 
 

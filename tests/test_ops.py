@@ -843,6 +843,31 @@ def test_knn_graph_closed_form_and_methods_equal():
     assert ivf.to_pydict() == out.to_pydict()
 
 
+def test_knn_graph_ds_equals_broadcast_on_fixture():
+    """The fully distributed bucketed self-join (knn_graph_ds, no
+    driver-held corpus) must equal the broadcast path EXACTLY at full
+    probe on the real fixture embeddings; at partial probe it keeps
+    per-src result shape (≤ k rows, ranks contiguous from 1)."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.similarity import knn_graph, knn_graph_ds
+
+    def emb():
+        return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    exact = knn_graph(emb(), k=5, method="broadcast")
+    dist = (knn_graph_ds(emb(), k=5).to_pandas()
+            .sort_values(["src", "rank"]).reset_index(drop=True))
+    assert dist.to_dict("list") == exact.to_pandas().to_dict("list")
+
+    part = (knn_graph_ds(emb(), k=5, nprobe=2).to_pandas()
+            .sort_values(["src", "rank"]).reset_index(drop=True))
+    g = part.groupby("src")["rank"]
+    assert (g.max() <= 5).all() and (g.min() == 1).all()
+    assert (g.max() == g.count()).all()
+
+
 def test_moving_avg_vs_brute():
     import tempfile, os
     import pyarrow.parquet as pq
