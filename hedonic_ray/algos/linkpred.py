@@ -355,30 +355,47 @@ def deterministic_walks(g, *, stride: int = 101, steps: int = 5) -> pa.Table:
         if not len(walkers):
             break
         wv = cur[walkers]
-        w_ref = ray.put((walkers, wv, step))
+        # the md5 pick depends only on (current vertex, step) — hash
+        # the O(walkers) frontier ONCE on the driver and broadcast, so
+        # the block tasks are pure numpy
+        hashes = np.fromiter((md5_low64(f"{int(v)}-{step}") for v in wv),
+                             dtype=np.uint64, count=len(wv))
+        w_ref = ray.put((walkers, wv, hashes))
 
         def advance(batch: pa.Table) -> pa.Table:
-            widx, wvert, st = ray.get(w_ref)
+            widx, wvert, wh = ray.get(w_ref)
             outs_w, outs_next = [], []
             for bv in iter_block_views(batch):
                 sel = np.flatnonzero((wvert >= bv.lo) & (wvert < bv.hi))
                 if not len(sel):
                     continue
                 indptr = bv.indptr.astype(np.int64)
-                for s in sel:
-                    v = int(wvert[s])
-                    lo, hi = indptr[v - bv.lo], indptr[v - bv.lo + 1]
-                    deg = int(hi - lo)
-                    if deg == 0:
-                        continue
-                    # sort ONLY this walker's segment (O(deg log deg)
-                    # per walker, not O(E log E) per block per hop)
-                    seg = np.sort(bv.indices[lo:hi])
-                    pick = md5_low64(f"{v}-{st}") % deg
-                    outs_w.append(int(widx[s]))
-                    outs_next.append(int(seg[pick]))
-            return pa.table({"w": pa.array(outs_w, pa.int64()),
-                             "nxt": pa.array(outs_next, pa.int64())})
+                l = indptr[wvert[sel] - bv.lo]
+                r = indptr[wvert[sel] - bv.lo + 1]
+                deg = r - l
+                live = deg > 0
+                sel, l, deg = sel[live], l[live], deg[live]
+                if not len(sel):
+                    continue
+                # gather all walker segments, sort within segment with
+                # ONE lexsort, pick via the broadcast hashes — no
+                # per-walker Python
+                total = int(deg.sum())
+                starts = np.cumsum(deg) - deg
+                pos = np.arange(total, dtype=np.int64) - np.repeat(starts,
+                                                                   deg)
+                vals = bv.indices[np.repeat(l, deg) + pos]
+                seg_of = np.repeat(np.arange(len(sel)), deg)
+                order = np.lexsort((vals, seg_of))
+                picked = vals[order][starts + (wh[sel] % deg.astype(
+                    np.uint64)).astype(np.int64)]
+                outs_w.append(widx[sel].astype(np.int64))
+                outs_next.append(picked.astype(np.int64))
+            if not outs_w:
+                return pa.table({"w": pa.array([], pa.int64()),
+                                 "nxt": pa.array([], pa.int64())})
+            return pa.table({"w": pa.array(np.concatenate(outs_w)),
+                             "nxt": pa.array(np.concatenate(outs_next))})
 
         rows = g.blocks.map_batches(advance, batch_format="pyarrow",
                                     batch_size=4).take_all()
