@@ -63,6 +63,64 @@ def test_substring_dup_counts_matches_python_sets(texts):
 
 
 @settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_rank_grid_matches_brute_topk(data):
+    """_rank_grid (the composite-int64 one-argpartition top-k that
+    feeds knn_graph) must equal the per-row brute sort (score desc,
+    id asc, sentinel-masked cells dropped) for ANY grid shape, any
+    mask pattern, any k."""
+    from hedonic_ray.ops.similarity import _KNN_MASK, _rank_grid
+
+    n = data.draw(st.integers(1, 6))
+    w = data.draw(st.integers(1, 8))
+    k = data.draw(st.integers(1, 6))
+    srcs = np.array(data.draw(st.lists(st.integers(0, 2**31 - 1),
+                                       min_size=n, max_size=n,
+                                       unique=True)), np.int64)
+    cand = np.array([[data.draw(st.integers(0, 2**31 - 1))
+                      for _ in range(w)] for _ in range(n)], np.int64)
+    score = np.array([[data.draw(st.one_of(
+        st.just(int(_KNN_MASK)), st.integers(-1_000_000, 1_000_000)))
+        for _ in range(w)] for _ in range(n)], np.int64)
+
+    out = _rank_grid(srcs, cand, score, k)
+    got = list(zip(out.column("src").to_pylist(),
+                   out.column("rank").to_pylist(),
+                   out.column("nbr").to_pylist(),
+                   out.column("score_e6").to_pylist()))
+    exp = []
+    for i in range(n):
+        cells = sorted(((-score[i, j], cand[i, j]) for j in range(w)
+                        if score[i, j] > _KNN_MASK))
+        exp.extend((int(srcs[i]), r + 1, int(c), int(-s))
+                   for r, (s, c) in enumerate(cells[:k]))
+    exp.sort()
+    assert sorted(got) == exp
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=126),
+                        min_size=0, max_size=150),
+                min_size=1, max_size=12),
+       st.sampled_from([8, 16, 24, 32, 40, 48, 64]))
+def test_substring_hash_mode_equals_exact_any_L(texts, L):
+    """The 1-word hashed window exchange must agree with the exact
+    L/8-word path for ANY L (multiple of 8) on arbitrary ASCII corpora
+    — the multiplier derivation cannot depend on a fixed-size table."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.dedup import substring_dup_counts
+
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(min(3, len(texts)))
+    exact = substring_dup_counts(ds, L=L, mode="exact").take_all()
+    hashed = substring_dup_counts(ds, L=L, mode="hash").take_all()
+    assert exact == hashed
+
+
+@settings(max_examples=40, deadline=None)
 @given(st.lists(st.lists(st.integers(0, 30), min_size=0, max_size=12),
                 min_size=1, max_size=8),
        st.integers(0, 7), st.integers(1, 8))
