@@ -794,6 +794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_wordlen_hist": tx.wordlen_hist,
         "text_pack_plan": tx.pack_plan,
         "text_vocab_growth": tx.vocab_growth,
+        "text_decontaminate": tx.decontaminate,
+        "text_novelty": tx.ngram_novelty,
         "text_stratified_sample": tx.stratified_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
@@ -1364,6 +1366,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COALESCE(b.c, 0)) OVER (ORDER BY g.bk)
                         AS BIGINT) AS vocab
             FROM g LEFT JOIN b ON b.bk = g.bk ORDER BY n_docs
+        """,
+        "text_decontaminate": r"""
+            -- GPT-3-style test-set decontamination: training docs
+            -- sharing >= 1 word-8-gram with the bottom-25-md5
+            -- benchmark split; n_shared counts DISTINCT shared grams.
+            -- Grams via the list-slice idiom (1-based inclusive ends:
+            -- ws[i:i+7] is 8 words), verified == python w[i:i+8]
+            WITH bench AS (
+                SELECT doc_id FROM documents
+                ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT 25
+            ),
+            wl AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                FROM documents
+            ),
+            grams AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       array_to_string(
+                           ws[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)],
+                           ' ') AS s
+                FROM wl,
+                     unnest(range(1, CAST(len(ws) - 7 AS BIGINT) + 1))
+                         AS t(i)
+            ),
+            bg AS (SELECT DISTINCT s FROM grams
+                   WHERE doc_id IN (SELECT doc_id FROM bench)),
+            tr AS (SELECT doc_id, s FROM grams
+                   WHERE doc_id NOT IN (SELECT doc_id FROM bench))
+            SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM tr JOIN bg USING (s)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "text_novelty": r"""
+            -- n-gram novelty: distinct word-3-grams whose first
+            -- corpus occurrence (min doc_id) is this document
+            WITH wl AS MATERIALIZED (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                FROM documents
+            ),
+            grams AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       array_to_string(
+                           ws[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+                           ' ') AS s
+                FROM wl,
+                     unnest(range(1, CAST(len(ws) - 2 AS BIGINT) + 1))
+                         AS t(i)
+            ),
+            first AS (SELECT s, MIN(doc_id) AS doc_id FROM grams
+                      GROUP BY s)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+            FROM first GROUP BY 1 ORDER BY 1
         """,
         "text_pack_plan": r"""
             -- concat-and-chunk packing plan: global token offsets in

@@ -1124,6 +1124,132 @@ def ngram_containment_pairs(ds, n_docs: int, *, k: int = 3,
                                    score_col="cont_e9")
 
 
+# ------------------------------------------------ test-set decontamination
+
+
+def decontaminate_counts(ds, bench_ids, *, k: int = 8,
+                         method: str = "auto", num_partitions: int = 8,
+                         bench_broadcast_max: int = 100_000):
+    """TEST-SET DECONTAMINATION (the GPT-3 appendix-C / Llama-2 intake
+    step): for every TRAINING document, count the DISTINCT word-k-grams
+    it shares with a held-out BENCHMARK document set (``bench_ids``);
+    a nonzero count flags eval contamination.  Returns (doc_id,
+    n_shared) rows for contaminated training docs only — benchmark
+    docs are excluded, clean docs emit nothing (the report is the
+    contamination list, not a corpus scan).
+
+    ``method="broadcast"`` (auto while the benchmark has ≤
+    ``bench_broadcast_max`` documents — the normal case: an eval set
+    is tiny by definition): the benchmark gram set is gathered ONCE
+    into a frozenset, ``ray.put`` once, and every corpus batch counts
+    per-doc set intersections locally — zero exchanges beyond the
+    benchmark-side gather.
+    ``method="join"`` (auto above the cap; forced by
+    ``HEDONIC_RAY_FORCE_SCALE``): fully distributed — training gram
+    rows (distinct per doc, :func:`ngram_gram_rows`) inner-join the
+    DISTINCT benchmark gram rows on ``(gh, gram)`` (hash key for
+    shuffle economy, gram string for exactness), then one
+    ``groupby(doc_id)`` count.  No driver-held gram state: both sides
+    hash-partition on the join key, so a million-document benchmark
+    suite against a 100-TB corpus stays in the exchange."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from hedonic_ray.context import drop_empty_blocks, force_scale
+
+    bench_ids = np.sort(np.asarray(bench_ids, dtype=np.int64))
+    if method == "auto":
+        method = ("join" if force_scale()
+                  else "broadcast" if len(bench_ids) <= bench_broadcast_max
+                  else "join")
+    if method not in ("broadcast", "join"):
+        raise ValueError(f"unknown decontaminate_counts method {method!r}")
+
+    bench_ref = ray.put(bench_ids)
+
+    def side(t: pa.Table, want_bench: bool) -> pa.Table:
+        m = np.isin(t.column("doc_id").to_numpy(), ray.get(bench_ref))
+        return t.filter(pa.array(m if want_bench else ~m))
+
+    bench_grams = ngram_gram_rows(
+        ds.map_batches(lambda t: side(t, True), batch_format="pyarrow"), k)
+    train = ds.map_batches(lambda t: side(t, False), batch_format="pyarrow")
+
+    if method == "broadcast":
+        gset = frozenset(
+            r["gram"] for r in
+            bench_grams.select_columns(["gram"]).take_all())
+        gset_ref = ray.put(gset)
+
+        def count_shared(t: pa.Table) -> pa.Table:
+            bset = ray.get(gset_ref)
+            ids = t.column("doc_id").to_numpy()
+            texts = t.column("text").to_pylist()
+            out_i: list = []
+            out_n: list = []
+            for d, txt in zip(ids, texts):
+                n = len(_strict_shingles(txt, k) & bset)
+                if n:
+                    out_i.append(int(d))
+                    out_n.append(n)
+            return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                             "n_shared": pa.array(out_n, pa.int64())})
+
+        return train.map_batches(count_shared, batch_format="pyarrow")
+
+    # join path: distinct benchmark grams (CLAUDE.md distinct idiom),
+    # then gram-keyed semi-join + per-doc count
+    bg = (bench_grams.groupby(["gh", "gram"])
+          .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+    s_tg = pa.schema([("doc_id", pa.int64()), ("gram", pa.string()),
+                      ("gh", pa.int64())])
+    s_bg = pa.schema([("gh", pa.int64()), ("gram", pa.string())])
+    j = drop_empty_blocks(ngram_gram_rows(train, k), s_tg).join(
+        drop_empty_blocks(bg.select_columns(["gh", "gram"]), s_bg),
+        "inner", num_partitions, on=("gh", "gram"),
+        right_on=("gh", "gram"))
+    return j.groupby("doc_id").aggregate(Count(alias_name="n_shared"))
+
+
+def ngram_novelty_counts(ds, *, k: int = 3):
+    """N-GRAM NOVELTY per document: the number of distinct word-k-grams
+    whose FIRST corpus occurrence (minimum doc_id) is this document —
+    the marginal-novelty signal data-curriculum and crawl-refresh
+    pipelines score incoming documents with (a doc full of
+    already-seen passages adds nothing).  Corpus sum telescopes to the
+    corpus distinct-gram count (pytest invariant).
+
+    Shape: per-batch (gram, min doc) dict combiner → one
+    ``groupby(gram).Min`` exchange → ``groupby(first_doc).Count`` —
+    the vocab-growth exchange (``textstats.vocab_growth``) at passage
+    granularity; the driver never holds gram state."""
+    from ray.data.aggregate import Count, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        agg: dict = {}
+        for d, txt in zip(ids, texts):
+            d = int(d)
+            for g in _strict_shingles(txt, k):
+                prev = agg.get(g)
+                if prev is None or d < prev:
+                    agg[g] = d
+        return pa.table({"gram": pa.array(list(agg.keys()), pa.string()),
+                         "first_doc": pa.array(list(agg.values()),
+                                               pa.int64())})
+
+    firsts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("gram").aggregate(Min("first_doc",
+                                             alias_name="first_doc")))
+
+    def to_doc(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("first_doc")})
+
+    return (firsts.map_batches(to_doc, batch_format="pyarrow")
+            .groupby("doc_id").aggregate(Count(alias_name="n_novel")))
+
+
 # -------------------------------------------------- embedding-cosine near-dup
 
 

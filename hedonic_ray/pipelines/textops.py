@@ -744,6 +744,28 @@ def pack_plan(sf_dir: str, chunk_tokens: int = 512):
                         chunk_tokens=chunk_tokens).sort("doc_id")
 
 
+def decontaminate(sf_dir: str, k: int = 8, bench_k: int = 25):
+    """Contaminated-training-doc report against the deterministic
+    bottom-25-md5 benchmark split (the same split
+    ``text_bottomk_sample`` verifies): (doc_id, n_shared word-8-grams)
+    for every non-benchmark doc sharing at least one 8-gram with a
+    benchmark doc — the GPT-3/Llama-style eval-decontamination gate."""
+    from hedonic_ray.ops.sampling import bottomk_sample
+
+    bench = bottomk_sample(_docs(sf_dir, ["doc_id"]), id_col="doc_id",
+                           k=bench_k)
+    return dd.decontaminate_counts(
+        _docs(sf_dir, ["doc_id", "text"]),
+        bench.column("doc_id").to_numpy(), k=k).sort("doc_id")
+
+
+def ngram_novelty(sf_dir: str, k: int = 3):
+    """(doc_id, n_novel): distinct word-3-grams first introduced by
+    each document, in doc_id order."""
+    return dd.ngram_novelty_counts(
+        _docs(sf_dir, ["doc_id", "text"]), k=k).sort("doc_id")
+
+
 def vocab_growth(sf_dir: str, bucket: int = 1):
     """Heaps-law vocabulary growth curve on the doc_id order (the
     fixture vocabulary saturates within the first 9 docs, so the

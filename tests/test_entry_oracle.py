@@ -124,6 +124,7 @@ SQL_CHECKED = sorted([
     "text_wordlen_hist", "rel_ship_delay", "rel_order_sizes",
     "rel_outliers", "graph_walks", "text_pack_plan",
     "graph_modularity", "text_vocab_growth", "rel_benford",
+    "text_decontaminate", "text_novelty",
     "rel_ohlc", "rel_copurchase",
 ])
 
@@ -176,6 +177,8 @@ FORCED_SCALE = sorted([
                             # stage keep-lists (+ minhash scale path)
     "sim_knn_clusters",     # Dataset knn edges + distributed mutuality
                             # pair-count + distributed CC
+    "text_decontaminate",   # gram-keyed semi-join path (no driver
+                            # benchmark gram set)
 ])
 
 

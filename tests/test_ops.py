@@ -1288,3 +1288,51 @@ def test_fingerprint_overlap_cap_is_recall_only():
                                         cap=2).take_all()}
     assert capped and set(capped) <= set(exact)
     assert all(capped[p] <= exact[p] for p in capped)
+
+
+def test_decontaminate_counts_broadcast_vs_join_and_brute():
+    """Both paths must equal the brute-force per-doc set intersection,
+    and the planted contamination must be found (non-vacuity)."""
+    from hedonic_ray.ops.dedup import _strict_shingles, decontaminate_counts
+
+    base = _doc(7, 40)
+    # doc 0 is the "benchmark"; doc 2 shares a 20-word span with it
+    texts = [base, _doc(8, 40),
+             " ".join(base.split()[:20]) + " " + _doc(9, 20), _doc(10, 40)]
+    bench_ids = np.array([0], dtype=np.int64)
+    k = 8
+
+    bgrams = _strict_shingles(texts[0], k)
+    brute = {i: len(_strict_shingles(t, k) & bgrams)
+             for i, t in enumerate(texts) if i != 0}
+    brute = {i: n for i, n in brute.items() if n}
+    assert brute.get(2, 0) >= 13  # the planted 20-word span
+
+    for method in ("broadcast", "join"):
+        got = {r["doc_id"]: r["n_shared"] for r in
+               decontaminate_counts(_docs_ds(texts), bench_ids, k=k,
+                                    method=method).take_all()}
+        assert got == brute, method
+
+
+def test_ngram_novelty_telescopes_to_distinct_grams():
+    """sum(n_novel) == corpus distinct-gram count, and every doc's
+    novelty equals the brute expanding-scan delta."""
+    from hedonic_ray.ops.dedup import _strict_shingles, ngram_novelty_counts
+
+    texts = [_doc(20, 30), _doc(21, 30), _doc(20, 30), _doc(22, 5)]
+    k = 3
+    seen: set = set()
+    brute = {}
+    for i, t in enumerate(texts):
+        gs = _strict_shingles(t, k)
+        new = gs - seen
+        if new:
+            brute[i] = len(new)
+        seen |= gs
+
+    got = {r["doc_id"]: r["n_novel"] for r in
+           ngram_novelty_counts(_docs_ds(texts), k=k).take_all()}
+    assert got == brute
+    assert sum(got.values()) == len(seen)
+    assert 2 not in got  # doc 2 repeats doc 0 verbatim: zero novelty
