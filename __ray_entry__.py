@@ -796,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_growth": tx.vocab_growth,
         "text_decontaminate": tx.decontaminate,
         "text_novelty": tx.ngram_novelty,
+        "dedup_incremental": tx.incremental_dedup,
         "text_stratified_sample": tx.stratified_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
@@ -1398,6 +1399,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
             FROM tr JOIN bg USING (s)
             GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_incremental": r"""
+            -- crawl-refresh dedup: word-3-gram Jaccard >= 7/10 pairs
+            -- BETWEEN the existing corpus (src0-src9) and the new
+            -- snapshot (src10-src19); same integer arithmetic as
+            -- dedup_ngram, join restricted to cross-side pairs
+            WITH wl AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST(SUBSTR(source, 4) AS BIGINT) >= 10 AS is_new,
+                       regexp_extract_all(text, '\S+') AS ws
+                FROM documents
+            ),
+            grams AS MATERIALIZED (
+                SELECT DISTINCT doc_id, is_new,
+                       array_to_string(
+                           ws[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)],
+                           ' ') AS s
+                FROM wl,
+                     unnest(range(1, CAST(len(ws) - 2 AS BIGINT) + 1))
+                         AS t(i)
+            ),
+            sizes AS MATERIALIZED (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+            ),
+            inter AS (
+                SELECT o.doc_id AS a, n2.doc_id AS b, count(*) AS i
+                FROM grams o JOIN grams n2
+                  ON o.s = n2.s AND NOT o.is_new AND n2.is_new
+                GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST((i * 1000000000) // (sa.n + sb.n - i) AS BIGINT)
+                       AS jacc_e9
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE 10 * i >= 7 * (sa.n + sb.n - i)
+            ORDER BY a, b
         """,
         "text_novelty": r"""
             -- n-gram novelty: distinct word-3-grams whose first

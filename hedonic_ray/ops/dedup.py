@@ -1250,6 +1250,100 @@ def ngram_novelty_counts(ds, *, k: int = 3):
             .groupby("doc_id").aggregate(Count(alias_name="n_novel")))
 
 
+def _cross_group_pairs(group: dict, max_df) -> dict:
+    """Cross-side pairs per DISTINCT GRAM in a hash group: every
+    (old, new) combination, NO within-side pairs — the refresh-dedup
+    emitter (:func:`_gram_group_pairs` with the old×old and new×new
+    quadratic terms never generated)."""
+    ids_all = group["doc_id"].astype(np.int64)
+    side_all = group["side"].astype(np.int8)
+    out_a: list = []
+    out_b: list = []
+    if len(ids_all) >= 2:
+        _, inv = np.unique(group["gram"], return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.flatnonzero(np.diff(inv[order])) + 1
+        for seg_ids, seg_side in zip(np.split(ids_all[order], bounds),
+                                     np.split(side_all[order], bounds)):
+            if max_df is not None and len(seg_ids) > max_df:
+                continue
+            old = seg_ids[seg_side == 0]
+            new = seg_ids[seg_side == 1]
+            if len(old) == 0 or len(new) == 0:
+                continue
+            out_a.append(np.repeat(old, len(new)))
+            out_b.append(np.tile(new, len(old)))
+    if not out_a:
+        return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+    return {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+
+
+def incremental_jaccard_pairs(old_ds, new_ds, n_docs: int, *, k: int = 3,
+                              threshold_num: int = 7,
+                              threshold_den: int = 10,
+                              method: str = "auto",
+                              broadcast_max: int = 500_000,
+                              max_df: int | None = None):
+    """INCREMENTAL (crawl-refresh) near-dup detection: exact word-k-gram
+    Jaccard ≥ t pairs BETWEEN an existing corpus (``old_ds``) and a new
+    snapshot (``new_ds``) — (a=old doc, b=new doc, jacc_e9) rows; no
+    side is ever paired with itself.  Doc ids must be globally unique
+    across the two sides (two partitions of one id space — asserted by
+    the packing, not assumed).
+
+    Why its own operator instead of filtering a monolithic re-dedup:
+    at refresh scale the new snapshot is a sliver of the corpus, and
+    the posting-list pair emitter here does O(|old∩g|·|new∩g|) work
+    per gram instead of C(|g|, 2) — the old×old quadratic term, which
+    DOMINATES a monolithic run (old ≫ new), is never generated, not
+    merely filtered out.  Exchanges, pair packing and integer
+    arithmetic are shared with :func:`ngram_jaccard_pairs`, so the
+    result equals the cross-side subset of the monolithic pair set
+    (unit-tested)."""
+    from hedonic_ray.context import force_scale
+
+    if method == "auto":
+        method = ("join" if force_scale()
+                  else "broadcast" if n_docs <= broadcast_max else "join")
+    if method not in ("broadcast", "join"):
+        raise ValueError(
+            f"unknown incremental_jaccard_pairs method {method!r}")
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, np.int8)))
+
+        return f
+
+    grams = (ngram_gram_rows(old_ds, k)
+             .map_batches(tag(0), batch_format="pyarrow")
+             .union(ngram_gram_rows(new_ds, k)
+                    .map_batches(tag(1), batch_format="pyarrow")))
+    sizes = ngram_sizes(old_ds, k).union(ngram_sizes(new_ds, k))
+
+    pairs = grams.groupby("gh").map_groups(
+        lambda g: _cross_group_pairs(g, max_df), batch_format="numpy")
+    counts = _packed_pair_counts(pairs)
+
+    tnum, tden = int(threshold_num), int(threshold_den)
+
+    def finish(t: pa.Table, na: np.ndarray, nb: np.ndarray) -> pa.Table:
+        i = t.column("i").to_numpy().astype(np.int64)
+        denom = na + nb - i
+        keep = tden * i >= tnum * denom
+        jacc = np.zeros(len(i), dtype=np.int64)
+        np.floor_divide(i * np.int64(1_000_000_000), denom, out=jacc,
+                        where=denom > 0)
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({"a": t.column("a").take(idx),
+                         "b": t.column("b").take(idx),
+                         "jacc_e9": pa.array(jacc[keep])})
+
+    return _attach_sizes_and_score(counts, sizes, n_docs, method, finish,
+                                   score_col="jacc_e9")
+
+
 # -------------------------------------------------- embedding-cosine near-dup
 
 

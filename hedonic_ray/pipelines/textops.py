@@ -759,6 +759,32 @@ def decontaminate(sf_dir: str, k: int = 8, bench_k: int = 25):
         bench.column("doc_id").to_numpy(), k=k).sort("doc_id")
 
 
+def incremental_dedup(sf_dir: str, k: int = 3):
+    """Crawl-refresh near-dup report: sources src0–src9 are the
+    EXISTING corpus, src10–src19 the NEW snapshot (the fixture's
+    source = src{doc_id % 20}); (a=old doc, b=new doc, jacc_e9) at
+    word-3-gram Jaccard ≥ 0.7, the cross-side-only inverted index."""
+    import pyarrow.compute as pc
+
+    def side_filter(want_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            sfx = pc.cast(pc.utf8_slice_codeunits(
+                t.column("source"), 3, 99), pa.int64())
+            m = pc.greater_equal(sfx, pa.scalar(10, pa.int64()))
+            return t.filter(m if want_new else pc.invert(m)).select(
+                ["doc_id", "text"])
+
+        return f
+
+    cols = ["doc_id", "text", "source"]
+    old = _docs(sf_dir, cols).map_batches(side_filter(False),
+                                          batch_format="pyarrow")
+    new = _docs(sf_dir, cols).map_batches(side_filter(True),
+                                          batch_format="pyarrow")
+    return dd.incremental_jaccard_pairs(old, new, _n_docs(sf_dir),
+                                        k=k).sort(["a", "b"])
+
+
 def ngram_novelty(sf_dir: str, k: int = 3):
     """(doc_id, n_novel): distinct word-3-grams first introduced by
     each document, in doc_id order."""

@@ -124,7 +124,7 @@ SQL_CHECKED = sorted([
     "text_wordlen_hist", "rel_ship_delay", "rel_order_sizes",
     "rel_outliers", "graph_walks", "text_pack_plan",
     "graph_modularity", "text_vocab_growth", "rel_benford",
-    "text_decontaminate", "text_novelty",
+    "text_decontaminate", "text_novelty", "dedup_incremental",
     "rel_ohlc", "rel_copurchase",
 ])
 
@@ -179,6 +179,8 @@ FORCED_SCALE = sorted([
                             # pair-count + distributed CC
     "text_decontaminate",   # gram-keyed semi-join path (no driver
                             # benchmark gram set)
+    "dedup_incremental",    # cross-side inverted index through the
+                            # size-attach join path
 ])
 
 

@@ -1336,3 +1336,38 @@ def test_ngram_novelty_telescopes_to_distinct_grams():
     assert got == brute
     assert sum(got.values()) == len(seen)
     assert 2 not in got  # doc 2 repeats doc 0 verbatim: zero novelty
+
+
+def test_incremental_jaccard_equals_monolithic_cross_subset():
+    """The cross-side-only emitter must reproduce exactly the
+    cross-side subset of the monolithic pair set, in both attach
+    paths — and never emit a within-side pair."""
+    from hedonic_ray.ops.dedup import (incremental_jaccard_pairs,
+                                       ngram_jaccard_pairs)
+
+    base = _doc(30, 40).split()
+    texts = [" ".join(base),                      # 0 old
+             _doc(31, 40),                        # 1 old
+             " ".join(base[:36]) + " extra word here too",  # 2 old: near-dup of 0
+             " ".join(base[2:]) + " pad",         # 3 new: near-dup of 0+2
+             _doc(32, 40),                        # 4 new
+             " ".join(base)]                      # 5 new: exact text of 0
+    ds = _docs_ds(texts)
+    old_ids, new_ids = {0, 1, 2}, {3, 4, 5}
+
+    mono = {(r["a"], r["b"]): r["jacc_e9"] for r in
+            ngram_jaccard_pairs(ds, len(texts), threshold_num=5,
+                                threshold_den=10).take_all()}
+    want = {p: j for p, j in mono.items()
+            if (p[0] in old_ids) != (p[1] in old_ids)}
+    assert want  # planted cross pairs exist
+
+    old = ds.filter(expr="doc_id <= 2")
+    new = ds.filter(expr="doc_id >= 3")
+    for method in ("broadcast", "join"):
+        got = {(r["a"], r["b"]): r["jacc_e9"] for r in
+               incremental_jaccard_pairs(old, new, len(texts),
+                                         threshold_num=5, threshold_den=10,
+                                         method=method).take_all()}
+        assert got == want, method
+        assert all(a in old_ids and b in new_ids for a, b in got)
