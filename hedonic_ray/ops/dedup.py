@@ -935,10 +935,26 @@ def _packed_pair_counts(pairs_ds):
     return merged.map_batches(unpack, batch_format="pyarrow")
 
 
+def ngram_pair_stage(ds, *, k: int = 3, max_df: int | None = None):
+    """(counts, sizes) — the full-inverted-index pair stage SHARED by
+    the Jaccard and containment scorers (explode → gram groupby →
+    packed pair counts; per-doc gram-set sizes from a second
+    shuffle-free scan).  Exposed so a caller running BOTH scorers over
+    one corpus (the gate does; a real intake often does too) can
+    materialize the stage once — the scorers differ only in their
+    integer threshold/denominator, applied after this stage."""
+    grams = ngram_gram_rows(ds, k)
+    sizes = ngram_sizes(ds, k)
+    pairs = grams.groupby("gh").map_groups(
+        lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
+    return _packed_pair_counts(pairs), sizes
+
+
 def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
                         threshold_num: int = 7, threshold_den: int = 10,
                         method: str = "auto", broadcast_max: int = 500_000,
-                        max_df: int | None = None, index: str = "auto"):
+                        max_df: int | None = None, index: str = "auto",
+                        precomputed=None):
     """EXACT word-k-gram Jaccard near-dup pairs via a distributed
     inverted index — no signatures, no candidate recall gap.  This is
     the dedup family's third blocking strategy (exact hash, LSH
@@ -981,6 +997,11 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
     drives the 100 TB shape against the same SQL.  A/B-equality with
     the full index is additionally unit-tested through both verify
     paths.
+
+    ``precomputed``: a (counts, sizes) pair from
+    :func:`ngram_pair_stage`, used by the full-index branch instead of
+    rebuilding the stage (the prefix branch ignores it) — for callers
+    running several scorers over one corpus.
     """
     from hedonic_ray.context import force_scale
 
@@ -1007,12 +1028,7 @@ def ngram_jaccard_pairs(ds, n_docs: int, *, k: int = 3,
             cand, ds, k=k, threshold_num=threshold_num,
             threshold_den=threshold_den, method=method)
 
-    grams = ngram_gram_rows(ds, k)
-    sizes = ngram_sizes(ds, k)
-
-    pairs = grams.groupby("gh").map_groups(
-        lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
-    counts = _packed_pair_counts(pairs)
+    counts, sizes = precomputed or ngram_pair_stage(ds, k=k, max_df=max_df)
 
     tnum, tden = int(threshold_num), int(threshold_den)
 
@@ -1079,7 +1095,8 @@ def ngram_containment_pairs(ds, n_docs: int, *, k: int = 3,
                             threshold_num: int = 8, threshold_den: int = 10,
                             method: str = "auto",
                             broadcast_max: int = 500_000,
-                            max_df: int | None = None):
+                            max_df: int | None = None,
+                            precomputed=None):
     """EXACT word-k-gram CONTAINMENT near-dup pairs: report (a < b)
     whenever ``|A ∩ B| ≥ t · min(|A|, |B|)`` — the asymmetric
     complement of :func:`ngram_jaccard_pairs` that catches a short
@@ -1091,7 +1108,9 @@ def ngram_containment_pairs(ds, n_docs: int, *, k: int = 3,
     variant (explode → gram groupby → packed pair counts → size attach
     → threshold); the reported score is
     ``cont_e9 = i·10⁹ // min(|A|, |B|)``.  ``max_df`` is the same
-    documented under-approximation knob and defaults to None/exact."""
+    documented under-approximation knob and defaults to None/exact;
+    ``precomputed`` takes an (counts, sizes) pair from
+    :func:`ngram_pair_stage` shared with the Jaccard scorer."""
     if method == "auto":
         from hedonic_ray.context import force_scale
 
@@ -1100,11 +1119,7 @@ def ngram_containment_pairs(ds, n_docs: int, *, k: int = 3,
     if method not in ("broadcast", "join"):
         raise ValueError(f"unknown ngram_containment_pairs method {method!r}")
 
-    grams = ngram_gram_rows(ds, k)
-    sizes = ngram_sizes(ds, k)
-    pairs = grams.groupby("gh").map_groups(
-        lambda g: _gram_group_pairs(g, max_df), batch_format="numpy")
-    counts = _packed_pair_counts(pairs)
+    counts, sizes = precomputed or ngram_pair_stage(ds, k=k, max_df=max_df)
 
     tnum, tden = int(threshold_num), int(threshold_den)
 

@@ -182,12 +182,30 @@ def minhash_components(sf_dir: str) -> pa.Table:
                      "dup_group": pa.array(comp, pa.int64())})
 
 
+def _ngram_stage(sf_dir: str):
+    """Materialized (counts, sizes) full-index pair stage, shared by
+    :func:`ngram_dup_pairs` and :func:`ngram_containment_pairs` (the
+    scorers differ only in the integer threshold applied after it).
+    Under force-scale the Jaccard query takes the prefix path and
+    ignores this; the containment query still shares it."""
+    def build():
+        counts, sizes = dd.ngram_pair_stage(
+            _docs(sf_dir, ["doc_id", "text"]))
+        return counts.materialize(), sizes.materialize()
+
+    return _tx_cached(("ngram_stage", sf_dir), build)
+
+
 def ngram_dup_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard ≥ 0.7 near-dup pairs over the FULL
     corpus via the distributed inverted index (posting-list self-join —
     no LSH recall gap); integer-exact against the SQL oracle."""
+    from hedonic_ray.context import force_scale
+
+    pre = None if force_scale() else _ngram_stage(sf_dir)
     return dd.ngram_jaccard_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), _n_docs(sf_dir)).sort(["a", "b"])
+        _docs(sf_dir, ["doc_id", "text"]), _n_docs(sf_dir),
+        precomputed=pre).sort(["a", "b"])
 
 
 def _simhash_pairs_ds(sf_dir: str):
@@ -342,7 +360,8 @@ def ngram_containment_pairs(sf_dir: str):
     """Exact word-3-gram containment ≥ 0.8 pairs (short-doc-inside-
     long-doc near-dups Jaccard misses)."""
     return dd.ngram_containment_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), _n_docs(sf_dir)).sort(["a", "b"])
+        _docs(sf_dir, ["doc_id", "text"]), _n_docs(sf_dir),
+        precomputed=_ngram_stage(sf_dir)).sort(["a", "b"])
 
 
 def range_similarity(sf_dir: str, threshold_e6: int = 300_000):
