@@ -797,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": tx.decontaminate,
         "text_novelty": tx.ngram_novelty,
         "dedup_incremental": tx.incremental_dedup,
+        "text_heavy_hitters": tx.heavy_hitters,
         "text_stratified_sample": tx.stratified_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
@@ -1399,6 +1400,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
             FROM tr JOIN bg USING (s)
             GROUP BY 1 ORDER BY 1
+        """,
+        "text_heavy_hitters": r"""
+            -- exact top-10 terms: valid for the Misra-Gries two-pass
+            -- operator because the k-th reported exact count clears
+            -- the survival bar N/(k_track+1) (runtime-asserted on the
+            -- Ray side — flatter corpora raise instead of mismatching)
+            WITH t AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS tf
+            FROM t GROUP BY term
+            ORDER BY tf DESC, term ASC
+            LIMIT 10
         """,
         "dedup_incremental": r"""
             -- crawl-refresh dedup: word-3-gram Jaccard >= 7/10 pairs

@@ -230,3 +230,125 @@ def hll_estimate(partials_ds, *, p: int = 12, key_col: str | None = None):
         kc = next(f.name for f in partials_ds.schema().base_schema
                   if f.name != "reg")
     return partials_ds.groupby(kc).map_groups(final, batch_format="numpy")
+
+
+# ------------------------------------------------------- heavy hitters (MG)
+
+
+def _mg_reduce(values: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce a (value, count) multiset to a MISRA-GRIES summary of at
+    most ``k`` counters: aggregate duplicate values, subtract the
+    (k+1)-th largest aggregated count from every counter, drop the
+    non-positive ones (Misra & Gries 1982; the merge rule of Agarwal
+    et al. 2013 "Mergeable Summaries").  Each surviving counter
+    UNDERCOUNTS its value's true frequency by at most the sum of the
+    subtracted offsets — and any value whose true frequency exceeds
+    that bound (≤ N/(k+1) after any merge sequence) is guaranteed to
+    survive."""
+    u, inv = np.unique(values, return_inverse=True)
+    c = np.zeros(len(u), dtype=np.int64)
+    np.add.at(c, inv, counts)
+    if len(u) <= k:
+        return u, c
+    kth = np.partition(c, len(c) - k - 1)[len(c) - k - 1]
+    keep = c > kth
+    return u[keep], c[keep] - kth
+
+
+def heavy_hitter_terms(ds, *, col: str = "text", k_track: int = 64,
+                       k_report: int = 10):
+    """TOP-``k_report`` TERMS via the two-pass MISRA-GRIES pipeline —
+    the streaming heavy-hitters shape that never shuffles the token
+    stream, unlike the exact wordcount (``term_total_frequency``'s
+    groupby moves every distinct term):
+
+      pass 1  per-batch MG summaries of ``k_track`` counters (a
+              combiner — O(k) rows per batch leave the workers), ONE
+              driver merge of O(#batches · k_track) counter rows into
+              a global MG summary (one-shot aggregation + reduction is
+              a valid merge by associativity; errors only shrink);
+      pass 2  the ≤ k_track surviving candidates broadcast (sorted
+              array via ``ray.put``), per-batch EXACT occurrence
+              partials (searchsorted membership, no exchange), driver
+              sum of O(#batches · k_track) partial rows.
+
+    The report is the top ``k_report`` candidates by (exact count
+    desc, term asc).  Exactness is decided at runtime, never assumed:
+    if NO reduction ever dropped a counter (per-batch dropped flags +
+    the driver merge), the candidates are the complete vocabulary and
+    the report is exact unconditionally; otherwise every term with
+    true frequency > N/(k_track+1) survived pass 1 by the MG
+    guarantee, so the report equals the TRUE top-k iff it is full
+    length and its k-th exact count clears that bar — ASSERTED (same
+    loud-failure convention as ``sim_ivf_topk``): on a flatter
+    distribution the operator raises instead of silently reporting a
+    near-miss set, and the SQL oracle (plain exact top-k) stays valid
+    by construction.
+    """
+    import ray
+
+    from hedonic_ray.ops.textstats import _flat_words
+
+    # per-batch sentinel row (term "", impossible for a real token:
+    # empties are filtered) carries the batch token count and whether
+    # the batch-level reduce dropped counters — so a batch whose MG
+    # summary is EMPTY (ultra-flat data) still reports its size.
+    def pass1(batch: pa.Table) -> pa.Table:
+        flat, _lens, _doc_of = _flat_words(batch, col)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        u, c = _mg_reduce(w, np.ones(len(w), dtype=np.int64), k_track)
+        dropped = int(len(np.unique(w)) > len(u))
+        return pa.table({
+            "term": pa.array(list(u.astype(object)) + [""], pa.string()),
+            "c": pa.array(np.concatenate([c, [0]]), pa.int64()),
+            "n": pa.array(np.concatenate(
+                [np.zeros(len(u), np.int64), [np.int64(len(w))]])),
+            "d": pa.array(np.concatenate(
+                [np.zeros(len(u), np.int64), [np.int64(dropped)]]))})
+
+    parts = ds.map_batches(pass1, batch_format="pyarrow").take_all()
+    data = [r for r in parts if r["term"] != ""]
+    n_total = sum(int(r["n"]) for r in parts)
+    any_dropped = any(int(r["d"]) for r in parts)
+    if not data:
+        if n_total > 0:
+            raise AssertionError(
+                "heavy_hitter_terms: every counter was dropped (no term "
+                f"reaches the MG bar N/(k_track+1) = {n_total}/"
+                f"{k_track + 1}) — raise k_track")
+        return pa.table({"term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    terms = np.array([r["term"] for r in data], dtype=str)
+    counts = np.array([r["c"] for r in data], dtype=np.int64)
+    any_dropped = any_dropped or len(np.unique(terms)) > k_track
+    cand, _ = _mg_reduce(terms, counts, k_track)
+    cand_sorted = np.sort(cand)
+    cand_ref = ray.put(cand_sorted)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        flat, _lens, _doc_of = _flat_words(batch, col)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        pos = np.searchsorted(cs, w)
+        pos[pos == len(cs)] = 0
+        hit = cs[pos] == w
+        cnt = np.bincount(pos[hit], minlength=len(cs)).astype(np.int64)
+        return pa.table({"i": pa.array(np.arange(len(cs), dtype=np.int64)),
+                         "c": pa.array(cnt)})
+
+    exact = np.zeros(len(cand_sorted), dtype=np.int64)
+    for r in ds.map_batches(pass2, batch_format="pyarrow").take_all():
+        exact[int(r["i"])] += int(r["c"])
+
+    order = np.lexsort((cand_sorted, -exact))[:k_report]
+    tf = exact[order]
+    if any_dropped and (len(tf) < k_report or
+                        tf[-1] * (k_track + 1) <= n_total):
+        raise AssertionError(
+            "heavy_hitter_terms: counters were dropped and the k-th "
+            "reported count does not clear the MG guarantee bar "
+            f"N/(k_track+1) = {n_total}/{k_track + 1} — the report may "
+            "miss true heavy hitters; raise k_track")
+    return pa.table({"term": pa.array(cand_sorted[order].astype(object),
+                                      pa.string()),
+                     "tf": pa.array(tf, pa.int64())})

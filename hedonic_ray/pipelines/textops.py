@@ -778,6 +778,17 @@ def decontaminate(sf_dir: str, k: int = 8, bench_k: int = 25):
         bench.column("doc_id").to_numpy(), k=k).sort("doc_id")
 
 
+def heavy_hitters(sf_dir: str, k_track: int = 64, k_report: int = 10):
+    """Top-10 corpus terms via the two-pass Misra-Gries sketch
+    (streaming heavy hitters: only O(batches·k_track) counter rows
+    leave the workers, never the token stream); equals the exact
+    top-10 by the MG survival guarantee, runtime-asserted."""
+    from hedonic_ray.ops.sketch import heavy_hitter_terms
+
+    return heavy_hitter_terms(_docs(sf_dir, ["doc_id", "text"]),
+                              k_track=k_track, k_report=k_report)
+
+
 def incremental_dedup(sf_dir: str, k: int = 3):
     """Crawl-refresh near-dup report: sources src0–src9 are the
     EXISTING corpus, src10–src19 the NEW snapshot (the fixture's

@@ -1371,3 +1371,36 @@ def test_incremental_jaccard_equals_monolithic_cross_subset():
                                          method=method).take_all()}
         assert got == want, method
         assert all(a in old_ids and b in new_ids for a, b in got)
+
+
+def test_heavy_hitters_mg_guarantee_and_exactness():
+    """The two-pass MG report equals the exact top-k on a Zipf-ish
+    corpus, survives tiny k_track, and the guarantee assertion fires
+    on a flat corpus where the bar is not cleared."""
+    from hedonic_ray.ops.sketch import heavy_hitter_terms
+
+    # skewed corpus: 'hot' terms dominate
+    texts = []
+    for i in range(40):
+        texts.append(("alpha " * 20 + "beta " * 10 + "gamma " * 8
+                      + f"rare{i} " * 2 + _doc(100 + i, 10)).strip())
+    ds = _docs_ds(texts)
+    got = heavy_hitter_terms(ds, k_track=16, k_report=3)
+    # exact oracle
+    from collections import Counter
+    c = Counter(w for t in texts for w in t.split())
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(got.column("term").to_pylist(),
+                    got.column("tf").to_pylist())) == exp
+
+    # flat corpus: every term unique -> bar not cleared -> loud failure
+    flat = _docs_ds([" ".join(f"u{i}w{j}" for j in range(30))
+                     for i in range(20)])
+    with pytest.raises(AssertionError, match="k_track"):
+        heavy_hitter_terms(flat, k_track=8, k_report=3)
+
+    # tiny vocab, no reduction anywhere: exact even without the bar
+    small = _docs_ds(["x y", "x z", "x y"])
+    got2 = heavy_hitter_terms(small, k_track=8, k_report=2)
+    assert list(zip(got2.column("term").to_pylist(),
+                    got2.column("tf").to_pylist())) == [("x", 3), ("y", 2)]
