@@ -257,6 +257,42 @@ FROM documents doc LEFT JOIN d{rounds} fin ON fin.v = doc.doc_id""")
     return "".join(parts)
 
 
+def _harmonic_chain_sql(seeds=(0, 1, 2), rounds: int = 6) -> str:
+    """Radius-``rounds`` harmonic centrality of each seed as EXACT
+    integers: h_num = Σ_{v reached, 0 < d(v) ≤ rounds} h_den // d(v)
+    with h_den = lcm(1..rounds), so every division is exact.  One
+    unrolled single-source BFS chain per seed (the `_bfs_chain_sql`
+    idiom with a prefixed CTE namespace), UNION ALL at the end."""
+    from math import lcm
+
+    den = lcm(*range(1, rounds + 1))
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE}"""]
+    for s in seeds:
+        p = f"s{s}"
+        parts.append(f""",
+{p}_d0 AS MATERIALIZED (SELECT CAST({s} AS BIGINT) AS v,
+      CAST(0 AS BIGINT) AS dist),
+{p}_f0 AS (SELECT v FROM {p}_d0)""")
+        for i in range(rounds):
+            parts.append(f""",
+{p}_n{i} AS MATERIALIZED (
+    SELECT DISTINCT arcs.src AS v FROM arcs
+    JOIN {p}_f{i} fr ON fr.v = arcs.dst
+    WHERE NOT EXISTS (SELECT 1 FROM {p}_d{i} vis WHERE vis.v = arcs.src)),
+{p}_d{i + 1} AS MATERIALIZED (SELECT * FROM {p}_d{i}
+    UNION ALL SELECT v, CAST({i + 1} AS BIGINT) FROM {p}_n{i}),
+{p}_f{i + 1} AS (SELECT v FROM {p}_n{i})""")
+    sel = [f"""
+SELECT CAST({s} AS BIGINT) AS seed,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(COALESCE(SUM({den} // dist), 0) AS BIGINT) AS h_num,
+       CAST({den} AS BIGINT) AS h_den
+FROM s{s}_d{rounds} WHERE dist > 0""" for s in seeds]
+    parts.append(" UNION ALL ".join(sel) + " ORDER BY seed")
+    return "".join(parts)
+
+
 def _hits_chain_sql(iters: int = 2) -> str:
     """Fixed-iteration unnormalized HITS as unrolled CTEs (h0 → h{k}):
     auth_k = Σ_{u→v} hub_{k-1}(u), hub_k = Σ_{u→v} auth_k(v) — exact
@@ -702,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_global_clustering": lg.doc_global_clustering,
         "graph_kcore": lg.doc_kcore_table,
         "graph_bfs_dist": lg.doc_bfs_table,
+        "graph_harmonic": lg.doc_harmonic,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -1925,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
+        "graph_harmonic": _harmonic_chain_sql(seeds=(0, 1, 2), rounds=6),
         "graph_reciprocity": """
             -- nav click-graph: arcs between consecutive per-user events
             -- (ts, event_id order), per-node reciprocity exact-integer

@@ -289,6 +289,37 @@ def doc_bfs_table(sf_dir: str, *, rounds: int = 6, stride: int = 101) -> pa.Tabl
                      "dist": pa.array(dist, pa.int64())})
 
 
+def doc_harmonic(sf_dir: str, *, seeds=(0, 1, 2),
+                 rounds: int = 6) -> pa.Table:
+    """RADIUS-CAPPED HARMONIC CENTRALITY of deterministic seed
+    vertices, as exact integers: h = Σ_{0 < d(v) ≤ rounds} 1/d(v) is
+    reported as the exact rational (h_num, h_den) with
+    h_den = lcm(1..rounds), so every per-vertex term h_den // d(v)
+    divides exactly — no float, no tie risk (the same all-integer
+    posture as the hedonic certificate).  One BFS per seed over the
+    shared CSR blocks (`algos/bfs.py`); the truncation at ``rounds``
+    is the standard radius-R harmonic variant and exactly what the
+    SQL oracle unrolls."""
+    from math import lcm
+
+    from hedonic_ray.algos.bfs import bfs_distances
+
+    g = doc_graph(sf_dir, directed=False)
+    den = lcm(*range(1, rounds + 1))
+    out_s, out_n, out_h = [], [], []
+    for s in seeds:
+        dist = bfs_distances(g, np.array([s], dtype=np.int64),
+                             rounds=rounds)
+        reach = dist > 0
+        out_s.append(int(s))
+        out_n.append(int(reach.sum()))
+        out_h.append(int((den // dist[reach]).sum()))
+    return pa.table({"seed": pa.array(out_s, pa.int64()),
+                     "n_reached": pa.array(out_n, pa.int64()),
+                     "h_num": pa.array(out_h, pa.int64()),
+                     "h_den": pa.array([den] * len(seeds), pa.int64())})
+
+
 def doc_hits_table(sf_dir: str, *, iters: int = 2) -> pa.Table:
     """HITS hub/authority scores of the DIRECTED doc-link graph after
     ``iters`` full iterations in exact unnormalized int64 arithmetic

@@ -125,7 +125,7 @@ SQL_CHECKED = sorted([
     "rel_outliers", "graph_walks", "text_pack_plan",
     "graph_modularity", "text_vocab_growth", "rel_benford",
     "text_decontaminate", "text_novelty", "dedup_incremental",
-    "text_heavy_hitters",
+    "text_heavy_hitters", "graph_harmonic",
     "rel_ohlc", "rel_copurchase",
 ])
 
