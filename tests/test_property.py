@@ -144,3 +144,67 @@ def test_ordered_pairs_triangular_decode(segments, lo, width):
     exp = sorted((v, x, y) for v in range(lo_u, hi_u)
                  for x, y in combinations(segs[v], 2))
     assert got == exp
+
+
+@given(st.lists(st.integers(0, 30), min_size=0, max_size=300),
+       st.integers(1, 12))
+@settings(max_examples=200, deadline=None)
+def test_mg_reduce_guarantees(values, k):
+    """The Misra-Gries reduce must (a) keep at most k counters,
+    (b) never OVERcount, (c) undercount by at most N/(k+1) per item,
+    and (d) retain every item whose true count exceeds N/(k+1) —
+    for any input multiset and any k."""
+    from collections import Counter
+
+    from hedonic_ray.ops.sketch import _mg_reduce
+
+    v = np.array(values, dtype=np.int64)
+    u, c = _mg_reduce(v.astype(str), np.ones(len(v), np.int64), k)
+    true = Counter(v.astype(str).tolist())
+    n = len(v)
+    kept = dict(zip(u.tolist(), c.tolist()))
+    assert len(kept) <= k
+    bar = n / (k + 1)
+    for item, cnt in kept.items():
+        assert cnt <= true[item]                      # never overcount
+        assert true[item] - cnt <= bar                # bounded undercount
+    for item, tc in true.items():
+        if tc > bar:
+            assert item in kept                       # heavy items survive
+
+
+@given(st.lists(st.lists(st.integers(0, 15), min_size=0, max_size=60),
+                min_size=1, max_size=6),
+       st.integers(1, 8))
+@settings(max_examples=100, deadline=None)
+def test_mg_reduce_merge_associativity_bounds(batches, k):
+    """One-shot reduction of per-batch MG summaries (the driver merge)
+    keeps the same guarantees as a direct reduce of the raw stream —
+    the mergeable-summaries property the two-pass operator rests on."""
+    from collections import Counter
+
+    from hedonic_ray.ops.sketch import _mg_reduce
+
+    parts_u, parts_c = [], []
+    n = 0
+    for b in batches:
+        v = np.array(b, dtype=np.int64).astype(str)
+        n += len(b)
+        u, c = _mg_reduce(v, np.ones(len(v), np.int64), k)
+        parts_u.append(u)
+        parts_c.append(c)
+    allu = np.concatenate([p for p in parts_u if len(p)]) if any(
+        len(p) for p in parts_u) else np.array([], dtype=str)
+    allc = np.concatenate([p for p in parts_c if len(p)]) if any(
+        len(p) for p in parts_c) else np.array([], np.int64)
+    u, c = _mg_reduce(allu, allc, k)
+    true = Counter(x for b in batches for x in
+                   np.array(b, dtype=np.int64).astype(str).tolist())
+    kept = dict(zip(u.tolist(), c.tolist()))
+    assert len(kept) <= k
+    bar = n / (k + 1)
+    for item, cnt in kept.items():
+        assert cnt <= true[item]
+    for item, tc in true.items():
+        if tc > 2 * bar:   # merged error ≤ batch bar + merge bar
+            assert item in kept
