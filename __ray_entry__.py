@@ -293,6 +293,69 @@ FROM s{s}_d{rounds} WHERE dist > 0""" for s in seeds]
     return "".join(parts)
 
 
+def _katz_chain_sql(iters: int = 4, beta_inv: int = 4) -> str:
+    """Radius-``iters`` Katz centrality as exact integers: one walk-
+    count CTE per length (w_k(v) = Σ_{u→v} w_{k-1}(u), w_0 ≡ 1), then
+    katz_num = Σ_k beta_inv^(K−k)·w_k over katz_den = beta_inv^K —
+    mirrors algos/katz.py pass for pass (the HITS push chain with
+    integer attenuation weights)."""
+    parts = [f"""WITH {_LINKS_CTE},
+w0 AS (SELECT doc_id AS v, CAST(1 AS BIGINT) AS s FROM documents)"""]
+    for i in range(iters):
+        parts.append(f""",
+w{i + 1} AS (SELECT e.dst AS v, sum(w.s) AS s
+             FROM e JOIN w{i} w ON w.v = e.src GROUP BY e.dst)""")
+    terms = " + ".join(f"{beta_inv ** (iters - k)} * COALESCE(w{k}.s, 0)"
+                       for k in range(1, iters + 1))
+    joins = "".join(f"\nLEFT JOIN w{k} ON w{k}.v = d.doc_id"
+                    for k in range(1, iters + 1))
+    parts.append(f"""
+SELECT d.doc_id AS vertex,
+       CAST({terms} AS BIGINT) AS katz_num,
+       CAST({beta_inv ** iters} AS BIGINT) AS katz_den
+FROM documents d{joins}""")
+    return "".join(parts)
+
+
+def _diameter_chain_sql(rounds: int = 6) -> str:
+    """Double-sweep BFS diameter lower bound (radius-capped): the
+    `_bfs_chain_sql` idiom twice, the second sweep seeded by the first
+    sweep's farthest vertex (max dist, tie → lowest id) — mirrors
+    pipelines/linkgraph.py:doc_diameter sweep for sweep."""
+    def chain(p: str, seed_cte: str) -> str:
+        s = [f""",
+{p}_d0 AS MATERIALIZED ({seed_cte}),
+{p}_f0 AS (SELECT v FROM {p}_d0)"""]
+        for i in range(rounds):
+            s.append(f""",
+{p}_n{i} AS MATERIALIZED (
+    SELECT DISTINCT arcs.src AS v FROM arcs
+    JOIN {p}_f{i} fr ON fr.v = arcs.dst
+    WHERE NOT EXISTS (SELECT 1 FROM {p}_d{i} vis WHERE vis.v = arcs.src)),
+{p}_d{i + 1} AS MATERIALIZED (SELECT * FROM {p}_d{i}
+    UNION ALL SELECT v, CAST({i + 1} AS BIGINT) FROM {p}_n{i}),
+{p}_f{i + 1} AS (SELECT v FROM {p}_n{i})""")
+        return "".join(s)
+
+    q = f"""WITH {_LINKS_CTE},
+{_ARCS_CTE}"""
+    q += chain("p1", "SELECT CAST(0 AS BIGINT) AS v, "
+                     "CAST(0 AS BIGINT) AS dist")
+    q += f""",
+p1_far AS (SELECT v, dist FROM p1_d{rounds} WHERE dist > 0
+           ORDER BY dist DESC, v ASC LIMIT 1)"""
+    q += chain("p2", "SELECT v, CAST(0 AS BIGINT) AS dist FROM p1_far")
+    q += f""",
+p2_far AS (SELECT v, dist FROM p2_d{rounds} WHERE dist > 0
+           ORDER BY dist DESC, v ASC LIMIT 1)
+SELECT CAST(0 AS BIGINT) AS seed,
+       (SELECT v FROM p1_far) AS far1,
+       (SELECT dist FROM p1_far) AS ecc1,
+       (SELECT v FROM p2_far) AS far2,
+       (SELECT dist FROM p2_far) AS ecc2"""
+    return q
+
+
 def _hits_chain_sql(iters: int = 2) -> str:
     """Fixed-iteration unnormalized HITS as unrolled CTEs (h0 → h{k}):
     auth_k = Σ_{u→v} hub_{k-1}(u), hub_k = Σ_{u→v} auth_k(v) — exact
@@ -747,6 +810,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_two_hop": lg.doc_two_hop_table,
         "graph_truss": lg.doc_truss_table,
         "graph_walks": lg.doc_walks_table,
+        "graph_katz": lg.doc_katz,
+        "graph_diameter": lg.doc_diameter,
+        "graph_extract_anchors": lg.doc_anchor_text,
         "graph_modularity": lg.doc_modularity,
         "graph_degree_hist": lg.doc_degree_hist,
         "graph_neighbor_degree": lg.doc_neighbor_degree,
@@ -835,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_novelty": tx.ngram_novelty,
         "dedup_incremental": tx.incremental_dedup,
         "text_heavy_hitters": tx.heavy_hitters,
+        "text_heavy_hitters_cms": tx.cms_heavy_hitters,
         "text_stratified_sample": tx.stratified_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
@@ -1452,6 +1519,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY tf DESC, term ASC
             LIMIT 10
         """,
+        "text_heavy_hitters_cms": r"""
+            -- exact heavy-hitter set (count*64 >= corpus tokens):
+            -- valid for the CMS two-pass operator unconditionally —
+            -- Count-Min never underestimates, so the candidate set is
+            -- a superset of the true set and the exact rescore +
+            -- final integer filter reproduce this GROUP BY precisely
+            WITH t AS MATERIALIZED (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS tf
+            FROM t GROUP BY term
+            HAVING CAST(count(*) AS BIGINT) * 64 >=
+                   (SELECT CAST(count(*) AS BIGINT) FROM t)
+            ORDER BY term
+        """,
         "dedup_incremental": r"""
             -- crawl-refresh dedup: word-3-gram Jaccard >= 7/10 pairs
             -- BETWEEN the existing corpus (src0-src9) and the new
@@ -1963,6 +2046,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
         "graph_harmonic": _harmonic_chain_sql(seeds=(0, 1, 2), rounds=6),
+        "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),
+        "graph_diameter": _diameter_chain_sql(rounds=6),
+        "graph_extract_anchors": """
+            -- raw anchor stream reconstructed from the planted-link
+            -- formula: duplicates, self-links and in-page order kept
+            -- (pos = j); anchor text is 'to ' || zero-padded dst — the
+            -- engine side parses the rendered HTML bytes instead
+            SELECT d.doc_id,
+                   CAST(t.j AS BIGINT) AS pos,
+                   CAST((d.doc_id * 2654435761 + t.j * 40503)
+                        % (SELECT count(*) FROM documents) AS BIGINT)
+                       AS dst,
+                   'to ' || lpad(CAST(CAST(
+                       (d.doc_id * 2654435761 + t.j * 40503)
+                       % (SELECT count(*) FROM documents)
+                       AS BIGINT) AS VARCHAR), 8, '0') AS anchor
+            FROM documents d, range(4) t(j)
+            WHERE t.j <= d.doc_id % 4
+            ORDER BY d.doc_id, pos
+        """,
         "graph_reciprocity": """
             -- nav click-graph: arcs between consecutive per-user events
             -- (ts, event_id order), per-node reciprocity exact-integer

@@ -25,6 +25,7 @@ import pyarrow as pa
 _ESC = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
 
 HREF_RE = re.compile(rb'<a\s+href="([^"]*)"\s*>')
+ANCHOR_RE = re.compile(rb'<a\s+href="([^"]*)"\s*>([^<]*)</a>')
 TAG_RE = re.compile(r"<[^>]+>")
 BODY_RE = re.compile(rb'<p id="body">(.*?)</p>', re.S)
 WS_RE = re.compile(r"\s+")
@@ -90,6 +91,34 @@ class LinkExtract:
                 dst.extend(t.decode("utf-8") for t in targets)
         return pa.table({"src_url": pa.array(src, pa.string()),
                          "dst_url": pa.array(dst, pa.string())})
+
+
+class AnchorExtract:
+    """Actor-pool stage: pages(doc_id, html) → anchor rows
+    (doc_id, pos, dst, anchor) — one row per ``<a>`` tag in document
+    order, duplicates/self-links preserved (the anchor-TEXT signal;
+    dedup is downstream policy).  ``dst`` is the numeric doc id parsed
+    from the href's final path segment (the fixture url scheme,
+    `sources/synth.py:doc_url`); ``anchor`` is the tag body with HTML
+    entities unescaped.  Regex compiled once per actor."""
+
+    def __init__(self):
+        self.anchor_re = ANCHOR_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        doc, pos, dst, anchor = [], [], [], []
+        for i, h in zip(ids, htmls):
+            for p, (href, body) in enumerate(self.anchor_re.findall(h)):
+                doc.append(i)
+                pos.append(p)
+                dst.append(int(href.rsplit(b"/", 1)[1]))
+                anchor.append(unescape_html(body.decode("utf-8")))
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "anchor": pa.array(anchor, pa.string())})
 
 
 class TextExtract:

@@ -352,3 +352,105 @@ def heavy_hitter_terms(ds, *, col: str = "text", k_track: int = 64,
     return pa.table({"term": pa.array(cand_sorted[order].astype(object),
                                       pa.string()),
                      "tf": pa.array(tf, pa.int64())})
+
+
+def _cms_slots(base: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(len(base), depth) int64 FLATTENED slot ids d*width + h_d(term)
+    for uint64 term hashes ``base`` — h_d is the seeded splitmix64
+    remix (`functions/hashing.hash_ints`), identical in every pass and
+    every process."""
+    from hedonic_ray.functions.hashing import hash_ints
+
+    cols = []
+    for d in range(depth):
+        idx = (hash_ints(base, seed=d + 1) % np.uint64(width)).astype(np.int64)
+        cols.append(d * width + idx)
+    return np.stack(cols, axis=1)
+
+
+def cms_heavy_terms(ds, *, col: str = "text", width: int = 2048,
+                    depth: int = 4, denom: int = 64):
+    """ALL terms with true frequency ≥ N/denom (N = corpus token
+    count), with EXACT counts, via a COUNT-MIN SKETCH candidate filter
+    + exact rescore — the second classic sketch shape next to
+    Misra-Gries (`heavy_hitter_terms`), with the opposite error side:
+    CMS never UNDERestimates, so the candidate set is a certain
+    superset of the true heavy hitters and the exact rescore makes the
+    report exact unconditionally (no survival-bar assertion needed).
+
+      pass 1  per-batch CMS partials — each batch emits only its
+              TOUCHED (slot, count) cells of the depth×width grid (a
+              mergeable sketch: merge = elementwise sum); the driver
+              folds O(#batches · batch-vocab · depth) cells into the
+              global depth×width grid.  N falls out for free: every
+              grid row sums to the corpus token count.
+      pass 2  grid broadcast once (``ray.put``); each batch gates its
+              DISTINCT terms on est(term) = min_d grid[d, h_d(term)]
+              ≥ ⌈N/denom⌉ and sends only (candidate term, exact batch
+              count) into one groupby(term).Sum exchange; the final
+              filter keeps cnt·denom ≥ N (integer comparison, no
+              division).
+
+    The token stream never shuffles; only candidate terms do.  The SQL
+    oracle is the plain ``GROUP BY term HAVING count(*)*denom >= N``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.functions.hashing import hash_strings
+    from hedonic_ray.ops.textstats import _flat_words
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        flat, _lens, _doc_of = _flat_words(batch, col)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        u, c = np.unique(w, return_counts=True)
+        if len(u) == 0:
+            return pa.table({"slot": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        slots = _cms_slots(hash_strings(u), depth, width)  # (u, depth)
+        return pa.table({
+            "slot": pa.array(slots.ravel(), pa.int64()),
+            "c": pa.array(np.repeat(c.astype(np.int64), depth), pa.int64())})
+
+    grid = np.zeros(depth * width, dtype=np.int64)
+    for b in ds.map_batches(pass1, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            np.add.at(grid, b.column("slot").to_numpy(),
+                      b.column("c").to_numpy())
+    n_total = int(grid[:width].sum())
+    if n_total == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    grid_ref = ray.put(grid)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        g = ray.get(grid_ref)
+        flat, _lens, _doc_of = _flat_words(batch, col)
+        w = flat.to_numpy(zero_copy_only=False).astype(str)
+        u, c = np.unique(w, return_counts=True)
+        if len(u) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf_partial": pa.array([], pa.int64())})
+        est = g[_cms_slots(hash_strings(u), depth, width)].min(axis=1)
+        keep = est * denom >= n_total
+        return pa.table({
+            "term": pa.array(u[keep].astype(object), pa.string()),
+            "tf_partial": pa.array(c[keep].astype(np.int64), pa.int64())})
+
+    agg = (ds.map_batches(pass2, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("tf_partial", alias_name="tf")))
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy()
+        return t.filter(pa.array(tf * denom >= n_total))
+
+    out = agg.map_batches(final_filter, batch_format="pyarrow").sort("term")
+    batches = [b for b in out.iter_batches(batch_size=65536,
+                                           batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches).combine_chunks()
+    return t.select(["term", "tf"])

@@ -713,3 +713,77 @@ def doc_modularity(sf_dir: str) -> pa.Table:
         "sum_dc2": pa.array([sum_dc2], pa.int64()),
         "q_e9": pa.array([q], pa.int64()),
     })
+
+
+def doc_katz(sf_dir: str, *, iters: int = 4, beta_inv: int = 4) -> pa.Table:
+    """Radius-capped KATZ CENTRALITY of every doc vertex as an exact
+    integer rational: katz_num(v) = Σ_{k≤K} beta_inv^(K−k)·walks_k(v)
+    over katz_den = beta_inv^K (β = 1/beta_inv).  Each superstep is
+    the HITS push (A^T x) over the shared CSR blocks; the SQL oracle
+    unrolls the same walk-count chain with integer weights — no float
+    anywhere (`algos/katz.py`)."""
+    from hedonic_ray.algos.katz import katz_centrality
+
+    g = doc_graph(sf_dir, directed=True)
+    num, den = katz_centrality(g, iters=iters, beta_inv=beta_inv)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "katz_num": pa.array(num, pa.int64()),
+                     "katz_den": pa.array(np.full(g.n, den), pa.int64())})
+
+
+def doc_diameter(sf_dir: str, *, rounds: int = 6) -> pa.Table:
+    """DOUBLE-SWEEP DIAMETER lower bound, radius-``rounds``-capped
+    fixed-round semantics (the standard 2-sweep heuristic: BFS from
+    vertex 0, re-BFS from the farthest vertex found; ``ecc2`` lower-
+    bounds the true diameter of 0's component when the cap exceeds
+    the true eccentricities).  Ties at max distance break to the
+    LOWEST vertex id on both sweeps — deterministic cross-engine.
+    One row: (seed, far1, ecc1, far2, ecc2)."""
+    from hedonic_ray.algos.bfs import bfs_distances
+
+    g = doc_graph(sf_dir, directed=False)
+
+    def sweep(seed: int):
+        dist = bfs_distances(g, np.array([seed], dtype=np.int64),
+                             rounds=rounds)
+        reach = np.flatnonzero(dist > 0)
+        if len(reach) == 0:
+            return seed, 0
+        ecc = int(dist[reach].max())
+        far = int(reach[dist[reach] == ecc].min())
+        return far, ecc
+
+    far1, ecc1 = sweep(0)
+    far2, ecc2 = sweep(far1)
+    return pa.table({"seed": pa.array([0], pa.int64()),
+                     "far1": pa.array([far1], pa.int64()),
+                     "ecc1": pa.array([ecc1], pa.int64()),
+                     "far2": pa.array([far2], pa.int64()),
+                     "ecc2": pa.array([ecc2], pa.int64())})
+
+
+def doc_anchor_text(sf_dir: str) -> pa.Table:
+    """ANCHOR-TEXT table of the rendered pages: one row per <a> tag in
+    document order — (doc_id, pos, dst, anchor) — the classic web-
+    corpus ranking/training signal (anchor text describes the TARGET
+    page).  Extraction is a real HTML parse of the binary ``html``
+    column (actor-pool regex stage, `functions/extract.py`); the SQL
+    oracle reconstructs the same rows from the planted-link formula,
+    so the gate checks byte-level parse ↔ arithmetic parity with
+    duplicates, self-links and in-page order preserved (unlike
+    `graph_extract_edges`, which checks the DEDUPED canonical edge
+    set)."""
+    from hedonic_ray.functions.extract import AnchorExtract
+
+    pages = doc_pages(sf_dir)
+    extractor = AnchorExtract()  # compiled once, shipped in the task closure
+    out = pages.map_batches(extractor, batch_format="pyarrow",
+                            batch_size=2048)
+    batches = [b for b in out.sort(["doc_id", "pos"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow") if b.num_rows]
+    if not batches:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "anchor": pa.array([], pa.string())})
+    return pa.concat_tables(batches).combine_chunks()

@@ -789,6 +789,16 @@ def heavy_hitters(sf_dir: str, k_track: int = 64, k_report: int = 10):
                               k_track=k_track, k_report=k_report)
 
 
+def cms_heavy_hitters(sf_dir: str, denom: int = 64):
+    """All corpus terms with frequency ≥ N/64 and their EXACT counts,
+    via the Count-Min-sketch candidate filter + exact rescore
+    (`ops/sketch.cms_heavy_terms`) — the no-false-negative complement
+    of the Misra-Gries `heavy_hitters` report."""
+    from hedonic_ray.ops.sketch import cms_heavy_terms
+
+    return cms_heavy_terms(_docs(sf_dir, ["doc_id", "text"]), denom=denom)
+
+
 def incremental_dedup(sf_dir: str, k: int = 3):
     """Crawl-refresh near-dup report: sources src0–src9 are the
     EXISTING corpus, src10–src19 the NEW snapshot (the fixture's

@@ -722,3 +722,26 @@ def test_modularity_terms_consistent():
     den = 4 * m * m
     q = (abs(num) * 10**9 // den) * (1 if num >= 0 else -1)
     assert t["q_e9"] == q and -10**9 < q < 10**9
+
+
+def test_katz_integer_matches_numpy_oracle():
+    """Exact-integer radius-capped Katz vs the dense matmul oracle:
+    num = Σ_{k≤K} beta_inv^(K−k)·(Aᵀ)^k·1 over den = beta_inv^K."""
+    from hedonic_ray.algos.katz import katz_centrality
+
+    n = 35
+    rng = np.random.default_rng(9)
+    edges = sorted({(int(u), int(v))
+                    for u, v in rng.integers(0, n, size=(140, 2)) if u != v})
+    g = make_graph(edges, n, directed=True, num_parts=4)
+    A = np.zeros((n, n), dtype=np.int64)
+    for u, v in edges:
+        A[u, v] = 1
+    w = np.ones(n, dtype=np.int64)
+    num_exp = np.zeros(n, dtype=np.int64)
+    for k in range(1, 5):
+        w = A.T @ w
+        num_exp += 4 ** (4 - k) * w
+    num, den = katz_centrality(g, iters=4, beta_inv=4)
+    assert den == 256
+    np.testing.assert_array_equal(num, num_exp)

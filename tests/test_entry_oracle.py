@@ -127,6 +127,10 @@ SQL_CHECKED = sorted([
     "text_decontaminate", "text_novelty", "dedup_incremental",
     "text_heavy_hitters", "graph_harmonic",
     "rel_ohlc", "rel_copurchase",
+    # round 4, session 9: exact-integer Katz walks, double-sweep
+    # diameter, anchor-text parse parity, CMS heavy hitters
+    "graph_katz", "graph_diameter", "graph_extract_anchors",
+    "text_heavy_hitters_cms",
 ])
 
 

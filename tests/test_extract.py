@@ -82,3 +82,25 @@ def test_pages_from_documents_identity_and_links():
         links = extract_links(r["html"])
         src, dst = planted_doc_links(np.array([r["doc_id"]]), 500)
         assert links == [f"https://docs.example/{v:08d}" for v in dst.tolist()]
+
+
+def test_anchor_extract_kernel():
+    """AnchorExtract parses (href, body) pairs in document order with
+    duplicates kept, numeric dst from the final path segment, and HTML
+    entities unescaped in the anchor text."""
+    import pyarrow as pa
+
+    from hedonic_ray.functions.extract import AnchorExtract
+
+    html = (b'<html><body>'
+            b'<a href="https://docs.example/00000007">to &amp; fro</a> '
+            b'<a href="https://docs.example/00000003">x &lt;y&gt;</a> '
+            b'<a href="https://docs.example/00000007">again</a>'
+            b'</body></html>')
+    batch = pa.table({"doc_id": pa.array([3], pa.int64()),
+                      "html": pa.array([html], pa.binary())})
+    out = AnchorExtract()(batch)
+    assert out.column("doc_id").to_pylist() == [3, 3, 3]
+    assert out.column("pos").to_pylist() == [0, 1, 2]
+    assert out.column("dst").to_pylist() == [7, 3, 7]
+    assert out.column("anchor").to_pylist() == ["to & fro", "x <y>", "again"]

@@ -1404,3 +1404,49 @@ def test_heavy_hitters_mg_guarantee_and_exactness():
     got2 = heavy_hitter_terms(small, k_track=8, k_report=2)
     assert list(zip(got2.column("term").to_pylist(),
                     got2.column("tf").to_pylist())) == [("x", 3), ("y", 2)]
+
+
+def test_cms_heavy_terms_exact_despite_collisions():
+    """The CMS two-pass report equals the exact GROUP BY ... HAVING
+    under aggressive collision pressure (width far below vocab size):
+    Count-Min never underestimates, so candidates are a superset and
+    the exact rescore + final filter reproduce the true set exactly."""
+    from collections import Counter
+
+    from hedonic_ray.ops.sketch import cms_heavy_terms
+
+    for seed, denom, width in [(0, 4, 16), (1, 8, 8), (2, 64, 32)]:
+        rng = np.random.default_rng(seed)
+        draws = rng.zipf(1.5, size=(15, 40)) % 50
+        texts = [" ".join(f"w{int(z)}" for z in row) for row in draws]
+        got = cms_heavy_terms(_docs_ds(texts), width=width, depth=3,
+                              denom=denom)
+        c = Counter(w for t in texts for w in t.split())
+        n = sum(c.values())
+        exp = sorted((t, k) for t, k in c.items() if k * denom >= n)
+        assert list(zip(got.column("term").to_pylist(),
+                        got.column("tf").to_pylist())) == exp, (seed, denom)
+
+
+def test_cms_grid_never_underestimates():
+    """Sketch property (no Ray): the min-over-rows CMS estimate is >=
+    the true count for EVERY term, at any width — the guarantee the
+    candidate filter in cms_heavy_terms relies on."""
+    from collections import Counter
+
+    from hedonic_ray.functions.hashing import hash_strings
+    from hedonic_ray.ops.sketch import _cms_slots
+
+    rng = np.random.default_rng(7)
+    tokens = [f"t{int(z) % 37}" for z in rng.zipf(1.3, size=4000)]
+    c = Counter(tokens)
+    for width in (4, 16, 256):
+        depth = 3
+        grid = np.zeros(depth * width, dtype=np.int64)
+        u = np.array(sorted(c), dtype=str)
+        cnt = np.array([c[t] for t in u], dtype=np.int64)
+        np.add.at(grid, _cms_slots(hash_strings(u), depth, width).ravel(),
+                  np.repeat(cnt, depth))
+        est = grid[_cms_slots(hash_strings(u), depth, width)].min(axis=1)
+        assert (est >= cnt).all()
+        assert int(grid[:width].sum()) == len(tokens)
