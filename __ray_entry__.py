@@ -317,6 +317,72 @@ FROM documents d{joins}""")
     return "".join(parts)
 
 
+def _sssp_chain_sql(rounds: int = 6, seed: int = 0) -> str:
+    """Fixed-round synchronous Bellman-Ford as unrolled min-CTEs with
+    the deterministic integer arc weights 1 + (src·31 + dst·17) % 9 —
+    mirrors algos/sssp.py round for round (dist_k = min(dist_{k-1},
+    min over arcs of dist_{k-1}(src) + w))."""
+    parts = [f"""WITH {_LINKS_CTE},
+w AS (SELECT src, dst,
+             1 + (src * 31 + dst * 17) % 9 AS wt FROM e),
+d0 AS (SELECT CAST({seed} AS BIGINT) AS v, CAST(0 AS BIGINT) AS d)"""]
+    for i in range(rounds):
+        parts.append(f""",
+d{i + 1} AS MATERIALIZED (
+    SELECT v, MIN(d) AS d FROM (
+        SELECT v, d FROM d{i}
+        UNION ALL
+        SELECT w.dst AS v, p.d + w.wt AS d
+        FROM w JOIN d{i} p ON p.v = w.src
+    ) u GROUP BY v)""")
+    parts.append(f"""
+SELECT doc.doc_id AS vertex,
+       CAST(COALESCE(d.d, -1) AS BIGINT) AS dist
+FROM documents doc LEFT JOIN d{rounds} d ON d.v = doc.doc_id""")
+    return "".join(parts)
+
+
+def _temporal_chain_sql(rounds: int = 4) -> str:
+    """Fixed-round earliest-arrival relaxation over the timestamped
+    click-graph arcs (arrival ts = the destination event's ts), seeded
+    at the lowest node id with virtual start 0 — mirrors
+    graph/temporal.py round for round; all times are epoch-µs
+    BIGINTs."""
+    parts = ["""WITH ev AS (
+    SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+    FROM events),
+hop AS (
+    SELECT node AS src,
+           lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS ats
+    FROM ev),
+tarcs AS MATERIALIZED (
+    SELECT DISTINCT src, dst, CAST(epoch_us(ats) AS BIGINT) AS t
+    FROM hop WHERE dst IS NOT NULL AND src <> dst),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT src AS v FROM tarcs
+    UNION SELECT DISTINCT dst FROM tarcs),
+e0 AS (SELECT (SELECT min(v) FROM nodes) AS v,
+              CAST(0 AS BIGINT) AS ea)"""]
+    for i in range(rounds):
+        parts.append(f""",
+e{i + 1} AS MATERIALIZED (
+    SELECT v, MIN(ea) AS ea FROM (
+        SELECT v, ea FROM e{i}
+        UNION ALL
+        SELECT a.dst AS v, a.t AS ea
+        FROM tarcs a JOIN e{i} p ON p.v = a.src AND a.t >= p.ea
+    ) u GROUP BY v)""")
+    parts.append(f"""
+SELECT n.v AS node, CAST(COALESCE(e.ea, -1) AS BIGINT) AS ea_us
+FROM nodes n LEFT JOIN e{rounds} e ON e.v = n.v
+ORDER BY node""")
+    return "".join(parts)
+
+
 def _diameter_chain_sql(rounds: int = 6) -> str:
     """Double-sweep BFS diameter lower bound (radius-capped): the
     `_bfs_chain_sql` idiom twice, the second sweep seeded by the first
@@ -776,6 +842,12 @@ def _nav_weighted_pagerank(sf_dir: str):
     return nav_weighted_pagerank(sf_dir)
 
 
+def _nav_earliest_arrival(sf_dir: str):
+    from hedonic_ray.graph.temporal import nav_earliest_arrival
+
+    return nav_earliest_arrival(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hedonic_ray.pipelines import linkgraph as lg
     from hedonic_ray.pipelines import textops as tx
@@ -811,7 +883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_truss": lg.doc_truss_table,
         "graph_walks": lg.doc_walks_table,
         "graph_katz": lg.doc_katz,
+        "graph_sssp": lg.doc_sssp,
         "graph_diameter": lg.doc_diameter,
+        "graph_earliest_arrival": _nav_earliest_arrival,
         "graph_extract_anchors": lg.doc_anchor_text,
         "graph_modularity": lg.doc_modularity,
         "graph_degree_hist": lg.doc_degree_hist,
@@ -2047,7 +2121,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
         "graph_harmonic": _harmonic_chain_sql(seeds=(0, 1, 2), rounds=6),
         "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),
+        "graph_sssp": _sssp_chain_sql(rounds=6, seed=1),
         "graph_diameter": _diameter_chain_sql(rounds=6),
+        "graph_earliest_arrival": _temporal_chain_sql(rounds=4),
         "graph_extract_anchors": """
             -- raw anchor stream reconstructed from the planted-link
             -- formula: duplicates, self-links and in-page order kept

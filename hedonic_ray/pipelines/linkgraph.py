@@ -787,3 +787,21 @@ def doc_anchor_text(sf_dir: str) -> pa.Table:
                          "dst": pa.array([], pa.int64()),
                          "anchor": pa.array([], pa.string())})
     return pa.concat_tables(batches).combine_chunks()
+
+
+def doc_sssp(sf_dir: str, *, seed: int = 1, rounds: int = 6) -> pa.Table:
+    """WEIGHTED SINGLE-SOURCE SHORTEST PATHS over the directed doc
+    graph (Bellman-Ford supersteps, `algos/sssp.py`): exact integer
+    arc weights 1 + (src·31 + dst·17) % 9 — a pure function of the
+    endpoint ids, so the CSR blocks carry no weight column and the SQL
+    oracle reproduces the weights arithmetically.  Fixed ``rounds``
+    caps path length (−1 beyond), matching the unrolled min-CTE
+    chain.  Seed 1, not 0: doc 0's only planted link is a dropped
+    self-loop, so a seed-0 run is vacuous.
+    """
+    from hedonic_ray.algos.sssp import sssp_distances
+
+    g = doc_graph(sf_dir, directed=True)
+    dist = sssp_distances(g, seed, rounds=rounds)
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "dist": pa.array(dist, pa.int64())})

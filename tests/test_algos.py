@@ -745,3 +745,66 @@ def test_katz_integer_matches_numpy_oracle():
     num, den = katz_centrality(g, iters=4, beta_inv=4)
     assert den == 256
     np.testing.assert_array_equal(num, num_exp)
+
+
+def test_sssp_matches_dense_bellman_ford():
+    """Superstep Bellman-Ford vs a dense synchronous relaxation under
+    the same deterministic integer weights, at several round caps
+    (fixed-round semantics must agree round for round)."""
+    from hedonic_ray.algos.sssp import (INF, UNREACHED, _edge_weights,
+                                        sssp_distances)
+
+    n = 40
+    rng = np.random.default_rng(11)
+    edges = sorted({(int(u), int(v))
+                    for u, v in rng.integers(0, n, size=(160, 2)) if u != v})
+    g = make_graph(edges, n, directed=True, num_parts=4)
+    es = np.array([u for u, _ in edges])
+    ed = np.array([v for _, v in edges])
+    w = _edge_weights(es, ed)
+    for rounds in (1, 3, 6):
+        exp = np.full(n, int(INF), dtype=np.int64)
+        exp[0] = 0
+        for _ in range(rounds):
+            nxt = exp.copy()
+            cand = exp[es] + w
+            ok = exp[es] < int(INF)
+            np.minimum.at(nxt, ed[ok], cand[ok])
+            exp = nxt
+        exp[exp == int(INF)] = UNREACHED
+        got = sssp_distances(g, 0, rounds=rounds)
+        np.testing.assert_array_equal(got, exp, err_msg=f"rounds={rounds}")
+
+
+def test_earliest_arrival_matches_dense_relaxation():
+    """Temporal earliest-arrival vs a dense synchronous relaxation on
+    random timestamped arcs, at several round caps."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hedonic_ray.graph.temporal import (INF, UNREACHED,
+                                            earliest_arrival)
+
+    rng = np.random.default_rng(5)
+    n_nodes, n_arcs = 25, 200
+    src = rng.integers(0, n_nodes, n_arcs).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_arcs).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    t = rng.integers(1, 1000, len(src)).astype(np.int64)
+    arcs = rd.from_arrow(pa.table({"src": src, "dst": dst, "t": t}))
+    nodes = np.unique(np.concatenate([src, dst]))
+    seed = int(nodes.min())
+    for rounds in (1, 2, 4):
+        exp = np.full(len(nodes), int(INF), dtype=np.int64)
+        exp[np.searchsorted(nodes, seed)] = 0
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        for _ in range(rounds):
+            nxt = exp.copy()
+            ok = exp[si] <= t
+            np.minimum.at(nxt, di[ok], t[ok])
+            exp = nxt
+        exp[exp == int(INF)] = UNREACHED
+        got = earliest_arrival(arcs, nodes, seed, rounds=rounds)
+        np.testing.assert_array_equal(got, exp, err_msg=f"rounds={rounds}")

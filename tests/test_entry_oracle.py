@@ -131,6 +131,9 @@ SQL_CHECKED = sorted([
     # diameter, anchor-text parse parity, CMS heavy hitters
     "graph_katz", "graph_diameter", "graph_extract_anchors",
     "text_heavy_hitters_cms",
+    # round 4, session 9 (cont.): weighted Bellman-Ford SSSP and
+    # temporal earliest-arrival reachability on the click graph
+    "graph_sssp", "graph_earliest_arrival",
 ])
 
 
