@@ -970,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
         "text_pack_plan": tx.pack_plan,
+        "text_chunk_plan": tx.chunk_plan,
         "text_vocab_growth": tx.vocab_growth,
         "text_decontaminate": tx.decontaminate,
         "text_novelty": tx.ngram_novelty,
@@ -1592,6 +1593,24 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY term
             ORDER BY tf DESC, term ASC
             LIMIT 10
+        """,
+        "text_chunk_plan": r"""
+            -- per-doc sliding windows: 64-token chunks every 48
+            -- tokens, final chunk truncated; n>0 tokens yields
+            -- (n-1)//48 + 1 chunks, empty docs none
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS n
+                FROM documents)
+            SELECT doc_id,
+                   CAST(t.i AS BIGINT) AS chunk_id,
+                   CAST(t.i * 48 AS BIGINT) AS start_tok,
+                   CAST(LEAST(64, n - t.i * 48) AS BIGINT) AS len_tok
+            FROM c, unnest(range(0, CAST((n - 1) // 48 + 1 AS BIGINT)))
+                 AS t(i)
+            WHERE n > 0
+            ORDER BY doc_id, chunk_id
         """,
         "text_heavy_hitters_cms": r"""
             -- exact heavy-hitter set (count*64 >= corpus tokens):

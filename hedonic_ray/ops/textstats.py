@@ -776,3 +776,46 @@ def vocab_growth(ds, col: str = "text", key: str = "doc_id",
     grid = (np.arange(hi, dtype=np.int64) + 1) * bucket
     return pa.table({"n_docs": pa.array(grid),
                      "vocab": pa.array(np.cumsum(counts).astype(np.int64))})
+
+
+def chunk_plan(ds, *, window: int = 64, stride: int = 48,
+               col: str = "text", key: str = "doc_id"):
+    """PER-DOCUMENT SLIDING-WINDOW CHUNK PLAN — the RAG/eval-time
+    counterpart of the GPT-style concat :func:`pack_plan`: each doc is
+    cut into ``window``-token chunks every ``stride`` tokens
+    (``window − stride`` tokens of overlap), final chunk truncated.
+    Emits (doc_id, chunk_id, start_tok, len_tok); a doc with n > 0
+    tokens yields ⌊(n−1)/stride⌋ + 1 chunks, an empty doc none.
+
+    Embarrassingly parallel: one vectorized ``map_batches`` (token
+    count via the compiled regex, chunk fan-out via repeat/arange) —
+    no exchange, no driver state; the SQL oracle is the
+    ``unnest(range(...))`` idiom over the same count."""
+    import pyarrow.compute as pc_
+
+    if not (0 < stride <= window):
+        raise ValueError("chunk_plan needs 0 < stride <= window")
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc_.cast(pc_.count_substring_regex(t.column(col), TOKEN_RE),
+                     pa.int64()).to_numpy()
+        ids = t.column(key).to_numpy()
+        n_chunks = np.where(n > 0, (n - 1) // stride + 1, 0)
+        doc = np.repeat(ids, n_chunks)
+        nn = np.repeat(n, n_chunks)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "start_tok": pa.array([], pa.int64()),
+                             "len_tok": pa.array([], pa.int64())})
+        off = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        cid = np.arange(total, dtype=np.int64) - np.repeat(off, n_chunks)
+        start = cid * stride
+        ln = np.minimum(window, nn - start)
+        return pa.table({key: pa.array(doc, pa.int64()),
+                         "chunk_id": pa.array(cid, pa.int64()),
+                         "start_tok": pa.array(start, pa.int64()),
+                         "len_tok": pa.array(ln, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -763,6 +763,14 @@ def pack_plan(sf_dir: str, chunk_tokens: int = 512):
                         chunk_tokens=chunk_tokens).sort("doc_id")
 
 
+def chunk_plan(sf_dir: str, window: int = 64, stride: int = 48):
+    """Per-document sliding-window chunk plan (64-token windows every
+    48 tokens) — the RAG-style chunking counterpart of `pack_plan`."""
+    return ts.chunk_plan(_docs(sf_dir, ["doc_id", "text"]),
+                         window=window, stride=stride) \
+        .sort(["doc_id", "chunk_id"])
+
+
 def decontaminate(sf_dir: str, k: int = 8, bench_k: int = 25):
     """Contaminated-training-doc report against the deterministic
     bottom-25-md5 benchmark split (the same split

@@ -133,7 +133,7 @@ SQL_CHECKED = sorted([
     "text_heavy_hitters_cms",
     # round 4, session 9 (cont.): weighted Bellman-Ford SSSP and
     # temporal earliest-arrival reachability on the click graph
-    "graph_sssp", "graph_earliest_arrival",
+    "graph_sssp", "graph_earliest_arrival", "text_chunk_plan",
 ])
 
 

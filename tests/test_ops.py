@@ -1450,3 +1450,27 @@ def test_cms_grid_never_underestimates():
         est = grid[_cms_slots(hash_strings(u), depth, width)].min(axis=1)
         assert (est >= cnt).all()
         assert int(grid[:width].sum()) == len(tokens)
+
+
+def test_chunk_plan_matches_python_windows():
+    """Vectorized sliding-window chunk plan vs a per-doc Python loop,
+    including empty docs, sub-window docs, and exact-boundary sizes."""
+    from hedonic_ray.ops.textstats import chunk_plan
+
+    texts = ["", "a", " ".join(f"t{i}" for i in range(48)),
+             " ".join(f"t{i}" for i in range(49)),
+             " ".join(f"t{i}" for i in range(64)),
+             " ".join(f"t{i}" for i in range(100))]
+    got = chunk_plan(_docs_ds(texts), window=64, stride=48) \
+        .sort(["doc_id", "chunk_id"]).take_all()
+    exp = []
+    for d, t in enumerate(texts):
+        n = len(t.split())
+        s = 0
+        cid = 0
+        while s < n:
+            exp.append({"doc_id": d, "chunk_id": cid, "start_tok": s,
+                        "len_tok": min(64, n - s)})
+            s += 48
+            cid += 1
+    assert [dict(r) for r in got] == exp
