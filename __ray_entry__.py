@@ -996,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_filtered_topk": tx.filtered_topk_similarity,
         "sim_knn_graph": tx.knn_graph_table,
         "sim_knn_clusters": tx.knn_mutual_clusters,
+        "sim_centroid_classify": tx.centroid_classify,
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
@@ -2894,6 +2895,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT passage, count(*) AS n_occ,
                    count(DISTINCT doc_id) AS n_docs
             FROM c GROUP BY passage HAVING count(*) > 1
+        """,
+        "sim_centroid_classify": """
+            -- exact nearest-centroid (Rocchio) re-assignment: quantize
+            -- to floor(x*1e6) ints, truncated-mean centroids (// is
+            -- trunc-toward-zero — the engine matches with
+            -- sign(s)*(abs(s)//n)), Euclidean argmin, ties -> lowest
+            -- label; every compared quantity is an exact BIGINT
+            WITH q AS MATERIALIZED (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000) AS BIGINT) AS v
+                FROM embeddings
+            ),
+            cs AS (SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM q GROUP BY 1, 2),
+            cent AS MATERIALIZED (
+                SELECT label, dim,
+                       CAST(sign(s) * (abs(s) // n) AS BIGINT) AS c
+                FROM cs),
+            dist AS (SELECT q.vec_id, cent.label AS clabel,
+                            CAST(SUM((q.v - cent.c) * (q.v - cent.c))
+                                 AS BIGINT) AS d2
+                     FROM q JOIN cent ON cent.dim = q.dim
+                     GROUP BY 1, 2),
+            best AS (SELECT vec_id, clabel, d2, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+                     FROM dist)
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                   CAST(b.clabel AS BIGINT) AS assigned, b.d2
+            FROM embeddings e JOIN best b
+              ON b.vec_id = e.vec_id AND b.rn = 1
+            ORDER BY e.vec_id
         """,
         "sim_topk_cosine": """
             WITH qq AS (

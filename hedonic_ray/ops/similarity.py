@@ -519,3 +519,84 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
     idx = pc.sort_indices(t, sort_keys=[("src", "ascending"),
                                         ("rank", "ascending")])
     return t.take(idx)
+
+
+def centroid_classify(emb_ds, *, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label",
+                      scale: int = 1_000_000) -> pa.Table:
+    """NEAREST-CENTROID (Rocchio) CLASSIFICATION, all-integer exact:
+    every embedding is re-assigned to the label whose centroid is
+    Euclidean-nearest — the standard semantic-labeling / cluster-
+    assignment stage (and the assignment step of SemDeDup-style
+    semantic curation), with zero float comparisons anywhere:
+
+      quantize   q = floor(float64(x) · scale) per dim (one IEEE
+                 multiply, bit-identical cross-engine);
+      centroid   c_l = trunc(Σ q / n_l) per dim — integer truncated
+                 mean (trunc, not floor, matching SQL ``//``);
+      assign     argmin_l Σ (q − c_l)², ties → lowest label id.
+
+    d² fits int64 with huge headroom (64 dims × (2·scale)² ≈ 2.6e14),
+    unlike a cross-multiplied cosine comparison which overflows even
+    128-bit at corpus scale — Euclidean is the exact-arithmetic-safe
+    metric here.
+
+    Two passes, both Dataset-shaped: pass A emits one (label, count,
+    sum-vector) row per label per batch (a combiner — O(labels·dim)
+    ints, never embeddings), driver-merged; pass B broadcasts the
+    (labels × dim) centroid matrix once and argmins per batch.
+    """
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col, np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        lab = batch.column(label_col).to_numpy().astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(u), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(u, pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "s": pa.array(list(sums), pa.list_(pa.int64()))})
+
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for b in emb_ds.map_batches(partials, batch_format="pyarrow") \
+            .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        labs = b.column("label").to_numpy()
+        ns = b.column("n").to_numpy()
+        ss = b.column("s")
+        for i, l_ in enumerate(labs.tolist()):
+            v = np.asarray(ss[i].as_py(), dtype=np.int64)
+            n0, s0 = acc.get(l_, (0, 0))
+            acc[l_] = (n0 + int(ns[i]), s0 + v)
+    if not acc:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64()),
+                         "assigned": pa.array([], pa.int64()),
+                         "d2": pa.array([], pa.int64())})
+    labels = np.array(sorted(acc), dtype=np.int64)
+    cent = np.stack([np.sign(acc[l_][1]) * (np.abs(acc[l_][1]) // acc[l_][0])
+                     for l_ in labels.tolist()]).astype(np.int64)
+    cent_ref = ray.put((labels, cent))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, c = ray.get(cent_ref)
+        m = _batch_matrix(batch, vec_col, np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        # (B, L): labels are sorted ascending, so argmin's first-match
+        # rule IS the lowest-label tie-break
+        diff = q[:, None, :] - c[None, :, :]
+        d2 = np.einsum("blk,blk->bl", diff, diff)
+        best = np.argmin(d2, axis=1)
+        rows = np.arange(len(q))
+        return pa.table({
+            "vec_id": batch.column(id_col),
+            "label": pa.array(
+                batch.column(label_col).to_numpy().astype(np.int64)),
+            "assigned": pa.array(labs[best], pa.int64()),
+            "d2": pa.array(d2[rows, best], pa.int64())})
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")

@@ -763,6 +763,18 @@ def pack_plan(sf_dir: str, chunk_tokens: int = 512):
                         chunk_tokens=chunk_tokens).sort("doc_id")
 
 
+def centroid_classify(sf_dir: str):
+    """Exact nearest-centroid label re-assignment over the embeddings
+    table (`ops/similarity.centroid_classify`)."""
+    import ray.data as rd
+
+    from hedonic_ray.context import configure_context
+    from hedonic_ray.ops.similarity import centroid_classify as cc
+
+    configure_context()
+    return cc(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def chunk_plan(sf_dir: str, window: int = 64, stride: int = 48):
     """Per-document sliding-window chunk plan (64-token windows every
     48 tokens) — the RAG-style chunking counterpart of `pack_plan`."""
