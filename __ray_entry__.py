@@ -422,6 +422,53 @@ SELECT CAST(0 AS BIGINT) AS seed,
     return q
 
 
+def _path_counts_chain_sql(seeds=(0, 1, 2), rounds: int = 6) -> str:
+    """Shortest-path counts σ_s(v) (Brandes forward pass) from each
+    seed: the `_harmonic_chain_sql` BFS pyramid per seed, then one
+    count CTE per level — cnt_r(v) = Σ over arcs u→v with dist(u)=r−1,
+    dist(v)=r of cnt_{r-1}(u) — mirroring algos/bfs.py:bfs_path_counts
+    level for level (exact int64 DAG path counts)."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE}"""]
+    for s in seeds:
+        p = f"s{s}"
+        parts.append(f""",
+{p}_d0 AS MATERIALIZED (SELECT CAST({s} AS BIGINT) AS v,
+      CAST(0 AS BIGINT) AS dist),
+{p}_f0 AS (SELECT v FROM {p}_d0)""")
+        for i in range(rounds):
+            parts.append(f""",
+{p}_n{i} AS MATERIALIZED (
+    SELECT DISTINCT arcs.src AS v FROM arcs
+    JOIN {p}_f{i} fr ON fr.v = arcs.dst
+    WHERE NOT EXISTS (SELECT 1 FROM {p}_d{i} vis WHERE vis.v = arcs.src)),
+{p}_d{i + 1} AS MATERIALIZED (SELECT * FROM {p}_d{i}
+    UNION ALL SELECT v, CAST({i + 1} AS BIGINT) FROM {p}_n{i}),
+{p}_f{i + 1} AS (SELECT v FROM {p}_n{i})""")
+        parts.append(f""",
+{p}_c0 AS (SELECT CAST({s} AS BIGINT) AS v, CAST(1 AS BIGINT) AS c)""")
+        for r in range(1, rounds + 1):
+            parts.append(f""",
+{p}_c{r} AS MATERIALIZED (
+    SELECT a.src AS v, CAST(SUM(pc.c) AS BIGINT) AS c
+    FROM arcs a
+    JOIN {p}_c{r - 1} pc ON pc.v = a.dst
+    JOIN {p}_d{rounds} dv ON dv.v = a.src AND dv.dist = {r}
+    GROUP BY a.src)""")
+        parts.append(f""",
+{p}_all AS (SELECT d.v, d.dist, c.c FROM {p}_d{rounds} d JOIN (
+    SELECT v, c FROM {p}_c0""")
+        for r in range(1, rounds + 1):
+            parts.append(f"""
+    UNION ALL SELECT v, c FROM {p}_c{r}""")
+        parts.append(") c ON c.v = d.v)")
+    sel = [f"""
+SELECT CAST({s} AS BIGINT) AS seed, v AS vertex, dist, c AS n_paths
+FROM s{s}_all""" for s in seeds]
+    parts.append(" UNION ALL ".join(sel) + " ORDER BY seed, vertex")
+    return "".join(parts)
+
+
 def _hits_chain_sql(iters: int = 2) -> str:
     """Fixed-iteration unnormalized HITS as unrolled CTEs (h0 → h{k}):
     auth_k = Σ_{u→v} hub_{k-1}(u), hub_k = Σ_{u→v} auth_k(v) — exact
@@ -874,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": lg.doc_kcore_table,
         "graph_bfs_dist": lg.doc_bfs_table,
         "graph_harmonic": lg.doc_harmonic,
+        "graph_path_counts": lg.doc_path_counts,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -2140,6 +2188,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),
         "graph_harmonic": _harmonic_chain_sql(seeds=(0, 1, 2), rounds=6),
+        "graph_path_counts": _path_counts_chain_sql(seeds=(0, 1, 2),
+                                                    rounds=6),
         "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),
         "graph_sssp": _sssp_chain_sql(rounds=6, seed=1),
         "graph_diameter": _diameter_chain_sql(rounds=6),

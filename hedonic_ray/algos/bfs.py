@@ -52,3 +52,63 @@ def bfs_distances(g, seeds, *, rounds: int | None = None) -> np.ndarray:
         dist[new] = r
         frontier = new
     return dist
+
+
+def bfs_path_counts(g, seed: int, *, rounds: int = 6):
+    """Number of SHORTEST PATHS from ``seed`` to every reached vertex
+    (σ_s(v), the forward pass of Brandes' betweenness algorithm) —
+    exact int64 counts, radius-``rounds``-capped like
+    :func:`bfs_distances`.
+
+    After the BFS labels levels, each level-r count is ONE scatter
+    over the CSR blocks against the broadcast (dist, cnt) vectors:
+    an edge u→v contributes cnt(u) to v iff dist(u) = r−1 and
+    dist(v) = r (vectorized mask + weighted bincount per block; only
+    touched (dst, partial) pairs leave a task).  Returns
+    ``(dist, cnt)`` — cnt is 0 beyond the cap.  Counts along a BFS
+    DAG multiply, so int64 headroom is asserted per level."""
+    import ray
+
+    import pyarrow as pa
+
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    dist = bfs_distances(g, np.array([seed], dtype=np.int64),
+                         rounds=rounds)
+    cnt = np.zeros(g.n, dtype=np.int64)
+    cnt[seed] = 1
+    dist_ref = ray.put(dist)
+    max_r = int(dist.max(initial=0))
+
+    for r in range(1, max_r + 1):
+        cnt_ref = ray.put(cnt)
+
+        def level(batch: pa.Table, r=r) -> pa.Table:
+            d = ray.get(dist_ref)
+            c = ray.get(cnt_ref)
+            dst_out, val_out = [], []
+            for bv in iter_block_views(batch):
+                src = bv.src_per_edge()
+                tgt = bv.indices
+                m = (d[src] == r - 1) & (d[tgt] == r)
+                if not m.any():
+                    continue
+                s = np.bincount(tgt[m], weights=c[src[m]].astype(np.float64))
+                # float64 bincount is exact below 2^53; asserted below
+                nz = np.flatnonzero(s)
+                dst_out.append(nz.astype(np.int64))
+                val_out.append(s[nz].astype(np.int64))
+            if not dst_out:
+                return pa.table({"dst": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.int64())})
+            return pa.table({"dst": pa.array(np.concatenate(dst_out)),
+                             "val": pa.array(np.concatenate(val_out))})
+
+        assert int(cnt.max(initial=0)) < (1 << 52) // max(g.n, 1), \
+            "path-count overflow: lower rounds"
+        for b in g.blocks.map_batches(level, batch_format="pyarrow") \
+                .iter_batches(batch_size=65536, batch_format="pyarrow"):
+            if b.num_rows:
+                np.add.at(cnt, b.column("dst").to_numpy(),
+                          b.column("val").to_numpy())
+    return dist, cnt

@@ -805,3 +805,26 @@ def doc_sssp(sf_dir: str, *, seed: int = 1, rounds: int = 6) -> pa.Table:
     dist = sssp_distances(g, seed, rounds=rounds)
     return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
                      "dist": pa.array(dist, pa.int64())})
+
+
+def doc_path_counts(sf_dir: str, *, seeds=(0, 1, 2),
+                    rounds: int = 6) -> pa.Table:
+    """SHORTEST-PATH COUNTS σ_s(v) from deterministic seeds (the
+    Brandes betweenness forward pass) — exact int64 counts along the
+    radius-capped BFS DAG (`algos/bfs.py:bfs_path_counts`); one row
+    per (seed, reached vertex incl. the seed itself)."""
+    from hedonic_ray.algos.bfs import bfs_path_counts
+
+    g = doc_graph(sf_dir, directed=False)
+    out_s, out_v, out_d, out_c = [], [], [], []
+    for s in seeds:
+        dist, cnt = bfs_path_counts(g, int(s), rounds=rounds)
+        reach = np.flatnonzero(dist >= 0)
+        out_s.append(np.full(len(reach), s, np.int64))
+        out_v.append(reach.astype(np.int64))
+        out_d.append(dist[reach])
+        out_c.append(cnt[reach])
+    return pa.table({"seed": pa.array(np.concatenate(out_s)),
+                     "vertex": pa.array(np.concatenate(out_v)),
+                     "dist": pa.array(np.concatenate(out_d)),
+                     "n_paths": pa.array(np.concatenate(out_c))})

@@ -808,3 +808,42 @@ def test_earliest_arrival_matches_dense_relaxation():
         exp[exp == int(INF)] = UNREACHED
         got = earliest_arrival(arcs, nodes, seed, rounds=rounds)
         np.testing.assert_array_equal(got, exp, err_msg=f"rounds={rounds}")
+
+
+def test_bfs_path_counts_matches_dense_dp():
+    """σ_s(v) vs a dense level-DP oracle on a random undirected graph,
+    at several radius caps (counts multiply along the BFS DAG)."""
+    from hedonic_ray.algos.bfs import bfs_path_counts
+
+    n = 30
+    edges = rand_edges(n, 0.12, seed=33)
+    g = make_graph(edges, n, num_parts=4)
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    for rounds in (2, 6):
+        # dense BFS levels + path-count DP
+        dist = [-1] * n
+        dist[0] = 0
+        frontier = [0]
+        r = 0
+        while frontier and r < rounds:
+            r += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if dist[v] == -1:
+                        dist[v] = r
+                        nxt.append(v)
+            frontier = nxt
+        cnt = [0] * n
+        cnt[0] = 1
+        for rr in range(1, r + 1):
+            for v in range(n):
+                if dist[v] == rr:
+                    cnt[v] = sum(cnt[u] for u in adj[v]
+                                 if dist[u] == rr - 1)
+        got_d, got_c = bfs_path_counts(g, 0, rounds=rounds)
+        np.testing.assert_array_equal(got_d, np.array(dist))
+        np.testing.assert_array_equal(got_c, np.array(cnt))

@@ -134,7 +134,7 @@ SQL_CHECKED = sorted([
     # round 4, session 9 (cont.): weighted Bellman-Ford SSSP and
     # temporal earliest-arrival reachability on the click graph
     "graph_sssp", "graph_earliest_arrival", "text_chunk_plan",
-    "sim_centroid_classify",
+    "sim_centroid_classify", "graph_path_counts",
 ])
 
 
