@@ -1062,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": rel.brand_container_rollup,
         "rel_sessionize": rel.sessionize,
         "rel_mode": rel.brand_mode_type,
+        "rel_hhi": rel.brand_type_hhi,
         "rel_pivot": rel.event_type_pivot,
         "rel_interarrival": rel.user_interarrival,
         "rel_covariance": rel.brand_price_size_cov,
@@ -1109,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_passage_dedup": tx.dup_passages,
         "text_term_tf": tx.term_tf_top,
         "text_bigrams": tx.bigram_tf_top,
+        "text_colloc_lift": tx.bigram_lift_top,
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
@@ -1542,6 +1544,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf
             FROM bg GROUP BY bigram
             ORDER BY tf DESC, bigram LIMIT 50
+        """,
+        "text_colloc_lift": r"""
+            -- collocation lift for the top-100 bigrams by count:
+            -- (1e6 * c_xy * N_tok^2) // (N_bg * c_x * c_y), HUGEINT
+            WITH words AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+                       generate_subscripts(regexp_extract_all(text, '\S+'),
+                                           1) AS i
+                FROM documents
+            ),
+            tok AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+            ntok AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM words),
+            bg AS (SELECT a.w AS w1, b.w AS w2,
+                          a.w || ' ' || b.w AS bigram
+                   FROM words a
+                   JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            nbg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM bg),
+            bc AS (SELECT bigram, w1, w2, COUNT(*) AS c
+                   FROM bg GROUP BY 1, 2, 3),
+            top AS (SELECT * FROM bc ORDER BY c DESC, bigram LIMIT 100)
+            SELECT t.bigram,
+                   CAST(t.c AS BIGINT) AS n_xy,
+                   CAST(cx.c AS BIGINT) AS n_x,
+                   CAST(cy.c AS BIGINT) AS n_y,
+                   CAST((CAST(1000000 AS HUGEINT) * t.c * ntok.n * ntok.n)
+                        // (nbg.n * cx.c * cy.c) AS BIGINT) AS lift_e6
+            FROM top t
+            JOIN tok cx ON cx.w = t.w1
+            JOIN tok cy ON cy.w = t.w2
+            CROSS JOIN ntok CROSS JOIN nbg
         """,
         "rel_moving_avg": """
             -- trailing 3-row moving average per user on exact cents;
@@ -2635,6 +2667,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(tus) AS BIGINT) AS start_us,
                    CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
             FROM nbr GROUP BY user_id, session_seq
+        """,
+        "rel_hhi": """
+            -- Herfindahl index of type concentration per brand,
+            -- exact scaled integer (1e8 * sum(c^2)) // N^2
+            WITH c AS (
+                SELECT p_brand, p_type, count(*) AS n
+                FROM part GROUP BY 1, 2
+            )
+            SELECT p_brand,
+                   CAST(SUM(n) AS BIGINT) AS n_parts,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST((100000000 * SUM(n * n)) // (SUM(n) * SUM(n))
+                        AS BIGINT) AS hhi_e8
+            FROM c GROUP BY p_brand
         """,
         "rel_mode": """
             -- grouped MODE, ties broken to the smallest p_type

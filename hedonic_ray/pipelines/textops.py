@@ -507,6 +507,49 @@ def bigram_tf_top(sf_dir: str, k: int = 50) -> pa.Table:
     })
 
 
+def bigram_lift_top(sf_dir: str, k: int = 100) -> pa.Table:
+    """COLLOCATION LIFT for the top-``k`` bigrams by count: the
+    association score lift = P(xy) / (P(x)·P(y)) reported as the
+    exact scaled integer ``lift_e6 = (1e6·c_xy·N_tok²) //
+    (N_bg·c_x·c_y)`` — the integer-rational form of PMI's argument,
+    so no log/float anywhere and the gate hash is engine-stable.
+    Bigram and unigram counts are the existing distributed combiners
+    (`ops/textstats.py:bigram_total_frequency` /
+    `term_total_frequency`); only the top-k grid (≤ 2k terms) is
+    gathered, with the unigram lookups fetched via one vectorized
+    ``is_in`` filter over the term-count Dataset — O(k) driver state,
+    Python-int finish (no 2^63 ceiling)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bg = ts.bigram_total_frequency(docs)
+    n_bg = int(bg.sum("tf"))
+    top = (bg.sort(["tf", "bigram"], descending=[True, False])
+           .limit(k).take_all())
+    bigrams = [r["bigram"] for r in top]
+    c_xy = {r["bigram"]: int(r["tf"]) for r in top}
+    pairs = [b.split(" ") for b in bigrams]  # tokens are \S+: 1 space
+    need = sorted({w for p in pairs for w in p})
+    tf = ts.term_total_frequency(docs)
+    n_tok = int(tf.sum("tf"))
+
+    def pick(t: pa.Table, need=need) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t.column("term"),
+                                 value_set=pa.array(need, pa.string())))
+
+    c_t = {r["term"]: int(r["tf"])
+           for r in tf.map_batches(pick, batch_format="pyarrow").take_all()}
+    lifts = [(1000000 * c_xy[b] * n_tok * n_tok)
+             // (n_bg * c_t[w1] * c_t[w2])
+             for b, (w1, w2) in zip(bigrams, pairs)]
+    return pa.table({
+        "bigram": pa.array(bigrams, pa.string()),
+        "n_xy": pa.array([c_xy[b] for b in bigrams], pa.int64()),
+        "n_x": pa.array([c_t[p[0]] for p in pairs], pa.int64()),
+        "n_y": pa.array([c_t[p[1]] for p in pairs], pa.int64()),
+        "lift_e6": pa.array(lifts, pa.int64()),
+    })
+
+
 def fingerprint_overlap(sf_dir: str, min_shared: int = 12):
     """Winnowing-fingerprint overlap pairs (MOSS-style plagiarism /
     boilerplate detection on top of :func:`fingerprints`)."""

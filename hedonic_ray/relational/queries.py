@@ -1835,3 +1835,41 @@ def copurchase_pairs(sf_dir: str, k: int = 20):
     order = np.lexsort((b, a, -c))[:k]
     return pa.table({"a": pa.array(a[order]), "b": pa.array(b[order]),
                      "n_orders": pa.array(c[order])})
+
+
+def brand_type_hhi(sf_dir: str):
+    """HERFINDAHL–HIRSCHMAN concentration index of part types per
+    brand, as an exact scaled integer:
+    ``hhi_e8 = (1e8 · Σ cᵢ²) // N²`` over the per-(brand, type)
+    counts cᵢ (N = Σ cᵢ) — the standard market-concentration audit,
+    all-integer so the gate hash is engine-stable.  Same two-stage
+    shape as `brand_mode_type`: per-batch Arrow group_by pre-combine
+    (the exchange carries the distinct (brand, type) grid, not the
+    fact rows), then an integer finish inside
+    ``groupby(brand).map_groups`` using Python ints (no 2^63 ceiling
+    on the squared sums)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"p_brand": t.column("p_brand"),
+                      "p_type": t.column("p_type"),
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return g.group_by(["p_brand", "p_type"]).aggregate(
+            [("n", "sum")]).rename_columns(["p_brand", "p_type", "n"])
+
+    counts = (_read(sf_dir, "part", ["p_brand", "p_type"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["p_brand", "p_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def finish(g: pa.Table) -> pa.Table:
+        c = [int(x) for x in g.column("n").to_pylist()]
+        tot = sum(c)
+        hhi = (100000000 * sum(x * x for x in c)) // (tot * tot)
+        return pa.table({"p_brand": g.column("p_brand").slice(0, 1),
+                         "n_parts": pa.array([tot], pa.int64()),
+                         "n_types": pa.array([len(c)], pa.int64()),
+                         "hhi_e8": pa.array([hhi], pa.int64())})
+
+    return counts.groupby("p_brand").map_groups(finish,
+                                                batch_format="pyarrow")
