@@ -533,6 +533,36 @@ FROM s{s}_out""" for s in seeds]
     return "".join(parts)
 
 
+def _matching_chain_sql(rounds: int = 8) -> str:
+    """Fixed-round mutual-min-id maximal matching as unrolled CTEs —
+    mirrors algos/matching.py:maximal_matching round for round:
+    cand_i = per-unmatched-vertex min unmatched neighbor, pairs_i =
+    mutual picks (a < b), u_{i+1} = survivors."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE},
+u0 AS (SELECT doc_id AS v FROM documents)"""]
+    for i in range(rounds):
+        parts.append(f""",
+cand{i} AS MATERIALIZED (
+    SELECT a.src AS v, MIN(a.dst) AS c FROM arcs a
+    JOIN u{i} s ON s.v = a.src
+    JOIN u{i} t ON t.v = a.dst
+    GROUP BY a.src),
+p{i} AS MATERIALIZED (
+    SELECT x.v AS a, x.c AS b FROM cand{i} x
+    JOIN cand{i} y ON y.v = x.c AND y.c = x.v
+    WHERE x.v < x.c),
+u{i + 1} AS MATERIALIZED (
+    SELECT v FROM u{i} u
+    WHERE NOT EXISTS (SELECT 1 FROM p{i}
+                      WHERE p{i}.a = u.v OR p{i}.b = u.v))""")
+    sel = [f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST({i + 1} AS BIGINT) AS round FROM p{i}""" for i in range(rounds)]
+    parts.append(" UNION ALL ".join(sel) + " ORDER BY round, a")
+    return "".join(parts)
+
+
 def _bipartite_chain_sql(seed: int = 1, rounds: int = 6) -> str:
     """BFS 2-coloring odd-cycle certificate: the `_bfs_chain_sql`
     pyramid from one seed, then per reached vertex the count of
@@ -1017,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_path_counts": lg.doc_path_counts,
         "graph_stress": lg.doc_stress,
         "graph_bipartite": lg.doc_bipartite,
+        "graph_matching": lg.doc_matching,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -2319,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
                                                     rounds=6),
         "graph_stress": _stress_chain_sql(seeds=(0, 1, 2), rounds=6),
         "graph_bipartite": _bipartite_chain_sql(seed=1, rounds=6),
+        "graph_matching": _matching_chain_sql(rounds=8),
         "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),
         "graph_sssp": _sssp_chain_sql(rounds=6, seed=1),
         "graph_diameter": _diameter_chain_sql(rounds=6),

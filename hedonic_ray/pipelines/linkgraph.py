@@ -864,6 +864,19 @@ def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
 
+def doc_matching(sf_dir: str, *, rounds: int = 8) -> pa.Table:
+    """Fixed-round MAXIMAL MATCHING over the undirected doc graph
+    (`algos/matching.py`): deterministic mutual-min-id proposal
+    rounds, one masked neighbor-MIN pull per round, no exchange.
+    Columns: a, b (matched pair, a < b), round (1-based)."""
+    from hedonic_ray.algos.matching import maximal_matching
+
+    g = doc_graph(sf_dir, directed=False)
+    a, b, r = maximal_matching(g, rounds=rounds)
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "round": pa.array(r)})
+
+
 def doc_bipartite(sf_dir: str, *, seed: int = 1, rounds: int = 6) -> pa.Table:
     """BFS 2-COLORING / ODD-CYCLE CERTIFICATE from a deterministic
     seed: every reached vertex gets ``parity = dist % 2``;

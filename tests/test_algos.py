@@ -889,3 +889,23 @@ def test_doc_stress_and_bipartite_not_vacuous():
     bp = doc_bipartite("/root/testdata/sf0.001")
     assert bp.num_rows > 0
     assert (bp.column("n_conflict").to_numpy() > 0).any()
+
+
+def test_maximal_matching_valid_and_maximal():
+    """Mutual-min-id rounds yield a VALID matching (disjoint
+    endpoints, real edges) that is MAXIMAL once the rounds saturate
+    (no remaining edge has both endpoints unmatched)."""
+    from hedonic_ray.algos.matching import maximal_matching
+
+    n = 40
+    edges = rand_edges(n, 0.15, seed=35)
+    g = make_graph(edges, n, num_parts=4)
+    a, b, r = maximal_matching(g, rounds=32)
+    assert len(a) > 0
+    eps = np.concatenate([a, b])
+    assert len(np.unique(eps)) == len(eps)          # disjoint
+    eset = {(min(u, v), max(u, v)) for u, v in edges}
+    assert all((u, v) in eset for u, v in zip(a, b))  # real edges
+    matched = np.zeros(n, dtype=bool)
+    matched[eps] = True
+    assert all(matched[u] or matched[v] for u, v in eset)  # maximal
