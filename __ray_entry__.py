@@ -533,6 +533,61 @@ FROM s{s}_out""" for s in seeds]
     return "".join(parts)
 
 
+def _mst_chain_sql(rounds: int = 10) -> str:
+    """Unrolled BORŮVKA: per round, each component's min outgoing
+    edge under the strict (w, a, b) order (row_number argmin), then a
+    recursive min-label closure over the round's pick forest —
+    mirrors algos/mst.py:minimum_spanning_forest round for round
+    (strict total order ⇒ the pick graph is acyclic except mutual
+    picks of the same edge, so DISTINCT dedup is exact).  The doc
+    fixture saturates well inside 10 rounds (components at least
+    halve per round); trailing rounds are no-ops."""
+    parts = [f"""WITH RECURSIVE {_LINKS_CTE},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                        GREATEST(src, dst) AS b FROM e),
+wed AS (SELECT a, b, 1 + (a * 31 + b * 17) % 97 AS w FROM und),
+c0 AS (SELECT doc_id AS v, doc_id AS c FROM documents)"""]
+    for i in range(rounds):
+        parts.append(f""",
+base{i} AS MATERIALIZED (
+    SELECT cu.c AS comp, wed.w, wed.a, wed.b
+    FROM wed JOIN c{i} cu ON cu.v = wed.a
+             JOIN c{i} cv ON cv.v = wed.b
+    WHERE cu.c <> cv.c
+    UNION ALL
+    SELECT cv.c, wed.w, wed.a, wed.b
+    FROM wed JOIN c{i} cu ON cu.v = wed.a
+             JOIN c{i} cv ON cv.v = wed.b
+    WHERE cu.c <> cv.c),
+ch{i} AS MATERIALIZED (
+    SELECT DISTINCT w, a, b FROM (
+        SELECT w, a, b, row_number() OVER (
+            PARTITION BY comp ORDER BY w, a, b) AS rn
+        FROM base{i}) WHERE rn = 1),
+peb{i} AS MATERIALIZED (
+    SELECT cu.c AS x, cv.c AS y
+    FROM ch{i} JOIN c{i} cu ON cu.v = ch{i}.a
+               JOIN c{i} cv ON cv.v = ch{i}.b
+    UNION
+    SELECT cv.c, cu.c
+    FROM ch{i} JOIN c{i} cu ON cu.v = ch{i}.a
+               JOIN c{i} cv ON cv.v = ch{i}.b),
+cl{i}(c, d) AS (
+    SELECT x, x FROM peb{i}
+    UNION
+    SELECT cl{i}.c, p.y FROM cl{i} JOIN peb{i} p ON p.x = cl{i}.d),
+relab{i} AS MATERIALIZED (SELECT c, MIN(d) AS m FROM cl{i} GROUP BY c),
+c{i + 1} AS MATERIALIZED (
+    SELECT cc.v, COALESCE(r.m, cc.c) AS c
+    FROM c{i} cc LEFT JOIN relab{i} r ON r.c = cc.c)""")
+    sel = [f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(w AS BIGINT) AS weight, CAST({i + 1} AS BIGINT) AS round
+FROM ch{i}""" for i in range(rounds)]
+    parts.append(" UNION ALL ".join(sel) + " ORDER BY round, a, b")
+    return "".join(parts)
+
+
 def _matching_chain_sql(rounds: int = 8) -> str:
     """Fixed-round mutual-min-id maximal matching as unrolled CTEs —
     mirrors algos/matching.py:maximal_matching round for round:
@@ -1048,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stress": lg.doc_stress,
         "graph_bipartite": lg.doc_bipartite,
         "graph_matching": lg.doc_matching,
+        "graph_mst": lg.doc_mst,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -2351,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stress": _stress_chain_sql(seeds=(0, 1, 2), rounds=6),
         "graph_bipartite": _bipartite_chain_sql(seed=1, rounds=6),
         "graph_matching": _matching_chain_sql(rounds=8),
+        "graph_mst": _mst_chain_sql(rounds=10),
         "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),
         "graph_sssp": _sssp_chain_sql(rounds=6, seed=1),
         "graph_diameter": _diameter_chain_sql(rounds=6),

@@ -864,6 +864,21 @@ def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
 
+def doc_mst(sf_dir: str, *, rounds: int = 16) -> pa.Table:
+    """BORŮVKA MINIMUM SPANNING FOREST of the undirected doc graph
+    (`algos/mst.py`): deterministic integer edge weights
+    1 + (a·31 + b·17) % 97 under the strict (w, a, b) total order, so
+    the forest is unique and the SQL oracle (per-round argmin +
+    pick-forest closure) reproduces it exactly.  Columns: a, b
+    (edge, a < b), weight, round (1-based Borůvka round)."""
+    from hedonic_ray.algos.mst import minimum_spanning_forest
+
+    g = doc_graph(sf_dir, directed=False)
+    a, b, w, r = minimum_spanning_forest(g, rounds=rounds)
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "weight": pa.array(w), "round": pa.array(r)})
+
+
 def doc_matching(sf_dir: str, *, rounds: int = 8) -> pa.Table:
     """Fixed-round MAXIMAL MATCHING over the undirected doc graph
     (`algos/matching.py`): deterministic mutual-min-id proposal

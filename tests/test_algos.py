@@ -909,3 +909,37 @@ def test_maximal_matching_valid_and_maximal():
     matched = np.zeros(n, dtype=bool)
     matched[eps] = True
     assert all(matched[u] or matched[v] for u, v in eset)  # maximal
+
+
+def test_boruvka_matches_kruskal():
+    """The Borůvka forest equals a driver-side Kruskal under the same
+    strict (w, a, b) key order on a random graph (unique keys ⇒ the
+    MSF is unique, so two entirely different algorithms must agree)."""
+    from hedonic_ray.algos.mst import edge_weight, minimum_spanning_forest
+
+    n = 60
+    edges = rand_edges(n, 0.08, seed=36)
+    g = make_graph(edges, n, num_parts=4)
+    a, b, w, r = minimum_spanning_forest(g)
+    got = set(zip(a.tolist(), b.tolist()))
+    # Kruskal with union-find
+    canon = sorted(
+        {(int(edge_weight(np.int64(min(u, v)), np.int64(max(u, v)))),
+          min(u, v), max(u, v)) for u, v in edges})
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exp = set()
+    for wt, u, v in canon:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            exp.add((u, v))
+    assert got == exp
+    assert all(int(edge_weight(np.int64(u), np.int64(v))) == wt
+               for u, v, wt in zip(a, b, w))
