@@ -1198,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_term_tf": tx.term_tf_top,
         "text_bigrams": tx.bigram_tf_top,
         "text_colloc_lift": tx.bigram_lift_top,
+        "dedup_cdc": tx.cdc_dedup,
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
@@ -1631,6 +1632,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf
             FROM bg GROUP BY bigram
             ORDER BY tf DESC, bigram LIMIT 50
+        """,
+        "dedup_cdc": """
+            -- content-defined chunking: boundary where the trailing
+            -- 8-byte polynomial hash (sum of byte_j * 37^j) % 32 = 31;
+            -- chunk identity = md5; dup = hash in >= 2 distinct docs.
+            -- ASCII corpus: char positions == byte positions.
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(range(CAST(8 AS BIGINT),
+                                    CAST(length(text) + 1 AS BIGINT))) AS q
+                FROM documents
+            ),
+            hh AS (
+                SELECT doc_id, q,
+                       (CAST(unicode(substr(text, CAST(q - 7 AS BIGINT), 1)) AS BIGINT)
+                      + CAST(unicode(substr(text, CAST(q - 6 AS BIGINT), 1)) AS BIGINT) * 37
+                      + CAST(unicode(substr(text, CAST(q - 5 AS BIGINT), 1)) AS BIGINT) * 1369
+                      + CAST(unicode(substr(text, CAST(q - 4 AS BIGINT), 1)) AS BIGINT) * 50653
+                      + CAST(unicode(substr(text, CAST(q - 3 AS BIGINT), 1)) AS BIGINT) * 1874161
+                      + CAST(unicode(substr(text, CAST(q - 2 AS BIGINT), 1)) AS BIGINT) * 69343957
+                      + CAST(unicode(substr(text, CAST(q - 1 AS BIGINT), 1)) AS BIGINT) * 2565726409
+                      + CAST(unicode(substr(text, CAST(q AS BIGINT), 1)) AS BIGINT) * 94931877133
+                       ) AS h
+                FROM pos
+            ),
+            ends AS (
+                SELECT DISTINCT doc_id, e FROM (
+                    SELECT doc_id, q AS e FROM hh WHERE h % 32 = 31
+                    UNION ALL
+                    SELECT doc_id, CAST(length(text) AS BIGINT) FROM documents)
+                WHERE e > 0
+            ),
+            ch AS (
+                SELECT doc_id,
+                       COALESCE(lag(e) OVER (PARTITION BY doc_id
+                                             ORDER BY e), 0) + 1 AS s,
+                       e
+                FROM ends
+            ),
+            hsh AS (
+                SELECT c.doc_id,
+                       md5_number_lower(substr(d.text, CAST(c.s AS BIGINT),
+                                        CAST(c.e - c.s + 1 AS BIGINT))) AS h,
+                       c.e - c.s + 1 AS l
+                FROM ch c JOIN documents d ON d.doc_id = c.doc_id
+            ),
+            dup AS MATERIALIZED (
+                SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                               FROM hsh GROUP BY h) WHERE nd >= 2
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+                   CAST(SUM(CASE WHEN h IN (SELECT h FROM dup)
+                            THEN l ELSE 0 END) AS BIGINT) AS dup_chars
+            FROM hsh GROUP BY doc_id
         """,
         "text_colloc_lift": r"""
             -- collocation lift for the top-100 bigrams by count:

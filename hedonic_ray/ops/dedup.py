@@ -1773,3 +1773,128 @@ def editdist_verify_pairs(pairs_ds, docs_ds, *, max_dist: int = 60,
 
     return pairs_ds.map_batches(verify, batch_format="pyarrow",
                                 batch_size=256).sort(["a", "b"])
+
+
+def cdc_chunk_stats(ds, *, k: int = 8, d: int = 32, col: str = "text",
+                    key: str = "doc_id", dup_broadcast_max: int = 2_000_000):
+    """CONTENT-DEFINED CHUNKING dedup (the LBFS / FastCDC shape used
+    for storage- and corpus-level dedup): a byte position ends a chunk
+    when the polynomial hash of the trailing ``k`` bytes —
+    H = Σⱼ byteⱼ·37ʲ, exact int64, no modulus needed at k=8 — lands in
+    the 1/``d`` boundary class (H % d == d−1); the document tail
+    always closes the last chunk.  A FIXED-WINDOW rule rather than a
+    true rolling Rabin fingerprint, deliberately: boundaries are a
+    position-independent pure function of the local bytes (the CDC
+    property that makes chunks insertion-stable) AND reproducible by
+    SQL ``substr`` arithmetic, which a stateful rolling hash is not.
+
+    Per batch, ONE vectorized pass lifts the Arrow offsets/data
+    buffers into numpy (the `_text_window_words` idiom), computes
+    every window hash with a single sliding-window matmul and
+    assembles chunk spans with index arithmetic — the only per-item
+    Python is one md5 per CHUNK (≈ text_len/d of them, two orders
+    below the window count).  Chunk identity = md5 low64
+    (`md5_low64` convention, ≡ DuckDB ``md5_number_lower``).
+
+    Cross-document duplicate chunks (hash in ≥ 2 distinct docs) are
+    gathered and broadcast (asserted < ``dup_broadcast_max``; the
+    100-TB path swaps this for the distinct-gram semi-join used by
+    `decontaminate_counts` — same exchange shape).  Returns one row
+    per document: (key, n_chunks, n_dup_chunks, dup_chars).
+
+    Byte windows ≡ SQL character windows on ASCII corpora (the
+    oracle's applicability condition, as for `substring_dup_counts`).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    pows = 37 ** np.arange(k, dtype=np.int64)
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        arr = batch.column(col).combine_chunks().cast(pa.large_string())
+        docs = batch.column(key).to_numpy()
+        offs = np.frombuffer(arr.buffers()[1], np.int64)[
+            arr.offset:arr.offset + len(arr) + 1]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        lens = np.diff(offs)
+        counts = np.maximum(lens - k + 1, 0)
+        total = int(counts.sum())
+        if total and len(data) >= k:
+            h_all = np.lib.stride_tricks.sliding_window_view(
+                data, k).astype(np.int64) @ pows
+            shift = np.cumsum(counts) - counts
+            starts = (np.repeat(offs[:-1], counts)
+                      + (np.arange(total, dtype=np.int64)
+                         - np.repeat(shift, counts)))
+            hb = h_all[starts] % d == d - 1
+            bend = starts[hb] + k
+            bdoc = np.repeat(np.arange(len(docs)), counts)[hb]
+        else:
+            bend = np.empty(0, np.int64)
+            bdoc = np.empty(0, np.int64)
+        ends = np.concatenate([bend, offs[1:]])
+        edoc = np.concatenate([bdoc, np.arange(len(docs), dtype=np.int64)])
+        order = np.lexsort((ends, edoc))
+        ends, edoc = ends[order], edoc[order]
+        keep = np.empty(len(ends), bool)
+        keep[0] = True
+        keep[1:] = (ends[1:] != ends[:-1]) | (edoc[1:] != edoc[:-1])
+        ends, edoc = ends[keep], edoc[keep]
+        first = np.empty(len(ends), bool)
+        first[0] = True
+        first[1:] = edoc[1:] != edoc[:-1]
+        starts_c = np.where(first, offs[:-1][edoc],
+                            np.concatenate([[np.int64(0)], ends[:-1]]))
+        ok = ends > starts_c  # drop empty tails (zero-length docs)
+        starts_c, ends, edoc = starts_c[ok], ends[ok], edoc[ok]
+        hs = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(data[s:e].tobytes()).digest()[8:16], "little")
+             for s, e in zip(starts_c, ends)),
+            dtype=np.uint64, count=len(ends)).view(np.int64)
+        return pa.table({key: pa.array(docs[edoc]),
+                         "h": pa.array(hs),
+                         "l": pa.array(ends - starts_c)})
+
+    occ = ds.map_batches(chunk_rows, batch_format="pyarrow",
+                         batch_size=2048)
+
+    def doc_hash_distinct(t: pa.Table) -> pa.Table:
+        return t.select([key, "h"]).group_by([key, "h"]).aggregate([])
+
+    dup_rows = (occ.map_batches(doc_hash_distinct, batch_format="pyarrow")
+                .groupby([key, "h"])
+                .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+                .groupby("h").aggregate(Count(alias_name="n_docs"))
+                .filter(lambda r: r["n_docs"] >= 2)
+                .take_all())
+    assert len(dup_rows) < dup_broadcast_max, \
+        "dup-chunk set exceeds broadcast cap: switch to the semi-join path"
+    dup_ref = ray.put(np.sort(np.array([r["h"] for r in dup_rows],
+                                       np.int64)))
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        h = t.column("h").to_numpy()
+        is_dup = np.zeros(len(h), bool)
+        if len(dup):
+            i = np.searchsorted(dup, h)
+            i[i == len(dup)] = 0
+            is_dup = dup[i] == h
+        g = pa.table({key: t.column(key),
+                      "n_chunks_p": pa.array(np.ones(len(h), np.int64)),
+                      "n_dup_p": pa.array(is_dup.astype(np.int64)),
+                      "dup_chars_p": pa.array(
+                          np.where(is_dup, t.column("l").to_numpy(), 0))})
+        return (g.group_by(key).aggregate(
+            [("n_chunks_p", "sum"), ("n_dup_p", "sum"),
+             ("dup_chars_p", "sum")])
+            .rename_columns([key, "n_chunks_p", "n_dup_p", "dup_chars_p"]))
+
+    return (occ.map_batches(per_doc, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Sum("n_chunks_p", alias_name="n_chunks"),
+                       Sum("n_dup_p", alias_name="n_dup_chunks"),
+                       Sum("dup_chars_p", alias_name="dup_chars")))

@@ -550,6 +550,14 @@ def bigram_lift_top(sf_dir: str, k: int = 100) -> pa.Table:
     })
 
 
+def cdc_dedup(sf_dir: str, *, k: int = 8, d: int = 32):
+    """Content-defined-chunking dedup report over the documents table
+    (`ops/dedup.py:cdc_chunk_stats`): per doc, its chunk count and how
+    many chunks (occurrences / chars) are shared with another doc."""
+    return dd.cdc_chunk_stats(_docs(sf_dir, ["doc_id", "text"]),
+                              k=k, d=d)
+
+
 def fingerprint_overlap(sf_dir: str, min_shared: int = 12):
     """Winnowing-fingerprint overlap pairs (MOSS-style plagiarism /
     boilerplate detection on top of :func:`fingerprints`)."""
