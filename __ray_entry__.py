@@ -1199,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bigrams": tx.bigram_tf_top,
         "text_colloc_lift": tx.bigram_lift_top,
         "dedup_cdc": tx.cdc_dedup,
+        "sim_srp_lsh": tx.srp_lsh,
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
@@ -1632,6 +1633,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf
             FROM bg GROUP BY bigram
             ORDER BY tf DESC, bigram LIMIT 50
+        """,
+        "sim_srp_lsh": """
+            -- hyperplane (signed-random-projection) LSH: +-1 planes
+            -- from md5 parity, exact integer sign test on the x1e5
+            -- floor-quantized vectors, 4 bands x 8 bits, candidates
+            -- verified by dot^2*1e12 >= t^2*|a|^2*|b|^2 in HUGEINT
+            WITH q AS MATERIALIZED (
+                SELECT vec_id, j,
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 100000) AS BIGINT)
+                           AS qv
+                FROM (SELECT vec_id, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS j
+                      FROM embeddings)
+            ),
+            planes AS MATERIALIZED (
+                SELECT p.p, j.j,
+                       CASE WHEN md5_number_lower(
+                                'srp-' || p.p || '-' || j.j) % 2 = 1
+                            THEN 1 ELSE -1 END AS c
+                FROM range(32) p(p), (SELECT DISTINCT j FROM q) j(j)
+            ),
+            bits AS MATERIALIZED (
+                SELECT q.vec_id, pl.p,
+                       CASE WHEN SUM(q.qv * pl.c) > 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM q JOIN planes pl ON pl.j = q.j
+                GROUP BY q.vec_id, pl.p
+            ),
+            bands AS MATERIALIZED (
+                SELECT vec_id, p // 8 AS band,
+                       SUM(bit * (1 << (p % 8))) AS bkey
+                FROM bits GROUP BY vec_id, p // 8
+            ),
+            cand AS MATERIALIZED (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       COUNT(*) AS n_shared_bands
+                FROM bands x JOIN bands y
+                  ON y.band = x.band AND y.bkey = x.bkey
+                 AND x.vec_id < y.vec_id
+                GROUP BY 1, 2
+            ),
+            n2 AS MATERIALIZED (
+                SELECT vec_id, SUM(CAST(qv AS HUGEINT) * qv) AS n2
+                FROM q GROUP BY vec_id
+            ),
+            dots AS (
+                SELECT c.a, c.b, c.n_shared_bands,
+                       (SELECT SUM(CAST(qa.qv AS HUGEINT) * qb.qv)
+                        FROM q qa JOIN q qb ON qb.j = qa.j
+                        WHERE qa.vec_id = c.a
+                          AND qb.vec_id = c.b) AS dot
+                FROM cand c
+            )
+            SELECT d.a, d.b,
+                   CAST(d.n_shared_bands AS BIGINT) AS n_shared_bands
+            FROM dots d
+            JOIN n2 na ON na.vec_id = d.a
+            JOIN n2 nb ON nb.vec_id = d.b
+            WHERE d.dot > 0
+              AND d.dot * d.dot * CAST(1000000000000 AS HUGEINT)
+                  >= CAST(400000 AS HUGEINT) * 400000 * na.n2 * nb.n2
+            ORDER BY d.a, d.b
         """,
         "dedup_cdc": """
             -- content-defined chunking: boundary where the trailing

@@ -600,3 +600,122 @@ def centroid_classify(emb_ds, *, id_col: str = "vec_id",
             "d2": pa.array(d2[rows, best], pa.int64())})
 
     return emb_ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
+_SRP_PLANES: dict = {}
+
+
+def _srp_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes: sign of md5_low64("srp-p-j") & 1
+    (j 1-based) — ≡ DuckDB ``md5_number_lower(...) % 2``, so the SQL
+    oracle reproduces every plane."""
+    from hedonic_ray.ops.dedup import md5_low64
+
+    key = (n_planes, dim)
+    if key not in _SRP_PLANES:
+        c = np.empty((n_planes, dim), np.int64)
+        for p in range(n_planes):
+            for j in range(dim):
+                c[p, j] = 1 if md5_low64(f"srp-{p}-{j + 1}") & 1 else -1
+        _SRP_PLANES[key] = c
+    return _SRP_PLANES[key]
+
+
+def srp_lsh_pairs(emb_ds, *, n_planes: int = 32, band_bits: int = 8,
+                  threshold_e6: int = 400000, scale: int = 100000,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SIGNED-RANDOM-PROJECTION (hyperplane) LSH for cosine near-dups
+    (Charikar '02), the embedding-space sibling of SimHash: bit p of a
+    vector's signature is the sign of its dot with a deterministic ±1
+    hyperplane, computed on the ×``scale`` FLOOR-quantized integer
+    vector so the sign test is exact; ``n_planes/band_bits`` bands
+    bucket the signatures, same-bucket pairs become candidates, and
+    candidates are finished by the EXACT quantized-cosine test
+    dot > 0 ∧ dot²·10¹² ≥ t²·|a|²·|b|² — all integers (``scale=1e5``
+    keeps every product inside HUGEINT for the SQL oracle at dim 64).
+
+    Shape: one ``map_batches`` signature pass (a single int matmul per
+    batch) → per-bucket pair emission inside
+    ``groupby(band, key).map_groups`` → the sort-based
+    `_packed_pair_counts` exchange for shared-band counts → a
+    candidate-bounded verify (vectors for candidate ids fetched via
+    one ``is_in`` filter; Python-int arithmetic, no overflow).  The
+    verify gather is O(candidates), the same posture as
+    `dedup.py:edit_distance_verify`.
+
+    Returns a pa.Table (a, b, n_shared_bands) for verified pairs,
+    a < b, ordered by (a, b)."""
+    import ray  # noqa: F401  (engine convention)
+
+    from hedonic_ray.ops.dedup import _packed_pair_counts
+
+    assert n_planes % band_bits == 0
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col, dtype=np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        c = _srp_planes(n_planes, q.shape[1])
+        bits = (q @ c.T) > 0                      # (n, n_planes)
+        n_bands = n_planes // band_bits
+        weights = (1 << np.arange(band_bits, dtype=np.int64))
+        keys = (bits.reshape(len(q), n_bands, band_bits)
+                .astype(np.int64) @ weights)      # (n, n_bands)
+        ids = batch.column(id_col).to_numpy()
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64),
+                                     len(q))),
+            "bkey": pa.array(keys.reshape(-1)),
+            id_col: pa.array(np.repeat(ids, n_bands)),
+        })
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column(id_col).to_numpy())
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        iu = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[iu[0]]),
+                         "b": pa.array(ids[iu[1]])})
+
+    sig = emb_ds.map_batches(signatures, batch_format="pyarrow")
+    pairs = sig.groupby(["band", "bkey"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    counts = _packed_pair_counts(pairs)   # (a, b, i) shared-band count
+
+    rows = counts.take_all()
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "n_shared_bands": pa.array([], pa.int64())})
+    a = np.array([r["a"] for r in rows], np.int64)
+    b = np.array([r["b"] for r in rows], np.int64)
+    nb = np.array([r["i"] for r in rows], np.int64)
+    need = np.unique(np.concatenate([a, b]))
+
+    def pick(t: pa.Table, need=need) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t.column(id_col),
+                                 value_set=pa.array(need, pa.int64())))
+
+    vecs = {}
+    for t in emb_ds.map_batches(pick, batch_format="pyarrow") \
+                   .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        m = _batch_matrix(t, vec_col, dtype=np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        for i, vid in enumerate(t.column(id_col).to_numpy()):
+            vecs[int(vid)] = q[i]
+
+    keep = np.zeros(len(a), bool)
+    t2 = threshold_e6 * threshold_e6
+    for i in range(len(a)):
+        qa, qb = vecs[int(a[i])], vecs[int(b[i])]
+        dot = int(qa @ qb)
+        if dot <= 0:
+            continue
+        n2a = int(qa @ qa)
+        n2b = int(qb @ qb)
+        keep[i] = dot * dot * 10**12 >= t2 * n2a * n2b
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table({"a": pa.array(a[keep][order]),
+                     "b": pa.array(b[keep][order]),
+                     "n_shared_bands": pa.array(nb[keep][order])})

@@ -550,6 +550,17 @@ def bigram_lift_top(sf_dir: str, k: int = 100) -> pa.Table:
     })
 
 
+def srp_lsh(sf_dir: str, *, threshold_e6: int = 400000) -> pa.Table:
+    """Hyperplane-LSH cosine near-dup pairs over the embeddings table
+    (`ops/similarity.py:srp_lsh_pairs`)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return sim.srp_lsh_pairs(emb, threshold_e6=threshold_e6)
+
+
 def cdc_dedup(sf_dir: str, *, k: int = 8, d: int = 32):
     """Content-defined-chunking dedup report over the documents table
     (`ops/dedup.py:cdc_chunk_stats`): per doc, its chunk count and how

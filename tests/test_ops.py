@@ -1511,3 +1511,31 @@ def test_cdc_chunks_partition_docs_and_are_insertion_stable():
             ends.append(len(b))
         lens = np.diff([0] + ends)
         assert lens.sum() == len(b)
+
+
+def test_srp_lsh_pairs_sound_vs_bruteforce():
+    """Every SRP-LSH output pair must pass the exact quantized-cosine
+    threshold recomputed by brute force (soundness — the banded
+    candidate stage is recall-only by design, like MinHash-LSH)."""
+    import ray.data as rd
+
+    from hedonic_ray.ops.similarity import srp_lsh_pairs
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    out = srp_lsh_pairs(rd.from_arrow(t), threshold_e6=400000)
+    assert out.num_rows > 0
+    m = np.array([np.array(v) for v in t.column("embedding").to_pylist()],
+                 dtype=np.float64)
+    q = np.floor(m * 100000).astype(np.int64)
+    ids = t.column("vec_id").to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for a, b in zip(out.column("a").to_pylist(),
+                    out.column("b").to_pylist()):
+        qa, qb = q[pos[a]], q[pos[b]]
+        dot = int(qa @ qb)
+        assert dot > 0
+        assert (dot * dot * 10**12
+                >= 400000**2 * int(qa @ qa) * int(qb @ qb))
