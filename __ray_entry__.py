@@ -1200,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_colloc_lift": tx.bigram_lift_top,
         "dedup_cdc": tx.cdc_dedup,
         "sim_srp_lsh": tx.srp_lsh,
+        "text_kwic": tx.kwic_contexts,
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
@@ -1633,6 +1634,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf
             FROM bg GROUP BY bigram
             ORDER BY tf DESC, bigram LIMIT 50
+        """,
+        "text_kwic": r"""
+            -- keyword-in-context for the top-3 terms by document
+            -- frequency (ties -> term asc): every occurrence with its
+            -- 1-based word position and +-2-word clipped context
+            WITH words AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+                       generate_subscripts(regexp_extract_all(text, '\S+'),
+                                           1) AS i
+                FROM documents
+            ),
+            df AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+                   FROM words GROUP BY w),
+            top AS (SELECT w FROM df ORDER BY df DESC, w LIMIT 3),
+            occ AS (SELECT doc_id, w AS term, i FROM words
+                    WHERE w IN (SELECT w FROM top))
+            SELECT o.doc_id, o.term, CAST(o.i AS BIGINT) AS pos,
+                   string_agg(w2.w, ' ' ORDER BY w2.i) AS context
+            FROM occ o JOIN words w2 ON w2.doc_id = o.doc_id
+                 AND w2.i BETWEEN o.i - 2 AND o.i + 2
+            GROUP BY o.doc_id, o.term, o.i
+            ORDER BY o.doc_id, pos
         """,
         "sim_srp_lsh": """
             -- hyperplane (signed-random-projection) LSH: +-1 planes

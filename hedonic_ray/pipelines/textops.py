@@ -550,6 +550,55 @@ def bigram_lift_top(sf_dir: str, k: int = 100) -> pa.Table:
     })
 
 
+def kwic_contexts(sf_dir: str, *, n_terms: int = 3,
+                  window: int = 2) -> "object":
+    """KEYWORD-IN-CONTEXT (concordance) extraction — the corpus-audit
+    view every data-curation loop uses to eyeball how a term is used:
+    for the top-``n_terms`` terms by document frequency (ties → term
+    asc, the `term_df_top` order), every occurrence is emitted with
+    its 1-based word position and the ``±window``-word context
+    (clipped at document edges, single-space joined).
+
+    Shape: the distributed DF wordcount picks the term list (O(n_terms)
+    driver state, broadcast into the extract stage); ONE fused
+    ``map_batches`` re-explodes each doc and assembles contexts only
+    for matched occurrences — documents never straddle batches, so the
+    per-batch explode sees every context window whole (the same fusion
+    invariant as text_tfidf)."""
+    t_df = ts.term_document_frequency(_docs(sf_dir, ["doc_id", "text"]))
+    top = (t_df.sort(["df", "term"], descending=[True, False])
+           .limit(n_terms).take_all())
+    terms = sorted(r["term"] for r in top)
+
+    def extract(batch: pa.Table, terms=tuple(terms)) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, lens, doc_of = ts._flat_words(batch, "text")
+        docs = batch.column("doc_id").to_numpy()
+        hit = pc.is_in(flat, value_set=pa.array(list(terms),
+                                                pa.string()))
+        idx = np.flatnonzero(hit.to_numpy(zero_copy_only=False))
+        if len(idx) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "pos": pa.array([], pa.int64()),
+                             "context": pa.array([], pa.string())})
+        starts = np.cumsum(lens) - lens          # first flat index per row
+        d = doc_of[idx]
+        lo = np.maximum(idx - window, starts[d])
+        hi = np.minimum(idx + window + 1, starts[d] + lens[d])
+        words = np.asarray(flat).astype(str)
+        ctx = [" ".join(words[l:h]) for l, h in zip(lo, hi)]
+        return pa.table({
+            "doc_id": pa.array(docs[d]),
+            "term": pa.array(words[idx].astype(object), pa.string()),
+            "pos": pa.array(idx - starts[d] + 1),
+            "context": pa.array(ctx, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        extract, batch_format="pyarrow")
+
+
 def srp_lsh(sf_dir: str, *, threshold_e6: int = 400000) -> pa.Table:
     """Hyperplane-LSH cosine near-dup pairs over the embeddings table
     (`ops/similarity.py:srp_lsh_pairs`)."""
