@@ -1201,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cdc": tx.cdc_dedup,
         "sim_srp_lsh": tx.srp_lsh,
         "text_kwic": tx.kwic_contexts,
+        "sim_pq_adc": tx.pq_topk,
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
@@ -1634,6 +1635,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf
             FROM bg GROUP BY bigram
             ORDER BY tf DESC, bigram LIMIT 50
+        """,
+        "sim_pq_adc": """
+            -- product quantization + asymmetric distance: codebook =
+            -- first 16 corpus vectors (x1e6 floor-quantized), 8
+            -- subspaces x 8 dims, exact int argmin encode (ties ->
+            -- lowest centroid), ADC = per-query LUT sum; top-5 by
+            -- (dist, vec_id)
+            WITH q AS MATERIALIZED (
+                SELECT vec_id, (j - 1) // 8 AS m, (j - 1) % 8 AS jj,
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                           AS qv
+                FROM (SELECT vec_id, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS j
+                      FROM embeddings)
+            ),
+            cbids AS (SELECT vec_id,
+                             row_number() OVER (ORDER BY vec_id) - 1 AS c
+                      FROM (SELECT vec_id FROM embeddings
+                            ORDER BY vec_id LIMIT 16)),
+            cb AS MATERIALIZED (
+                SELECT cbids.c, q.m, q.jj, q.qv
+                FROM q JOIN cbids ON cbids.vec_id = q.vec_id),
+            enc_d AS MATERIALIZED (
+                SELECT v.vec_id, v.m, cb.c,
+                       SUM((v.qv - cb.qv) * (v.qv - cb.qv)) AS d
+                FROM q v JOIN cb ON cb.m = v.m AND cb.jj = v.jj
+                GROUP BY v.vec_id, v.m, cb.c),
+            codes AS MATERIALIZED (
+                SELECT vec_id, m, c FROM (
+                    SELECT vec_id, m, c, row_number() OVER (
+                        PARTITION BY vec_id, m ORDER BY d, c) AS rn
+                    FROM enc_d) WHERE rn = 1),
+            lut AS MATERIALIZED (
+                SELECT e.vec_id AS query_id, e.m, e.c, e.d
+                FROM enc_d e WHERE e.vec_id % 100 = 0),
+            adc AS (
+                SELECT l.query_id, cd.vec_id, SUM(l.d) AS adc_dist
+                FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.c
+                GROUP BY l.query_id, cd.vec_id)
+            SELECT query_id, vec_id, adc_dist, rank FROM (
+                SELECT query_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+                FROM adc) WHERE rank <= 5
+            ORDER BY query_id, rank
         """,
         "text_kwic": r"""
             -- keyword-in-context for the top-3 terms by document

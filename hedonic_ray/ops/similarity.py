@@ -719,3 +719,100 @@ def srp_lsh_pairs(emb_ds, *, n_planes: int = 32, band_bits: int = 8,
     return pa.table({"a": pa.array(a[keep][order]),
                      "b": pa.array(b[keep][order]),
                      "n_shared_bands": pa.array(nb[keep][order])})
+
+
+def pq_adc_topk(emb_ds, *, n_sub: int = 8, n_cent: int = 16, k: int = 5,
+                query_stride: int = 100, scale: int = 1000000,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """PRODUCT-QUANTIZATION ANN with ASYMMETRIC DISTANCE COMPUTATION
+    (Jégou et al., PAMI'11) — the memory-compressed serving path for
+    corpus-scale similarity: vectors are stored as ``n_sub`` 4-bit
+    codes instead of floats; query-time distance is a table lookup.
+
+    All-integer variant so the result is SQL-reproducible: sub-vectors
+    are ×``scale`` FLOOR-quantized; the codebook is the first
+    ``n_cent`` corpus vectors in ``id_col`` order (a deterministic
+    sample codebook — no iterative k-means, which no SQL oracle could
+    replay); encoding = exact int64 squared-L2 argmin per subspace
+    (ties → lowest centroid); ADC dist(q, x) = Σₘ ‖qₘ − c[m, codeₘ(x)]‖²
+    via the classic per-query LUT gather.  Queries are the corpus rows
+    with ``id % query_stride == 0``.
+
+    Shape: codebook + queries are O(n_cent + n_queries) driver state
+    broadcast into ONE ``map_batches`` pass (encode = vectorized
+    3-tensor distance argmin, serve = LUT fancy-index); per-batch
+    partial top-k per query; driver merges O(queries·k·blocks) rows.
+    Returns (query_id, vec_id, adc_dist, rank), rank by
+    (dist asc, id asc)."""
+    import ray
+
+    # --- codebook + queries: two small gathers, broadcast once
+    first = (emb_ds.sort(id_col).limit(n_cent)
+             .take_all())
+    cb_f = np.array([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in first])
+    ids_cb = [int(r[id_col]) for r in first]
+    assert ids_cb == sorted(ids_cb)
+    dim = cb_f.shape[1]
+    assert dim % n_sub == 0
+    dsub = dim // n_sub
+    cb = np.floor(cb_f * scale).astype(np.int64).reshape(
+        n_cent, n_sub, dsub).transpose(1, 0, 2)      # (n_sub, n_cent, dsub)
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        return t.filter(pa.array(ids % query_stride == 0))
+
+    qrows = emb_ds.map_batches(pick_queries,
+                               batch_format="pyarrow").take_all()
+    qids = np.array(sorted(int(r[id_col]) for r in qrows), np.int64)
+    qmap = {int(r[id_col]): np.floor(
+        np.asarray(r[vec_col], np.float64) * scale).astype(np.int64)
+        for r in qrows}
+    # per-query LUT: lut[qi, m, c] = ||q_m - cb[m, c]||^2, exact int64
+    lut = np.empty((len(qids), n_sub, n_cent), np.int64)
+    for qi, qid in enumerate(qids):
+        qm = qmap[qid].reshape(n_sub, 1, dsub)
+        d = qm - cb
+        lut[qi] = np.einsum("mcd,mcd->mc", d, d)
+    cb_ref = ray.put(cb)
+    lut_ref = ray.put(lut)
+    qids_ref = ray.put(qids)
+
+    def serve(batch: pa.Table) -> pa.Table:
+        cbm = ray.get(cb_ref)
+        lt = ray.get(lut_ref)
+        qv = ray.get(qids_ref)
+        m = _batch_matrix(batch, vec_col, dtype=np.float64)
+        x = np.floor(m * scale).astype(np.int64).reshape(
+            len(m), n_sub, dsub)
+        # encode: argmin_c ||x_m - cb[m, c]||^2  (ties -> lowest c)
+        diff = x[:, :, None, :] - cbm[None, :, :, :]
+        codes = np.einsum("nmcd,nmcd->nmc", diff, diff).argmin(axis=2)
+        # ADC: dist[n] = sum_m lut[q, m, codes[n, m]] per query
+        ids = batch.column(id_col).to_numpy()
+        out_q, out_i, out_d = [], [], []
+        for qi in range(len(qv)):
+            dq = lt[qi, np.arange(n_sub)[None, :], codes].sum(axis=1)
+            order = np.lexsort((ids, dq))[:k]
+            out_q.append(np.full(len(order), qv[qi], np.int64))
+            out_i.append(ids[order].astype(np.int64))
+            out_d.append(dq[order])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_i)),
+                         "adc_dist": pa.array(np.concatenate(out_d))})
+
+    rows = emb_ds.map_batches(serve, batch_format="pyarrow").take_all()
+    qa = np.array([r["query_id"] for r in rows], np.int64)
+    ia = np.array([r[id_col] for r in rows], np.int64)
+    da = np.array([r["adc_dist"] for r in rows], np.int64)
+    out = {"query_id": [], id_col: [], "adc_dist": [], "rank": []}
+    for q in qids:
+        mq = qa == q
+        order = np.lexsort((ia[mq], da[mq]))[:k]
+        out["query_id"].append(np.full(len(order), q, np.int64))
+        out[id_col].append(ia[mq][order])
+        out["adc_dist"].append(da[mq][order])
+        out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pa.table({c: pa.array(np.concatenate(v))
+                     for c, v in out.items()})

@@ -599,6 +599,17 @@ def kwic_contexts(sf_dir: str, *, n_terms: int = 3,
         extract, batch_format="pyarrow")
 
 
+def pq_topk(sf_dir: str, *, k: int = 5) -> pa.Table:
+    """Product-quantization ADC top-k over the embeddings table
+    (`ops/similarity.py:pq_adc_topk`)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return sim.pq_adc_topk(emb, k=k)
+
+
 def srp_lsh(sf_dir: str, *, threshold_e6: int = 400000) -> pa.Table:
     """Hyperplane-LSH cosine near-dup pairs over the embeddings table
     (`ops/similarity.py:srp_lsh_pairs`)."""

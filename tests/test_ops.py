@@ -1539,3 +1539,21 @@ def test_srp_lsh_pairs_sound_vs_bruteforce():
         assert dot > 0
         assert (dot * dot * 10**12
                 >= 400000**2 * int(qa @ qa) * int(qb @ qb))
+
+
+def test_pq_adc_self_distance_and_rank_shape():
+    """PQ-ADC invariants: ranks are 1..k per query, and each query's
+    own row ranks first (its ADC distance — the residual to its own
+    codes — is minimal for this fixture's spread, ties impossible by
+    the id tie-break on identical codes)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.ops.similarity import pq_adc_topk
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    out = pq_adc_topk(rd.from_arrow(t), k=5).to_pandas()
+    for q, g in out.groupby("query_id"):
+        assert list(g["rank"]) == [1, 2, 3, 4, 5]
+        assert g[g["rank"] == 1]["vec_id"].iloc[0] == q
