@@ -1202,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_srp_lsh": tx.srp_lsh,
         "text_kwic": tx.kwic_contexts,
         "sim_pq_adc": tx.pq_topk,
+        "dedup_url": tx.url_dedup,
         "text_length_stats": tx.length_stats_by_lang,
         "text_char_classes": tx.char_classes,
         "text_wordlen_hist": tx.wordlen_hist,
@@ -1635,6 +1636,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf
             FROM bg GROUP BY bigram
             ORDER BY tf DESC, bigram LIMIT 50
+        """,
+        "dedup_url": """
+            -- URL canonicalization dedup over deterministic messy
+            -- crawl records (fragment / utm_* / case / :443 rules)
+            WITH recs AS (
+                SELECT doc_id, 'HTTPS://DOCS.EXAMPLE/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'https://docs.example:443/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       || '?utm_source=feed&utm_campaign=c'
+                       || CAST(doc_id % 7 AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'https://docs.example/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       || '#sec' || CAST(doc_id % 5 AS VARCHAR)
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, 'https://docs.example/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       || '?ref=AB' || CAST(doc_id % 4 AS VARCHAR)
+                       || '&utm_medium=em'
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 'HTTPS://DOCS.EXAMPLE/'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            norm AS (
+                SELECT url,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(url, '#.*$', ''),
+                               '[?&]utm_[^&]*', '', 'g'),
+                           '^([^?]*?)&', '\\1?') AS s
+                FROM recs
+            ),
+            canon AS (
+                SELECT url,
+                       lower(regexp_replace(
+                           regexp_extract(s, '^([^/]*//[^/]+)', 1),
+                           ':443$', ''))
+                       || substr(s, length(
+                           regexp_extract(s, '^([^/]*//[^/]+)', 1)) + 1)
+                           AS canonical
+                FROM norm
+            )
+            SELECT canonical,
+                   CAST(COUNT(*) AS BIGINT) AS n_records,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+            FROM canon GROUP BY canonical
         """,
         "sim_pq_adc": """
             -- product quantization + asymmetric distance: codebook =

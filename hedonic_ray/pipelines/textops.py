@@ -599,6 +599,32 @@ def kwic_contexts(sf_dir: str, *, n_terms: int = 3,
         extract, batch_format="pyarrow")
 
 
+def url_dedup(sf_dir: str):
+    """URL-canonicalization dedup over deterministic messy crawl
+    records (`functions/urls.py`): one fused generate+normalize
+    ``map_batches``, per-batch (canonical, raw) count grid, then a
+    two-stage groupby — Sum for record counts, Count for distinct raw
+    variants.  Columns: canonical, n_records, n_variants."""
+    from ray.data.aggregate import Count, Sum
+
+    from hedonic_ray.functions.urls import canonicalize_urls, crawl_records
+
+    def gen_norm(t: pa.Table) -> pa.Table:
+        recs = crawl_records(t)
+        g = pa.table({"canonical": canonicalize_urls(recs.column("url")),
+                      "url": recs.column("url"),
+                      "n": pa.array(np.ones(recs.num_rows, np.int64))})
+        return (g.group_by(["canonical", "url"]).aggregate([("n", "sum")])
+                .rename_columns(["canonical", "url", "n"]))
+
+    grid = (_docs(sf_dir, ["doc_id"]).map_batches(
+        gen_norm, batch_format="pyarrow")
+        .groupby(["canonical", "url"]).aggregate(Sum("n", alias_name="n")))
+    return (grid.groupby("canonical")
+            .aggregate(Sum("n", alias_name="n_records"),
+                       Count(alias_name="n_variants")))
+
+
 def pq_topk(sf_dir: str, *, k: int = 5) -> pa.Table:
     """Product-quantization ADC top-k over the embeddings table
     (`ops/similarity.py:pq_adc_topk`)."""
