@@ -135,6 +135,12 @@ SQL_CHECKED = sorted([
     # temporal earliest-arrival reachability on the click graph
     "graph_sssp", "graph_earliest_arrival", "text_chunk_plan",
     "sim_centroid_classify", "graph_path_counts",
+    # round 4, session 10: integer stress centrality, 2-coloring
+    # certificate, maximal matching, Boruvka MSF, HHI, collocation
+    # lift, CDC chunk dedup, hyperplane LSH, KWIC, PQ-ADC, URL dedup
+    "graph_stress", "graph_bipartite", "graph_matching", "graph_mst",
+    "rel_hhi", "text_colloc_lift", "dedup_cdc", "sim_srp_lsh",
+    "text_kwic", "sim_pq_adc", "dedup_url",
 ])
 
 
