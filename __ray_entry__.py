@@ -533,6 +533,47 @@ FROM s{s}_out""" for s in seeds]
     return "".join(parts)
 
 
+def _mis_chain_sql(rounds: int = 12) -> str:
+    """Unrolled Luby MIS: md5 priorities (unsigned HUGEINT order ≡ the
+    engine's sign-bit-flipped int64 order), per round strict local
+    minima join, their neighbors leave — mirrors
+    algos/mis.py:maximal_independent_set round for round."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE},
+u0 AS (SELECT doc_id AS v,
+              md5_number_lower(CAST(doc_id AS VARCHAR)) AS p
+       FROM documents)"""]
+    for i in range(rounds):
+        parts.append(f""",
+mn{i} AS MATERIALIZED (
+    SELECT a.src AS v, MIN(t.p) AS mn FROM arcs a
+    JOIN u{i} s ON s.v = a.src
+    JOIN u{i} t ON t.v = a.dst
+    GROUP BY a.src),
+inn{i} AS MATERIALIZED (
+    SELECT s.v FROM u{i} s LEFT JOIN mn{i} m ON m.v = s.v
+    WHERE m.v IS NULL OR s.p < m.mn),
+ex{i} AS MATERIALIZED (
+    SELECT DISTINCT a.src AS v FROM arcs a
+    JOIN inn{i} t ON t.v = a.dst
+    JOIN u{i} s ON s.v = a.src
+    WHERE a.src NOT IN (SELECT v FROM inn{i})),
+u{i + 1} AS MATERIALIZED (
+    SELECT v, p FROM u{i}
+    WHERE v NOT IN (SELECT v FROM inn{i})
+      AND v NOT IN (SELECT v FROM ex{i}))""")
+    dec = [f"""SELECT v, 1 AS status, {i + 1} AS rnd FROM inn{i}
+    UNION ALL SELECT v, -1, {i + 1} FROM ex{i}""" for i in range(rounds)]
+    parts.append(f""",
+dec AS ({" UNION ALL ".join(dec)})
+SELECT d.doc_id AS vertex,
+       CAST(COALESCE(dec.status, 0) AS BIGINT) AS status,
+       CAST(COALESCE(dec.rnd, 0) AS BIGINT) AS round
+FROM documents d LEFT JOIN dec ON dec.v = d.doc_id
+ORDER BY vertex""")
+    return "".join(parts)
+
+
 def _mst_chain_sql(rounds: int = 10) -> str:
     """Unrolled BORŮVKA: per round, each component's min outgoing
     edge under the strict (w, a, b) order (row_number argmin), then a
@@ -1104,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bipartite": lg.doc_bipartite,
         "graph_matching": lg.doc_matching,
         "graph_mst": lg.doc_mst,
+        "graph_mis": lg.doc_mis,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -2652,6 +2694,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_bipartite": _bipartite_chain_sql(seed=1, rounds=6),
         "graph_matching": _matching_chain_sql(rounds=8),
         "graph_mst": _mst_chain_sql(rounds=10),
+        "graph_mis": _mis_chain_sql(rounds=12),
         "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),
         "graph_sssp": _sssp_chain_sql(rounds=6, seed=1),
         "graph_diameter": _diameter_chain_sql(rounds=6),

@@ -864,6 +864,20 @@ def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
 
+def doc_mis(sf_dir: str, *, rounds: int = 12) -> pa.Table:
+    """Luby MAXIMAL INDEPENDENT SET over the undirected doc graph
+    (`algos/mis.py`): md5 priorities, strict-local-minimum rounds.
+    Columns: vertex, status (1 in-MIS / −1 excluded / 0 undecided),
+    round (1-based round decided, 0 if undecided)."""
+    from hedonic_ray.algos.mis import maximal_independent_set
+
+    g = doc_graph(sf_dir, directed=False)
+    status, decided = maximal_independent_set(g, rounds=rounds)
+    return pa.table({"vertex": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "status": pa.array(status),
+                     "round": pa.array(decided)})
+
+
 def doc_mst(sf_dir: str, *, rounds: int = 16) -> pa.Table:
     """BORŮVKA MINIMUM SPANNING FOREST of the undirected doc graph
     (`algos/mst.py`): deterministic integer edge weights

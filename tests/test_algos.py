@@ -943,3 +943,27 @@ def test_boruvka_matches_kruskal():
     assert got == exp
     assert all(int(edge_weight(np.int64(u), np.int64(v))) == wt
                for u, v, wt in zip(a, b, w))
+
+
+def test_luby_mis_independent_and_maximal():
+    """Luby MIS invariants at saturation: no two MIS members adjacent
+    (independence), every excluded vertex has a MIS neighbor
+    (maximality), no vertex undecided."""
+    from hedonic_ray.algos.mis import maximal_independent_set
+
+    n = 50
+    edges = rand_edges(n, 0.1, seed=37)
+    g = make_graph(edges, n, num_parts=4)
+    status, decided = maximal_independent_set(g, rounds=64)
+    assert (status != 0).all()
+    in_mis = status == 1
+    assert in_mis.any()
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    for v in range(n):
+        if in_mis[v]:
+            assert not any(in_mis[w] for w in adj[v])
+        else:
+            assert any(in_mis[w] for w in adj[v]) or not adj[v]

@@ -140,7 +140,7 @@ SQL_CHECKED = sorted([
     # lift, CDC chunk dedup, hyperplane LSH, KWIC, PQ-ADC, URL dedup
     "graph_stress", "graph_bipartite", "graph_matching", "graph_mst",
     "rel_hhi", "text_colloc_lift", "dedup_cdc", "sim_srp_lsh",
-    "text_kwic", "sim_pq_adc", "dedup_url",
+    "text_kwic", "sim_pq_adc", "dedup_url", "graph_mis",
 ])
 
 
