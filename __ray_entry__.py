@@ -1192,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": rel.sessionize,
         "rel_mode": rel.brand_mode_type,
         "rel_hhi": rel.brand_type_hhi,
+        "rel_late_events": rel.late_events,
         "rel_pivot": rel.event_type_pivot,
         "rel_interarrival": rel.user_interarrival,
         "rel_covariance": rel.brand_price_size_cov,
@@ -3043,6 +3044,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(tus) AS BIGINT) AS start_us,
                    CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
             FROM nbr GROUP BY user_id, session_seq
+        """,
+        "rel_late_events": """
+            -- watermark late-event audit: arrival = ts + md5 +-1h
+            -- jitter; watermark = running max event-time (over the
+            -- arrival order) - 5 min; late = arrives below it
+            WITH s AS (
+                SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+                       CAST(epoch_us(ts) AS BIGINT)
+                       + CAST(md5_number_lower(CAST(event_id AS VARCHAR))
+                              % 7200000000 AS BIGINT)
+                       - 3600000000 AS a
+                FROM events
+            ),
+            p AS (
+                SELECT t, MAX(t) OVER (ORDER BY a, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pm
+                FROM s
+            )
+            SELECT CAST(t // 3600000000 AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN pm IS NOT NULL
+                            AND t < pm - 300000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM p GROUP BY hour
         """,
         "rel_hhi": """
             -- Herfindahl index of type concentration per brand,

@@ -1873,3 +1873,96 @@ def brand_type_hhi(sf_dir: str):
 
     return counts.groupby("p_brand").map_groups(finish,
                                                 batch_format="pyarrow")
+
+
+def late_events(sf_dir: str, *, delay_us: int = 300_000_000,
+                n_buckets: int = 64):
+    """WATERMARK LATE-EVENT AUDIT — the streaming-ingestion health
+    check (Flink/Beam allowed-lateness semantics, batch-replayed):
+    events ARRIVE in a deterministic locally-shuffled order (arrival
+    key = ts + md5-derived ±1h jitter — the fixture's event_id order
+    is exactly ts order, so a surrogate arrival permutation is the
+    FIXTURES.md discipline, same as dedup_url's variants); the
+    watermark after each arrival is the max event-time seen so far
+    minus ``delay_us``; an event is LATE if it arrives below the
+    current watermark.  Output per event-time hour: n_events, n_late.
+
+    DISTRIBUTED PREFIX SCAN shape: arrivals are range-bucketed on the
+    arrival key; pass 1 computes per-bucket max event-time (grid
+    exchange), the driver folds the O(n_buckets) EXCLUSIVE prefix
+    maxima, and pass 2 re-scans each bucket independently
+    (groupby(bucket).map_groups: within-bucket running max seeded by
+    the broadcast prefix) — no global sort materialization, driver
+    state O(n_buckets).  This is the generic scan primitive (cumsum /
+    cummax over a distributed order) that window functions need at
+    corpus scale."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def arrivals(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t.column("event_id").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16],
+                            "little") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        arr = ts + (h % np.uint64(7_200_000_000)).astype(np.int64) \
+            - 3_600_000_000
+        return pa.table({"event_id": pa.array(ids), "t": pa.array(ts),
+                         "a": pa.array(arr)})
+
+    ev = ds.map_batches(arrivals, batch_format="pyarrow")
+    lo = int(ev.min("a"))
+    hi = int(ev.max("a"))
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("a").to_numpy() - lo) // width
+        return t.append_column("b", pa.array(b))
+
+    evb = ev.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bmax(t: pa.Table) -> pa.Table:
+        g = t.select(["b", "t"])
+        return g.group_by("b").aggregate([("t", "max")]) \
+            .rename_columns(["b", "t"])
+
+    grid = (evb.map_batches(bmax, batch_format="pyarrow")
+            .groupby("b").aggregate(Max("t", alias_name="mx")).take_all())
+    neg_inf = np.iinfo(np.int64).min
+    bm = {int(r["b"]): int(r["mx"]) for r in grid}
+    pref: dict[int, int] = {}
+    run = neg_inf
+    for b in sorted(bm):
+        pref[b] = run
+        run = max(run, bm[b])
+    p_ref = ray.put(pref)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        pm0 = ray.get(p_ref)[int(g.column("b")[0].as_py())]
+        ids = g.column("event_id").to_numpy()
+        a = g.column("a").to_numpy()
+        t = g.column("t").to_numpy()
+        order = np.lexsort((ids, a))
+        t = t[order]
+        runmax = np.maximum.accumulate(t)
+        pm = np.empty(len(t), np.int64)
+        pm[0] = pm0
+        pm[1:] = np.maximum(runmax[:-1], pm0)
+        valid = pm > neg_inf // 2
+        late = valid & (t < pm - delay_us)
+        out = pa.table({"hour": pa.array(t // 3_600_000_000),
+                        "ne": pa.array(np.ones(len(t), np.int64)),
+                        "nl": pa.array(late.astype(np.int64))})
+        return (out.group_by("hour")
+                .aggregate([("ne", "sum"), ("nl", "sum")])
+                .rename_columns(["hour", "ne", "nl"]))
+
+    return (evb.groupby("b").map_groups(per_bucket, batch_format="pyarrow")
+            .groupby("hour")
+            .aggregate(Sum("ne", alias_name="n_events"),
+                       Sum("nl", alias_name="n_late")))

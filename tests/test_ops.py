@@ -1557,3 +1557,39 @@ def test_pq_adc_self_distance_and_rank_shape():
     for q, g in out.groupby("query_id"):
         assert list(g["rank"]) == [1, 2, 3, 4, 5]
         assert g[g["rank"] == 1]["vec_id"].iloc[0] == q
+
+
+def test_late_events_matches_sequential_scan():
+    """The bucketed distributed prefix scan equals a single sequential
+    watermark scan, at several bucket counts (bucketing must be
+    invisible in the result)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.relational.queries import late_events
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["event_id", "ts"])
+    ids = t.column("event_id").to_numpy()
+    ts = t.column("ts").cast(pa.int64()).to_numpy()
+    h = np.array([int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[8:16], "little")
+        for i in ids], np.uint64)
+    arr = ts + (h % np.uint64(7_200_000_000)).astype(np.int64) \
+        - 3_600_000_000
+    order = np.lexsort((ids, arr))
+    t2 = ts[order]
+    run = np.maximum.accumulate(t2)
+    late = np.zeros(len(t2), bool)
+    late[1:] = t2[1:] < run[:-1] - 300_000_000
+    exp = {}
+    for tt, ll in zip(t2, late):
+        hr = tt // 3_600_000_000
+        ne, nl = exp.get(hr, (0, 0))
+        exp[hr] = (ne + 1, nl + int(ll))
+    for nb in (1, 7, 64):
+        got = {r["hour"]: (r["n_events"], r["n_late"])
+               for r in late_events("/root/testdata/sf0.001",
+                                    n_buckets=nb).take_all()}
+        assert got == exp, f"n_buckets={nb}"
