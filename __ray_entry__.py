@@ -533,6 +533,47 @@ FROM s{s}_out""" for s in seeds]
     return "".join(parts)
 
 
+def _coloring_chain_sql(rounds: int = 16) -> str:
+    """Unrolled Jones–Plassmann: per round, uncolored vertices with no
+    uncolored strictly-higher-priority (smaller md5) neighbor pick the
+    min color unused by their colored neighbors — mirrors
+    algos/coloring.py:jones_plassmann_coloring round for round."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE},
+u0 AS (SELECT doc_id AS v,
+              md5_number_lower(CAST(doc_id AS VARCHAR)) AS p
+       FROM documents),
+c0 AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS col,
+              CAST(NULL AS BIGINT) AS rnd WHERE FALSE)"""]
+    for i in range(rounds):
+        parts.append(f""",
+rd{i} AS MATERIALIZED (
+    SELECT s.v FROM u{i} s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM arcs a JOIN u{i} t ON t.v = a.dst
+        WHERE a.src = s.v AND t.p < s.p)),
+nc{i} AS MATERIALIZED (
+    SELECT r.v,
+           (SELECT MIN(x.x) FROM range(63) x(x)
+            WHERE x.x NOT IN (
+                SELECT c.col FROM arcs a JOIN c{i} c ON c.v = a.dst
+                WHERE a.src = r.v)) AS col
+    FROM rd{i} r),
+c{i + 1} AS MATERIALIZED (
+    SELECT v, col, rnd FROM c{i}
+    UNION ALL SELECT v, col, CAST({i + 1} AS BIGINT) FROM nc{i}),
+u{i + 1} AS MATERIALIZED (
+    SELECT v, p FROM u{i}
+    WHERE v NOT IN (SELECT v FROM rd{i}))""")
+    parts.append(f"""
+SELECT d.doc_id AS vertex,
+       CAST(COALESCE(c.col, -1) AS BIGINT) AS color,
+       CAST(COALESCE(c.rnd, 0) AS BIGINT) AS round
+FROM documents d LEFT JOIN c{rounds} c ON c.v = d.doc_id
+ORDER BY vertex""")
+    return "".join(parts)
+
+
 def _mis_chain_sql(rounds: int = 12) -> str:
     """Unrolled Luby MIS: md5 priorities (unsigned HUGEINT order ≡ the
     engine's sign-bit-flipped int64 order), per round strict local
@@ -1146,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_matching": lg.doc_matching,
         "graph_mst": lg.doc_mst,
         "graph_mis": lg.doc_mis,
+        "graph_coloring": lg.doc_coloring,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -2696,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_chain_sql(rounds=8),
         "graph_mst": _mst_chain_sql(rounds=10),
         "graph_mis": _mis_chain_sql(rounds=12),
+        "graph_coloring": _coloring_chain_sql(rounds=16),
         "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),
         "graph_sssp": _sssp_chain_sql(rounds=6, seed=1),
         "graph_diameter": _diameter_chain_sql(rounds=6),

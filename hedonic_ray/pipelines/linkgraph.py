@@ -864,6 +864,20 @@ def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
 
+def doc_coloring(sf_dir: str, *, rounds: int = 16) -> pa.Table:
+    """Jones–Plassmann GREEDY COLORING over the undirected doc graph
+    (`algos/coloring.py`): md5 priorities, min-free-color picks.
+    Columns: vertex, color (−1 if uncolored at the round cap), round
+    (1-based, 0 if uncolored)."""
+    from hedonic_ray.algos.coloring import jones_plassmann_coloring
+
+    g = doc_graph(sf_dir, directed=False)
+    color, decided = jones_plassmann_coloring(g, rounds=rounds)
+    return pa.table({"vertex": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "color": pa.array(color),
+                     "round": pa.array(decided)})
+
+
 def doc_mis(sf_dir: str, *, rounds: int = 12) -> pa.Table:
     """Luby MAXIMAL INDEPENDENT SET over the undirected doc graph
     (`algos/mis.py`): md5 priorities, strict-local-minimum rounds.

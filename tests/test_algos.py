@@ -967,3 +967,21 @@ def test_luby_mis_independent_and_maximal():
             assert not any(in_mis[w] for w in adj[v])
         else:
             assert any(in_mis[w] for w in adj[v]) or not adj[v]
+
+
+def test_jp_coloring_proper_and_bounded():
+    """JP coloring at saturation: proper (no monochromatic edge),
+    ≤ Δ+1 colors, every vertex colored."""
+    from hedonic_ray.algos.coloring import jones_plassmann_coloring
+
+    n = 50
+    edges = rand_edges(n, 0.12, seed=38)
+    g = make_graph(edges, n, num_parts=4)
+    color, decided = jones_plassmann_coloring(g, rounds=64)
+    assert (color >= 0).all()
+    deg = np.zeros(n, np.int64)
+    for u, v in edges:
+        assert color[u] != color[v]
+        deg[u] += 1
+        deg[v] += 1
+    assert color.max() <= deg.max()
