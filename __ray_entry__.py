@@ -1188,6 +1188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_mst": lg.doc_mst,
         "graph_mis": lg.doc_mis,
         "graph_coloring": lg.doc_coloring,
+        "graph_contract": lg.doc_contract,
+        "graph_conductance": lg.doc_conductance,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -1334,6 +1336,40 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_full": _pagerank_chain_sql(iters=5),
         "graph_ppr": _ppr_chain_sql(iters=5, stride=101),
         "graph_hedonic_2pass": _hedonic_chain_sql(iters=2),
+        "graph_contract": (
+            f"WITH {_LINKS_CTE},\n{_ARCS_CTE},\n"
+            + _hedonic_chain_ctes(2)
+            + """,
+und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                        GREATEST(src, dst) AS b FROM e)
+SELECT LEAST(la.lab, lb.lab) AS ca,
+       GREATEST(la.lab, lb.lab) AS cb,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM und JOIN m2 la ON la.v = und.a
+         JOIN m2 lb ON lb.v = und.b
+GROUP BY 1, 2 ORDER BY ca, cb"""),
+        "graph_conductance": (
+            f"WITH {_LINKS_CTE},\n{_ARCS_CTE},\n"
+            + _hedonic_chain_ctes(2)
+            + """,
+sizes AS (SELECT lab, COUNT(*) AS n FROM m2 GROUP BY lab),
+va AS (SELECT la.lab AS c, COUNT(*) AS vol,
+              SUM(CASE WHEN la.lab <> lb.lab THEN 1 ELSE 0 END) AS cut
+       FROM arcs a JOIN m2 la ON la.v = a.src
+                   JOIN m2 lb ON lb.v = a.dst
+       GROUP BY la.lab),
+tot AS (SELECT COUNT(*) AS m2x FROM arcs)
+SELECT s.lab AS community,
+       CAST(s.n AS BIGINT) AS n_members,
+       CAST(COALESCE(va.cut, 0) AS BIGINT) AS cut,
+       CAST(COALESCE(va.vol, 0) AS BIGINT) AS vol,
+       CAST(CASE WHEN LEAST(COALESCE(va.vol, 0),
+                            tot.m2x - COALESCE(va.vol, 0)) > 0
+            THEN 1000000000 * COALESCE(va.cut, 0)
+                 // LEAST(va.vol, tot.m2x - va.vol)
+            ELSE -1 END AS BIGINT) AS phi_e9
+FROM sizes s LEFT JOIN va ON va.c = s.lab CROSS JOIN tot
+ORDER BY community"""),
         "graph_labelprop": _labelprop_chain_sql(iters=2),
         "graph_components": f"""
             WITH RECURSIVE {_LINKS_CTE},

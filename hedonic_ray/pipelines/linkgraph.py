@@ -864,6 +864,115 @@ def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
 
+def doc_contract(sf_dir: str) -> pa.Table:
+    """COMMUNITY CONTRACTION (the Louvain/Leiden aggregation step):
+    the weighted super-graph of the SQL-reproducible 2-pass hedonic
+    partition — one row per unordered community pair (ca ≤ cb) with
+    the inter-community edge count (ca = cb rows carry the
+    intra-community edge count, i.e. the self-loop weight the next
+    coarsening level needs).  ONE scatter over the CSR blocks against
+    the broadcast membership (each undirected edge counted once via
+    src < dst), per-block pair-count grids, one groupby — the exchange
+    carries the community-pair grid, not the edges."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    g = doc_graph(sf_dir, directed=False)
+    mem = hedonic_2pass_membership(sf_dir)
+    mem_ref = ray.put(mem)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        mm = ray.get(mem_ref)
+        ca_out, cb_out, w_out = [], [], []
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            tgt = bv.indices
+            m = src < tgt           # each undirected edge once
+            if not m.any():
+                continue
+            la, lb = mm[src[m]], mm[tgt[m]]
+            ca = np.minimum(la, lb)
+            cb = np.maximum(la, lb)
+            key = ca * len(mm) + cb
+            uniq, cnt = np.unique(key, return_counts=True)
+            ca_out.append(uniq // len(mm))
+            cb_out.append(uniq % len(mm))
+            w_out.append(cnt.astype(np.int64))
+        if not ca_out:
+            return pa.table({"ca": pa.array([], pa.int64()),
+                             "cb": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        return pa.table({"ca": pa.array(np.concatenate(ca_out)),
+                         "cb": pa.array(np.concatenate(cb_out)),
+                         "w": pa.array(np.concatenate(w_out))})
+
+    out = (g.blocks.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["ca", "cb"]).aggregate(Sum("w", alias_name="weight")))
+    rows = out.take_all()
+    ca = np.array([r["ca"] for r in rows], np.int64)
+    cb = np.array([r["cb"] for r in rows], np.int64)
+    w = np.array([r["weight"] for r in rows], np.int64)
+    order = np.lexsort((cb, ca))
+    return pa.table({"ca": pa.array(ca[order]), "cb": pa.array(cb[order]),
+                     "weight": pa.array(w[order])})
+
+
+def doc_conductance(sf_dir: str) -> pa.Table:
+    """Per-community CONDUCTANCE of the 2-pass hedonic partition —
+    the standard cluster-quality audit, all-integer: cut(C) = edges
+    leaving C, vol(C) = Σ degrees, φ reported as
+    ``phi_e9 = 1e9·cut // min(vol, 2m − vol)`` (−1 when the min side
+    is empty).  One scatter over the CSR blocks (both arc
+    orientations: vol = arcs per community, cut = label-mismatch
+    arcs per community), V-sized driver vectors, Python-int finish."""
+    import ray
+
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    g = doc_graph(sf_dir, directed=False)
+    mem = hedonic_2pass_membership(sf_dir)
+    mem_ref = ray.put(mem)
+    ncom = int(mem.max()) + 1
+
+    def scan(batch: pa.Table) -> pa.Table:
+        mm = ray.get(mem_ref)
+        vol = np.zeros(ncom, np.int64)
+        cut = np.zeros(ncom, np.int64)
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            tgt = bv.indices
+            ls, lt = mm[src], mm[tgt]
+            vol += np.bincount(ls, minlength=ncom)
+            mism = ls != lt
+            if mism.any():
+                cut += np.bincount(ls[mism], minlength=ncom)
+        return pa.table({"c": pa.array(np.arange(ncom, dtype=np.int64)),
+                         "vol": pa.array(vol), "cut": pa.array(cut)})
+
+    vol = np.zeros(ncom, np.int64)
+    cut = np.zeros(ncom, np.int64)
+    for b in g.blocks.map_batches(scan, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:   # rows re-batch arbitrarily: key on the c column
+            c = b.column("c").to_numpy()
+            np.add.at(vol, c, b.column("vol").to_numpy())
+            np.add.at(cut, c, b.column("cut").to_numpy())
+    sizes = np.bincount(mem, minlength=ncom).astype(np.int64)
+    two_m = int(vol.sum())
+    comms = np.flatnonzero(sizes > 0)
+    phi = np.empty(len(comms), np.int64)
+    for i, c in enumerate(comms):
+        mn = min(int(vol[c]), two_m - int(vol[c]))
+        phi[i] = (1_000_000_000 * int(cut[c])) // mn if mn > 0 else -1
+    return pa.table({"community": pa.array(comms.astype(np.int64)),
+                     "n_members": pa.array(sizes[comms]),
+                     "cut": pa.array(cut[comms]),
+                     "vol": pa.array(vol[comms]),
+                     "phi_e9": pa.array(phi)})
+
+
 def doc_coloring(sf_dir: str, *, rounds: int = 16) -> pa.Table:
     """Jones–Plassmann GREEDY COLORING over the undirected doc graph
     (`algos/coloring.py`): md5 priorities, min-free-color picks.

@@ -141,7 +141,8 @@ SQL_CHECKED = sorted([
     "graph_stress", "graph_bipartite", "graph_matching", "graph_mst",
     "rel_hhi", "text_colloc_lift", "dedup_cdc", "sim_srp_lsh",
     "text_kwic", "sim_pq_adc", "dedup_url", "graph_mis",
-    "rel_late_events", "graph_coloring",
+    "rel_late_events", "graph_coloring", "graph_contract",
+    "graph_conductance",
 ])
 
 
