@@ -1237,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_mode": rel.brand_mode_type,
         "rel_hhi": rel.brand_type_hhi,
         "rel_late_events": rel.late_events,
+        "rel_ema": rel.user_ema,
         "rel_pivot": rel.event_type_pivot,
         "rel_interarrival": rel.user_interarrival,
         "rel_covariance": rel.brand_price_size_cov,
@@ -3123,6 +3124,28 @@ ORDER BY community"""),
                    CAST(min(tus) AS BIGINT) AS start_us,
                    CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
             FROM nbr GROUP BY user_id, session_seq
+        """,
+        "rel_ema": """
+            -- integer EMA per user: ema0 = v0 (cents);
+            -- ema_n = (3*ema_{n-1} + v_n) // 4; values non-negative
+            -- so // truncation == floor on both engines
+            WITH RECURSIVE s AS (
+                SELECT user_id, event_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            r(user_id, event_id, rn, ema) AS (
+                SELECT user_id, event_id, rn, v FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.user_id, s.event_id, s.rn,
+                       (3 * r.ema + s.v) // 4
+                FROM r JOIN s ON s.user_id = r.user_id
+                            AND s.rn = r.rn + 1
+            )
+            SELECT user_id, event_id, CAST(ema AS BIGINT) AS ema_e2
+            FROM r
         """,
         "rel_late_events": """
             -- watermark late-event audit: arrival = ts + md5 +-1h

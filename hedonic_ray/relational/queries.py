@@ -1966,3 +1966,39 @@ def late_events(sf_dir: str, *, delay_us: int = 300_000_000,
             .groupby("hour")
             .aggregate(Sum("ne", alias_name="n_events"),
                        Sum("nl", alias_name="n_late")))
+
+
+def user_ema(sf_dir: str):
+    """INTEGER EXPONENTIAL MOVING AVERAGE per user over the event
+    stream (α = 1/4 with a FLOOR at every step:
+    ``ema₀ = v₀; emaₙ = (3·emaₙ₋₁ + vₙ) // 4`` on exact cents) — the
+    classic streaming smoother, made engine-stable by keeping the
+    whole recurrence in integers (a float EMA's rounding drifts by
+    evaluation order; the floored integer recurrence has exactly one
+    value).  Values are non-negative so ``//`` truncation == floor on
+    both engines.  One groupby(user) exchange; the recurrence is
+    inherently sequential PER KEY (a per-group scan over its own
+    events — the standard keyed-stream shape), all keys in
+    parallel.  Columns: user_id, event_id, ema_e2."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def ema_group(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        cents = pc.cast(pc.round(pc.multiply(g.column("value"), 100.0)),
+                        pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts))
+        v = cents[order]
+        ema = np.empty(len(v), np.int64)
+        acc = int(v[0])
+        ema[0] = acc
+        for i in range(1, len(v)):
+            acc = (3 * acc + int(v[i])) // 4
+            ema[i] = acc
+        uid = np.full(len(v), g.column("user_id")[0].as_py(), np.int64)
+        return pa.table({"user_id": pa.array(uid),
+                         "event_id": pa.array(eid[order]),
+                         "ema_e2": pa.array(ema)})
+
+    return ds.groupby("user_id").map_groups(ema_group,
+                                            batch_format="pyarrow")

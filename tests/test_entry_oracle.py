@@ -142,7 +142,7 @@ SQL_CHECKED = sorted([
     "rel_hhi", "text_colloc_lift", "dedup_cdc", "sim_srp_lsh",
     "text_kwic", "sim_pq_adc", "dedup_url", "graph_mis",
     "rel_late_events", "graph_coloring", "graph_contract",
-    "graph_conductance",
+    "graph_conductance", "rel_ema",
 ])
 
 
