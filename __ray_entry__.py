@@ -615,15 +615,17 @@ ORDER BY vertex""")
     return "".join(parts)
 
 
-def _mst_chain_sql(rounds: int = 10) -> str:
+def _mst_chain_sql(rounds: int = 16) -> str:
     """Unrolled BORŮVKA: per round, each component's min outgoing
     edge under the strict (w, a, b) order (row_number argmin), then a
     recursive min-label closure over the round's pick forest —
     mirrors algos/mst.py:minimum_spanning_forest round for round
     (strict total order ⇒ the pick graph is acyclic except mutual
-    picks of the same edge, so DISTINCT dedup is exact).  The doc
-    fixture saturates well inside 10 rounds (components at least
-    halve per round); trailing rounds are no-ops."""
+    picks of the same edge, so DISTINCT dedup is exact).  The cap
+    EQUALS the engine default (doc_mst rounds=16) so the two
+    fixed-round semantics can never diverge; the doc fixture
+    saturates in 4 rounds (components at least halve per round) and
+    trailing rounds are no-ops."""
     parts = [f"""WITH RECURSIVE {_LINKS_CTE},
 und AS (SELECT DISTINCT LEAST(src, dst) AS a,
                         GREATEST(src, dst) AS b FROM e),
@@ -1788,14 +1790,31 @@ ORDER BY community"""),
                        || lpad(CAST(doc_id AS VARCHAR), 8, '0')
                 FROM documents WHERE doc_id % 5 = 0
             ),
-            norm AS (
-                SELECT url,
+            defrag AS (
+                SELECT url, regexp_replace(url, '#.*$', '') AS p1
+                FROM recs
+            ),
+            split AS (
+                SELECT url, p1,
+                       regexp_extract(p1, '^([^?]*)', 1) AS path
+                FROM defrag
+            ),
+            qstrip AS (
+                SELECT url, path,
                        regexp_replace(
                            regexp_replace(
-                               regexp_replace(url, '#.*$', ''),
-                               '[?&]utm_[^&]*', '', 'g'),
-                           '^([^?]*?)&', '\\1?') AS s
-                FROM recs
+                               CASE WHEN length(p1) > length(path)
+                                    THEN substr(p1, length(path) + 2)
+                                    ELSE '' END,
+                               '(^|&)utm_[^&]*', '', 'g'),
+                           '^&', '') AS q
+                FROM split
+            ),
+            norm AS (
+                SELECT url,
+                       CASE WHEN q = '' THEN path
+                            ELSE path || '?' || q END AS s
+                FROM qstrip
             ),
             canon AS (
                 SELECT url,
@@ -2773,7 +2792,7 @@ ORDER BY community"""),
         "graph_stress": _stress_chain_sql(seeds=(0, 1, 2), rounds=6),
         "graph_bipartite": _bipartite_chain_sql(seed=1, rounds=6),
         "graph_matching": _matching_chain_sql(rounds=8),
-        "graph_mst": _mst_chain_sql(rounds=10),
+        "graph_mst": _mst_chain_sql(rounds=16),
         "graph_mis": _mis_chain_sql(rounds=12),
         "graph_coloring": _coloring_chain_sql(rounds=16),
         "graph_katz": _katz_chain_sql(iters=4, beta_inv=4),

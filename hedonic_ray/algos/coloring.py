@@ -20,7 +20,10 @@ no exchange; same posture as k-core / BFS / matching / MIS.
 
 Colors are asserted < 63 so the neighbor-color set fits one int64
 bitmask (Δ+1 ≤ 63 covers every bounded-degree web graph after hub
-splitting; beyond that the bitmask becomes a per-color pull).
+splitting; beyond that the bitmask becomes a per-color pull).  NOTE:
+at degree ≥ 63 the engine RAISES while the SQL oracle would emit a
+NULL→−1 color — a deliberate fail-loud-vs-fail-soft divergence,
+unreachable on any hub-split graph (fixture degrees are {3, 5}).
 """
 
 from __future__ import annotations
@@ -47,12 +50,12 @@ def jones_plassmann_coloring(g, *, rounds: int = 16):
     p = _priorities(n)
     color = np.full(n, UNCOLORED, dtype=np.int64)
     decided = np.zeros(n, dtype=np.int64)
+    p_ref = ray.put(p)   # immutable: broadcast once, not per round
 
     for rnd in range(1, rounds + 1):
         unc = color == UNCOLORED
         if not unc.any():
             break
-        p_ref = ray.put(p)
         col_ref = ray.put(color)
 
         def scan(batch: pa.Table) -> pa.Table:

@@ -34,15 +34,21 @@ EXCLUDED = -1
 UNDECIDED = 0
 
 
+_PRIORITY_CACHE: dict[int, np.ndarray] = {}
+
+
 def _priorities(n: int) -> np.ndarray:
     """md5_low64(str(v)) for v in [0, n), sign-bit-flipped to int64.
-    Driver-side, once per run — at 10¹²-vertex scale this becomes a
-    blockwise kernel over the vertex range (same loop, sharded)."""
+    Driver-side, cached per n (MIS + coloring on one graph pay the
+    hash loop once) — at 10¹²-vertex scale this becomes a blockwise
+    kernel over the vertex range (same loop, sharded)."""
     from hedonic_ray.ops.dedup import md5_low64
 
-    p = np.fromiter((md5_low64(str(v)) for v in range(n)),
-                    dtype=np.uint64, count=n)
-    return (p ^ np.uint64(1 << 63)).view(np.int64)
+    if n not in _PRIORITY_CACHE:
+        p = np.fromiter((md5_low64(str(v)) for v in range(n)),
+                        dtype=np.uint64, count=n)
+        _PRIORITY_CACHE[n] = (p ^ np.uint64(1 << 63)).view(np.int64)
+    return _PRIORITY_CACHE[n]
 
 
 def maximal_independent_set(g, *, rounds: int = 12):

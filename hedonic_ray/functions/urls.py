@@ -30,13 +30,29 @@ import pyarrow.compute as pc
 
 def canonicalize_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Vectorized canonical form of each url (see module rules).
-    Assumes well-formed absolute urls with a path (scheme://host/...),
-    which the crawl-record generator guarantees."""
+    Assumes well-formed absolute urls with a path (scheme://host/...)
+    and no literal '?' inside query values, which the crawl-record
+    generator guarantees.  utm stripping is SCOPED TO THE QUERY
+    STRING (split at the first '?'), so a path segment containing
+    '&utm_' is never touched (review finding: the earlier
+    whole-string regex could swallow path bytes)."""
     s = pc.replace_substring_regex(urls, r"#.*$", "")
-    s = pc.replace_substring_regex(s, r"[?&]utm_[^&]*", "")
-    # a kept param that followed a stripped one lost its '?'
-    s = pc.replace_substring_regex(s, r"^([^?]*?)&", r"\1?")
-    parts = pc.split_pattern(s, "/", max_splits=3).combine_chunks()
+    # split path / query at the first '?' (append one so every row
+    # has a query slot; strip it back off the tail)
+    def _split(arr, sep, n):
+        out = pc.split_pattern(arr, sep, max_splits=n)
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) \
+            else out
+
+    padded = pc.binary_join_element_wise(s, "", "?")
+    pq = _split(padded, "?", 1)
+    path = pc.list_element(pq, 0)
+    q = pc.replace_substring_regex(pc.list_element(pq, 1), r"\?$", "")
+    q = pc.replace_substring_regex(q, r"(^|&)utm_[^&]*", "")
+    q = pc.replace_substring_regex(q, r"^&", "")
+    s = pc.if_else(pc.equal(q, ""), path,
+                   pc.binary_join_element_wise(path, q, "?"))
+    parts = _split(s, "/", 3)
     scheme = pc.utf8_lower(pc.list_element(parts, 0))
     host = pc.utf8_lower(pc.list_element(parts, 2))
     host = pc.replace_substring_regex(host, r":443$", "")

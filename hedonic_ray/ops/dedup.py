@@ -1858,8 +1858,10 @@ def cdc_chunk_stats(ds, *, k: int = 8, d: int = 32, col: str = "text",
                          "h": pa.array(hs),
                          "l": pa.array(ends - starts_c)})
 
+    # materialized: both the dup-hash pass and the per-doc pass
+    # consume it, and re-running the chunker doubles the md5 work
     occ = ds.map_batches(chunk_rows, batch_format="pyarrow",
-                         batch_size=2048)
+                         batch_size=2048).materialize()
 
     def doc_hash_distinct(t: pa.Table) -> pa.Table:
         return t.select([key, "h"]).group_by([key, "h"]).aggregate([])

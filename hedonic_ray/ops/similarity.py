@@ -668,11 +668,17 @@ def srp_lsh_pairs(emb_ds, *, n_planes: int = 32, band_bits: int = 8,
             id_col: pa.array(np.repeat(ids, n_bands)),
         })
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    def bucket_pairs(g: pa.Table, cap: int = 512) -> pa.Table:
         ids = np.sort(g.column(id_col).to_numpy())
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
+        if len(ids) > cap:
+            # hot bucket: chain instead of quadratic blowup — the
+            # recall-only cap idiom of dedup.py:_bucket_pairs (never
+            # binds at gate scale, so the SQL compare is unaffected)
+            return pa.table({"a": pa.array(ids[:-1]),
+                             "b": pa.array(ids[1:])})
         iu = np.triu_indices(len(ids), k=1)
         return pa.table({"a": pa.array(ids[iu[0]]),
                          "b": pa.array(ids[iu[1]])})

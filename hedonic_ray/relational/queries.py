@@ -1915,9 +1915,13 @@ def late_events(sf_dir: str, *, delay_us: int = 300_000_000,
         return pa.table({"event_id": pa.array(ids), "t": pa.array(ts),
                          "a": pa.array(arr)})
 
-    ev = ds.map_batches(arrivals, batch_format="pyarrow")
-    lo = int(ev.min("a"))
-    hi = int(ev.max("a"))
+    # the md5 arrival stage runs ONCE: materialize, then one combined
+    # Min+Max aggregate (review finding: lineage recompute ran the
+    # per-event hash loop four times)
+    ev = ds.map_batches(arrivals, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Min
+    bounds = ev.aggregate(Min("a"), Max("a"))
+    lo, hi = int(bounds["min(a)"]), int(bounds["max(a)"])
     width = max(1, (hi - lo + n_buckets) // n_buckets)
 
     def add_bucket(t: pa.Table) -> pa.Table:
