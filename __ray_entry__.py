@@ -232,6 +232,34 @@ FROM documents doc LEFT JOIN a{rounds} fin ON fin.v = doc.doc_id""")
     return "".join(parts)
 
 
+def _core_number_chain_sql(k_max: int = 6, rounds: int = 6) -> str:
+    """Core numbers by summing nested fixed-round k-core memberships
+    (`_kcore_chain_sql` chain per k, prefixed) — mirrors
+    pipelines/linkgraph.py:doc_core_number."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE}"""]
+    for k in range(1, k_max + 1):
+        parts.append(f""",
+k{k}a0 AS (SELECT doc_id AS v FROM documents)""")
+        for i in range(rounds):
+            parts.append(f""",
+k{k}d{i} AS (SELECT arcs.src AS v, count(*) AS d
+         FROM arcs JOIN k{k}a{i} al ON al.v = arcs.dst
+         GROUP BY arcs.src),
+k{k}a{i + 1} AS MATERIALIZED (
+    SELECT k{k}a{i}.v FROM k{k}a{i}
+    JOIN k{k}d{i} ON k{k}d{i}.v = k{k}a{i}.v
+    WHERE k{k}d{i}.d >= {k})""")
+    core_sum = " + ".join(
+        f"(CASE WHEN EXISTS (SELECT 1 FROM k{k}a{rounds} x "
+        f"WHERE x.v = doc.doc_id) THEN 1 ELSE 0 END)"
+        for k in range(1, k_max + 1))
+    parts.append(f"""
+SELECT doc.doc_id AS vertex, CAST({core_sum} AS BIGINT) AS core
+FROM documents doc ORDER BY vertex""")
+    return "".join(parts)
+
+
 def _bfs_chain_sql(rounds: int = 6, stride: int = 101) -> str:
     """Fixed-round multi-source BFS as unrolled CTEs (d0 → d{rounds}):
     frontier f_{i+1} = unvisited vertices adjacent to f_i at distance
@@ -1192,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coloring": lg.doc_coloring,
         "graph_contract": lg.doc_contract,
         "graph_conductance": lg.doc_conductance,
+        "graph_core_number": lg.doc_core_number,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -1240,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hhi": rel.brand_type_hhi,
         "rel_late_events": rel.late_events,
         "rel_ema": rel.user_ema,
+        "rel_autocorr": rel.daily_revenue_autocorr,
         "rel_pivot": rel.event_type_pivot,
         "rel_interarrival": rel.user_interarrival,
         "rel_covariance": rel.brand_price_size_cov,
@@ -2605,6 +2635,7 @@ ORDER BY community"""),
         """,
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
+        "graph_core_number": _core_number_chain_sql(k_max=6, rounds=6),
         "graph_truss": _truss_chain_sql(k=3, rounds=6),
         "graph_walks": _walks_chain_sql(stride=101, steps=5),
         "graph_modularity": f"""
@@ -3143,6 +3174,33 @@ ORDER BY community"""),
                    CAST(min(tus) AS BIGINT) AS start_us,
                    CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
             FROM nbr GROUP BY user_id, session_seq
+        """,
+        "rel_autocorr": """
+            -- lag-1 autocorrelation of daily order revenue: exact
+            -- integer sufficient stats over consecutive-day pairs,
+            -- separate-sqrt IEEE finish (rel_correlation recipe)
+            WITH d AS (
+                SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS day,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS rev
+                FROM orders GROUP BY 1),
+            p AS (SELECT a.rev AS x, b.rev AS y
+                  FROM d a JOIN d b ON b.day = a.day + 1),
+            m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                         SUM(x * y) AS sxy
+                  FROM p)
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   CAST(CASE WHEN n > 0 AND n * sxx - sx * sx > 0
+                              AND n * syy - sy * sy > 0 THEN
+                        FLOOR(1000000.0 * (
+                            CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                               * sqrt(CAST(n * syy - sy * sy
+                                           AS DOUBLE)))))
+                        ELSE 0 END AS BIGINT) AS corr_e6
+            FROM m
         """,
         "rel_ema": """
             -- integer EMA per user: ema0 = v0 (cents);

@@ -864,6 +864,27 @@ def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
 
+def doc_core_number(sf_dir: str, *, k_max: int = 6,
+                    rounds: int = 6) -> pa.Table:
+    """CORE NUMBER (degeneracy layer) per vertex: the largest k whose
+    fixed-round k-core peel retains the vertex — k-cores are nested,
+    so ``core(v) = Σₖ [v ∈ k-core]`` over k = 1..k_max.  Reuses the
+    `algos/kcore.py` peel per k (one masked-count pull per round);
+    ``k_max`` bounds the scan at the max degree (fixture degrees are
+    {3, 5}; raise for denser graphs).  Columns: vertex, core."""
+    from hedonic_ray.algos.kcore import kcore_membership
+
+    g = doc_graph(sf_dir, directed=False)
+    core = np.zeros(g.n, dtype=np.int64)
+    for k in range(1, k_max + 1):
+        alive = kcore_membership(g, k, rounds=rounds)
+        if not alive.any():
+            break
+        core += alive.astype(np.int64)
+    return pa.table({"vertex": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "core": pa.array(core)})
+
+
 def doc_contract(sf_dir: str) -> pa.Table:
     """COMMUNITY CONTRACTION (the Louvain/Leiden aggregation step):
     the weighted super-graph of the SQL-reproducible 2-pass hedonic

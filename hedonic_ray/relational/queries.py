@@ -2006,3 +2006,49 @@ def user_ema(sf_dir: str):
 
     return ds.groupby("user_id").map_groups(ema_group,
                                             batch_format="pyarrow")
+
+
+def daily_revenue_autocorr(sf_dir: str):
+    """LAG-1 AUTOCORRELATION of the daily order-revenue series — the
+    time-series seasonality probe, with the `qty_price_correlation`
+    exactness recipe: the DISTRIBUTED part is the per-day revenue
+    aggregation (per-batch (day, cents) grids → one groupby; the
+    result is O(days), legitimately driver-small); consecutive-day
+    pairs (both days present) feed exact Python-int sufficient stats,
+    finished as M11/(√M2x·√M2y) with separate square roots, so
+    FLOOR(1e6·r) is engine-stable.  One row: n_pairs, corr_e6."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        cents = np.rint(t.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        g = pa.table({"day": pa.array(day), "rev": pa.array(cents)})
+        return (g.group_by("day").aggregate([("rev", "sum")])
+                .rename_columns(["day", "rev"]))
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("rev", alias_name="rev"))
+            .take_all())
+    by_day = {int(r["day"]): int(r["rev"]) for r in rows}
+    pairs = [(by_day[d], by_day[d + 1])
+             for d in sorted(by_day) if d + 1 in by_day]
+    n = len(pairs)
+    sx = sum(p[0] for p in pairs)
+    sy = sum(p[1] for p in pairs)
+    sxx = sum(p[0] * p[0] for p in pairs)
+    syy = sum(p[1] * p[1] for p in pairs)
+    sxy = sum(p[0] * p[1] for p in pairs)
+    m11 = n * sxy - sx * sy
+    m2x = n * sxx - sx * sx
+    m2y = n * syy - sy * sy
+    if n and m2x > 0 and m2y > 0:
+        r = float(m11) / (np.sqrt(float(m2x)) * np.sqrt(float(m2y)))
+        corr = int(np.floor(1_000_000.0 * r))
+    else:
+        corr = 0
+    return pa.table({"n_pairs": pa.array([n], pa.int64()),
+                     "corr_e6": pa.array([corr], pa.int64())})

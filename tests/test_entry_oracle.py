@@ -142,7 +142,8 @@ SQL_CHECKED = sorted([
     "rel_hhi", "text_colloc_lift", "dedup_cdc", "sim_srp_lsh",
     "text_kwic", "sim_pq_adc", "dedup_url", "graph_mis",
     "rel_late_events", "graph_coloring", "graph_contract",
-    "graph_conductance", "rel_ema",
+    "graph_conductance", "rel_ema", "graph_core_number",
+    "rel_autocorr",
 ])
 
 
