@@ -150,6 +150,39 @@ FROM r{iters}""")
 _ARCS_CTE = "arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)"
 
 
+def _nav_wlp_chain_sql(iters: int = 2) -> str:
+    """Fixed-round WEIGHTED label propagation over the click graph
+    (plurality by incoming click-weight, ties → lowest label) —
+    mirrors graph/nav.py:nav_weighted_labelprop round for round."""
+    parts = ["""WITH ev AS (
+    SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+    FROM events),
+hop AS (
+    SELECT node AS src,
+           lead(node) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS dst
+    FROM ev),
+arcs AS (SELECT src, dst, count(*) AS w FROM hop
+         WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT node AS v FROM ev),
+l0 AS (SELECT v, v AS lab FROM nodes)"""]
+    for i in range(iters):
+        parts.append(f""",
+lc{i} AS (SELECT a.dst AS v, l.lab, SUM(a.w) AS c
+          FROM arcs a JOIN l{i} l ON l.v = a.src GROUP BY 1, 2),
+lb{i} AS (SELECT v, lab FROM (
+              SELECT v, lab, row_number() OVER (
+                  PARTITION BY v ORDER BY c DESC, lab) AS rn
+              FROM lc{i}) WHERE rn = 1),
+l{i + 1} AS (SELECT p.v, COALESCE(lb{i}.lab, p.lab) AS lab
+             FROM l{i} p LEFT JOIN lb{i} ON lb{i}.v = p.v)""")
+    parts.append(f"""
+SELECT v AS node, CAST(lab AS BIGINT) AS label FROM l{iters}
+ORDER BY node""")
+    return "".join(parts)
+
+
 def _walks_chain_sql(stride: int = 101, steps: int = 5) -> str:
     """Fixed-step deterministic walks as unrolled CTEs: hop i picks
     the ``md5_low64(f"{v}-{i}") % deg(v)``-th ascending-id neighbor —
@@ -1179,6 +1212,12 @@ def _nav_weighted_pagerank(sf_dir: str):
     return nav_weighted_pagerank(sf_dir)
 
 
+def _nav_weighted_labelprop(sf_dir: str):
+    from hedonic_ray.graph.nav import nav_weighted_labelprop
+
+    return nav_weighted_labelprop(sf_dir)
+
+
 def _nav_earliest_arrival(sf_dir: str):
     from hedonic_ray.graph.temporal import nav_earliest_arrival
 
@@ -1246,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reciprocity": _nav_reciprocity,
         "graph_top_transitions": _nav_top_transitions,
         "graph_weighted_pagerank": _nav_weighted_pagerank,
+        "graph_weighted_lp": _nav_weighted_labelprop,
         # --- relational operators ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_top_revenue_orders": rel.top_revenue_orders,
@@ -3590,6 +3630,7 @@ ORDER BY community"""),
             FROM vc LEFT JOIN ec ON ec.c = vc.component
         """,
         "graph_weighted_pagerank": _nav_wpr_chain_sql(iters=3),
+        "graph_weighted_lp": _nav_wlp_chain_sql(iters=2),
         "graph_top_transitions": """
             -- weighted click-graph: top-20 transitions by click count
             WITH ev AS (

@@ -282,3 +282,59 @@ def nav_weighted_pagerank(sf_dir: str, *, iters: int = 3,
     rank_e9 = np.floor(rank * 1e9 + 0.5).astype(np.int64)
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "rank_e9": pa.array(rank_e9, pa.int64())})
+
+
+def nav_weighted_labelprop(sf_dir: str, *, iters: int = 2) -> pa.Table:
+    """WEIGHTED LABEL PROPAGATION over the click graph: per round,
+    every node adopts the label with the largest INCOMING CLICK-WEIGHT
+    sum (ties → lowest label; nodes with no in-arcs keep their label)
+    — synchronous plurality LP on the weighted transition arcs, init
+    label = node id.  Fixed ``iters`` so the SQL oracle unrolls it.
+
+    Shape: the weighted arc table stays the distributed operand —
+    per round one ``map_batches`` over the arcs (vectorized broadcast
+    label lookup + per-batch Arrow (dst, lab, w) pre-combine) and one
+    ``groupby(dst, lab).sum`` exchange; the driver holds the
+    node-sized label vector and the O(active-grid) argmax (the
+    `nav_weighted_pagerank` posture).  Columns: node, label."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    arcs = nav_weighted_arcs(sf_dir).materialize()
+    nodes = np.unique(np.concatenate(
+        [b.column("node").to_numpy() for b in
+         nav_events(sf_dir).select_columns(["node"])
+         .iter_batches(batch_size=65536, batch_format="pyarrow")]
+        or [np.empty(0, np.int64)])).astype(np.int64)
+    lab = nodes.copy()
+
+    for _ in range(iters):
+        lab_ref = ray.put(lab)
+
+        def tally(t: pa.Table) -> pa.Table:
+            lv = ray.get(lab_ref)
+            src = t.column("src").to_numpy()
+            li = lv[np.searchsorted(nodes, src)]
+            g = pa.table({"dst": t.column("dst"),
+                          "lab": pa.array(li),
+                          "w": t.column("w")})
+            return (g.group_by(["dst", "lab"]).aggregate([("w", "sum")])
+                    .rename_columns(["dst", "lab", "w"]))
+
+        grid = (arcs.map_batches(tally, batch_format="pyarrow")
+                .groupby(["dst", "lab"]).aggregate(Sum("w", alias_name="w"))
+                .take_all())
+        if not grid:
+            break
+        d = np.array([r["dst"] for r in grid], np.int64)
+        gl = np.array([r["lab"] for r in grid], np.int64)
+        w = np.array([r["w"] for r in grid], np.int64)
+        order = np.lexsort((gl, -w, d))
+        d, gl = d[order], gl[order]
+        first = np.empty(len(d), bool)
+        first[0] = True
+        first[1:] = d[1:] != d[:-1]
+        new = lab.copy()
+        new[np.searchsorted(nodes, d[first])] = gl[first]
+        lab = new
+    return pa.table({"node": pa.array(nodes), "label": pa.array(lab)})
