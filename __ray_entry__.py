@@ -1310,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_late_events": rel.late_events,
         "rel_ema": rel.user_ema,
         "rel_autocorr": rel.daily_revenue_autocorr,
+        "rel_q3_shipping": rel.top_unshipped_orders,
         "rel_pivot": rel.event_type_pivot,
         "rel_interarrival": rel.user_interarrival,
         "rel_covariance": rel.brand_price_size_cov,
@@ -1361,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cdc": tx.cdc_dedup,
         "sim_srp_lsh": tx.srp_lsh,
         "text_kwic": tx.kwic_contexts,
+        "text_lang_confusion": tx.lang_confusion,
         "sim_pq_adc": tx.pq_topk,
         "dedup_url": tx.url_dedup,
         "text_length_stats": tx.length_stats_by_lang,
@@ -1523,6 +1525,10 @@ ORDER BY community"""),
             ) t(step, event_type, n_users)
         """,
         "text_lang_id": _lang_id_sql(),
+        "text_lang_confusion": (
+            "SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM (" + _lang_id_sql() + ") GROUP BY 1, 2 "
+            "ORDER BY 1, 2"),
         "text_intake_filter": _intake_filter_sql(),
         "text_stratified_sample": """
             -- per-language bottom-20 by md5(doc_id): the stratified
@@ -3214,6 +3220,30 @@ ORDER BY community"""),
                    CAST(min(tus) AS BIGINT) AS start_us,
                    CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
             FROM nbr GROUP BY user_id, session_seq
+        """,
+        "rel_q3_shipping": """
+            -- TPC-H Q3 shape: top-10 unshipped BUILDING orders by
+            -- exact e4 revenue (cents * (100 - discount pct));
+            -- cutoff day 10227 = 1998-01-01
+            WITH c AS (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+            o AS (SELECT o_orderkey,
+                         CAST(epoch_us(o_orderdate) // 86400000000
+                              AS BIGINT) AS o_day
+                  FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM c)
+                    AND epoch_us(o_orderdate) // 86400000000 < 10227),
+            l AS (SELECT l_orderkey,
+                         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                             AS rev
+                  FROM lineitem
+                  WHERE epoch_us(l_shipdate) // 86400000000 > 10227)
+            SELECT l.l_orderkey, o.o_day,
+                   CAST(SUM(l.rev) AS BIGINT) AS revenue_e4
+            FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+            ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
         """,
         "rel_autocorr": """
             -- lag-1 autocorrelation of daily order revenue: exact

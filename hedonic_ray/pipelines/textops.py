@@ -550,6 +550,26 @@ def bigram_lift_top(sf_dir: str, k: int = 100) -> pa.Table:
     })
 
 
+def lang_confusion(sf_dir: str):
+    """LANGUAGE-ID CONFUSION MATRIX — the classifier-audit view of
+    `text_lang_id`: per (true lang, predicted lang), the document
+    count.  Per-batch Arrow pre-combine, one grouped exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = ts.add_lang_id(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t.column("lang"),
+                      "lang_pred": t.column("lang_pred"),
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return (g.group_by(["lang", "lang_pred"]).aggregate([("n", "sum")])
+                .rename_columns(["lang", "lang_pred", "n"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def kwic_contexts(sf_dir: str, *, n_terms: int = 3,
                   window: int = 2) -> "object":
     """KEYWORD-IN-CONTEXT (concordance) extraction — the corpus-audit

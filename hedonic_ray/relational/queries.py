@@ -2052,3 +2052,92 @@ def daily_revenue_autocorr(sf_dir: str):
         corr = 0
     return pa.table({"n_pairs": pa.array([n], pa.int64()),
                      "corr_e6": pa.array([corr], pa.int64())})
+
+
+def top_unshipped_orders(sf_dir: str, *, segment: str = "BUILDING",
+                         cutoff_day: int = 10227, k: int = 10,
+                         num_partitions: int = 8):
+    """TPC-H Q3 SHAPE — the classic 3-way dim+fact+fact pipeline: top
+    unshipped orders by revenue for one customer segment (orders
+    placed before the cutoff whose lineitems ship after it;
+    cutoff_day 10227 = 1998-01-01 in epoch days).  Revenue in exact
+    e4 units: Σ cents(extprice) · (100 − pct(discount)).
+
+    Shape: the CUSTOMER dimension filter is a broadcast key set
+    (`ray.put` once, one is_in per orders batch); ORDERS⋈LINEITEM is
+    the hash-partitioned fact-fact join (`ship_delay_histogram`
+    posture); revenue pre-combines per joined batch; one grouped
+    exchange + top-k.  Columns: l_orderkey, o_day, revenue_e4."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("c_mktsegment"), segment)
+        return t.filter(m).select(["c_custkey"])
+
+    keys = np.sort(np.concatenate(
+        [b.column("c_custkey").to_numpy() for b in
+         cust.map_batches(seg_keys, batch_format="pyarrow")
+         .iter_batches(batch_size=65536, batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))
+    keys_ref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_day": pa.array([], pa.int64())})
+        if len(ks) == 0:
+            return empty
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        ck = t.column("o_custkey").to_numpy()
+        i = np.searchsorted(ks, ck)
+        i[i == len(ks)] = 0
+        m = (day < cutoff_day) & (ks[i] == ck)
+        return pa.table({"o_orderkey": t.column("o_orderkey").filter(
+            pa.array(m)), "o_day": pa.array(day[m])})
+
+    of = orders.map_batches(ofilter, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def lfilter(t: pa.Table) -> pa.Table:
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        m = pa.array(day > cutoff_day)
+        cents = np.rint(t.column("l_extendedprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        pct = np.rint(t.column("l_discount").to_numpy()
+                      * 100.0).astype(np.int64)
+        rev = cents * (100 - pct)
+        return pa.table({"l_orderkey": t.column("l_orderkey").filter(m),
+                         "rev": pa.array(rev[day > cutoff_day])})
+
+    lf = li.map_batches(lfilter, batch_format="pyarrow")
+    j = lf.join(of, "inner", num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["l_orderkey", "o_day", "rev"])
+        return (g.group_by(["l_orderkey", "o_day"])
+                .aggregate([("rev", "sum")])
+                .rename_columns(["l_orderkey", "o_day", "rev"]))
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_orderkey", "o_day"])
+           .aggregate(Sum("rev", alias_name="revenue_e4")))
+    rows = (agg.sort(["revenue_e4", "l_orderkey"],
+                     descending=[True, False]).limit(k).take_all())
+    return pa.table({
+        "l_orderkey": pa.array([r["l_orderkey"] for r in rows],
+                               pa.int64()),
+        "o_day": pa.array([r["o_day"] for r in rows], pa.int64()),
+        "revenue_e4": pa.array([r["revenue_e4"] for r in rows],
+                               pa.int64())})

@@ -143,7 +143,8 @@ SQL_CHECKED = sorted([
     "text_kwic", "sim_pq_adc", "dedup_url", "graph_mis",
     "rel_late_events", "graph_coloring", "graph_contract",
     "graph_conductance", "rel_ema", "graph_core_number",
-    "rel_autocorr", "graph_weighted_lp",
+    "rel_autocorr", "graph_weighted_lp", "text_lang_confusion",
+    "rel_q3_shipping",
 ])
 
 
