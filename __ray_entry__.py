@@ -1311,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_ema": rel.user_ema,
         "rel_autocorr": rel.daily_revenue_autocorr,
         "rel_q3_shipping": rel.top_unshipped_orders,
+        "rel_scd_intervals": rel.event_validity_intervals,
         "rel_pivot": rel.event_type_pivot,
         "rel_interarrival": rel.user_interarrival,
         "rel_covariance": rel.brand_price_size_cov,
@@ -1363,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_srp_lsh": tx.srp_lsh,
         "text_kwic": tx.kwic_contexts,
         "text_lang_confusion": tx.lang_confusion,
+        "text_pii_counts": tx.pii_counts,
         "sim_pq_adc": tx.pq_topk,
         "dedup_url": tx.url_dedup,
         "text_length_stats": tx.length_stats_by_lang,
@@ -1525,6 +1527,34 @@ ORDER BY community"""),
             ) t(step, event_type, n_users)
         """,
         "text_lang_id": _lang_id_sql(),
+        "text_pii_counts": r"""
+            -- per-rule PII match counts (audit view of the redaction
+            -- chain); deterministic PII appended from doc_id so every
+            -- rule bites on the clean fixture
+            WITH derived AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 2 = 0
+                          THEN ' user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com' ELSE '' END
+                       || ' https://ref.example/p/'
+                       || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN ' id ' || CAST(doc_id * 1000003
+                               + 1000000000 AS VARCHAR) ELSE '' END
+                           AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_email,
+                   CAST(length(regexp_extract_all(t,
+                        'https?://[^\s]+')) AS BIGINT) AS n_url,
+                   CAST(length(regexp_extract_all(t,
+                        '\b[0-9]{6,}\b')) AS BIGINT) AS n_num
+            FROM derived
+        """,
         "text_lang_confusion": (
             "SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM (" + _lang_id_sql() + ") GROUP BY 1, 2 "
@@ -3220,6 +3250,17 @@ ORDER BY community"""),
                    CAST(min(tus) AS BIGINT) AS start_us,
                    CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
             FROM nbr GROUP BY user_id, session_seq
+        """,
+        "rel_scd_intervals": """
+            -- SCD-2 interval reconstruction: per (user, type) each
+            -- event is valid until the next event of that key
+            SELECT user_id, event_type, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+                   CAST(COALESCE(lead(epoch_us(ts)) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY epoch_us(ts), event_id), -1)
+                        AS BIGINT) AS valid_to_us
+            FROM events
         """,
         "rel_q3_shipping": """
             -- TPC-H Q3 shape: top-10 unshipped BUILDING orders by

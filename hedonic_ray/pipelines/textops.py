@@ -550,6 +550,45 @@ def bigram_lift_top(sf_dir: str, k: int = 100) -> pa.Table:
     })
 
 
+def pii_counts(sf_dir: str):
+    """PER-RULE PII MATCH COUNTS — the audit view of `text_redact`
+    (independent counts per rule, not the ordered replace chain).
+    The fixture text contains no PII at all (counts would be
+    all-zero → vacuous rules), so deterministic PII strings are
+    APPENDED arithmetically from doc_id — the `dedup_url` FIXTURES.md
+    discipline: an email for even ids, a url always, a long digit run
+    for ids ≡ 0 mod 3 — and the SQL oracle appends the identical
+    strings.  Pure ``count_substring_regex`` column kernels over the
+    derived text."""
+    import pyarrow.compute as pc
+
+    names = ("n_email", "n_url", "n_num")
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        ids_s = ids.astype("U20")
+        tail = np.where(ids % 2 == 0,
+                        np.char.add(np.char.add(" user", ids_s),
+                                    "@example.com"), "")
+        tail = np.char.add(tail, np.char.add(
+            " https://ref.example/p/", ids_s))
+        tail = np.char.add(tail, np.where(
+            ids % 3 == 0,
+            np.char.add(" id ", (ids * 1000003 + 10**9).astype("U20")),
+            ""))
+        derived = pc.binary_join_element_wise(
+            t.column("text"), pa.array(tail.astype(object), pa.string()),
+            "")
+        out = {"doc_id": t.column("doc_id")}
+        for name, (pat, _repl) in zip(names, ts.REDACT_RULES):
+            out[name] = pc.cast(
+                pc.count_substring_regex(derived, pat), pa.int64())
+        return pa.table(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def lang_confusion(sf_dir: str):
     """LANGUAGE-ID CONFUSION MATRIX — the classifier-audit view of
     `text_lang_id`: per (true lang, predicted lang), the document

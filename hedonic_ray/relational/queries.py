@@ -2141,3 +2141,36 @@ def top_unshipped_orders(sf_dir: str, *, segment: str = "BUILDING",
         "o_day": pa.array([r["o_day"] for r in rows], pa.int64()),
         "revenue_e4": pa.array([r["revenue_e4"] for r in rows],
                                pa.int64())})
+
+
+def event_validity_intervals(sf_dir: str):
+    """SCD-TYPE-2 INTERVAL RECONSTRUCTION from the event stream — the
+    CDC-compaction complement of `latest_event_per_type`: per
+    (user, type), each event becomes a validity interval
+    [ts, next ts) closed by the NEXT event of the same key (−1 =
+    still current).  One grouped exchange; per group a sort + one
+    shifted-array subtract (no Python loop).  Columns: user_id,
+    event_type, event_id, valid_from_us, valid_to_us."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "event_id", "ts"])
+
+    def intervals(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        vto = np.empty(len(ts), np.int64)
+        vto[:-1] = ts[1:]
+        vto[-1] = -1
+        n = len(ts)
+        return pa.table({
+            "user_id": pa.array(np.full(
+                n, g.column("user_id")[0].as_py(), np.int64)),
+            "event_type": pa.array(
+                [g.column("event_type")[0].as_py()] * n, pa.string()),
+            "event_id": pa.array(eid),
+            "valid_from_us": pa.array(ts),
+            "valid_to_us": pa.array(vto)})
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(
+        intervals, batch_format="pyarrow")

@@ -144,7 +144,7 @@ SQL_CHECKED = sorted([
     "rel_late_events", "graph_coloring", "graph_contract",
     "graph_conductance", "rel_ema", "graph_core_number",
     "rel_autocorr", "graph_weighted_lp", "text_lang_confusion",
-    "rel_q3_shipping",
+    "rel_q3_shipping", "rel_scd_intervals", "text_pii_counts",
 ])
 
 
