@@ -1260,6 +1260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_contract": lg.doc_contract,
         "graph_conductance": lg.doc_conductance,
         "graph_core_number": lg.doc_core_number,
+        "graph_lang_mixing": lg.doc_lang_mixing,
+        "graph_lang_assortativity": lg.doc_lang_assortativity,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
@@ -2712,6 +2714,33 @@ ORDER BY community"""),
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
         "graph_core_number": _core_number_chain_sql(k_max=6, rounds=6),
+        "graph_lang_mixing": f"""
+            -- directed lang-mixing matrix over both arc orientations
+            WITH {_LINKS_CTE},
+            {_ARCS_CTE}
+            SELECT ds.lang AS lang_src, dd.lang AS lang_dst,
+                   CAST(COUNT(*) AS BIGINT) AS n_arcs
+            FROM arcs a JOIN documents ds ON ds.doc_id = a.src
+                        JOIN documents dd ON dd.doc_id = a.dst
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "graph_lang_assortativity": f"""
+            -- exact integer assortativity by lang:
+            -- num = E*tr - sum(a_i^2), den = E^2 - sum(a_i^2)
+            WITH {_LINKS_CTE},
+            {_ARCS_CTE},
+            mix AS (SELECT ds.lang AS i, dd.lang AS j, COUNT(*) AS n
+                    FROM arcs a JOIN documents ds ON ds.doc_id = a.src
+                                JOIN documents dd ON dd.doc_id = a.dst
+                    GROUP BY 1, 2),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS e2 FROM mix),
+            tr AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS t
+                   FROM mix WHERE i = j),
+            ai AS (SELECT i, CAST(SUM(n) AS BIGINT) AS s
+                   FROM mix GROUP BY i),
+            a2 AS (SELECT CAST(SUM(s * s) AS BIGINT) AS v FROM ai)
+            SELECT CAST(tot.e2 * tr.t - a2.v AS BIGINT) AS r_num,
+                   CAST(tot.e2 * tot.e2 - a2.v AS BIGINT) AS r_den
+            FROM tot CROSS JOIN tr CROSS JOIN a2""",
         "graph_truss": _truss_chain_sql(k=3, rounds=6),
         "graph_walks": _walks_chain_sql(stride=101, steps=5),
         "graph_modularity": f"""

@@ -864,6 +864,90 @@ def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
 
+def _lang_codes(sf_dir: str):
+    """(per-vertex lang-index vector, sorted distinct langs) from the
+    documents table — broadcast attribute lookup for the mixing
+    queries."""
+    import ray.data as rd
+
+    configure_context()
+    rows = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"]).take_all()
+    langs = sorted({r["lang"] for r in rows})
+    idx = {la: i for i, la in enumerate(langs)}
+    code = np.zeros(len(rows), np.int64)
+    for r in rows:
+        code[int(r["doc_id"])] = idx[r["lang"]]
+    return code, langs
+
+
+def doc_lang_mixing(sf_dir: str) -> pa.Table:
+    """ATTRIBUTE MIXING MATRIX of the doc graph by language — the
+    homophily audit (Newman, PRE 67:026126 §II): directed arc counts
+    e_ij per (lang(src), lang(dst)) over both orientations (so the
+    matrix is symmetric and sums to 2m).  ONE scatter over the CSR
+    blocks against the broadcast per-vertex lang codes (bincount on
+    the packed pair index).  Columns: lang_src, lang_dst, n_arcs."""
+    import ray
+
+    from hedonic_ray.engine.superstep import iter_block_views
+
+    g = doc_graph(sf_dir, directed=False)
+    code, langs = _lang_codes(sf_dir)
+    nl = len(langs)
+    code_ref = ray.put(code)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        cc = ray.get(code_ref)
+        acc = np.zeros(nl * nl, np.int64)
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            tgt = bv.indices
+            acc += np.bincount(cc[src] * nl + cc[tgt],
+                               minlength=nl * nl)
+        return pa.table({"k": pa.array(np.arange(nl * nl,
+                                                 dtype=np.int64)),
+                         "n": pa.array(acc)})
+
+    acc = np.zeros(nl * nl, np.int64)
+    for b in g.blocks.map_batches(scan, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            np.add.at(acc, b.column("k").to_numpy(),
+                      b.column("n").to_numpy())
+    nz = np.flatnonzero(acc)
+    return pa.table({
+        "lang_src": pa.array([langs[k // nl] for k in nz], pa.string()),
+        "lang_dst": pa.array([langs[k % nl] for k in nz], pa.string()),
+        "n_arcs": pa.array(acc[nz])})
+
+
+def doc_lang_assortativity(sf_dir: str) -> pa.Table:
+    """EXACT-INTEGER attribute assortativity coefficient by language:
+    r = (E·Σeᵢᵢ − Σaᵢ²) / (E² − Σaᵢ²) with E = 2m and
+    aᵢ = Σⱼ eᵢⱼ — reported as the exact (num, den) pair (the
+    all-integer posture of the hedonic certificate).  Derived from
+    the `doc_lang_mixing` scan."""
+    mix = doc_lang_mixing(sf_dir)
+    langs = sorted(set(mix.column("lang_src").to_pylist())
+                   | set(mix.column("lang_dst").to_pylist()))
+    idx = {la: i for i, la in enumerate(langs)}
+    nl = len(langs)
+    e = np.zeros((nl, nl), dtype=object)
+    for ls, ld, n in zip(mix.column("lang_src").to_pylist(),
+                         mix.column("lang_dst").to_pylist(),
+                         mix.column("n_arcs").to_pylist()):
+        e[idx[ls], idx[ld]] = int(n)
+    big_e = int(sum(int(x) for x in e.reshape(-1)))
+    tr = int(sum(int(e[i, i]) for i in range(nl)))
+    a2 = int(sum(int(sum(int(x) for x in e[i, :])) ** 2
+                 for i in range(nl)))
+    num = big_e * tr - a2
+    den = big_e * big_e - a2
+    return pa.table({"r_num": pa.array([num], pa.int64()),
+                     "r_den": pa.array([den], pa.int64())})
+
+
 def doc_core_number(sf_dir: str, *, k_max: int = 6,
                     rounds: int = 6) -> pa.Table:
     """CORE NUMBER (degeneracy layer) per vertex: the largest k whose
