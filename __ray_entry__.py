@@ -1011,6 +1011,82 @@ def _metrics_sql() -> str:
     """
 
 
+def _rake_sql(k: int = 50, max_words: int = 4) -> str:
+    """RAKE keyword extraction: stopword-split candidate phrases
+    (gaps-and-islands on the words CTE), corpus (freq, deg) word
+    stats, and the EXACT rational phrase score pivoted into ≤ 4
+    (f, d) columns — num = Σ dᵢ·(den//fᵢ), den = Πfᵢ in HUGEINT —
+    mirroring pipelines/textops.py:rake_keywords."""
+    from hedonic_ray.ops.textstats import _STOPWORDS
+
+    stops = ", ".join(f"'{w}'"
+                      for w in sorted(set().union(*_STOPWORDS.values())))
+    f_cols = ", ".join(
+        f"MAX(CASE WHEN pos = {i} THEN freq END) AS f{i}, "
+        f"MAX(CASE WHEN pos = {i} THEN deg END) AS d{i}"
+        for i in range(1, max_words + 1))
+    den = " * ".join(f"COALESCE(CAST(f{i} AS HUGEINT), 1)"
+                     for i in range(1, max_words + 1))
+    num = " + ".join(
+        f"COALESCE(CAST(d{i} AS HUGEINT) * (den // f{i}), 0)"
+        for i in range(1, max_words + 1))
+    return rf"""
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+                   generate_subscripts(regexp_extract_all(text, '\S+'),
+                                       1) AS i
+            FROM documents
+        ),
+        nonstop AS (
+            SELECT doc_id, w, i,
+                   i - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS grp
+            FROM words WHERE w NOT IN ({stops})
+        ),
+        runs AS (
+            SELECT doc_id, grp, COUNT(*) AS plen,
+                   string_agg(w, ' ' ORDER BY i) AS phrase
+            FROM nonstop GROUP BY doc_id, grp
+        ),
+        ok AS (SELECT * FROM runs WHERE plen <= {max_words}),
+        occ AS (
+            SELECT o.phrase, n.w, o.plen
+            FROM ok o JOIN nonstop n ON n.doc_id = o.doc_id
+                                    AND n.grp = o.grp
+        ),
+        stats AS MATERIALIZED (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS deg
+            FROM occ GROUP BY w
+        ),
+        one AS (
+            SELECT doc_id, grp, phrase FROM (
+                SELECT doc_id, grp, phrase, row_number() OVER (
+                    PARTITION BY phrase ORDER BY doc_id, grp) AS rn
+                FROM ok) WHERE rn = 1
+        ),
+        wp AS (
+            SELECT o.phrase,
+                   row_number() OVER (PARTITION BY o.phrase
+                                      ORDER BY n.i) AS pos,
+                   s.freq, s.deg
+            FROM one o JOIN nonstop n ON n.doc_id = o.doc_id
+                                     AND n.grp = o.grp
+                       JOIN stats s ON s.w = n.w
+        ),
+        piv AS (SELECT phrase, {f_cols} FROM wp GROUP BY phrase),
+        dens AS (SELECT phrase, f1, f2, f3, f4, d1, d2, d3, d4,
+                        {den} AS den
+                 FROM piv),
+        sc AS (SELECT phrase,
+                      (CAST(1000000 AS HUGEINT) * ({num})) // den
+                          AS score_e6
+               FROM dens)
+        SELECT phrase, CAST(score_e6 AS BIGINT) AS score_e6
+        FROM sc ORDER BY score_e6 DESC, phrase LIMIT {k}
+    """
+
+
 def _lang_id_sql() -> str:
     """Mirrors ops.textstats.LangId: CJK → zh; else per-language
     stopword regex counts, argmax with ties → alphabetically-first
@@ -1367,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_kwic": tx.kwic_contexts,
         "text_lang_confusion": tx.lang_confusion,
         "text_pii_counts": tx.pii_counts,
+        "text_rake": tx.rake_keywords,
         "sim_pq_adc": tx.pq_topk,
         "dedup_url": tx.url_dedup,
         "text_length_stats": tx.length_stats_by_lang,
@@ -1529,6 +1606,7 @@ ORDER BY community"""),
             ) t(step, event_type, n_users)
         """,
         "text_lang_id": _lang_id_sql(),
+        "text_rake": _rake_sql(k=50, max_words=4),
         "text_pii_counts": r"""
             -- per-rule PII match counts (audit view of the redaction
             -- chain); deterministic PII appended from doc_id so every

@@ -550,6 +550,126 @@ def bigram_lift_top(sf_dir: str, k: int = 100) -> pa.Table:
     })
 
 
+def rake_keywords(sf_dir: str, *, k: int = 50, max_words: int = 4,
+                  vocab_broadcast_max: int = 2_000_000) -> pa.Table:
+    """RAKE KEYWORD EXTRACTION (Rose et al. 2010) — candidate phrases
+    are maximal stopword-free token runs (≤ ``max_words``); word
+    score = deg(w)/freq(w) with freq = occurrences inside candidate
+    phrases and deg = Σ phrase-length over those occurrences; phrase
+    score = Σ word scores, kept EXACT as the integer rational
+    num = Σᵢ degᵢ·(Πfreq)//freqᵢ over den = Πfreq (the product runs
+    over word OCCURRENCES, so repeats are counted; Πfreq ≤ freqᵐᵃˣ⁴
+    fits int64, and the ×1e6 floor is finished in Python ints).
+    Ranked by (score_e6 desc, phrase asc) — deterministic.
+
+    Shape: pass 1 extracts phrase occurrences with one vectorized
+    islands kernel (stopword mask → run ids via cumsum) and reduces
+    (freq, deg) per word through ONE grouped exchange; the word-stat
+    vocabulary is broadcast (asserted < ``vocab_broadcast_max``; the
+    scale path is the tfidf df-JOIN shape).  Pass 2 re-derives each
+    batch's distinct phrases and scores them against the broadcast
+    stats; per-phrase exact-int finish is a loop over the phrase
+    GRID (orders below the token count).  Driver holds top-k only."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    stops = sorted(set().union(*ts._STOPWORDS.values()))
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def phrase_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, lens, doc_of = ts._flat_words(batch, "text")
+        if len(doc_of) == 0:
+            return pa.table({"phrase": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string()),
+                             "plen": pa.array([], pa.int64())})
+        stop = pc.is_in(flat, value_set=pa.array(stops, pa.string()))
+        stop = stop.to_numpy(zero_copy_only=False)
+        keep = ~stop
+        # island id: new run at every stopword or doc boundary
+        newdoc = np.empty(len(doc_of), bool)
+        newdoc[0] = True
+        newdoc[1:] = doc_of[1:] != doc_of[:-1]
+        run = np.cumsum(newdoc | stop)
+        words = np.asarray(flat).astype(str)
+        ridx = run[keep]
+        widx = words[keep]
+        if len(ridx) == 0:
+            return pa.table({"phrase": pa.array([], pa.string()),
+                             "w": pa.array([], pa.string()),
+                             "plen": pa.array([], pa.int64())})
+        # phrase length per run
+        uniq, inv, cnt = np.unique(ridx, return_inverse=True,
+                                   return_counts=True)
+        ok = cnt[inv] <= max_words
+        ridx, widx, inv = ridx[ok], widx[ok], inv[ok]
+        # phrase string per run: join words of each run
+        order = np.argsort(inv, kind="stable")
+        by_run: dict[int, list] = {}
+        for i in order:
+            by_run.setdefault(int(inv[i]), []).append(widx[i])
+        phrases = {r: " ".join(ws) for r, ws in by_run.items()}
+        return pa.table({
+            "phrase": pa.array([phrases[int(i)] for i in inv],
+                               pa.string()),
+            "w": pa.array(widx.astype(object), pa.string()),
+            "plen": pa.array(cnt[inv].astype(np.int64))})
+
+    occ = docs.map_batches(phrase_rows, batch_format="pyarrow",
+                           batch_size=2048).materialize()
+
+    def wstats(t: pa.Table) -> pa.Table:
+        g = pa.table({"w": t.column("w"),
+                      "freq": pa.array(np.ones(t.num_rows, np.int64)),
+                      "deg": t.column("plen")})
+        return (g.group_by("w").aggregate([("freq", "sum"),
+                                           ("deg", "sum")])
+                .rename_columns(["w", "freq", "deg"]))
+
+    stats = (occ.map_batches(wstats, batch_format="pyarrow")
+             .groupby("w").aggregate(Sum("freq", alias_name="freq"),
+                                     Sum("deg", alias_name="deg"))
+             .take_all())
+    assert len(stats) < vocab_broadcast_max, \
+        "RAKE vocab exceeds broadcast cap: switch to the df-join path"
+    vocab = np.array(sorted(r["w"] for r in stats), dtype=object)
+    by_w = {r["w"]: (int(r["freq"]), int(r["deg"])) for r in stats}
+    fr = np.array([by_w[w][0] for w in vocab], np.int64)
+    dg = np.array([by_w[w][1] for w in vocab], np.int64)
+    vocab_ref = ray.put((vocab, fr, dg))
+
+    def score_phrases(t: pa.Table) -> pa.Table:
+        vv, ff, dd = ray.get(vocab_ref)
+        seen = {}
+        ph = t.column("phrase").to_pylist()
+        for p in ph:
+            if p in seen:
+                continue
+            num, den = 0, 1
+            for w in p.split(" "):
+                i = np.searchsorted(vv, w)
+                f_, d_ = int(ff[i]), int(dd[i])
+                num = num * f_ + d_ * den
+                den *= f_
+            seen[p] = (1_000_000 * num) // den
+        items = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return pa.table({
+            "phrase": pa.array([p for p, _ in items], pa.string()),
+            "score_e6": pa.array([s for _, s in items], pa.int64())})
+
+    rows = (occ.select_columns(["phrase"])
+            .map_batches(score_phrases, batch_format="pyarrow")
+            .take_all())
+    seen = {}
+    for r in rows:
+        seen[r["phrase"]] = int(r["score_e6"])
+    items = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "phrase": pa.array([p for p, _ in items], pa.string()),
+        "score_e6": pa.array([s for _, s in items], pa.int64())})
+
+
 def pii_counts(sf_dir: str):
     """PER-RULE PII MATCH COUNTS — the audit view of `text_redact`
     (independent counts per rule, not the ordered replace chain).

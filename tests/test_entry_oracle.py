@@ -145,7 +145,7 @@ SQL_CHECKED = sorted([
     "graph_conductance", "rel_ema", "graph_core_number",
     "rel_autocorr", "graph_weighted_lp", "text_lang_confusion",
     "rel_q3_shipping", "rel_scd_intervals", "text_pii_counts",
-    "graph_lang_mixing", "graph_lang_assortativity",
+    "graph_lang_mixing", "graph_lang_assortativity", "text_rake",
 ])
 
 

@@ -1614,3 +1614,37 @@ def test_url_canonicalize_scoped_to_query():
         "https://h.x/p?a=1&c=3",
         "https://h.x/p",
     ]
+
+
+def test_rake_scores_match_reference_formula():
+    """RAKE on a tiny hand corpus: phrase score must equal the exact
+    hand-computed sum of deg/freq (classic Rose et al. example
+    shape), and stopword runs must split phrases."""
+    import pyarrow.parquet as pq  # noqa: F401  (parity import)
+
+    from hedonic_ray.pipelines.textops import rake_keywords
+
+    import ray.data as rd
+    import tempfile, os
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["deep learning of deep nets",
+                          "deep nets and fast nets"], pa.string()),
+    })
+    d = tempfile.mkdtemp()
+    import pyarrow.parquet as pqw
+    pqw.write_table(docs, os.path.join(d, "documents.parquet"))
+    out = rake_keywords(d, k=10)
+    got = {p: s for p, s in zip(out.column("phrase").to_pylist(),
+                                out.column("score_e6").to_pylist())}
+    # phrases: "deep learning" (of splits), "deep nets" x2,
+    # "fast nets" (and splits)
+    # freq: deep=3, learning=1, nets=3, fast=1
+    # deg:  deep=2+2+2=6, learning=2, nets=2+2+2=6, fast=2
+    # score(deep nets) = 6/3 + 6/3 = 4.0
+    # score(deep learning) = 6/3 + 2/1 = 4.0
+    # score(fast nets) = 2/1 + 6/3 = 4.0
+    assert got["deep nets"] == 4_000_000
+    assert got["deep learning"] == 4_000_000
+    assert got["fast nets"] == 4_000_000
