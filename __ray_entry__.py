@@ -1075,7 +1075,9 @@ def _rake_sql(k: int = 50, max_words: int = 4) -> str:
                        JOIN stats s ON s.w = n.w
         ),
         piv AS (SELECT phrase, {f_cols} FROM wp GROUP BY phrase),
-        dens AS (SELECT phrase, f1, f2, f3, f4, d1, d2, d3, d4,
+        dens AS (SELECT phrase,
+                        {", ".join(f"f{i}, d{i}"
+                                   for i in range(1, max_words + 1))},
                         {den} AS den
                  FROM piv),
         sc AS (SELECT phrase,
@@ -2810,12 +2812,14 @@ ORDER BY community"""),
                     FROM arcs a JOIN documents ds ON ds.doc_id = a.src
                                 JOIN documents dd ON dd.doc_id = a.dst
                     GROUP BY 1, 2),
-            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS e2 FROM mix),
+            tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS e2
+                    FROM mix),
             tr AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS t
                    FROM mix WHERE i = j),
             ai AS (SELECT i, CAST(SUM(n) AS BIGINT) AS s
                    FROM mix GROUP BY i),
-            a2 AS (SELECT CAST(SUM(s * s) AS BIGINT) AS v FROM ai)
+            a2 AS (SELECT CAST(COALESCE(SUM(s * s), 0) AS BIGINT) AS v
+                   FROM ai)
             SELECT CAST(tot.e2 * tr.t - a2.v AS BIGINT) AS r_num,
                    CAST(tot.e2 * tot.e2 - a2.v AS BIGINT) AS r_den
             FROM tot CROSS JOIN tr CROSS JOIN a2""",

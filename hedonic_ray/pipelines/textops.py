@@ -563,10 +563,12 @@ def rake_keywords(sf_dir: str, *, k: int = 50, max_words: int = 4,
     Ranked by (score_e6 desc, phrase asc) — deterministic.
 
     Shape: pass 1 extracts phrase occurrences with one vectorized
-    islands kernel (stopword mask → run ids via cumsum) and reduces
-    (freq, deg) per word through ONE grouped exchange; the word-stat
-    vocabulary is broadcast (asserted < ``vocab_broadcast_max``; the
-    scale path is the tfidf df-JOIN shape).  Pass 2 re-derives each
+    islands kernel (stopword mask → run ids via cumsum; phrase
+    strings via ListArray + binary_join, no Python per token) and
+    reduces (freq, deg) per word through ONE grouped exchange; the
+    word-stat vocabulary is broadcast (asserted <
+    ``vocab_broadcast_max`` — the df-JOIN upgrade used by tfidf is
+    the documented scale path but is NOT yet wired here).  Pass 2 re-derives each
     batch's distinct phrases and scores them against the broadcast
     stats; per-phrase exact-int finish is a loop over the phrase
     GRID (orders below the token count).  Driver holds top-k only."""
@@ -599,22 +601,27 @@ def rake_keywords(sf_dir: str, *, k: int = 50, max_words: int = 4,
             return pa.table({"phrase": pa.array([], pa.string()),
                              "w": pa.array([], pa.string()),
                              "plen": pa.array([], pa.int64())})
-        # phrase length per run
-        uniq, inv, cnt = np.unique(ridx, return_inverse=True,
-                                   return_counts=True)
-        ok = cnt[inv] <= max_words
-        ridx, widx, inv = ridx[ok], widx[ok], inv[ok]
-        # phrase string per run: join words of each run
-        order = np.argsort(inv, kind="stable")
-        by_run: dict[int, list] = {}
-        for i in order:
-            by_run.setdefault(int(inv[i]), []).append(widx[i])
-        phrases = {r: " ".join(ws) for r, ws in by_run.items()}
+        # runs are CONTIGUOUS in ridx (doc-order explode), so phrase
+        # strings come from one ListArray + binary_join — no Python
+        # per token (review finding)
+        first = np.empty(len(ridx), bool)
+        first[0] = True
+        first[1:] = ridx[1:] != ridx[:-1]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(ridx)))
+        warr = pa.array(widx.astype(object), pa.string())
+        offsets = pa.array(np.append(starts, len(ridx)).astype(np.int32))
+        run_phrases = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, warr), " ")
+        ok_run = cnt <= max_words
+        keep_occ = np.repeat(ok_run, cnt)
+        phrase_occ = np.repeat(np.asarray(run_phrases).astype(str),
+                               cnt)[keep_occ]
         return pa.table({
-            "phrase": pa.array([phrases[int(i)] for i in inv],
-                               pa.string()),
-            "w": pa.array(widx.astype(object), pa.string()),
-            "plen": pa.array(cnt[inv].astype(np.int64))})
+            "phrase": pa.array(phrase_occ.astype(object), pa.string()),
+            "w": warr.filter(pa.array(keep_occ)),
+            "plen": pa.array(np.repeat(cnt, cnt)[keep_occ]
+                             .astype(np.int64))})
 
     occ = docs.map_batches(phrase_rows, batch_format="pyarrow",
                            batch_size=2048).materialize()
@@ -640,12 +647,14 @@ def rake_keywords(sf_dir: str, *, k: int = 50, max_words: int = 4,
     vocab_ref = ray.put((vocab, fr, dg))
 
     def score_phrases(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         vv, ff, dd = ray.get(vocab_ref)
         seen = {}
-        ph = t.column("phrase").to_pylist()
+        # dedupe BEFORE the exact-int loop: occ repeats each phrase
+        # plen × occurrences times (review finding)
+        ph = pc.unique(t.column("phrase")).to_pylist()
         for p in ph:
-            if p in seen:
-                continue
             num, den = 0, 1
             for w in p.split(" "):
                 i = np.searchsorted(vv, w)

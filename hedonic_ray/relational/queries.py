@@ -2111,14 +2111,13 @@ def top_unshipped_orders(sf_dir: str, *, segment: str = "BUILDING",
     def lfilter(t: pa.Table) -> pa.Table:
         day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
                // 86_400_000_000)
-        m = pa.array(day > cutoff_day)
-        cents = np.rint(t.column("l_extendedprice").to_numpy()
+        m = day > cutoff_day
+        cents = np.rint(t.column("l_extendedprice").to_numpy()[m]
                         * 100.0).astype(np.int64)
-        pct = np.rint(t.column("l_discount").to_numpy()
+        pct = np.rint(t.column("l_discount").to_numpy()[m]
                       * 100.0).astype(np.int64)
-        rev = cents * (100 - pct)
-        return pa.table({"l_orderkey": t.column("l_orderkey").filter(m),
-                         "rev": pa.array(rev[day > cutoff_day])})
+        return pa.table({"l_orderkey": t.column("l_orderkey").filter(
+            pa.array(m)), "rev": pa.array(cents * (100 - pct))})
 
     lf = li.map_batches(lfilter, batch_format="pyarrow")
     j = lf.join(of, "inner", num_partitions,

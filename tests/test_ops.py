@@ -1620,12 +1620,12 @@ def test_rake_scores_match_reference_formula():
     """RAKE on a tiny hand corpus: phrase score must equal the exact
     hand-computed sum of deg/freq (classic Rose et al. example
     shape), and stopword runs must split phrases."""
-    import pyarrow.parquet as pq  # noqa: F401  (parity import)
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
 
     from hedonic_ray.pipelines.textops import rake_keywords
-
-    import ray.data as rd
-    import tempfile, os
 
     docs = pa.table({
         "doc_id": pa.array([0, 1], pa.int64()),
@@ -1633,8 +1633,7 @@ def test_rake_scores_match_reference_formula():
                           "deep nets and fast nets"], pa.string()),
     })
     d = tempfile.mkdtemp()
-    import pyarrow.parquet as pqw
-    pqw.write_table(docs, os.path.join(d, "documents.parquet"))
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
     out = rake_keywords(d, k=10)
     got = {p: s for p, s in zip(out.column("phrase").to_pylist(),
                                 out.column("score_e6").to_pylist())}
