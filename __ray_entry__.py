@@ -1339,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_conductance": lg.doc_conductance,
         "graph_core_number": lg.doc_core_number,
         "graph_lang_mixing": lg.doc_lang_mixing,
+        "graph_squares": lg.doc_squares,
         "graph_lang_assortativity": lg.doc_lang_assortativity,
         "graph_hits": lg.doc_hits_table,
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
@@ -2794,6 +2795,19 @@ ORDER BY community"""),
         "graph_extract_text": "SELECT doc_id, text FROM documents",
         "graph_kcore": _kcore_chain_sql(k=5, rounds=6),
         "graph_core_number": _core_number_chain_sql(k_max=6, rounds=6),
+        "graph_squares": f"""
+            -- exact 4-cycle census via wedge aggregation:
+            -- squares = sum(C(w_uv, 2)) / 2 over common-neighbor
+            -- counts of canonical endpoint pairs
+            WITH {_LINKS_CTE},
+            {_ARCS_CTE},
+            wd AS (SELECT a1.dst AS a, a2.dst AS b
+                   FROM arcs a1 JOIN arcs a2
+                     ON a2.src = a1.src AND a2.dst > a1.dst),
+            c AS (SELECT a, b, COUNT(*) AS w FROM wd GROUP BY a, b)
+            SELECT CAST((SELECT SUM(w) FROM c) AS BIGINT) AS n_wedges,
+                   CAST((SELECT SUM(w * (w - 1) // 2) FROM c) // 2
+                        AS BIGINT) AS n_squares""",
         "graph_lang_mixing": f"""
             -- directed lang-mixing matrix over both arc orientations
             WITH {_LINKS_CTE},

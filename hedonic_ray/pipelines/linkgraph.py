@@ -864,6 +864,59 @@ def doc_stress(sf_dir: str, *, seeds=(0, 1, 2), rounds: int = 6) -> pa.Table:
     return pa.table({k: pa.array(np.concatenate(v)) for k, v in out.items()})
 
 
+def doc_squares(sf_dir: str) -> pa.Table:
+    """EXACT 4-CYCLE (square) COUNT of the undirected doc graph via
+    wedge aggregation: every vertex emits its neighbor PAIRS (the
+    wedges it centers — one scatter over the CSR blocks, ≤ C(Δ,2)
+    pairs per vertex), the packed-pair exchange counts common
+    neighbors w(u,v), and squares = Σ C(w,2) / 2 (each square is
+    counted once per diagonal).  The square census complements the
+    triangle count in motif analysis (bipartite-ish link farms are
+    square-heavy, triangle-poor).  One row: n_wedges, n_squares."""
+    import ray
+    from hedonic_ray.engine.superstep import iter_block_views
+    from hedonic_ray.ops.dedup import _packed_pair_counts
+
+    import ray.data as rd
+
+    g = doc_graph(sf_dir, directed=False)
+    n = g.n
+
+    def wedges(batch: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for bv in iter_block_views(batch):
+            deg = np.diff(bv.indptr)
+            # vectorized per DEGREE CLASS: one gather + one triu
+            # index per distinct degree (no per-row Python)
+            for d in np.unique(deg):
+                if d < 2:
+                    continue
+                starts = bv.indptr[:-1][deg == d]
+                nb = bv.indices[starts[:, None]
+                                + np.arange(d)[None, :]]  # (R, d)
+                iu0, iu1 = np.triu_indices(int(d), k=1)
+                a_out.append(nb[:, iu0].ravel())
+                b_out.append(nb[:, iu1].ravel())
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out)),
+                         "b": pa.array(np.concatenate(b_out))})
+
+    counts = _packed_pair_counts(
+        g.blocks.map_batches(wedges, batch_format="pyarrow"))
+    n_wedges = 0
+    s = 0
+    for b in counts.iter_batches(batch_size=65536,
+                                 batch_format="pyarrow"):
+        c = b.column("i").to_numpy()
+        n_wedges += int(c.sum())
+        s += int((c * (c - 1) // 2).sum())
+    assert s % 2 == 0
+    return pa.table({"n_wedges": pa.array([n_wedges], pa.int64()),
+                     "n_squares": pa.array([s // 2], pa.int64())})
+
+
 def _lang_codes(sf_dir: str):
     """(per-vertex lang-index vector, sorted distinct langs) from the
     documents table — broadcast attribute lookup for the mixing

@@ -985,3 +985,59 @@ def test_jp_coloring_proper_and_bounded():
         deg[u] += 1
         deg[v] += 1
     assert color.max() <= deg.max()
+
+
+def test_square_count_matches_bruteforce():
+    """Wedge-aggregation 4-cycle count vs brute-force enumeration of
+    vertex quadruples on a random graph."""
+    from itertools import combinations
+
+    from hedonic_ray.pipelines import linkgraph as lg
+
+    n = 18
+    edges = rand_edges(n, 0.25, seed=40)
+    g = make_graph(edges, n, num_parts=3)
+    # replicate doc_squares' kernel directly on the toy graph
+    import numpy as np
+    from hedonic_ray.ops.dedup import _packed_pair_counts
+    from hedonic_ray.engine.superstep import iter_block_views
+    import pyarrow as pa
+
+    def wedges(batch):
+        a_out, b_out = [], []
+        for bv in iter_block_views(batch):
+            deg = np.diff(bv.indptr)
+            for d in np.unique(deg):
+                if d < 2:
+                    continue
+                starts = bv.indptr[:-1][deg == d]
+                nb = bv.indices[starts[:, None] + np.arange(d)[None, :]]
+                iu0, iu1 = np.triu_indices(int(d), k=1)
+                a_out.append(nb[:, iu0].ravel())
+                b_out.append(nb[:, iu1].ravel())
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out)),
+                         "b": pa.array(np.concatenate(b_out))})
+
+    counts = _packed_pair_counts(
+        g.blocks.map_batches(wedges, batch_format="pyarrow"))
+    s = 0
+    for b in counts.iter_batches(batch_size=65536,
+                                 batch_format="pyarrow"):
+        c = b.column("i").to_numpy()
+        s += int((c * (c - 1) // 2).sum())
+    got = s // 2
+    eset = {(min(u, v), max(u, v)) for u, v in edges}
+
+    def adj(u, v):
+        return (min(u, v), max(u, v)) in eset
+
+    exp = 0
+    for q in combinations(range(n), 4):
+        for perm in ((0, 1, 2, 3), (0, 1, 3, 2), (0, 2, 1, 3)):
+            a_, b_, c_, d_ = (q[i] for i in perm)
+            if adj(a_, b_) and adj(b_, c_) and adj(c_, d_) and adj(d_, a_):
+                exp += 1
+    assert got == exp
