@@ -1393,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_autocorr": rel.daily_revenue_autocorr,
         "rel_q3_shipping": rel.top_unshipped_orders,
         "rel_scd_intervals": rel.event_validity_intervals,
+        "rel_percentile_cont": rel.quantity_percentile_cont,
         "rel_pivot": rel.event_type_pivot,
         "rel_interarrival": rel.user_interarrival,
         "rel_covariance": rel.brand_price_size_cov,
@@ -3375,6 +3376,30 @@ ORDER BY community"""),
                    CAST(min(tus) AS BIGINT) AS start_us,
                    CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
             FROM nbr GROUP BY user_id, session_seq
+        """,
+        "rel_percentile_cont": """
+            -- PERCENTILE_CONT parity, exact x100 integers:
+            -- idx100 = (n-1)*q; v_lo*(100-frac) + v_hi*frac
+            WITH v AS (SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x
+                       FROM lineitem),
+            nn AS (SELECT COUNT(*) AS n FROM v),
+            ord AS (SELECT x, row_number() OVER (ORDER BY x) AS r
+                    FROM v),
+            q(q) AS (VALUES (25), (50), (75), (90)),
+            pos AS (SELECT q.q, nn.n, (nn.n - 1) * q.q AS idx100
+                    FROM q CROSS JOIN nn),
+            sel AS (SELECT p.q,
+                           (SELECT x FROM ord
+                            WHERE r = p.idx100 // 100 + 1) AS vlo,
+                           (SELECT x FROM ord
+                            WHERE r = LEAST(p.idx100 // 100 + 2, p.n))
+                               AS vhi,
+                           p.idx100 % 100 AS frac
+                    FROM pos p)
+            SELECT CAST(q AS BIGINT) AS q_e2,
+                   CAST(vlo * (100 - frac) + vhi * frac AS BIGINT)
+                       AS value_x100
+            FROM sel ORDER BY q_e2
         """,
         "rel_scd_intervals": """
             -- SCD-2 interval reconstruction: per (user, type) each

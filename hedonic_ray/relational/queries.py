@@ -2173,3 +2173,49 @@ def event_validity_intervals(sf_dir: str):
 
     return ds.groupby(["user_id", "event_type"]).map_groups(
         intervals, batch_format="pyarrow")
+
+
+def quantity_percentile_cont(sf_dir: str, qs_e2=(25, 50, 75, 90)):
+    """PERCENTILE_CONT parity with EXACT integer interpolation, via
+    HISTOGRAM INVERSION on the small-domain ``l_quantity`` column:
+    one ``map_batches`` bincount-partial pass (domain ≤ 51 values)
+    reduces to an O(domain) driver histogram; the interpolated
+    percentile at q is v_lo·(100−frac) + v_hi·frac with
+    idx100 = (n−1)·q, lo = idx100 // 100, frac = idx100 % 100 — all
+    integers, reported ×100 (``value_x100``).  The discrete-domain
+    complement of `price_percentiles`' histogram-narrowing selection
+    (which returns exact dataset ELEMENTS, not interpolations)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    dom = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        assert (x >= 0).all() and (x < dom).all()
+        h = np.bincount(x, minlength=dom)
+        return pa.table({"v": pa.array(np.arange(dom, dtype=np.int64)),
+                         "c": pa.array(h)})
+
+    hist = np.zeros(dom, np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            np.add.at(hist, b.column("v").to_numpy(),
+                      b.column("c").to_numpy())
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    vals = np.flatnonzero(hist)
+
+    def kth(k: int) -> int:  # 1-based rank over the sorted multiset
+        return int(np.searchsorted(cum, k))
+
+    out_q, out_v = [], []
+    for q in qs_e2:
+        idx100 = (n - 1) * int(q)
+        lo_rank = idx100 // 100 + 1
+        hi_rank = min(lo_rank + 1, n)
+        frac = idx100 % 100
+        vlo, vhi = kth(lo_rank), kth(hi_rank)
+        out_q.append(int(q))
+        out_v.append(vlo * (100 - frac) + vhi * frac)
+    return pa.table({"q_e2": pa.array(out_q, pa.int64()),
+                     "value_x100": pa.array(out_v, pa.int64())})

@@ -146,7 +146,7 @@ SQL_CHECKED = sorted([
     "rel_autocorr", "graph_weighted_lp", "text_lang_confusion",
     "rel_q3_shipping", "rel_scd_intervals", "text_pii_counts",
     "graph_lang_mixing", "graph_lang_assortativity", "text_rake",
-    "graph_squares",
+    "graph_squares", "rel_percentile_cont",
 ])
 
 
