@@ -621,9 +621,140 @@ def _srp_planes(n_planes: int, dim: int) -> np.ndarray:
     return _SRP_PLANES[key]
 
 
+SRP_SCALE_CAP = 512
+
+
+def _srp_keep_mask(qa: np.ndarray, qb: np.ndarray,
+                   threshold_e6: int) -> np.ndarray:
+    """Exact keep mask for dot > 0 ∧ dot²·10¹² ≥ t²·|a|²·|b|² on
+    quantized int64 vector rows.  dot and the squared norms are exact
+    int64 (|entry| ≤ scale, dim·scale² ≪ 2⁶³); the two >int64 side
+    products are compared in float64 first, and only rows inside a
+    1e-12 relative guard band (float64 carries ≤ ~4 ulp ≈ 1e-15
+    relative error over these 3-multiply chains) are re-decided with
+    exact Python ints — bit-identical to the all-Python-int loop this
+    replaces, but vectorized per batch."""
+    dot = np.einsum("ij,ij->i", qa, qb)
+    n2a = np.einsum("ij,ij->i", qa, qa)
+    n2b = np.einsum("ij,ij->i", qb, qb)
+    t2 = threshold_e6 * threshold_e6
+    lf = dot.astype(np.float64) ** 2 * 1e12
+    rf = float(t2) * (n2a.astype(np.float64) * n2b.astype(np.float64))
+    keep = (dot > 0) & (lf >= rf)
+    amb = (dot > 0) & (np.abs(lf - rf)
+                       <= 1e-12 * np.maximum(np.abs(lf), np.abs(rf)))
+    for i in np.nonzero(amb)[0]:
+        keep[i] = (int(dot[i]) ** 2 * 10**12
+                   >= t2 * int(n2a[i]) * int(n2b[i]))
+    return keep
+
+
+def _srp_verify(counts_ds, emb_ds, *, threshold_e6: int, scale: int,
+                id_col: str, vec_col: str, method: str = "auto",
+                broadcast_max: int = 500_000):
+    """Distribute the exact quantized-cosine verify over the candidate
+    pairs — the pairs⋈vectors pattern of `dedup.verify_pairs_exact`.
+
+    ``method="semi"`` (auto while the pair set is small): scan only the
+    candidate ID columns to the driver, fetch the O(candidates)
+    quantized vectors with one distributed ``is_in`` filter, broadcast
+    them as a (sorted ids, matrix) pair, verify vectorized per batch.
+    ``method="join"`` (the scale / forced-scale path): quantize vectors
+    to binary blobs, two hash-partitioned joins bring both sides onto
+    the pair row, verify vectorized per batch — nothing driver-resident
+    at any scale.  Returns a Dataset (a, b, i) of surviving pairs."""
+    import ray
+
+    from hedonic_ray.ops.dedup import _join_pair_sides
+
+    if method == "auto":
+        from hedonic_ray.context import force_scale
+
+        method = ("join" if force_scale()
+                  else "semi" if counts_ds.count() <= broadcast_max
+                  else "join")
+
+    if method == "semi":
+        need: list[np.ndarray] = []
+        for t in counts_ds.select_columns(["a", "b"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            need.append(t.column("a").to_numpy())
+            need.append(t.column("b").to_numpy())
+        need_ids = np.unique(np.concatenate(need)) if need \
+            else np.empty(0, np.int64)
+        need_set = pa.array(need_ids, pa.int64())
+
+        def pick(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.filter(pc.is_in(t.column(id_col), value_set=need_set))
+
+        got_id, got_q = [], []
+        for t in emb_ds.map_batches(pick, batch_format="pyarrow") \
+                       .iter_batches(batch_size=4096,
+                                     batch_format="pyarrow"):
+            if t.num_rows == 0:
+                continue
+            got_id.append(t.column(id_col).to_numpy().astype(np.int64))
+            got_q.append(np.floor(
+                _batch_matrix(t, vec_col, np.float64) * scale)
+                .astype(np.int64))
+        ids = np.concatenate(got_id)
+        mat = np.concatenate(got_q)
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], mat[order]))
+
+        def verify_s(batch: pa.Table) -> pa.Table:
+            sid, smat = ray.get(ref)
+            a = batch.column("a").to_numpy().astype(np.int64)
+            b = batch.column("b").to_numpy().astype(np.int64)
+            i = batch.column("i").to_numpy().astype(np.int64)
+            keep = _srp_keep_mask(smat[np.searchsorted(sid, a)],
+                                  smat[np.searchsorted(sid, b)],
+                                  threshold_e6)
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                             "i": pa.array(i[keep])})
+
+        return counts_ds.map_batches(verify_s, batch_format="pyarrow")
+
+    def to_qbin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "qv": pa.array([], pa.binary())})
+        q = np.floor(_batch_matrix(t, vec_col, np.float64) * scale) \
+            .astype("<i8")
+        return pa.table({
+            id_col: t.column(id_col),
+            "qv": pa.array([q[i].tobytes() for i in range(len(q))],
+                           pa.binary())})
+
+    qbin = emb_ds.map_batches(to_qbin, batch_format="pyarrow")
+    joined = _join_pair_sides(counts_ds, qbin, id_col, "qv", carry=("i",))
+
+    def _decode(col) -> np.ndarray:
+        rows = col.to_pylist()
+        return np.frombuffer(b"".join(rows), "<i8").reshape(len(rows), -1)
+
+    def verify_j(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64())})
+        a = batch.column("a").to_numpy().astype(np.int64)
+        b = batch.column("b").to_numpy().astype(np.int64)
+        i = batch.column("i").to_numpy().astype(np.int64)
+        keep = _srp_keep_mask(_decode(batch.column("qv_a")),
+                              _decode(batch.column("qv_b")), threshold_e6)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "i": pa.array(i[keep])})
+
+    return joined.map_batches(verify_j, batch_format="pyarrow")
+
+
 def srp_lsh_pairs(emb_ds, *, n_planes: int = 32, band_bits: int = 8,
                   threshold_e6: int = 400000, scale: int = 100000,
-                  id_col: str = "vec_id", vec_col: str = "embedding"):
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  cap: int | None = None, method: str = "auto",
+                  broadcast_max: int = 500_000):
     """SIGNED-RANDOM-PROJECTION (hyperplane) LSH for cosine near-dups
     (Charikar '02), the embedding-space sibling of SimHash: bit p of a
     vector's signature is the sign of its dot with a deterministic ±1
@@ -637,19 +768,30 @@ def srp_lsh_pairs(emb_ds, *, n_planes: int = 32, band_bits: int = 8,
     Shape: one ``map_batches`` signature pass (a single int matmul per
     batch) → per-bucket pair emission inside
     ``groupby(band, key).map_groups`` → the sort-based
-    `_packed_pair_counts` exchange for shared-band counts → a
-    candidate-bounded verify (vectors for candidate ids fetched via
-    one ``is_in`` filter; Python-int arithmetic, no overflow).  The
-    verify gather is O(candidates), the same posture as
-    `dedup.py:edit_distance_verify`.
+    `_packed_pair_counts` exchange for shared-band counts → the
+    DISTRIBUTED exact verify (`_srp_verify`: broadcast semi-join below
+    ``broadcast_max`` candidates, pairs⋈vectors hash joins above and
+    under forced scale; vectorized int64 arithmetic per batch).  Only
+    the final verified answer set lands on the driver.
+
+    ``cap``: hot-bucket chaining (recall-only — a band bucket larger
+    than ``cap`` emits its sorted id chain instead of O(bucket²)
+    pairs).  Default None = exact bucket semantics, matching the SQL
+    oracle at any scale; under ``HEDONIC_RAY_FORCE_SCALE`` it
+    auto-engages at ``SRP_SCALE_CAP`` — the `fingerprint_overlap_pairs`
+    posture, so a binding cap is an explicit mode, never a silent
+    oracle divergence.
 
     Returns a pa.Table (a, b, n_shared_bands) for verified pairs,
     a < b, ordered by (a, b)."""
     import ray  # noqa: F401  (engine convention)
 
+    from hedonic_ray.context import force_scale
     from hedonic_ray.ops.dedup import _packed_pair_counts
 
     assert n_planes % band_bits == 0
+    if cap is None and force_scale():
+        cap = SRP_SCALE_CAP
 
     def signatures(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, vec_col, dtype=np.float64)
@@ -668,15 +810,12 @@ def srp_lsh_pairs(emb_ds, *, n_planes: int = 32, band_bits: int = 8,
             id_col: pa.array(np.repeat(ids, n_bands)),
         })
 
-    def bucket_pairs(g: pa.Table, cap: int = 512) -> pa.Table:
+    def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = np.sort(g.column(id_col).to_numpy())
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        if len(ids) > cap:
-            # hot bucket: chain instead of quadratic blowup — the
-            # recall-only cap idiom of dedup.py:_bucket_pairs (never
-            # binds at gate scale, so the SQL compare is unaffected)
+        if cap is not None and len(ids) > cap:
             return pa.table({"a": pa.array(ids[:-1]),
                              "b": pa.array(ids[1:])})
         iu = np.triu_indices(len(ids), k=1)
@@ -686,45 +825,35 @@ def srp_lsh_pairs(emb_ds, *, n_planes: int = 32, band_bits: int = 8,
     sig = emb_ds.map_batches(signatures, batch_format="pyarrow")
     pairs = sig.groupby(["band", "bkey"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    counts = _packed_pair_counts(pairs)   # (a, b, i) shared-band count
-
-    rows = counts.take_all()
-    if not rows:
+    # pinned: consumed by count() (method pick) and the verify scan
+    counts = _packed_pair_counts(pairs).materialize()
+    if counts.count() == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "n_shared_bands": pa.array([], pa.int64())})
-    a = np.array([r["a"] for r in rows], np.int64)
-    b = np.array([r["b"] for r in rows], np.int64)
-    nb = np.array([r["i"] for r in rows], np.int64)
-    need = np.unique(np.concatenate([a, b]))
 
-    def pick(t: pa.Table, need=need) -> pa.Table:
-        import pyarrow.compute as pc
-        return t.filter(pc.is_in(t.column(id_col),
-                                 value_set=pa.array(need, pa.int64())))
+    verified = _srp_verify(counts, emb_ds, threshold_e6=threshold_e6,
+                           scale=scale, id_col=id_col, vec_col=vec_col,
+                           method=method, broadcast_max=broadcast_max)
 
-    vecs = {}
-    for t in emb_ds.map_batches(pick, batch_format="pyarrow") \
-                   .iter_batches(batch_size=4096, batch_format="pyarrow"):
-        m = _batch_matrix(t, vec_col, dtype=np.float64)
-        q = np.floor(m * scale).astype(np.int64)
-        for i, vid in enumerate(t.column(id_col).to_numpy()):
-            vecs[int(vid)] = q[i]
-
-    keep = np.zeros(len(a), bool)
-    t2 = threshold_e6 * threshold_e6
-    for i in range(len(a)):
-        qa, qb = vecs[int(a[i])], vecs[int(b[i])]
-        dot = int(qa @ qb)
-        if dot <= 0:
-            continue
-        n2a = int(qa @ qa)
-        n2b = int(qb @ qb)
-        keep[i] = dot * dot * 10**12 >= t2 * n2a * n2b
-    order = np.lexsort((b[keep], a[keep]))
-    return pa.table({"a": pa.array(a[keep][order]),
-                     "b": pa.array(b[keep][order]),
-                     "n_shared_bands": pa.array(nb[keep][order])})
+    a_out, b_out, n_out = [], [], []
+    for t in verified.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        if t.num_rows:
+            a_out.append(t.column("a").to_numpy().astype(np.int64))
+            b_out.append(t.column("b").to_numpy().astype(np.int64))
+            n_out.append(t.column("i").to_numpy().astype(np.int64))
+    if not a_out:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "n_shared_bands": pa.array([], pa.int64())})
+    a = np.concatenate(a_out)
+    b = np.concatenate(b_out)
+    nb = np.concatenate(n_out)
+    order = np.lexsort((b, a))
+    return pa.table({"a": pa.array(a[order]),
+                     "b": pa.array(b[order]),
+                     "n_shared_bands": pa.array(nb[order])})
 
 
 def pq_adc_topk(emb_ds, *, n_sub: int = 8, n_cent: int = 16, k: int = 5,

@@ -202,6 +202,8 @@ FORCED_SCALE = sorted([
                             # benchmark gram set)
     "dedup_incremental",    # cross-side inverted index through the
                             # size-attach join path
+    "sim_srp_lsh",          # pairs⋈vectors join verify + auto-engaged
+                            # hot-bucket cap (vacuous at fixture scale)
 ])
 
 

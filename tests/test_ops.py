@@ -1541,6 +1541,25 @@ def test_srp_lsh_pairs_sound_vs_bruteforce():
                 >= 400000**2 * int(qa @ qa) * int(qb @ qb))
 
 
+def test_srp_lsh_verify_semi_join_equal():
+    """The broadcast semi-join verify and the distributed pairs⋈vectors
+    join verify are bit-identical (same contract as
+    verify_pairs_exact's two methods)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from hedonic_ray.ops.similarity import srp_lsh_pairs
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    semi = srp_lsh_pairs(rd.from_arrow(t), threshold_e6=400000,
+                         method="semi")
+    join = srp_lsh_pairs(rd.from_arrow(t), threshold_e6=400000,
+                         method="join")
+    assert semi.num_rows > 0
+    assert semi.equals(join)
+
+
 def test_pq_adc_self_distance_and_rank_shape():
     """PQ-ADC invariants: ranks are 1..k per query, and each query's
     own row ranks first (its ADC distance — the residual to its own
