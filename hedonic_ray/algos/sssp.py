@@ -45,11 +45,73 @@ def _edge_weights(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     return 1 + (src * W_A + dst * W_B) % W_MOD
 
 
-def sssp_distances(g, seed: int, *, rounds: int = 6) -> np.ndarray:
+SHARDS_MIN_VERTICES = 200_000  # same switch point as PageRank/LP/Katz
+
+
+class _SsspVecSpec:
+    """Vector-superstep spec (`engine/shards.py:VectorShardPool`):
+    the distance slice lives in the shard actors; one round = per-dst
+    min of live-edge candidates split by destination shard, then a
+    min-merge into the slice.  The Dataset path additionally filters
+    candidates against the broadcast global distances — a pure
+    message-volume optimization the min-merge makes irrelevant, so
+    the two backends are bit-identical (tested)."""
+
+    def __init__(self, seed: int):
+        self.seed = seed
+
+    def init_slice(self, lo, hi, n):
+        d = np.full(hi - lo, INF, dtype=np.int64)
+        if lo <= self.seed < hi:
+            d[self.seed - lo] = 0
+        return {"dist": d}
+
+    def scatter(self, state, lo, hi, indptr, indices, src):
+        ds = state["dist"][src - lo]
+        live = ds < INF
+        if not live.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        s_, t_ = src[live], indices[live]
+        cand = ds[live] + _edge_weights(s_, t_)
+        u = np.unique(t_)
+        best = np.full(len(u), INF, dtype=np.int64)
+        np.minimum.at(best, np.searchsorted(u, t_), cand)
+        return u.astype(np.int64), best
+
+    def merge(self, state, lo, hi, n, incoming, rnd):
+        dist = state["dist"]
+        nxt = dist.copy()
+        for dst, val in incoming:
+            if len(dst):
+                np.minimum.at(nxt, dst - lo, val)
+        changed = int((nxt != dist).sum())
+        state["dist"] = nxt
+        return {"active": changed}
+
+
+def sssp_distances(g, seed: int, *, rounds: int = 6,
+                   backend: str = "auto") -> np.ndarray:
     """Exact shortest-path distance from ``seed`` along ≤ ``rounds``
     arcs of the DIRECTED CSR graph ``g`` under the deterministic
-    integer weights (UNREACHED = -1 beyond the round cap)."""
+    integer weights (UNREACHED = -1 beyond the round cap).
+
+    ``backend="auto"`` picks the resident-shard-state path above
+    ``SHARDS_MIN_VERTICES`` or under ``HEDONIC_RAY_FORCE_SCALE``,
+    else the Dataset relax loop; bit-identical (tested)."""
     import ray
+
+    if backend == "auto":
+        from hedonic_ray.context import force_scale
+
+        backend = "shards" if (force_scale() or
+                               g.n >= SHARDS_MIN_VERTICES) else "dataset"
+    if backend == "shards":
+        from hedonic_ray.engine.shards import run_vector_supersteps
+
+        pool = run_vector_supersteps(g, _SsspVecSpec(seed), rounds=rounds)
+        out = pool.collect("dist")
+        out[out == INF] = UNREACHED
+        return out
 
     dist = np.full(g.n, INF, dtype=np.int64)
     dist[seed] = 0

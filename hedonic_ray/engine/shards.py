@@ -325,6 +325,63 @@ class ApplyShard:
         """(keys, cnts) — test hook for the exact-maintenance invariant."""
         return self.keys.copy(), self.cnts.copy()
 
+    # --------------------------------------- generic vector supersteps
+    #
+    # The label-count machinery above is hedonic/LP-specific; the
+    # fixed-round numeric algorithms (Katz, SSSP, …) need only a
+    # per-vertex NUMERIC state slice and a sparse push per round.
+    # These methods make the SAME pre-spawned actor base carry them:
+    # the state vector lives sharded in the actors (never re-broadcast
+    # through the driver per round — the O(V)·rounds driver traffic of
+    # the Dataset backend becomes O(1) ints), and messages move
+    # shard→shard through the object store via ``num_returns`` splits,
+    # exactly the butterfly `exchange.numeric_exchange_step` uses but
+    # without re-shipping `values` each round.
+    #
+    # The algorithm plugs in as a tiny picklable SPEC object:
+    #
+    # * ``init_slice(lo, hi, n) -> dict[str, ndarray]`` — local state;
+    # * ``scatter(state, lo, hi, indptr, indices, src) -> (dst, val)``
+    #   — sparse per-destination partials for this shard's out-edges,
+    #   ``dst`` GLOBAL ids sorted ascending (the range split below is
+    #   a searchsorted);
+    # * ``merge(state, lo, hi, n, incoming, rnd) -> dict`` — fold the
+    #   incoming ``(dst, val)`` partials into the local slice and
+    #   report small stats; ``{"active": 0}`` from every shard stops
+    #   the driver loop.
+
+    def _vec_fence(self, token):
+        if token != self._token:
+            raise RuntimeError(
+                "stale VectorShardPool handle: this shard base was "
+                "re-loaded by a newer pool (one algorithm at a time)")
+
+    def vec_load(self, spec, token: int):
+        self._token = token
+        self._vspec = spec
+        self._vstate = spec.init_slice(self.lo, self.hi, self.n)
+        return True
+
+    def vec_scatter(self, span: int, P: int, token: int):
+        self._vec_fence(token)
+        dst, val = self._vspec.scatter(self._vstate, self.lo, self.hi,
+                                       self.indptr, self.indices, self._src)
+        if P == 1:
+            return dst, val
+        bounds = np.concatenate(
+            [[0], np.searchsorted(dst, np.arange(1, P) * span), [len(dst)]])
+        return tuple((dst[bounds[p]:bounds[p + 1]],
+                      val[bounds[p]:bounds[p + 1]]) for p in range(P))
+
+    def vec_merge(self, rnd: int, token: int, *incoming):
+        self._vec_fence(token)
+        return self._vspec.merge(self._vstate, self.lo, self.hi, self.n,
+                                 incoming, rnd)
+
+    def vec_state(self, key: str, token: int):
+        self._vec_fence(token)
+        return self._vstate[key]
+
 
 _POOL_TOKENS = iter(range(1, 1 << 62))
 
@@ -402,3 +459,59 @@ class ShardPool:
         f_own = float(sum(o[3] for o in outs))
         active = int(sum(o[4] for o in outs))
         return d, l, gain, f_own, active
+
+
+class VectorShardPool:
+    """Driver-side handle for the generic numeric-vector supersteps:
+    the shared actor base loaded with one spec's sharded state.  Per
+    round the driver ships THREE INTS per actor call and receives one
+    small stats dict per shard — the state vector and the messages
+    never pass through the driver (the Dataset backend's per-round
+    ``ray.put(state)`` broadcast + O(touched) driver merge, e.g.
+    `algos/hits.py:_push_auth`, is what this replaces at scale)."""
+
+    def __init__(self, g, spec, max_shards: int = 16):
+        import ray
+
+        self.span, self.shards = shard_base(g, max_shards)
+        self.P = len(self.shards)
+        self.n = g.n
+        self.token = next(_POOL_TOKENS)
+        ray.get([s.vec_load.remote(spec, self.token) for s in self.shards])
+
+    def step(self, rnd: int) -> list:
+        """One superstep: scatter with per-destination-shard splits,
+        then each shard merges the column addressed to it.  Returns
+        the per-shard stats dicts."""
+        import ray
+
+        P = self.P
+        if P == 1:
+            per_part = [(self.shards[0].vec_scatter.remote(
+                self.span, 1, self.token),)]
+        else:
+            outs = [s.vec_scatter.options(num_returns=P).remote(
+                self.span, P, self.token) for s in self.shards]
+            per_part = list(zip(*outs))
+        return ray.get([s.vec_merge.remote(rnd, self.token, *per_part[p])
+                        for p, s in enumerate(self.shards)])
+
+    def collect(self, key: str) -> np.ndarray:
+        """Concatenated global state vector — called ONCE at the end
+        (the only O(V) driver transfer in a run)."""
+        import ray
+
+        return np.concatenate(ray.get(
+            [s.vec_state.remote(key, self.token) for s in self.shards]))
+
+
+def run_vector_supersteps(g, spec, *, rounds: int,
+                          max_shards: int = 16) -> VectorShardPool:
+    """Drive ``spec`` for up to ``rounds`` supersteps on ``g``'s shard
+    base; stops early when every shard reports ``active == 0``."""
+    pool = VectorShardPool(g, spec, max_shards)
+    for rnd in range(rounds):
+        stats = pool.step(rnd)
+        if sum(int(s.get("active", 1)) for s in stats) == 0:
+            break
+    return pool

@@ -747,6 +747,45 @@ def test_katz_integer_matches_numpy_oracle():
     np.testing.assert_array_equal(num, num_exp)
 
 
+def test_vector_shard_backend_bit_identical():
+    """The resident-shard-state vector superstep (engine/shards.py:
+    VectorShardPool) must reproduce the Dataset backends bit-for-bit
+    for Katz and SSSP — including SSSP's early exit — across several
+    shard counts, and a stale pool handle must be fenced."""
+    import pytest
+
+    from hedonic_ray.algos.katz import katz_centrality
+    from hedonic_ray.algos.sssp import sssp_distances
+    from hedonic_ray.engine.shards import VectorShardPool
+    from hedonic_ray.algos.sssp import _SsspVecSpec
+
+    n = 120
+    rng = np.random.default_rng(21)
+    edges = sorted({(int(u), int(v))
+                    for u, v in rng.integers(0, n, size=(600, 2)) if u != v})
+    g = make_graph(edges, n, directed=True, num_parts=6)
+    num_ds, den_ds = katz_centrality(g, iters=4, beta_inv=4,
+                                     backend="dataset")
+    num_sh, den_sh = katz_centrality(g, iters=4, beta_inv=4,
+                                     backend="shards")
+    assert den_ds == den_sh
+    np.testing.assert_array_equal(num_sh, num_ds)
+    for rounds in (1, 3, 8):
+        got_ds = sssp_distances(g, 0, rounds=rounds, backend="dataset")
+        got_sh = sssp_distances(g, 0, rounds=rounds, backend="shards")
+        np.testing.assert_array_equal(got_sh, got_ds,
+                                      err_msg=f"rounds={rounds}")
+    # early exit: rounds far past convergence must equal converged
+    np.testing.assert_array_equal(
+        sssp_distances(g, 0, rounds=50, backend="shards"),
+        sssp_distances(g, 0, rounds=50, backend="dataset"))
+    # the token fence: a newer pool invalidates the older handle
+    old = VectorShardPool(g, _SsspVecSpec(0))
+    VectorShardPool(g, _SsspVecSpec(1))
+    with pytest.raises(Exception, match="stale"):
+        old.step(0)
+
+
 def test_sssp_matches_dense_bellman_ford():
     """Superstep Bellman-Ford vs a dense synchronous relaxation under
     the same deterministic integer weights, at several round caps

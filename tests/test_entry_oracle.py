@@ -204,6 +204,8 @@ FORCED_SCALE = sorted([
                             # size-attach join path
     "sim_srp_lsh",          # pairs⋈vectors join verify + auto-engaged
                             # hot-bucket cap (vacuous at fixture scale)
+    "graph_katz",           # resident-shard-state vector supersteps
+    "graph_sssp",           # resident-shard-state vector supersteps
 ])
 
 
