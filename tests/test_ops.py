@@ -1578,6 +1578,39 @@ def test_pq_adc_self_distance_and_rank_shape():
         assert g[g["rank"] == 1]["vec_id"].iloc[0] == q
 
 
+def test_pq_adc_no_full_sort_and_actor_lut_path_equal(monkeypatch):
+    """r4 verdict item 3: the codebook must come from a filter scan
+    (no whole-dataset sort anywhere in pq_adc_topk — spied), the
+    actor-built-LUT scale path must equal the broadcast-LUT path
+    bit-for-bit, and an oversized query set must fail loudly."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from hedonic_ray.ops import similarity as sim
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    calls = []
+    orig = Dataset.sort
+
+    def spy(self, *a, **kw):
+        calls.append(a)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Dataset, "sort", spy)
+    base = sim.pq_adc_topk(rd.from_arrow(t), k=5)
+    assert not calls, "pq_adc_topk must not sort the dataset"
+    monkeypatch.setattr(Dataset, "sort", orig)
+    # force the serving-actor LUT build (the > broadcast-cap path)
+    monkeypatch.setattr(sim, "PQ_MAX_BROADCAST_QUERIES", 0)
+    assert sim.pq_adc_topk(rd.from_arrow(t), k=5).equals(base)
+    monkeypatch.setattr(sim, "PQ_MAX_QUERIES", 1)
+    with pytest.raises(AssertionError, match="PQ_MAX_QUERIES"):
+        sim.pq_adc_topk(rd.from_arrow(t), k=5)
+
+
 def test_late_events_matches_sequential_scan():
     """The bucketed distributed prefix scan equals a single sequential
     watermark scan, at several bucket counts (bucketing must be
