@@ -49,6 +49,51 @@ def synth_media_table(n: int) -> pa.Table:
     })
 
 
+def _flat_binary(col):
+    """Zero-copy ``(offsets, data)`` numpy views of an Arrow binary
+    column's flat buffer (offsets are ABSOLUTE positions into
+    ``data``, int64-widened)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    data = (np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            if col.buffers()[2] is not None else np.empty(0, np.uint8))
+    return offsets, data
+
+
+def _parse_fake_headers(col):
+    """Vectorized fake-codec header parse: ONE (N, 11) uint8 gather
+    over the flat binary buffer instead of a per-blob ``struct.unpack``
+    loop (r4 verdict item 5 — the real-codec branch is per-row by
+    nature, the fake path need not be).  Returns
+    ``(offsets, data, ok, kind, w, h, f)``; non-HRAY / short blobs get
+    ``ok=False`` and zeroed fields."""
+    offsets, data = _flat_binary(col)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    n = len(starts)
+    kind = np.zeros(n, np.int64)
+    w = np.zeros(n, np.int64)
+    h = np.zeros(n, np.int64)
+    f = np.zeros(n, np.int64)
+    ok = np.zeros(n, bool)
+    long_enough = lens >= 11
+    if long_enough.any():
+        cand = np.flatnonzero(long_enough)
+        hdr = data[starts[cand, None] + np.arange(11)].astype(np.int64)
+        good = (hdr[:, :4] == np.frombuffer(MAGIC, np.uint8)).all(axis=1)
+        oki = cand[good]
+        hdr = hdr[good]
+        ok[oki] = True
+        kind[oki] = hdr[:, 4]
+        w[oki] = hdr[:, 5] + (hdr[:, 6] << 8)
+        h[oki] = hdr[:, 7] + (hdr[:, 8] << 8)
+        f[oki] = hdr[:, 9] + (hdr[:, 10] << 8)
+    return offsets, data, ok, kind, w, h, f
+
+
 class DecodeMedia:
     """Actor-pool decode stage.
 
@@ -65,23 +110,11 @@ class DecodeMedia:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths, heights, frames, ok = [], [], [], []
-        for blob in batch.column("payload").to_pylist():
-            if blob[:4] == MAGIC:
-                k, w, h, f = struct.unpack("<BHHH", blob[4:11])
-                widths.append(w)
-                heights.append(h)
-                frames.append(f)
-                ok.append(True)
-            else:
-                widths.append(0)
-                heights.append(0)
-                frames.append(0)
-                ok.append(False)
+        _, _, ok, _, w, h, f = _parse_fake_headers(batch.column("payload"))
         out = batch.drop_columns(["payload"])  # wide binary dies here
-        for name, vals, typ in [("width", widths, pa.int64()),
-                                ("height", heights, pa.int64()),
-                                ("frames", frames, pa.int64()),
+        for name, vals, typ in [("width", w, pa.int64()),
+                                ("height", h, pa.int64()),
+                                ("frames", f, pa.int64()),
                                 ("decoded", ok, pa.bool_())]:
             out = out.append_column(name, pa.array(vals, typ))
         return out
@@ -126,25 +159,31 @@ class ResizeMedia:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.target
-        ws, hs, payloads = [], [], []
-        for blob in batch.column("payload").to_pylist():
-            if blob[:4] == MAGIC:
-                k, w, h, f = struct.unpack("<BHHH", blob[4:11])
-                m = max(w, h)
-                nw = max(1, w * t // m)
-                nh = max(1, h * t // m)
-                ws.append(nw)
-                hs.append(nh)
-                payloads.append(MAGIC + struct.pack("<BHHH", k, nw, nh, f)
-                                + blob[11:])
-            else:
-                ws.append(0)
-                hs.append(0)
-                payloads.append(blob)
+        offsets, data, ok, _, w, h, _ = _parse_fake_headers(
+            batch.column("payload"))
+        starts = offsets[:-1]
+        nw = np.zeros(len(starts), np.int64)
+        nh = np.zeros(len(starts), np.int64)
+        m = np.maximum(np.maximum(w, h), 1)
+        nw[ok] = np.maximum(1, w[ok] * t // m[ok])
+        nh[ok] = np.maximum(1, h[ok] * t // m[ok])
+        # same-length headers ⇒ the output flat buffer is the input
+        # with the four w/h bytes overwritten in place — no per-blob
+        # bytes concatenation
+        newdata = data.copy()
+        s = starts[ok]
+        newdata[s + 5] = (nw[ok] & 0xFF).astype(np.uint8)
+        newdata[s + 6] = (nw[ok] >> 8).astype(np.uint8)
+        newdata[s + 7] = (nh[ok] & 0xFF).astype(np.uint8)
+        newdata[s + 8] = (nh[ok] >> 8).astype(np.uint8)
+        payload = pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+             pa.py_buffer(newdata.tobytes())])
         out = batch.drop_columns(["payload"])
-        out = out.append_column("width", pa.array(ws, pa.int64()))
-        out = out.append_column("height", pa.array(hs, pa.int64()))
-        out = out.append_column("payload", pa.array(payloads, pa.binary()))
+        out = out.append_column("width", pa.array(nw, pa.int64()))
+        out = out.append_column("height", pa.array(nh, pa.int64()))
+        out = out.append_column("payload", payload)
         return out
 
 

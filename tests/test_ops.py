@@ -585,6 +585,16 @@ def test_multimodal_resize():
         assert r["height"] == max(1, h * 32 // m)
         assert max(r["width"], r["height"]) <= 32
         assert r["payload"][:4] == b"HRAY"
+        # byte-exact payload: new header (same kind/frames), old body
+        import struct
+
+        from hedonic_ray.ops.multimodal import fake_payload
+
+        kind = int(r["doc_id"]) % 3
+        orig = fake_payload(int(r["doc_id"]), kind)
+        frames = 1 if kind != 2 else 1 + r["doc_id"] % 8
+        assert r["payload"] == (b"HRAY" + struct.pack(
+            "<BHHH", kind, r["width"], r["height"], frames) + orig[11:])
     with pytest.raises(NotImplementedError):
         ResizeMedia(fake=False)
 
