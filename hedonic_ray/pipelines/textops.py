@@ -231,7 +231,8 @@ def embedding_neardup(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
     configure_context()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     # float64 so the pair counts match the DuckDB double-precision
     # cosine oracle exactly
     pairs = dd.embedding_neardup_pairs(emb, threshold=0.30, dtype=np.float64)
@@ -262,7 +263,8 @@ def topk_similarity(sf_dir: str, k: int = 5) -> pa.Table:
     import pyarrow.compute as pc
 
     configure_context()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     out = sim.topk_cosine(emb, _query_matrix(sf_dir), k=k)
     return pa.table({
         "query_id": out.column("query_id"),
@@ -289,9 +291,11 @@ def ivf_similarity(sf_dir: str, k: int = 5, nprobe: int = 16) -> pa.Table:
     import pyarrow.compute as pc
 
     configure_context()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     out = sim.ivf_topk(emb, _query_matrix(sf_dir), k=k, nprobe=nprobe)
-    exact = sim.topk_cosine(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+    exact = sim.topk_cosine(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                            columns=["vec_id", "embedding"]),
                             _query_matrix(sf_dir), k=k)
     same = out.num_rows == exact.num_rows and all(
         (out.column(c).to_numpy() == exact.column(c).to_numpy()).all()
@@ -370,7 +374,8 @@ def range_similarity(sf_dir: str, threshold_e6: int = 300_000):
     import ray.data as rd
 
     configure_context()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     return sim.range_search_cosine(emb, _query_matrix(sf_dir), threshold_e6)
 
 
@@ -403,7 +408,8 @@ def filtered_topk_similarity(sf_dir: str, k: int = 5) -> pa.Table:
     import pyarrow.compute as pc
 
     configure_context()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
     out = sim.topk_cosine_filtered(emb, _query_matrix(sf_dir),
                                    _query_labels(sf_dir), k=k)
     return pa.table({
@@ -1108,7 +1114,8 @@ def centroid_classify(sf_dir: str):
     from hedonic_ray.ops.similarity import centroid_classify as cc
 
     configure_context()
-    return cc(rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+    return cc(rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding", "label"]))
 
 
 def chunk_plan(sf_dir: str, window: int = 64, stride: int = 48):

@@ -145,4 +145,7 @@ def read_partitioned(root: str):
     paths = [p for p in paths if os.path.exists(p)]  # empty partitions
     if not paths:  # complete, but every partition was empty
         return rd.from_arrow(pa.table({}))
+    # deliberately unpruned: this reads back OUR OWN sink's complete
+    # output (schema unknown here, all columns wanted by contract) —
+    # every corpus-table read_parquet in the repo passes columns=
     return rd.read_parquet(paths)
