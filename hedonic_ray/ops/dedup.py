@@ -1822,8 +1822,17 @@ def cdc_chunk_stats(ds, *, k: int = 8, d: int = 32, col: str = "text",
         counts = np.maximum(lens - k + 1, 0)
         total = int(counts.sum())
         if total and len(data) >= k:
-            h_all = np.lib.stride_tricks.sliding_window_view(
-                data, k).astype(np.int64) @ pows
+            # k strided adds instead of materializing the (N, k) int64
+            # window view (64 bytes per text byte at k=8); int64 adds
+            # are modular-commutative, so this is bit-identical to the
+            # windowed matmul
+            nw = len(data) - k + 1
+            data_i = data.astype(np.int64)
+            h_all = np.zeros(nw, dtype=np.int64)
+            tmp = np.empty(nw, dtype=np.int64)
+            for j in range(k):
+                np.multiply(data_i[j:nw + j], pows[j], out=tmp)
+                h_all += tmp
             shift = np.cumsum(counts) - counts
             starts = (np.repeat(offs[:-1], counts)
                       + (np.arange(total, dtype=np.int64)

@@ -1039,6 +1039,11 @@ def doc_contract(sf_dir: str) -> pa.Table:
 
     g = doc_graph(sf_dir, directed=False)
     mem = hedonic_2pass_membership(sf_dir)
+    # the per-block unique() below packs the community pair as
+    # ca·n + cb — same bound discipline as algos/mst.py:58; past
+    # ~3·10⁹ vertices switch to structured (ca, cb) partials
+    assert len(mem) * len(mem) < (1 << 63), \
+        "packed community-pair key overflows int64: use structured partials"
     mem_ref = ray.put(mem)
 
     def pairs(batch: pa.Table) -> pa.Table:
