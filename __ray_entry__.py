@@ -1320,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": lg.doc_scc_table,
         "graph_scc_dag": lg.doc_scc_dag,
         "graph_hedonic": lg.doc_hedonic_table,
+        "graph_hedonic_strict": lg.doc_hedonic_strict_table,
         "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
@@ -1490,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     out = {
         "graph_hedonic": _hedonic_cert_sql(),
+        "graph_hedonic_strict": _hedonic_cert_sql(),
         "analytics_spectrum": _spectrum_sql(),
         "analytics_partition_metrics": _metrics_sql(),
         "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",

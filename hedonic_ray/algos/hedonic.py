@@ -290,7 +290,8 @@ def hedonic_communities(g, *, resolution: float | None = None,
                         init_membership=None, max_iters: int = 200,
                         gather: str = "auto", checkpoint_dir=None, run_id=None,
                         checkpoint_every: int = 5, resume: bool = False,
-                        local_sweep: bool = True) -> RunResult:
+                        local_sweep: bool = True,
+                        candidates: str = "adjacent") -> RunResult:
     """Local-moving hedonic game dynamics to Nash equilibrium
     (``community_hedonic_traversal``, hedonic/__init__.py:214-228).
     ``result.state['coalition']`` is the final membership.
@@ -299,14 +300,110 @@ def hedonic_communities(g, *, resolution: float | None = None,
     backend (bit-identical across dense/shuffle/tasks); the default
     sweep accelerates the tasks backend with within-partition
     sequential local moving — different trajectory, same certified
-    Nash-equilibrium invariant (``converged`` ⇒ active == 0)."""
+    Nash-equilibrium invariant (``converged`` ⇒ active == 0).
+
+    ``candidates="all"`` (ROADMAP 7) tightens the result to the
+    STRICTER equilibrium over every existing coalition — the
+    reference's ``is_in_equilibrium`` sense
+    (hedonic/__init__.py:560-659) rather than its dynamics' own +
+    neighbor move set — via an exact-integer refinement phase after
+    convergence (:func:`_strict_refine`)."""
     if g.directed:
         raise ValueError("hedonic_communities needs an undirected LinkGraph")
+    if candidates not in ("adjacent", "all"):
+        raise ValueError(f"unknown candidate set {candidates!r}")
     algo = HedonicStep(resolution=resolution, init_membership=init_membership,
                        local_sweep=local_sweep)
-    return run_supersteps(g, algo, max_iters=max_iters, gather=gather,
-                          checkpoint_dir=checkpoint_dir, run_id=run_id,
-                          checkpoint_every=checkpoint_every, resume=resume)
+    res = run_supersteps(g, algo, max_iters=max_iters, gather=gather,
+                         checkpoint_dir=checkpoint_dir, run_id=run_id,
+                         checkpoint_every=checkpoint_every, resume=resume)
+    if candidates == "all":
+        _strict_refine(g, res, resolution, max_iters=max_iters,
+                       gather=gather, local_sweep=local_sweep)
+    return res
+
+
+STRICT_MAX_MOVES = 4096  # loud budget for the strict refinement loop
+
+
+def _strict_best_target(st, mem, v: int, num: int, den: int) -> int:
+    """Exact-integer best coalition for ``v`` over ALL existing
+    coalitions except its own: adjacent candidates from the gathered
+    rows, non-adjacent in closed form (f = 0 ⇒ value = −size·num,
+    maximized by the smallest coalition).  Ties → lowest coalition id
+    (the engine's move-rule tie-break)."""
+    lo = int(st.row_start[v])
+    cnt = int(st.row_count[v])
+    labs = st.rows["coalition"][lo:lo + cnt].astype(np.int64)
+    fs = st.rows["friends"][lo:lo + cnt].astype(np.int64)
+    own = int(mem[v])
+    sizes = st.sizes.astype(np.int64)
+    keep = labs != own
+    cand_lab = labs[keep]
+    cand_val = (fs[keep] * (den - num)
+                - (sizes[cand_lab] - fs[keep]) * num)
+    mask = sizes > 0
+    mask[labs] = False
+    mask[own] = False
+    if mask.any():
+        na = np.flatnonzero(mask)
+        best_sz = int(sizes[na].min())
+        na_lab = int(na[sizes[na] == best_sz].min())
+        cand_lab = np.concatenate([cand_lab, [na_lab]])
+        cand_val = np.concatenate([cand_val, [-best_sz * num]])
+    own_val = int(st.f_own[v]) * (den - num) - int(st.s_own[v]) * num
+    best = int(cand_val.max())
+    assert best > own_val, "caller guarantees v is all-coalition-unsatisfied"
+    return int(cand_lab[cand_val == best].min())
+
+
+def _strict_refine(g, res: RunResult, resolution, *, max_iters: int,
+                   gather: str, local_sweep: bool) -> None:
+    """Tighten an adjacent-candidate Nash point into the ALL-coalition
+    equilibrium: repeatedly move the lowest-id unsatisfied vertex (the
+    exact flags of `analytics/hedonic_stats.py:nash_flags_exact`,
+    candidates="all") to its strictly-better best coalition, then
+    re-converge the neighbor dynamics warm-started from the improved
+    state.  Every move strictly increases the integer CPM potential
+    den·Φ, so the loop terminates; the move budget raises loudly
+    rather than looping.  Cost shape at scale: the unsat set after
+    adjacent convergence is tiny (the measured 0.996 fraction gap),
+    each round is one O(E) analytics gather + a near-equilibrium
+    warm-start re-convergence."""
+    from hedonic_ray.analytics.hedonic_stats import (nash_flags_exact,
+                                                     vertex_stats)
+
+    if resolution is None:
+        num, den = int(g.undirected_edge_count), g.n * (g.n - 1) // 2
+    else:
+        num, den = float(resolution).as_integer_ratio()
+    mem = np.asarray(res.state["coalition"], np.int64).copy()
+    moves = 0
+    while True:
+        st = vertex_stats(g, mem, gather=gather)
+        sat = nash_flags_exact(g, mem, num, den, candidates="all", stats=st)
+        unsat = np.flatnonzero(~sat)
+        if not len(unsat):
+            break
+        if moves >= STRICT_MAX_MOVES:
+            raise RuntimeError(
+                "strict hedonic refinement exceeded STRICT_MAX_MOVES "
+                f"({STRICT_MAX_MOVES}) without reaching the all-coalition "
+                "equilibrium")
+        v = int(unsat[0])
+        mem[v] = _strict_best_target(st, mem, v, num, den)
+        algo2 = HedonicStep(resolution=resolution, init_membership=mem,
+                            local_sweep=local_sweep)
+        r2 = run_supersteps(g, algo2, max_iters=max_iters, gather=gather)
+        mem = np.asarray(r2.state["coalition"], np.int64)
+        res.metrics.extend(r2.metrics)
+        moves += 1
+    res.state["coalition"] = mem
+    res.converged = True
+    res.iterations += moves
+    res.metrics.append({"iteration": res.iterations, "active_vertices": 0,
+                        "edges_processed": 0, "seconds": 0.0,
+                        "strict_moves": moves})
 
 
 def onepass_hedonic(g, init_membership, *, gather: str = "auto") -> np.ndarray:

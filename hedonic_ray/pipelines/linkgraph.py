@@ -179,6 +179,40 @@ def doc_hedonic_table(sf_dir: str) -> pa.Table:
                      "satisfied": pa.array(sat.astype(np.int64), pa.int64())})
 
 
+def hedonic_strict_converged(sf_dir: str):
+    """Run-to-ALL-coalition-equilibrium hedonic game on the doc graph
+    (``candidates="all"`` — ROADMAP 7's stricter notion), cached per
+    sf_dir."""
+    key = (sf_dir, "hedonic_strict")
+    if key not in _GRAPH_CACHE:
+        g = doc_graph(sf_dir, directed=False)
+        _GRAPH_CACHE[key] = hedonic_communities(g, max_iters=200,
+                                                candidates="all")
+    return _GRAPH_CACHE[key]
+
+
+def doc_hedonic_strict_table(sf_dir: str) -> pa.Table:
+    """STRICT (all-coalition) hedonic equilibrium certificate
+    (vertex, degree, satisfied) — the `graph_hedonic` shape with the
+    stronger property: ``satisfied`` is recomputed from scratch with
+    exact integers over EVERY existing coalition (the reference's
+    ``is_in_equilibrium`` sense, hedonic/__init__.py:560-659), not
+    just the own + neighbor move set the dynamics converge in, and
+    must be 1 for every vertex.  This closes the measured 0.996
+    all-coalition fraction gap of the adjacent-candidate run."""
+    from hedonic_ray.analytics.hedonic_stats import nash_flags_exact
+
+    g = doc_graph(sf_dir, directed=False)
+    res = hedonic_strict_converged(sf_dir)
+    n = g.n
+    num, den = g.undirected_edge_count, n * (n - 1) // 2
+    sat = nash_flags_exact(g, res.state["coalition"], num, den,
+                           candidates="all")
+    return pa.table({"vertex": pa.array(np.arange(n), pa.int64()),
+                     "degree": pa.array(g.out_degree, pa.int64()),
+                     "satisfied": pa.array(sat.astype(np.int64), pa.int64())})
+
+
 def doc_hedonic_2pass_table(sf_dir: str) -> pa.Table:
     """Two synchronous hedonic best-response passes at resolution 0
     from the singleton partition (``community_onepass_improvement_hedonic``

@@ -747,6 +747,64 @@ def test_katz_integer_matches_numpy_oracle():
     np.testing.assert_array_equal(num, num_exp)
 
 
+def test_hedonic_strict_all_coalition_equilibrium_exhaustive():
+    """candidates="all" must terminate in an equilibrium over EVERY
+    existing coalition at α = m/C(n,2) — brute-force-verified vertex by
+    vertex (independent of the engine's analytics) on ALL connected
+    labeled graphs with n = 4 plus dense/hub shapes at n = 6, the
+    graphs where the adjacent-candidate notion is known to fall short
+    (the 0.996 gap)."""
+    from hedonic_ray.algos.hedonic import hedonic_communities
+    from tests.oracles import connected_graphs
+
+    def brute_all_coalition_nash(edges, n, mem):
+        m = len(edges)
+        num, den = m, n * (n - 1) // 2
+        nbr = {v: set() for v in range(n)}
+        for u, w in edges:
+            nbr[u].add(w)
+            nbr[w].add(u)
+        sizes = {}
+        for c in mem:
+            sizes[c] = sizes.get(c, 0) + 1
+        for v in range(n):
+            own = mem[v]
+            f_own = sum(1 for u in nbr[v] if mem[u] == own)
+            own_val = f_own * (den - num) - (sizes[own] - f_own - 1) * num
+            for c in sizes:
+                if c == own:
+                    continue
+                f = sum(1 for u in nbr[v] if mem[u] == c)
+                if own_val < f * (den - num) - (sizes[c] - f) * num:
+                    return False, v, c
+        return True, -1, -1
+
+    cases = [(4, e, None) for e in connected_graphs(4)]
+    cases += [(6, [(a, b) for a in range(6) for b in range(a + 1, 6)],
+               None),
+              (6, [(0, i) for i in range(1, 6)], None),    # star/hub
+              (6, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),
+                   (0, 3)], None)]                         # chorded cycle
+    # engineered NON-vacuous case: friendless vertex 6 stranded in the
+    # {0,1,2} triangle's coalition — adjacent-Nash (6 has no neighbors,
+    # so the dynamics never move it) but NOT all-coalition Nash (the
+    # {7} singleton is strictly better: −1·num > −3·num).  The strict
+    # refinement must move it.
+    cases += [(8, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)],
+               [0, 0, 0, 3, 3, 3, 0, 7])]
+    refine_fired = 0
+    for n, edges, init in cases:
+        g = make_graph(edges, n, num_parts=2)
+        res = hedonic_communities(g, candidates="all", max_iters=50,
+                                  init_membership=init)
+        mem = [int(x) for x in res.state["coalition"]]
+        ok, v, c = brute_all_coalition_nash(edges, n, mem)
+        assert ok, (n, edges, mem, v, c)
+        refine_fired += [m["strict_moves"] for m in res.metrics
+                         if "strict_moves" in m][0]
+    assert refine_fired >= 1, "no case exercised the strict move loop"
+
+
 def test_vector_shard_backend_bit_identical():
     """The resident-shard-state vector superstep (engine/shards.py:
     VectorShardPool) must reproduce the Dataset backends bit-for-bit
