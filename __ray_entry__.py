@@ -909,6 +909,55 @@ cls AS MATERIALIZED (SELECT agg.v,
 """
 
 
+def _reciprocity_sql() -> str:
+    """graph_reciprocity oracle: the corrected reciprocity rules
+    (algos/reciprocity.py) in relational form — per-edge common
+    neighbors via a 2-hop self-join, the candidate dominance
+    tournament as a rows×rows join per vertex (candidates = neighbors
+    plus the own singleton with (f, s) = (0, 0)), least-dominated
+    candidates invited, mutual invitations paired."""
+    return f"""
+        WITH {_LINKS_CTE},
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                GREATEST(src, dst) AS b FROM e),
+        uarcs AS (SELECT a AS v, b AS u FROM und
+                  UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+                FROM uarcs GROUP BY v),
+        cn AS MATERIALIZED (
+            SELECT x.v AS v, y.v AS u, CAST(count(*) AS BIGINT) AS c
+            FROM uarcs x JOIN uarcs y ON x.u = y.u AND x.v <> y.v
+            GROUP BY x.v, y.v),
+        cand AS MATERIALIZED (
+            SELECT ar.v, ar.u, COALESCE(cn.c, 0) AS f,
+                   dg.d - COALESCE(cn.c, 0) AS s
+            FROM uarcs ar JOIN deg dg ON dg.v = ar.u
+            LEFT JOIN cn ON cn.v = ar.v AND cn.u = ar.u
+            UNION ALL
+            SELECT doc_id, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM documents),
+        dom AS (
+            SELECT x.v, x.u,
+                   CAST(SUM(CASE WHEN
+                        (y.f > x.f AND y.s <= x.s) OR
+                        (y.f = x.f AND y.s < x.s) OR
+                        (x.f > y.f AND x.s > y.s) OR
+                        (x.f < y.f AND x.s < y.s)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS entries
+            FROM cand x JOIN cand y ON x.v = y.v AND x.u <> y.u
+            GROUP BY x.v, x.u),
+        best AS (SELECT v, min(entries) AS me FROM dom GROUP BY v),
+        inv AS MATERIALIZED (
+            SELECT d.v, d.u FROM dom d
+            JOIN best b ON b.v = d.v AND d.entries = b.me
+            WHERE d.u <> d.v)
+        SELECT i1.v AS a, i1.u AS b
+        FROM inv i1 JOIN inv i2 ON i2.v = i1.u AND i2.u = i1.v
+        WHERE i1.v < i1.u
+        ORDER BY a, b
+    """
+
+
 def _hedonic_cert_sql() -> str:
     """graph_hedonic oracle: (vertex, degree, satisfied).  The degree
     recomputation checks the graph the engine certified; satisfied = 1
@@ -1321,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc_dag": lg.doc_scc_dag,
         "graph_hedonic": lg.doc_hedonic_table,
         "graph_hedonic_strict": lg.doc_hedonic_strict_table,
+        "graph_reciprocity": lg.doc_reciprocity,
         "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
@@ -1492,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "graph_hedonic": _hedonic_cert_sql(),
         "graph_hedonic_strict": _hedonic_cert_sql(),
+        "graph_reciprocity": _reciprocity_sql(),
         "analytics_spectrum": _spectrum_sql(),
         "analytics_partition_metrics": _metrics_sql(),
         "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",

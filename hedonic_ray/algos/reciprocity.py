@@ -1,0 +1,210 @@
+"""Reciprocity clustering — the reference's INTENDED semantics.
+
+The reference ships this as ``scripts/reciprocity_clustering.py`` but
+the published rule table misfires: ``if '=' or '<' in
+comparison_strangers:`` (:33, :39) is always truthy, so the '>'-friends
+and '<'-friends branches can never reach their split cases — verified
+against the source; no paper result path uses the script.  This module
+implements what the matrix rules MEAN (the comments at :28-43 spell
+out the intended interval assignments) as a distributed 2-hop-join
+superstep, per the round-4 verdict's completeness note.
+
+Semantics (one round from the singleton membership, where the
+reference's set-of-frozensets community bookkeeping reduces to plain
+vertex ids):
+
+* For vertex ``v``, the candidate communities are ``{u}`` for each
+  neighbor ``u`` plus its own ``{v}``.  Against candidate ``{u}``
+  (``reciprocity_matrix``/``get_friendship_info``, :68-88):
+  ``friends = |N(v) ∩ N(u)|`` (the common-neighbor count — the 2-hop
+  join) and ``strangers = |N(u) \\ N(v)| = deg(u) − friends`` (``v``
+  itself is a stranger: v ∈ N(u), v ∉ N(v)).  The own candidate
+  contributes ``(0, 0)`` (community − {node} is empty).
+* Every candidate PAIR (a, b) writes interval mass into the
+  reciprocity matrix (``update_matrix``, corrected): a row gets an
+  entry when the other candidate dominates it
+  (``f_other > f ∧ s_other ≤ s`` or ``f_other = f ∧ s_other < s``) or
+  when the comparison splits (friend and stranger deltas share a
+  sign); exact ties write nothing.
+* ``matrix_count_nan`` picks the candidates with the MOST NaNs in
+  their row ⇔ the FEWEST entries (least-dominated); ``invitations[v]``
+  is the union of the best candidates' members minus ``v``
+  (:91-103).
+* A pair is RECIPROCAL when each invites the other (:105-110).
+
+Shape: per-edge common-neighbor counts ride the existing wedge
+pipeline (`algos/linkpred.py:_center_pairs_batch` — per-block
+pre-combined wedge rows, one ``groupby(pair_key)`` exchange) filtered
+TO the canonical edge set (the complement of the link-prediction
+filter); the dominance tournament is a per-block vectorized O(Σ deg²)
+pass over each vertex's candidate segment (same hub hazard and
+``max_degree`` escape hatch as the wedge enumeration; the gate corpus
+is hub-free).  Reciprocity closes with one ``groupby(pair).count``
+(mutual ⇔ both directions present).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from hedonic_ray.algos.linkpred import _center_pairs_batch, _full_segments
+from hedonic_ray.engine.superstep import iter_block_views
+
+
+def _edge_common_counts(g, max_degree):
+    """Sorted (canonical edge key, common-neighbor count) arrays —
+    zero-count edges included."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n = g.n
+    canon_chunks: list[np.ndarray] = []
+    for batch in g.blocks.iter_batches(batch_size=4, batch_format="pyarrow"):
+        for bv in iter_block_views(batch):
+            src = bv.src_per_edge()
+            keep = src < bv.indices
+            canon_chunks.append(src[keep] * np.int64(n) + bv.indices[keep])
+    canon = np.sort(np.concatenate(canon_chunks)) if canon_chunks \
+        else np.empty(0, np.int64)
+    canon_ref = ray.put(canon)
+
+    msgs = g.blocks.map_batches(
+        lambda t: _center_pairs_batch(t, n, max_degree, False),
+        batch_format="pyarrow", batch_size=1)
+    counts = msgs.groupby("key").aggregate(Sum("val", alias_name="c"))
+
+    def adj_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        key = t.column("key").to_numpy().astype(np.int64)
+        c = t.column("c").to_numpy().astype(np.int64)
+        edges = ray.get(canon_ref)
+        if len(edges):
+            pos = np.searchsorted(edges, key)
+            adj = ((pos < len(edges))
+                   & (edges[np.minimum(pos, len(edges) - 1)] == key))
+        else:
+            adj = np.zeros(len(key), bool)
+        return pa.table({"key": pa.array(key[adj], pa.int64()),
+                         "c": pa.array(c[adj], pa.int64())})
+
+    got_k, got_c = [], []
+    for t in counts.map_batches(adj_only, batch_format="pyarrow") \
+            .iter_batches(batch_size=262144, batch_format="pyarrow"):
+        if t.num_rows:
+            got_k.append(t.column("key").to_numpy().astype(np.int64))
+            got_c.append(t.column("c").to_numpy().astype(np.int64))
+    cval = np.zeros(len(canon), np.int64)
+    if got_k:
+        k = np.concatenate(got_k)
+        v = np.concatenate(got_c)
+        cval[np.searchsorted(canon, k)] = v
+    return canon, cval
+
+
+def _segment_cross(counts: np.ndarray):
+    """(idx_x, idx_y) index pairs covering the full cross product
+    within each segment, x ≠ y excluded later by the caller's mask."""
+    total = int((counts * counts).sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    per_seg = counts * counts
+    seg_of = np.repeat(np.arange(len(counts)), per_seg)
+    base = np.repeat(np.concatenate([[0], np.cumsum(per_seg)[:-1]]), per_seg)
+    local = np.arange(total) - base
+    d = counts[seg_of]
+    ix = np.repeat(starts, per_seg) + local // np.maximum(d, 1)
+    iy = np.repeat(starts, per_seg) + local % np.maximum(d, 1)
+    return ix, iy
+
+
+def reciprocal_pairs(g, *, max_degree=None) -> pa.Table:
+    """Reciprocal-invitation pairs of the intended reciprocity rules,
+    one round from the singleton membership
+    (``find_reciprocal_pairs``, reciprocity_clustering.py:91-117,
+    corrected).  Returns (a, b) with a < b, sorted."""
+    import ray
+    from ray.data.aggregate import Count
+
+    if g.directed:
+        raise ValueError("reciprocal_pairs needs an undirected LinkGraph")
+    n = g.n
+    assert n < (1 << 31), "pair keys pack two ids into int64"
+    ckey, cval = _edge_common_counts(g, max_degree)
+    ckey_ref = ray.put(ckey)
+    cval_ref = ray.put(cval)
+    deg_ref = ray.put(g.out_degree.astype(np.int64))
+
+    def invitations(batch: pa.Table) -> pa.Table:
+        edges = ray.get(ckey_ref)
+        common = ray.get(cval_ref)
+        deg = ray.get(deg_ref)
+        out_v, out_u = [], []
+        for bv in iter_block_views(batch):
+            indptr, nbrs = _full_segments(bv)
+            nv = bv.hi - bv.lo
+            dcnt = np.diff(indptr)
+            # candidate rows per vertex: its neighbors + itself (own)
+            cnt = dcnt + 1
+            vv = bv.lo + np.repeat(np.arange(nv), cnt)
+            # interleave: per vertex, the own row FIRST, then neighbors
+            rows_u = np.empty(int(cnt.sum()), np.int64)
+            starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            rows_u[starts] = bv.lo + np.arange(nv)
+            mask = np.ones(len(rows_u), bool)
+            mask[starts] = False
+            rows_u[mask] = nbrs
+            lo_k = np.minimum(vv, rows_u) * np.int64(n) \
+                + np.maximum(vv, rows_u)
+            f = np.zeros(len(rows_u), np.int64)
+            nb_mask = rows_u != vv
+            if len(edges):
+                pos = np.searchsorted(edges, lo_k[nb_mask])
+                hit = ((pos < len(edges))
+                       & (edges[np.minimum(pos, len(edges) - 1)]
+                          == lo_k[nb_mask]))
+                fv = np.zeros(int(nb_mask.sum()), np.int64)
+                fv[hit] = common[np.minimum(pos, len(edges) - 1)[hit]]
+                f[nb_mask] = fv
+            s = np.zeros(len(rows_u), np.int64)
+            s[nb_mask] = deg[rows_u[nb_mask]] - f[nb_mask]
+            # dominance tournament within each vertex's segment
+            ix, iy = _segment_cross(cnt)
+            neq = ix != iy
+            ix, iy = ix[neq], iy[neq]
+            fx, fy = f[ix], f[iy]
+            sx, sy = s[ix], s[iy]
+            entry = (((fy > fx) & (sy <= sx)) | ((fy == fx) & (sy < sx))
+                     | ((fx > fy) & (sx > sy)) | ((fx < fy) & (sx < sy)))
+            entries = np.zeros(len(rows_u), np.int64)
+            np.add.at(entries, ix, entry.astype(np.int64))
+            # least-dominated candidates per vertex (max row-NaN count)
+            best = np.full(nv, np.iinfo(np.int64).max, np.int64)
+            li = vv - bv.lo
+            np.minimum.at(best, li, entries)
+            pick = (entries == best[li]) & nb_mask
+            out_v.append(vv[pick])
+            out_u.append(rows_u[pick])
+        if not out_v:
+            return pa.table({"pair": pa.array([], pa.int64())})
+        v = np.concatenate(out_v)
+        u = np.concatenate(out_u)
+        return pa.table({"pair": pa.array(
+            np.minimum(v, u) * np.int64(n) + np.maximum(v, u), pa.int64())})
+
+    inv = g.blocks.map_batches(invitations, batch_format="pyarrow",
+                               batch_size=4)
+    # mutual ⇔ both directed invitations collapse onto the same
+    # canonical key (each vertex invites a candidate at most once)
+    mutual = inv.groupby("pair").aggregate(Count(alias_name="k"))
+    keys = []
+    for t in mutual.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        if t.num_rows:
+            k = t.column("pair").to_numpy().astype(np.int64)
+            keys.append(k[t.column("k").to_numpy() == 2])
+    key = np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+    return pa.table({"a": pa.array(key // n, pa.int64()),
+                     "b": pa.array(key % n, pa.int64())})

@@ -213,6 +213,18 @@ def doc_hedonic_strict_table(sf_dir: str) -> pa.Table:
                      "satisfied": pa.array(sat.astype(np.int64), pa.int64())})
 
 
+def doc_reciprocity(sf_dir: str) -> pa.Table:
+    """RECIPROCAL-INVITATION pairs of the reference's reciprocity
+    clustering, with the published rule table's always-truthy
+    conditionals corrected (`algos/reciprocity.py` — the intended
+    semantics of reciprocity_clustering.py:28-43, implemented as the
+    2-hop wedge join + per-vertex dominance tournament).  One round
+    from the singleton membership; (a, b) with a < b, sorted."""
+    from hedonic_ray.algos.reciprocity import reciprocal_pairs
+
+    return reciprocal_pairs(doc_graph(sf_dir, directed=False))
+
+
 def doc_hedonic_2pass_table(sf_dir: str) -> pa.Table:
     """Two synchronous hedonic best-response passes at resolution 0
     from the singleton partition (``community_onepass_improvement_hedonic``

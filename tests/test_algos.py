@@ -747,6 +747,85 @@ def test_katz_integer_matches_numpy_oracle():
     np.testing.assert_array_equal(num, num_exp)
 
 
+def test_reciprocal_pairs_matches_corrected_reference_oracle():
+    """The distributed reciprocity round must equal a direct Python
+    port of the reference's INTENDED rules (reciprocity_clustering.py
+    with the always-truthy `'=' or '<' in x` conditions fixed) on
+    random graphs and on the reference's own demo graph
+    (Krackhardt kite)."""
+    from hedonic_ray.algos.reciprocity import reciprocal_pairs
+
+    def oracle(n, edges):
+        nbr = {v: set() for v in range(n)}
+        for a, b in edges:
+            nbr[a].add(b)
+            nbr[b].add(a)
+        invitations = {}
+        for v in range(n):
+            comms = [{u} for u in sorted(nbr[v])] + [{v}]
+            infos = []
+            for C in comms:
+                Cm = C - {v}
+                fon = set().union(*[nbr[x] for x in Cm]) if Cm else set()
+                infos.append((len(nbr[v] & fon), len(fon - nbr[v])))
+            K = len(comms)
+            entries = [0] * K
+            for a in range(K):
+                fa, sa = infos[a]
+                for b in range(a + 1, K):
+                    fb, sb = infos[b]
+                    if fa == fb:
+                        if sa < sb:
+                            entries[b] += 1
+                        elif sa > sb:
+                            entries[a] += 1
+                    elif fa > fb:
+                        if sa <= sb:
+                            entries[b] += 1
+                        else:
+                            entries[a] += 1
+                            entries[b] += 1
+                    else:
+                        if sa >= sb:
+                            entries[a] += 1
+                        else:
+                            entries[a] += 1
+                            entries[b] += 1
+            best = min(entries)
+            inv = set()
+            for C, e in zip(comms, entries):
+                if e == best:
+                    inv |= C
+            invitations[v] = inv - {v}
+        pairs = set()
+        for v, s in invitations.items():
+            for u in s:
+                if v in invitations.get(u, set()):
+                    pairs.add(tuple(sorted((v, u))))
+        return sorted(pairs)
+
+    kite = [(0, 1), (0, 2), (0, 3), (0, 5), (1, 3), (1, 4), (1, 6),
+            (2, 3), (2, 5), (3, 4), (3, 5), (3, 6), (4, 6), (5, 6),
+            (5, 7), (6, 7), (7, 8), (8, 9)]  # Krackhardt kite
+    cases = [(10, kite)]
+    rng = np.random.default_rng(31)
+    for seed in range(4):
+        n = 24
+        edges = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                        for a, b in rng.integers(0, n, size=(70, 2))
+                        if a != b})
+        cases.append((n, edges))
+    for n, edges in cases:
+        g = make_graph(edges, n, num_parts=3)
+        got = reciprocal_pairs(g)
+        got_pairs = sorted(zip(got.column("a").to_pylist(),
+                               got.column("b").to_pylist()))
+        assert got_pairs == oracle(n, edges), (n, edges)
+    assert len(got_pairs) >= 0  # kite case must be non-trivial:
+    g = make_graph(kite, 10, num_parts=2)
+    assert reciprocal_pairs(g).num_rows > 0
+
+
 def test_hedonic_strict_all_coalition_equilibrium_exhaustive():
     """candidates="all" must terminate in an equilibrium over EVERY
     existing coalition at α = m/C(n,2) — brute-force-verified vertex by

@@ -147,8 +147,9 @@ SQL_CHECKED = sorted([
     "rel_q3_shipping", "rel_scd_intervals", "text_pii_counts",
     "graph_lang_mixing", "graph_lang_assortativity", "text_rake",
     "graph_squares", "rel_percentile_cont",
-    # round 5: strict all-coalition hedonic equilibrium certificate
-    "graph_hedonic_strict",
+    # round 5: strict all-coalition hedonic equilibrium certificate,
+    # corrected-semantics reciprocity clustering
+    "graph_hedonic_strict", "graph_reciprocity",
 ])
 
 
