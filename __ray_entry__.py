@@ -910,7 +910,7 @@ cls AS MATERIALIZED (SELECT agg.v,
 
 
 def _reciprocity_sql() -> str:
-    """graph_reciprocity oracle: the corrected reciprocity rules
+    """graph_reciprocity_pairs oracle: the corrected reciprocity rules
     (algos/reciprocity.py) in relational form — per-edge common
     neighbors via a 2-hop self-join, the candidate dominance
     tournament as a rows×rows join per vertex (candidates = neighbors
@@ -1370,7 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc_dag": lg.doc_scc_dag,
         "graph_hedonic": lg.doc_hedonic_table,
         "graph_hedonic_strict": lg.doc_hedonic_strict_table,
-        "graph_reciprocity": lg.doc_reciprocity,
+        "graph_reciprocity_pairs": lg.doc_reciprocity,
         "graph_hedonic_2pass": lg.doc_hedonic_2pass_table,
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
@@ -1542,7 +1542,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "graph_hedonic": _hedonic_cert_sql(),
         "graph_hedonic_strict": _hedonic_cert_sql(),
-        "graph_reciprocity": _reciprocity_sql(),
+        "graph_reciprocity_pairs": _reciprocity_sql(),
         "analytics_spectrum": _spectrum_sql(),
         "analytics_partition_metrics": _metrics_sql(),
         "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",

@@ -148,8 +148,9 @@ SQL_CHECKED = sorted([
     "graph_lang_mixing", "graph_lang_assortativity", "text_rake",
     "graph_squares", "rel_percentile_cont",
     # round 5: strict all-coalition hedonic equilibrium certificate,
-    # corrected-semantics reciprocity clustering
-    "graph_hedonic_strict", "graph_reciprocity",
+    # corrected-semantics reciprocity clustering (pairs; the
+    # click-graph edge-reciprocity query above keeps the bare name)
+    "graph_hedonic_strict", "graph_reciprocity_pairs",
 ])
 
 
