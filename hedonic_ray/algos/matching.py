@@ -70,15 +70,116 @@ def masked_neighbor_min(g, vec_ref, sentinel: int) -> np.ndarray:
     return out
 
 
-def maximal_matching(g, *, rounds: int = 8):
+SHARDS_MIN_VERTICES = 200_000  # same switch point as PageRank/LP/Katz
+
+
+class _MatchVecSpec:
+    """Vector-superstep spec (`engine/shards.py:VectorShardPool`):
+    ONE proposal round = TWO supersteps.  Phase 0: unmatched sources
+    push their global id, per-destination min pre-combined per shard;
+    merge = the candidate fold (``cand``, matched vertices forced to
+    the ``big`` sentinel), ``active`` = local candidates (global 0 ⇔
+    the Dataset's empty-``mutual`` break, nothing mutated).  Phase 1:
+    every vertex with a candidate sends ONE proposal row (dst = its
+    candidate — not necessarily resident messages, the range split
+    routes them); merge detects mutuality as ``cand[dst] == val``,
+    marks both endpoints matched in their own shards, and the SMALLER
+    endpoint's shard records the (a, b, round) pair — the Dataset's
+    ``a = mutual[mutual < cand[mutual]]`` row.  The driver lexsorts
+    the collected pairs by (round, a), reproducing the Dataset
+    ordering bit-for-bit (tested)."""
+
+    def init_slice(self, lo, hi, n):
+        return {"matched": np.zeros(hi - lo, bool),
+                "cand": np.full(hi - lo, np.int64(n), np.int64),
+                "pairs": np.empty((0, 3), np.int64),
+                "big": np.int64(n),
+                "phase": 0}
+
+    def scatter(self, state, lo, hi, indptr, indices, src):
+        empty = np.empty(0, np.int64)
+        if state["phase"] == 0:
+            live = ~state["matched"][src - lo]
+            if not live.any():
+                return empty, empty
+            t_ = indices[live]
+            u = np.unique(t_)
+            best = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, np.searchsorted(u, t_), src[live])
+            return u.astype(np.int64), best
+        has = state["cand"] < state["big"]
+        if not has.any():
+            return empty, empty
+        dst = state["cand"][has]
+        val = lo + np.flatnonzero(has).astype(np.int64)
+        order = np.argsort(dst, kind="stable")
+        return dst[order], val[order]
+
+    def merge(self, state, lo, hi, n, incoming, rnd):
+        big = state["big"]
+        if state["phase"] == 0:
+            cand = np.full(hi - lo, big, np.int64)
+            for dst, val in incoming:
+                if len(dst):
+                    np.minimum.at(cand, dst - lo, val)
+            cand[state["matched"]] = big
+            state["cand"] = cand
+            state["phase"] = 1
+            return {"active": int((cand < big).sum())}
+        new_a, new_b = [], []
+        for dst, val in incoming:
+            if len(dst):
+                d = dst - lo
+                mut = state["cand"][d] == val
+                if mut.any():
+                    u = dst[mut]
+                    v = val[mut]
+                    state["matched"][d[mut]] = True
+                    rec = u < v
+                    if rec.any():
+                        new_a.append(u[rec])
+                        new_b.append(v[rec])
+        state["phase"] = 0
+        if not new_a:
+            return {"active": 0}
+        a = np.concatenate(new_a)
+        b = np.concatenate(new_b)
+        r = np.full(len(a), rnd // 2 + 1, np.int64)
+        state["pairs"] = np.concatenate(
+            [state["pairs"], np.stack([a, b, r], axis=1)])
+        return {"active": len(a)}
+
+
+def maximal_matching(g, *, rounds: int = 8, backend: str = "auto"):
     """Run ``rounds`` mutual-min-id proposal rounds; returns int64
     arrays ``(a, b, rnd)`` — matched pairs with a < b and the 1-based
-    round that matched them, ordered by (rnd, a)."""
+    round that matched them, ordered by (rnd, a).
+
+    ``backend="auto"`` picks the resident-shard-state path
+    (`engine/shards.py:VectorShardPool`, two supersteps per round)
+    above ``SHARDS_MIN_VERTICES`` or under ``HEDONIC_RAY_FORCE_SCALE``,
+    else the Dataset pull loop; both are bit-identical (tested)."""
     import ray
 
     if g.directed:
         raise ValueError("maximal_matching needs an undirected LinkGraph")
     n = g.n
+    if backend == "auto":
+        from hedonic_ray.context import force_scale
+
+        backend = "shards" if (force_scale() or
+                               n >= SHARDS_MIN_VERTICES) else "dataset"
+    if backend == "shards":
+        from hedonic_ray.engine.shards import run_vector_supersteps
+
+        pool = run_vector_supersteps(g, _MatchVecSpec(), rounds=2 * rounds)
+        pairs = pool.collect("pairs")
+        if pairs.shape[0] == 0:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        order = np.lexsort((pairs[:, 0], pairs[:, 2]))
+        pairs = pairs[order]
+        return pairs[:, 0].copy(), pairs[:, 1].copy(), pairs[:, 2].copy()
     big = np.int64(n)
     ids = np.arange(n, dtype=np.int64)
     unmatched = np.ones(n, dtype=bool)

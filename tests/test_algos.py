@@ -923,6 +923,43 @@ def test_vector_shard_backend_bit_identical():
         old.step(0)
 
 
+def test_symmetry_breaking_shard_backends_bit_identical():
+    """MIS, Jones–Plassmann coloring and maximal matching on the
+    resident-shard-state path must reproduce their Dataset backends
+    bit-for-bit — statuses, colors, decided rounds, matched-pair
+    ORDER — on random undirected graphs across shard counts and at
+    tight round caps (the unconverged tail must agree too)."""
+    from hedonic_ray.algos.coloring import jones_plassmann_coloring
+    from hedonic_ray.algos.matching import maximal_matching
+    from hedonic_ray.algos.mis import maximal_independent_set
+
+    rng = np.random.default_rng(77)
+    for seed, n, parts in ((0, 90, 5), (1, 130, 3)):
+        edges = sorted({(int(u), int(v)) if u < v else (int(v), int(u))
+                        for u, v in rng.integers(0, n, size=(4 * n, 2))
+                        if u != v})
+        g = make_graph(edges, n, num_parts=parts)
+        for rounds in (1, 2, 12):
+            s_ds, d_ds = maximal_independent_set(
+                g, rounds=rounds, backend="dataset")
+            s_sh, d_sh = maximal_independent_set(
+                g, rounds=rounds, backend="shards")
+            np.testing.assert_array_equal(s_sh, s_ds)
+            np.testing.assert_array_equal(d_sh, d_ds)
+        for rounds in (1, 3, 16):
+            c_ds, d_ds = jones_plassmann_coloring(
+                g, rounds=rounds, backend="dataset")
+            c_sh, d_sh = jones_plassmann_coloring(
+                g, rounds=rounds, backend="shards")
+            np.testing.assert_array_equal(c_sh, c_ds)
+            np.testing.assert_array_equal(d_sh, d_ds)
+        for rounds in (1, 2, 8):
+            ds = maximal_matching(g, rounds=rounds, backend="dataset")
+            sh = maximal_matching(g, rounds=rounds, backend="shards")
+            for x, y in zip(sh, ds):
+                np.testing.assert_array_equal(x, y)
+
+
 def test_sssp_matches_dense_bellman_ford():
     """Superstep Bellman-Ford vs a dense synchronous relaxation under
     the same deterministic integer weights, at several round caps

@@ -210,6 +210,9 @@ FORCED_SCALE = sorted([
                             # hot-bucket cap (vacuous at fixture scale)
     "graph_katz",           # resident-shard-state vector supersteps
     "graph_sssp",           # resident-shard-state vector supersteps
+    "graph_mis",            # resident-shard-state vector supersteps
+    "graph_coloring",       # resident-shard-state vector supersteps
+    "graph_matching",       # resident-shard-state vector supersteps
     "sim_pq_adc",           # serving-actor LUT build (no driver LUT)
 ])
 
