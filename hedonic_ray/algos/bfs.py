@@ -27,10 +27,55 @@ from hedonic_ray.algos.kcore import masked_neighbor_count
 
 UNREACHED = -1
 
+SHARDS_MIN_VERTICES = 200_000  # same switch point as PageRank/LP/Katz
 
-def bfs_distances(g, seeds, *, rounds: int | None = None) -> np.ndarray:
+
+class _BfsVecSpec:
+    """Vector-superstep spec (`engine/shards.py:VectorShardPool`):
+    the (dist, frontier) slices live in the shard actors; one round =
+    frontier sources push a touch marker (unique destinations only),
+    merge labels the untouched ones and swaps the frontier —
+    bit-identical to the Dataset pull loop including its
+    empty-frontier exit (``active`` = local new-frontier size)."""
+
+    def __init__(self, seeds: np.ndarray):
+        self.seeds = seeds
+
+    def init_slice(self, lo, hi, n):
+        dist = np.full(hi - lo, UNREACHED, np.int64)
+        frontier = np.zeros(hi - lo, bool)
+        mine = self.seeds[(self.seeds >= lo) & (self.seeds < hi)] - lo
+        dist[mine] = 0
+        frontier[mine] = True
+        return {"dist": dist, "frontier": frontier}
+
+    def scatter(self, state, lo, hi, indptr, indices, src):
+        live = state["frontier"][src - lo]
+        if not live.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        u = np.unique(indices[live])
+        return u.astype(np.int64), np.ones(len(u), np.int64)
+
+    def merge(self, state, lo, hi, n, incoming, rnd):
+        hit = np.zeros(hi - lo, bool)
+        for dst, val in incoming:
+            if len(dst):
+                hit[dst - lo] = True
+        new = hit & (state["dist"] == UNREACHED)
+        state["dist"][new] = rnd + 1
+        state["frontier"] = new
+        return {"active": int(new.sum())}
+
+
+def bfs_distances(g, seeds, *, rounds: int | None = None,
+                  backend: str = "auto") -> np.ndarray:
     """Hop distance from the nearest seed (``-1`` beyond ``rounds`` /
-    unreachable).  ``rounds=None`` runs to the fixed point."""
+    unreachable).  ``rounds=None`` runs to the fixed point.
+
+    ``backend="auto"`` picks the resident-shard-state path
+    (`engine/shards.py:VectorShardPool`) above ``SHARDS_MIN_VERTICES``
+    or under ``HEDONIC_RAY_FORCE_SCALE``, else the Dataset pull loop;
+    both are bit-identical (tested)."""
     import ray
 
     if g.directed:
@@ -38,6 +83,17 @@ def bfs_distances(g, seeds, *, rounds: int | None = None) -> np.ndarray:
     seeds = np.asarray(seeds, dtype=np.int64)
     if seeds.size == 0:
         return np.full(g.n, UNREACHED, dtype=np.int64)
+    if backend == "auto":
+        from hedonic_ray.context import force_scale
+
+        backend = "shards" if (force_scale() or
+                               g.n >= SHARDS_MIN_VERTICES) else "dataset"
+    if backend == "shards":
+        from hedonic_ray.engine.shards import run_vector_supersteps
+
+        cap = g.n if rounds is None else rounds
+        pool = run_vector_supersteps(g, _BfsVecSpec(seeds), rounds=cap)
+        return pool.collect("dist")
     dist = np.full(g.n, UNREACHED, dtype=np.int64)
     dist[seeds] = 0
     frontier = np.zeros(g.n, dtype=bool)

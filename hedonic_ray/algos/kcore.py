@@ -67,16 +67,70 @@ def masked_neighbor_count(g, alive_ref) -> np.ndarray:
     return deg
 
 
-def kcore_membership(g, k: int, *, rounds: int | None = None) -> np.ndarray:
+SHARDS_MIN_VERTICES = 200_000  # same switch point as PageRank/LP/Katz
+
+
+class _KcoreVecSpec:
+    """Vector-superstep spec (`engine/shards.py:VectorShardPool`):
+    the alive slice lives in the shard actors; one peel round = alive
+    sources push per-destination 1-counts (pre-summed per shard),
+    merge drops alive vertices below ``k`` — bit-identical to the
+    Dataset pull loop including its fixed-point exit (``active`` =
+    local peel count)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def init_slice(self, lo, hi, n):
+        return {"alive": np.ones(hi - lo, bool)}
+
+    def scatter(self, state, lo, hi, indptr, indices, src):
+        live = state["alive"][src - lo]
+        if not live.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        t_ = indices[live]
+        u, c = np.unique(t_, return_counts=True)
+        return u.astype(np.int64), c.astype(np.int64)
+
+    def merge(self, state, lo, hi, n, incoming, rnd):
+        deg = np.zeros(hi - lo, np.int64)
+        for dst, val in incoming:
+            if len(dst):
+                np.add.at(deg, dst - lo, val)
+        alive = state["alive"]
+        new_alive = alive & (deg >= self.k)
+        changed = int((new_alive != alive).sum())
+        state["alive"] = new_alive
+        return {"active": changed}
+
+
+def kcore_membership(g, k: int, *, rounds: int | None = None,
+                     backend: str = "auto") -> np.ndarray:
     """Boolean alive mask after ``rounds`` peel rounds (None = run to
     the fixed point).  A fixed ``rounds`` makes the result a pure
     function of (graph, k, rounds) — that is what the SQL oracle
     unrolls; at gate scale the peel converges within the unrolled
-    depth, so fixed-round ≡ converged there."""
+    depth, so fixed-round ≡ converged there.
+
+    ``backend="auto"`` picks the resident-shard-state path
+    (`engine/shards.py:VectorShardPool`) above ``SHARDS_MIN_VERTICES``
+    or under ``HEDONIC_RAY_FORCE_SCALE``, else the Dataset pull loop;
+    both are bit-identical (tested)."""
     import ray
 
     if g.directed:
         raise ValueError("kcore_membership needs an undirected LinkGraph")
+    if backend == "auto":
+        from hedonic_ray.context import force_scale
+
+        backend = "shards" if (force_scale() or
+                               g.n >= SHARDS_MIN_VERTICES) else "dataset"
+    if backend == "shards":
+        from hedonic_ray.engine.shards import run_vector_supersteps
+
+        cap = g.n if rounds is None else rounds
+        pool = run_vector_supersteps(g, _KcoreVecSpec(k), rounds=cap)
+        return pool.collect("alive")
     alive = np.ones(g.n, dtype=bool)
     it = 0
     while rounds is None or it < rounds:

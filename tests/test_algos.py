@@ -960,6 +960,35 @@ def test_symmetry_breaking_shard_backends_bit_identical():
                 np.testing.assert_array_equal(x, y)
 
 
+def test_bfs_kcore_shard_backends_bit_identical():
+    """BFS hop distances (single seed, multi-seed, capped and
+    fixed-point) and the k-core peel (several k, capped and
+    fixed-point) on the resident-shard-state path must equal their
+    Dataset backends bit-for-bit."""
+    from hedonic_ray.algos.bfs import bfs_distances
+    from hedonic_ray.algos.kcore import kcore_membership
+
+    rng = np.random.default_rng(55)
+    n = 110
+    edges = sorted({(int(u), int(v)) if u < v else (int(v), int(u))
+                    for u, v in rng.integers(0, n, size=(3 * n, 2))
+                    if u != v})
+    g = make_graph(edges, n, num_parts=4)
+    for seeds in ([0], [3, 77, 41]):
+        sd = np.array(seeds, dtype=np.int64)
+        for rounds in (0, 1, 3, None):
+            np.testing.assert_array_equal(
+                bfs_distances(g, sd, rounds=rounds, backend="shards"),
+                bfs_distances(g, sd, rounds=rounds, backend="dataset"),
+                err_msg=f"seeds={seeds} rounds={rounds}")
+    for k in (1, 2, 3, 5):
+        for rounds in (1, 2, None):
+            np.testing.assert_array_equal(
+                kcore_membership(g, k, rounds=rounds, backend="shards"),
+                kcore_membership(g, k, rounds=rounds, backend="dataset"),
+                err_msg=f"k={k} rounds={rounds}")
+
+
 def test_sssp_matches_dense_bellman_ford():
     """Superstep Bellman-Ford vs a dense synchronous relaxation under
     the same deterministic integer weights, at several round caps

@@ -213,6 +213,10 @@ FORCED_SCALE = sorted([
     "graph_mis",            # resident-shard-state vector supersteps
     "graph_coloring",       # resident-shard-state vector supersteps
     "graph_matching",       # resident-shard-state vector supersteps
+    "graph_bfs_dist",       # resident-shard-state BFS frontier
+    "graph_kcore",          # resident-shard-state peel
+    "graph_core_number",    # resident-shard-state peel per k
+    "graph_diameter",       # resident-shard-state BFS double sweep
     "sim_pq_adc",           # serving-actor LUT build (no driver LUT)
 ])
 
