@@ -1535,7 +1535,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
+        "sim_mmr": tx.mmr_diversified,
+        "dedup_bloom": tx.bloom_audit,
+        "graph_critical_path": lg.doc_critical_path,
     }
+
+
+def _mmr_chain_sql(k: int = 8, pool: int = 32, scale: int = 100000,
+                   anchor: int = 0) -> str:
+    """Unrolled greedy MMR selection (k steps) over the quantized
+    inner-product kernel; every argmax ties → lowest vec_id.  Step
+    CTEs chain sel{t} = sel{t-1} ∪ the argmax of
+    rel − max_{s ∈ sel{t-1}} dot(·, s).  All integers (FLOOR ×scale
+    quantization; SUM → HUGEINT cast back to BIGINT)."""
+    sql = f"""
+WITH q AS MATERIALIZED (
+    SELECT vec_id, j, CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT) AS qv
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS j FROM embeddings)
+),
+rel AS MATERIALIZED (
+    SELECT i.vec_id, CAST(SUM(i.qv * a.qv) AS BIGINT) AS rel
+    FROM q i JOIN q a ON a.j = i.j AND a.vec_id = {anchor}
+    WHERE i.vec_id <> {anchor} GROUP BY i.vec_id
+),
+pool AS MATERIALIZED (
+    SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {pool}
+),
+g AS MATERIALIZED (
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           CAST(SUM(qx.qv * qy.qv) AS BIGINT) AS dot
+    FROM pool x JOIN pool y ON y.vec_id <> x.vec_id
+    JOIN q qx ON qx.vec_id = x.vec_id
+    JOIN q qy ON qy.vec_id = y.vec_id AND qy.j = qx.j
+    GROUP BY 1, 2
+),
+s1 AS (SELECT vec_id, rel, rel AS score FROM pool
+       ORDER BY rel DESC, vec_id LIMIT 1),
+sel1 AS (SELECT * FROM s1)"""
+    for t in range(2, k + 1):
+        sql += f""",
+c{t} AS (SELECT p.vec_id, p.rel, p.rel - MAX(g.dot) AS score
+       FROM pool p JOIN g ON g.a = p.vec_id
+        AND g.b IN (SELECT vec_id FROM sel{t - 1})
+       WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+       GROUP BY p.vec_id, p.rel),
+s{t} AS (SELECT * FROM c{t} ORDER BY score DESC, vec_id LIMIT 1),
+sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})"""
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, vec_id, rel AS rel_dot, "
+        f"score AS mmr_score FROM s{t}" for t in range(1, k + 1))
+    return sql + "\n" + finals + "\nORDER BY rank"
+
+
+def _critpath_chain_sql(rounds: int = 6) -> str:
+    """Max-plus relaxation over the SCC-condensation DAG, ``rounds``
+    unrolled (round-cap parity with
+    `algos/critical_path.py:longest_path_depths` — the graph_mst
+    lesson); condensation CTEs shared with the graph_scc_dag oracle."""
+    rounds_sql, prev = "", "d0"
+    for t in range(1, rounds + 1):
+        rounds_sql += f""",
+d{t} AS (SELECT p.v, GREATEST(p.d, COALESCE(MAX(u.d + 1), 0)) AS d
+       FROM {prev} p
+       LEFT JOIN dag ON dag.dst = p.v
+       LEFT JOIN {prev} u ON u.v = dag.src
+       GROUP BY p.v, p.d)"""
+        prev = f"d{t}"
+    return f"""
+WITH RECURSIVE {_LINKS_CTE},
+reach(v, u) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.v, e2.dst FROM reach r JOIN e e2 ON e2.src = r.u
+),
+comp AS MATERIALIZED (
+    SELECT a.v, min(a.u) AS scc
+    FROM reach a JOIN reach b ON b.v = a.u AND b.u = a.v
+    GROUP BY a.v),
+dag AS MATERIALIZED (
+    SELECT DISTINCT c1.scc AS src, c2.scc AS dst
+    FROM e JOIN comp c1 ON c1.v = e.src
+           JOIN comp c2 ON c2.v = e.dst
+    WHERE c1.scc <> c2.scc),
+d0 AS (SELECT DISTINCT scc AS v, CAST(0 AS BIGINT) AS d FROM comp){rounds_sql}
+SELECT CAST(v AS BIGINT) AS scc, CAST(d AS BIGINT) AS depth
+FROM {prev} ORDER BY scc
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4178,4 +4264,34 @@ ORDER BY community"""),
     # SQL is its oracle structurally; partial-probe recall is
     # pytest-characterized
     out["sim_ivf_topk"] = out["sim_topk_cosine"]
+    out["sim_mmr"] = _mmr_chain_sql(k=8, pool=32)
+    out["graph_critical_path"] = _critpath_chain_sql(rounds=6)
+    out["dedup_bloom"] = """
+        -- streaming Bloom-filter dedup pre-filter audit: kh=2 md5 bit
+        -- positions mod m=65536; a position is preset for doc d iff
+        -- the min doc_id hashing to it is < d; flagged = every
+        -- position preset (the exact-compare divert set — an FP audit
+        -- on this dup-free corpus)
+        WITH pos AS MATERIALIZED (
+            SELECT DISTINCT doc_id,
+                   md5_number_lower('bloom' || i || '-' || text) % 65536
+                       AS p
+            FROM documents, range(2) t(i)
+        ),
+        setter AS MATERIALIZED (
+            SELECT p, MIN(doc_id) AS first_id FROM pos GROUP BY p
+        ),
+        audit AS (
+            SELECT pos.doc_id, COUNT(*) AS n_pos,
+                   SUM(CASE WHEN s.first_id < pos.doc_id
+                            THEN 1 ELSE 0 END) AS n_preset
+            FROM pos JOIN setter s ON s.p = pos.p
+            GROUP BY pos.doc_id
+        )
+        SELECT doc_id, CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_preset AS BIGINT) AS n_preset,
+               CAST(CASE WHEN n_preset = n_pos THEN 1 ELSE 0 END
+                    AS BIGINT) AS flagged
+        FROM audit ORDER BY doc_id
+    """
     return out

@@ -1909,3 +1909,80 @@ def cdc_chunk_stats(ds, *, k: int = 8, d: int = 32, col: str = "text",
             .aggregate(Sum("n_chunks_p", alias_name="n_chunks"),
                        Sum("n_dup_p", alias_name="n_dup_chunks"),
                        Sum("dup_chars_p", alias_name="dup_chars")))
+
+
+def bloom_dedup_audit(docs_ds, *, m: int = 65536, kh: int = 2,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming BLOOM-FILTER exact-dedup pre-filter audit (Bloom,
+    CACM '70 — the in-memory membership gate every ingest pipeline
+    puts in front of exact dedup; public heuristic, no counterpart in
+    the reference repo).
+
+    Semantics (check-then-insert in ``id_col`` order, made
+    order-free): a doc's bit positions are the ``kh`` DISTINCT values
+    ``md5_low64("bloom{i}-" + text) % m`` (≡ DuckDB
+    ``md5_number_lower``); position p counts as "already set" for doc
+    d iff the MINIMUM id of any doc hashing to p is < d.  Per doc:
+    ``n_pos`` (distinct positions — < kh on self-collision),
+    ``n_preset`` (positions already set), ``flagged`` = 1 iff every
+    position was set — the docs a streaming Bloom gate would divert
+    to the exact-compare path.  Exact duplicates are flagged by
+    construction (no false negatives); flagged non-duplicates measure
+    the false-positive rate at the corpus' fill factor.
+
+    Shape: one fused hash+explode ``map_batches`` (per-doc md5 is
+    inherently per-row; emitted rows are (id, p) int64 only) → a tiny
+    ``groupby(p).min(id)`` exchange (≤ m groups, independent of
+    corpus size) → the m-slot first-setter array broadcast via
+    ``ray.put`` (m·8 bytes) → a per-batch preset-count PARTIAL + one
+    ``groupby(id)`` sum (one doc's positions may split across
+    re-batched blocks — the fused-explode gotcha, so the count stage
+    never assumes completeness).  The lazy ``pos`` stage executes
+    twice (setter pass + audit pass) — at scale recomputing two
+    cheap hash passes beats materializing O(corpus·kh) rows.  Nothing
+    driver-side exceeds the m-slot array; both exchanges carry int64
+    pairs only.  Returns a Dataset (doc_id, n_pos, n_preset, flagged).
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        out_id: list[int] = []
+        out_p: list[int] = []
+        for d, t in zip(ids, texts):
+            for p in {md5_low64(f"bloom{i}-{t}") % m for i in range(kh)}:
+                out_id.append(int(d))
+                out_p.append(p)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "p": pa.array(out_p, pa.int64())})
+
+    pos = docs_ds.map_batches(emit, batch_format="pyarrow")
+    setter = pos.groupby("p").aggregate(Min(id_col, alias_name="first_id"))
+    arr = np.full(m, np.iinfo(np.int64).max, np.int64)
+    for b in setter.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        arr[b.column("p").to_numpy()] = b.column("first_id").to_numpy()
+    ref = ray.put(arr)
+
+    def preset_partial(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        ids = batch.column(id_col).to_numpy()
+        ps = batch.column("p").to_numpy()
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_pos": pa.array(np.ones(len(ids), np.int64)),
+            "n_preset": pa.array((s[ps] < ids).astype(np.int64)),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        npos = batch.column("n_pos").to_numpy()
+        npre = batch.column("n_preset").to_numpy()
+        return batch.append_column(
+            "flagged", pa.array((npre == npos).astype(np.int64)))
+
+    return (pos.map_batches(preset_partial, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("n_pos", alias_name="n_pos"),
+                       Sum("n_preset", alias_name="n_preset"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -1019,3 +1019,105 @@ def pq_adc_topk(emb_ds, *, n_sub: int = 8, n_cent: int = 16, k: int = 5,
         out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int64))
     return pa.table({c: pa.array(np.concatenate(v))
                      for c, v in out.items()})
+
+
+def mmr_topk(emb_ds, query: np.ndarray, *, k: int = 8, pool: int = 32,
+             scale: int = 100000, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             exclude_id: int | None = None) -> pa.Table:
+    """MAXIMAL-MARGINAL-RELEVANCE diversified top-k (Carbonell &
+    Goldstein, SIGIR '98) — the training-data "pick k relevant but
+    mutually diverse exemplars" selector, over the exact quantized
+    inner-product kernel (public heuristic; no counterpart in the
+    reference repo, whose loops are community games,
+    ``/root/reference/hedonic/__init__.py``).
+
+    Exact-integer contract (the `srp_lsh_pairs` quantization):
+    vectors are FLOOR-quantized ×``scale`` int64, sim(a, b) = ⟨qa, qb⟩
+    (dim·scale² ≪ 2⁶³ at dim 64), relevance = sim against the
+    quantized ``query`` vector.  λ = 1/2 with the objective scaled ×2
+    so every score is an integer:
+
+        step 1:  score_i = rel_i
+        step t:  score_i = rel_i − max_{s ∈ selected} sim(i, s)
+
+    every argmax ties → lowest id; candidates are the top-``pool``
+    rows by (rel DESC, id ASC), so (rel − maxsim) stays within
+    2·dim·scale² — no overflow path.
+
+    Shape: one broadcast of the quantized query (``ray.put``) → a
+    per-batch int64 matvec + batch-local top-``pool`` partial carrying
+    (id, rel, quantized vector) → a STREAMING driver merge that holds
+    only the running top-``pool`` (O(pool·dim) driver memory; the
+    partials stream — O(blocks·pool) rows — is never materialized) →
+    the greedy k-step selection on the pool's exact int64 Gram matrix
+    (pool × pool).  No shuffle anywhere.
+
+    Returns (rank, vec_id, rel_dot, mmr_score), rank 1..k in
+    selection order.
+    """
+    import ray
+
+    if not 0 < k <= pool:
+        raise ValueError(f"need 0 < k <= pool, got k={k} pool={pool}")
+    qv = np.floor(np.asarray(query, np.float64) * scale).astype(np.int64)
+    qref = ray.put(qv)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = batch.column(id_col).to_numpy()
+        m = _batch_matrix(batch, vec_col, dtype=np.float64)
+        qm = np.floor(m * scale).astype(np.int64)
+        if exclude_id is not None:
+            keep = ids != exclude_id
+            ids, qm = ids[keep], qm[keep]
+        rel = qm @ q
+        top = np.lexsort((ids, -rel))[:pool]
+        flat = pa.array(qm[top].reshape(-1), pa.int64())
+        return pa.table({
+            id_col: pa.array(ids[top]),
+            "rel": pa.array(rel[top]),
+            "qvec": pa.FixedSizeListArray.from_arrays(flat, qm.shape[1]),
+        })
+
+    parts = emb_ds.map_batches(partial, batch_format="pyarrow")
+
+    pid = np.empty(0, np.int64)
+    prel = np.empty(0, np.int64)
+    pvec: np.ndarray | None = None
+    for b in parts.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids = b.column(id_col).to_numpy()
+        if not len(ids):
+            continue
+        rel = b.column("rel").to_numpy()
+        arr = b.column("qvec").combine_chunks()
+        vec = arr.flatten().to_numpy().reshape(len(ids), -1).astype(
+            np.int64, copy=False)
+        pid = np.concatenate([pid, ids])
+        prel = np.concatenate([prel, rel])
+        pvec = vec if pvec is None else np.vstack([pvec, vec])
+        keep = np.lexsort((pid, -prel))[:pool]
+        pid, prel, pvec = pid[keep], prel[keep], pvec[keep]
+
+    n = len(pid)
+    if n == 0:
+        empty = pa.array([], pa.int64())
+        return pa.table({"rank": empty, id_col: empty,
+                         "rel_dot": empty, "mmr_score": empty})
+    gram = pvec @ pvec.T
+    sel: list[int] = []
+    rows = []
+    for rank in range(1, min(k, n) + 1):
+        scores = prel - gram[:, sel].max(axis=1) if sel else prel
+        avail = np.ones(n, bool)
+        avail[sel] = False
+        cand = np.nonzero(avail)[0]
+        best = int(cand[np.lexsort((pid[cand], -scores[cand]))[0]])
+        sel.append(best)
+        rows.append((rank, int(pid[best]), int(prel[best]),
+                     int(scores[best])))
+    r = np.array(rows, np.int64)
+    return pa.table({"rank": pa.array(r[:, 0]),
+                     id_col: pa.array(r[:, 1]),
+                     "rel_dot": pa.array(r[:, 2]),
+                     "mmr_score": pa.array(r[:, 3])})

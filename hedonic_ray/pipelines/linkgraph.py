@@ -678,6 +678,27 @@ def doc_scc_dag(sf_dir: str) -> pa.Table:
             .sort(["src_scc", "dst_scc"]))
 
 
+def doc_critical_path(sf_dir: str, rounds: int = 6) -> pa.Table:
+    """TOPOLOGICAL DEPTH (radius-capped longest incoming path) per
+    SCC of the doc graph's condensation DAG — the schedule level every
+    critical-path / dependency analysis computes on a quotient graph.
+    Pipeline: `doc_scc_dag` arcs (SCC labels are min member ids, so
+    they index the SAME n-slot vertex space — no dense remap needed) →
+    directed CSR build → `algos/critical_path.py:longest_path_depths`
+    max-plus supersteps → rows for the SCC roots only."""
+    from hedonic_ray.algos.critical_path import longest_path_depths
+    from hedonic_ray.graph.build import build_link_graph
+
+    g = doc_graph(sf_dir, directed=True)
+    arcs = doc_scc_dag(sf_dir).map_batches(
+        lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow")
+    cg = build_link_graph(arcs, g.n, directed=True)
+    depth = longest_path_depths(cg, rounds=rounds)
+    roots = np.unique(doc_scc_table(sf_dir).column("scc").to_numpy())
+    return pa.table({"scc": pa.array(roots.astype(np.int64)),
+                     "depth": pa.array(depth[roots])})
+
+
 def doc_degree_hist(sf_dir: str) -> pa.Table:
     """DEGREE DISTRIBUTION of the undirected doc graph — the first
     statistic of any web-graph audit: (degree, n_vertices) including

@@ -841,6 +841,26 @@ def srp_lsh(sf_dir: str, *, threshold_e6: int = 400000) -> pa.Table:
     return sim.srp_lsh_pairs(emb, threshold_e6=threshold_e6)
 
 
+def mmr_diversified(sf_dir: str, k: int = 8, pool: int = 32) -> pa.Table:
+    """MMR diversified top-k over the embeddings table: anchor = the
+    vec_id-0 embedding, candidates = every other vector, λ = 1/2 on
+    the quantized inner-product kernel
+    (`ops/similarity.py:mmr_topk`)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return sim.mmr_topk(emb, _query_matrix(sf_dir, n_queries=1)[0],
+                        k=k, pool=pool, exclude_id=0)
+
+
+def bloom_audit(sf_dir: str):
+    """Streaming Bloom-filter dedup pre-filter audit over the
+    documents table (`ops/dedup.py:bloom_dedup_audit`)."""
+    return dd.bloom_dedup_audit(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def cdc_dedup(sf_dir: str, *, k: int = 8, d: int = 32):
     """Content-defined-chunking dedup report over the documents table
     (`ops/dedup.py:cdc_chunk_stats`): per doc, its chunk count and how

@@ -1283,3 +1283,47 @@ def test_square_count_matches_bruteforce():
             if adj(a_, b_) and adj(b_, c_) and adj(c_, d_) and adj(d_, a_):
                 exp += 1
     assert got == exp
+
+
+def test_critical_path_matches_dense_relaxation_and_backends():
+    """Max-plus longest-path supersteps vs a dense synchronous
+    relaxation on a random DAG (arcs low→high id, so acyclic), at
+    several round caps; dataset and resident-shard backends must be
+    bit-identical (the SSSP invariant)."""
+    from hedonic_ray.algos.critical_path import longest_path_depths
+
+    n = 40
+    rng = np.random.default_rng(17)
+    edges = sorted({(int(min(u, v)), int(max(u, v)))
+                    for u, v in rng.integers(0, n, size=(160, 2)) if u != v})
+    g = make_graph(edges, n, directed=True, num_parts=4)
+    es = np.array([u for u, _ in edges])
+    ed = np.array([v for _, v in edges])
+    for rounds in (1, 3, 6, 12):
+        exp = np.zeros(n, dtype=np.int64)
+        for _ in range(rounds):
+            nxt = exp.copy()
+            np.maximum.at(nxt, ed, exp[es] + 1)
+            if np.array_equal(nxt, exp):
+                break
+            exp = nxt
+        got = longest_path_depths(g, rounds=rounds, backend="dataset")
+        np.testing.assert_array_equal(got, exp, err_msg=f"rounds={rounds}")
+        shards = longest_path_depths(g, rounds=rounds, backend="shards")
+        np.testing.assert_array_equal(shards, exp,
+                                      err_msg=f"shards rounds={rounds}")
+
+
+def test_critical_path_chain_closed_form():
+    """On a directed path 0→1→…→k the depth of vertex i is min(i,
+    rounds) — the cap semantics the SQL oracle unrolls."""
+    from hedonic_ray.algos.critical_path import longest_path_depths
+
+    n = 9
+    edges = [(i, i + 1) for i in range(n - 1)]
+    g = make_graph(edges, n, directed=True, num_parts=2)
+    got = longest_path_depths(g, rounds=4)
+    np.testing.assert_array_equal(
+        got, np.minimum(np.arange(n), 4).astype(np.int64))
+    full = longest_path_depths(g, rounds=16)
+    np.testing.assert_array_equal(full, np.arange(n, dtype=np.int64))

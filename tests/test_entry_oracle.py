@@ -151,6 +151,10 @@ SQL_CHECKED = sorted([
     # corrected-semantics reciprocity clustering (pairs; the
     # click-graph edge-reciprocity query above keeps the bare name)
     "graph_hedonic_strict", "graph_reciprocity_pairs",
+    # round 5 session 2: MMR diversified top-k (integer inner-product
+    # kernel), streaming Bloom dedup pre-filter audit, condensation-
+    # DAG longest-path depths (max-plus resident supersteps)
+    "sim_mmr", "dedup_bloom", "graph_critical_path",
 ])
 
 
@@ -218,6 +222,7 @@ FORCED_SCALE = sorted([
     "graph_core_number",    # resident-shard-state peel per k
     "graph_diameter",       # resident-shard-state BFS double sweep
     "sim_pq_adc",           # serving-actor LUT build (no driver LUT)
+    "graph_critical_path",  # resident-shard-state max-plus supersteps
 ])
 
 

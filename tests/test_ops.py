@@ -1709,3 +1709,83 @@ def test_rake_scores_match_reference_formula():
     assert got["deep nets"] == 4_000_000
     assert got["deep learning"] == 4_000_000
     assert got["fast nets"] == 4_000_000
+
+
+def test_mmr_topk_matches_bruteforce_and_block_invariant():
+    from hedonic_ray.ops.similarity import mmr_topk
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 16)).astype(np.float32)
+    q = mat[0].astype(np.float64)
+    out = mmr_topk(_emb_ds(mat).repartition(7), q, k=6, pool=24,
+                   exclude_id=0)
+    # full-corpus brute force (same pool/greedy rules, no Ray)
+    qm = np.floor(mat.astype(np.float64) * 100000).astype(np.int64)
+    anchor = np.floor(q * 100000).astype(np.int64)
+    ids = np.arange(len(mat), dtype=np.int64)
+    keep = ids != 0
+    cid, cq = ids[keep], qm[keep]
+    rel = cq @ anchor
+    po = np.lexsort((cid, -rel))[:24]
+    pid, prel, pvec = cid[po], rel[po], cq[po]
+    gram = pvec @ pvec.T
+    sel, exp = [], []
+    for rank in range(1, 7):
+        sc = prel - gram[:, sel].max(axis=1) if sel else prel
+        avail = np.ones(len(pid), bool)
+        avail[sel] = False
+        c = np.nonzero(avail)[0]
+        b = int(c[np.lexsort((pid[c], -sc[c]))[0]])
+        sel.append(b)
+        exp.append((rank, int(pid[b]), int(prel[b]), int(sc[b])))
+    got = [tuple(int(out.column(c)[i].as_py())
+                 for c in ("rank", "vec_id", "rel_dot", "mmr_score"))
+           for i in range(out.num_rows)]
+    assert got == exp
+    # block-layout invariance of the streaming partial merge
+    single = mmr_topk(_emb_ds(mat), q, k=6, pool=24, exclude_id=0)
+    assert single.equals(out)
+
+
+def test_mmr_topk_first_pick_is_relevance_argmax():
+    from hedonic_ray.ops.similarity import mmr_topk
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(60, 8)).astype(np.float32)
+    q = rng.normal(size=8)
+    out = mmr_topk(_emb_ds(mat), q, k=4, pool=16)
+    qm = np.floor(mat.astype(np.float64) * 100000).astype(np.int64)
+    rel = qm @ np.floor(np.asarray(q) * 100000).astype(np.int64)
+    assert int(out.column("vec_id")[0].as_py()) == int(
+        np.lexsort((np.arange(len(mat)), -rel))[0])
+    picked = out.column("vec_id").to_pylist()
+    assert len(set(picked)) == len(picked)
+
+
+def test_bloom_audit_no_false_negatives_and_counts():
+    import ray.data as rd
+    from hedonic_ray.ops.dedup import bloom_dedup_audit, md5_low64
+
+    texts = ["aa bb", "cc dd", "aa bb", "ee ff", "cc dd", "gg hh"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    m, kh = 64, 2
+    out = (bloom_dedup_audit(ds, m=m, kh=kh).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # independent python replica (order-free first-setter semantics)
+    pos = {d: sorted({md5_low64(f"bloom{i}-{t}") % m for i in range(kh)})
+           for d, t in enumerate(texts)}
+    setter = {}
+    for d in range(len(texts)):
+        for p in pos[d]:
+            setter[p] = min(setter.get(p, d), d)
+    for d in range(len(texts)):
+        npre = sum(1 for p in pos[d] if setter[p] < d)
+        assert int(out.loc[d, "n_pos"]) == len(pos[d])
+        assert int(out.loc[d, "n_preset"]) == npre
+        assert int(out.loc[d, "flagged"]) == int(npre == len(pos[d]))
+    # exact duplicates are always flagged (no false negatives)
+    assert int(out.loc[2, "flagged"]) == 1
+    assert int(out.loc[4, "flagged"]) == 1
+    assert int(out.loc[0, "flagged"]) == 0
