@@ -1121,3 +1121,75 @@ def mmr_topk(emb_ds, query: np.ndarray, *, k: int = 8, pool: int = 32,
                      id_col: pa.array(r[:, 1]),
                      "rel_dot": pa.array(r[:, 2]),
                      "mmr_score": pa.array(r[:, 3])})
+
+
+def kmeans_step(emb_ds, *, n_clusters: int = 4, scale: int = 100000,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """One EXACT-INTEGER Lloyd iteration (assignment + update) of
+    distributed k-means — the building block of every embedding-space
+    corpus-clustering / IVF-training loop, with both phases running as
+    map-side combinable batch kernels (public algorithm; no
+    counterpart in the reference repo).
+
+    Exact-integer contract: vectors FLOOR-quantize ×``scale`` to
+    int64; assignment = argmin over centroids of the exact integer
+    objective |q − c|² − |q|² = −2⟨q, c⟩ + |c|² (the |q|² term is
+    constant per vector, so dropping it preserves the argmin), ties →
+    lowest centroid id.  Centroids init = the quantized vectors of
+    ids 0..n_clusters−1, fetched by ONE vectorized filter scan — no
+    whole-dataset sort (the `pq_adc_topk` codebook lesson).  The
+    update emits per-(cluster, dim) integer SUMS and member counts —
+    the mergeable sufficient statistics of the new centroids (the
+    caller divides; sums stay exact at any corpus size: 10¹² docs ×
+    10⁵ magnitude ≪ 2⁶³).
+
+    Shape: centroid broadcast (``ray.put`` of C×dim int64) → one
+    ``map_batches`` pass (int matmul + argmin + per-batch C×dim
+    partial sums — O(C·dim) rows per batch, never per-vector rows) →
+    one tiny ``groupby(cluster, dim)`` sum (C·dim groups, independent
+    of corpus size).  Returns (cluster, dim, sum_qv, n_members),
+    dim 1-based to match ``generate_subscripts``.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column(id_col), n_clusters))
+
+    crows = emb_ds.map_batches(pick, batch_format="pyarrow").take_all()
+    assert len(crows) == n_clusters, (
+        f"kmeans_step: init expects dense ids 0..{n_clusters - 1}, "
+        f"got {len(crows)} rows")
+    crows.sort(key=lambda r: r[id_col])
+    cent = np.floor(np.asarray(
+        [np.asarray(r[vec_col], np.float64) for r in crows]) * scale
+    ).astype(np.int64)
+    c2 = np.einsum("ij,ij->i", cent, cent)
+    cref = ray.put((cent, c2))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c, csq = ray.get(cref)
+        m = _batch_matrix(batch, vec_col, dtype=np.float64)
+        qm = np.floor(m * scale).astype(np.int64)
+        obj = -2 * (qm @ c.T) + csq        # (n, C) exact int64
+        assign = np.argmin(obj, axis=1)    # first min = lowest id
+        sums = np.zeros((len(c), qm.shape[1]), np.int64)
+        np.add.at(sums, assign, qm)
+        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        ncl, dim = sums.shape
+        return pa.table({
+            "cluster": pa.array(np.repeat(np.arange(ncl, dtype=np.int64),
+                                          dim)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    ncl)),
+            "sum_qv": pa.array(sums.reshape(-1)),
+            "n_members": pa.array(np.repeat(counts, dim)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (emb_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("sum_qv", alias_name="sum_qv"),
+                       Sum("n_members", alias_name="n_members"))
+            .sort(["cluster", "dim"]))

@@ -855,6 +855,19 @@ def mmr_diversified(sf_dir: str, k: int = 8, pool: int = 32) -> pa.Table:
                         k=k, pool=pool, exclude_id=0)
 
 
+def kmeans_update(sf_dir: str, n_clusters: int = 4):
+    """One exact-integer distributed Lloyd iteration over the
+    embeddings table (`ops/similarity.py:kmeans_step`): assignment to
+    the seed centroids (ids 0..C−1) + the mergeable per-(cluster, dim)
+    sum/count sufficient statistics of the updated centroids."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return sim.kmeans_step(emb, n_clusters=n_clusters)
+
+
 def bloom_audit(sf_dir: str):
     """Streaming Bloom-filter dedup pre-filter audit over the
     documents table (`ops/dedup.py:bloom_dedup_audit`)."""

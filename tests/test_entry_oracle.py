@@ -154,7 +154,7 @@ SQL_CHECKED = sorted([
     # round 5 session 2: MMR diversified top-k (integer inner-product
     # kernel), streaming Bloom dedup pre-filter audit, condensation-
     # DAG longest-path depths (max-plus resident supersteps)
-    "sim_mmr", "dedup_bloom", "graph_critical_path",
+    "sim_mmr", "dedup_bloom", "graph_critical_path", "sim_kmeans_step",
 ])
 
 

@@ -1789,3 +1789,28 @@ def test_bloom_audit_no_false_negatives_and_counts():
     assert int(out.loc[2, "flagged"]) == 1
     assert int(out.loc[4, "flagged"]) == 1
     assert int(out.loc[0, "flagged"]) == 0
+
+
+def test_kmeans_step_matches_bruteforce():
+    from hedonic_ray.ops.similarity import kmeans_step
+
+    rng = np.random.default_rng(23)
+    mat = rng.normal(size=(90, 12)).astype(np.float32)
+    out = (kmeans_step(_emb_ds(mat).repartition(5), n_clusters=3)
+           .to_pandas().sort_values(["cluster", "dim"])
+           .reset_index(drop=True))
+    qm = np.floor(mat.astype(np.float64) * 100000).astype(np.int64)
+    cent = qm[:3]
+    obj = -2 * (qm @ cent.T) + np.einsum("ij,ij->i", cent, cent)
+    assign = np.argmin(obj, axis=1)
+    # each seed belongs to its own cluster (distance 0)
+    assert (assign[:3] == np.arange(3)).all()
+    sums = np.zeros((3, 12), np.int64)
+    np.add.at(sums, assign, qm)
+    counts = np.bincount(assign, minlength=3)
+    assert len(out) == 36
+    for c in range(3):
+        rows = out[out["cluster"] == c]
+        assert (rows["n_members"].to_numpy() == counts[c]).all()
+        np.testing.assert_array_equal(
+            rows.sort_values("dim")["sum_qv"].to_numpy(), sums[c])
