@@ -1625,6 +1625,52 @@ FROM {prev} ORDER BY scc
 """
 
 
+def _kmeans_step_sql(n_clusters: int = 4, scale: int = 100000) -> str:
+    """One exact-integer Lloyd iteration: assignment = argmin of
+    −2⟨q,c⟩ + |c|² (the |q|² term is per-vector constant), ties →
+    lowest centroid id; seeds = vec_ids 0..n_clusters−1; update =
+    per-(cluster, dim) integer sums + member counts.  The constants
+    bind through this one function so the engine default and the
+    oracle can never drift (the graph_mst round-cap lesson)."""
+    return f"""
+        WITH qv AS MATERIALIZED (
+            SELECT vec_id, j,
+                   CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS j
+                  FROM embeddings)
+        ),
+        cent AS MATERIALIZED (
+            SELECT vec_id AS c, j, qv AS cv FROM qv
+            WHERE vec_id < {n_clusters}
+        ),
+        obj AS MATERIALIZED (
+            SELECT i.vec_id, ct.c,
+                   CAST(SUM(-2 * i.qv * ct.cv + ct.cv * ct.cv) AS BIGINT)
+                       AS o
+            FROM qv i JOIN cent ct ON ct.j = i.j
+            GROUP BY i.vec_id, ct.c
+        ),
+        assign AS MATERIALIZED (
+            SELECT vec_id, c FROM (
+                SELECT vec_id, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY o, c) AS rn
+                FROM obj) WHERE rn = 1
+        ),
+        counts AS MATERIALIZED (
+            SELECT c, COUNT(*) AS n FROM assign GROUP BY c
+        )
+        SELECT a.c AS cluster, q.j AS dim,
+               CAST(SUM(q.qv) AS BIGINT) AS sum_qv,
+               CAST(MAX(cnt.n) AS BIGINT) AS n_members
+        FROM assign a JOIN qv q ON q.vec_id = a.vec_id
+        JOIN counts cnt ON cnt.c = a.c
+        GROUP BY a.c, q.j
+        ORDER BY cluster, dim
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "graph_hedonic": _hedonic_cert_sql(),
@@ -4266,46 +4312,7 @@ ORDER BY community"""),
     # pytest-characterized
     out["sim_ivf_topk"] = out["sim_topk_cosine"]
     out["sim_mmr"] = _mmr_chain_sql(k=8, pool=32)
-    out["sim_kmeans_step"] = """
-        -- one exact-integer Lloyd iteration: assignment = argmin of
-        -- -2<q,c> + |c|^2 (the |q|^2 term is per-vector constant),
-        -- ties -> lowest centroid id; seeds = vec_ids 0..3; update =
-        -- per-(cluster, dim) integer sums + member counts
-        WITH qv AS MATERIALIZED (
-            SELECT vec_id, j,
-                   CAST(FLOOR(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS qv
-            FROM (SELECT vec_id, unnest(embedding) AS x,
-                         generate_subscripts(embedding, 1) AS j
-                  FROM embeddings)
-        ),
-        cent AS MATERIALIZED (
-            SELECT vec_id AS c, j, qv AS cv FROM qv WHERE vec_id < 4
-        ),
-        obj AS MATERIALIZED (
-            SELECT i.vec_id, ct.c,
-                   CAST(SUM(-2 * i.qv * ct.cv + ct.cv * ct.cv) AS BIGINT)
-                       AS o
-            FROM qv i JOIN cent ct ON ct.j = i.j
-            GROUP BY i.vec_id, ct.c
-        ),
-        assign AS MATERIALIZED (
-            SELECT vec_id, c FROM (
-                SELECT vec_id, c,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id
-                                          ORDER BY o, c) AS rn
-                FROM obj) WHERE rn = 1
-        ),
-        counts AS MATERIALIZED (
-            SELECT c, COUNT(*) AS n FROM assign GROUP BY c
-        )
-        SELECT a.c AS cluster, q.j AS dim,
-               CAST(SUM(q.qv) AS BIGINT) AS sum_qv,
-               CAST(MAX(cnt.n) AS BIGINT) AS n_members
-        FROM assign a JOIN qv q ON q.vec_id = a.vec_id
-        JOIN counts cnt ON cnt.c = a.c
-        GROUP BY a.c, q.j
-        ORDER BY cluster, dim
-    """
+    out["sim_kmeans_step"] = _kmeans_step_sql(n_clusters=4)
     out["graph_critical_path"] = _critpath_chain_sql(rounds=6)
     out["dedup_bloom"] = """
         -- streaming Bloom-filter dedup pre-filter audit: kh=2 md5 bit

@@ -1065,6 +1065,11 @@ def mmr_topk(emb_ds, query: np.ndarray, *, k: int = 8, pool: int = 32,
 
     def partial(batch: pa.Table) -> pa.Table:
         q = ray.get(qref)
+        if batch.num_rows == 0:           # empty block: no partial rows
+            e = pa.array([], pa.int64())
+            return pa.table({
+                id_col: e, "rel": e,
+                "qvec": pa.array([], pa.list_(pa.int64(), len(q)))})
         ids = batch.column(id_col).to_numpy()
         m = _batch_matrix(batch, vec_col, dtype=np.float64)
         qm = np.floor(m * scale).astype(np.int64)
@@ -1169,14 +1174,18 @@ def kmeans_step(emb_ds, *, n_clusters: int = 4, scale: int = 100000,
 
     def partial(batch: pa.Table) -> pa.Table:
         c, csq = ray.get(cref)
+        ncl, dim = c.shape
+        if batch.num_rows == 0:           # empty block: no partial rows
+            e = pa.array([], pa.int64())
+            return pa.table({"cluster": e, "dim": e,
+                             "sum_qv": e, "n_members": e})
         m = _batch_matrix(batch, vec_col, dtype=np.float64)
         qm = np.floor(m * scale).astype(np.int64)
         obj = -2 * (qm @ c.T) + csq        # (n, C) exact int64
         assign = np.argmin(obj, axis=1)    # first min = lowest id
-        sums = np.zeros((len(c), qm.shape[1]), np.int64)
+        sums = np.zeros((ncl, dim), np.int64)
         np.add.at(sums, assign, qm)
-        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
-        ncl, dim = sums.shape
+        counts = np.bincount(assign, minlength=ncl).astype(np.int64)
         return pa.table({
             "cluster": pa.array(np.repeat(np.arange(ncl, dtype=np.int64),
                                           dim)),
@@ -1188,8 +1197,15 @@ def kmeans_step(emb_ds, *, n_clusters: int = 4, scale: int = 100000,
 
     from ray.data.aggregate import Sum
 
+    def drop_empty(batch: pa.Table) -> pa.Table:
+        # a cluster with zero members overall (possible only when two
+        # seed vectors quantize identically) has no assignment rows in
+        # the SQL oracle — omit it here too
+        return batch.filter(pc.greater(batch.column("n_members"), 0))
+
     return (emb_ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["cluster", "dim"])
             .aggregate(Sum("sum_qv", alias_name="sum_qv"),
                        Sum("n_members", alias_name="n_members"))
+            .map_batches(drop_empty, batch_format="pyarrow")
             .sort(["cluster", "dim"]))

@@ -651,16 +651,18 @@ def doc_truss_table(sf_dir: str, k: int = 3, rounds: int = 6) -> pa.Table:
                         rounds=rounds)
 
 
-def doc_scc_dag(sf_dir: str) -> pa.Table:
+def doc_scc_dag(sf_dir: str, scc: pa.Table | None = None) -> pa.Table:
     """SCC CONDENSATION DAG of the directed doc graph: the distinct
     (src_scc, dst_scc) arcs between different components — the
     quotient graph every reachability/ordering analysis runs on.
     Labels broadcast once; per-batch map + distinct combiner; one
-    grouped distinct exchange."""
+    grouped distinct exchange.  Pass a precomputed ``scc`` table to
+    reuse one SCC superstep run across consumers (doc_critical_path)."""
     import ray
     from ray.data.aggregate import Count
 
-    scc = doc_scc_table(sf_dir)
+    if scc is None:
+        scc = doc_scc_table(sf_dir)
     labels_ref = ray.put(scc.column("scc").to_numpy().astype(np.int64))
     edges = doc_edges_cached(sf_dir)
 
@@ -690,11 +692,12 @@ def doc_critical_path(sf_dir: str, rounds: int = 6) -> pa.Table:
     from hedonic_ray.graph.build import build_link_graph
 
     g = doc_graph(sf_dir, directed=True)
-    arcs = doc_scc_dag(sf_dir).map_batches(
+    scc = doc_scc_table(sf_dir)           # ONE SCC superstep run,
+    arcs = doc_scc_dag(sf_dir, scc=scc).map_batches(  # shared by both
         lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow")
     cg = build_link_graph(arcs, g.n, directed=True)
     depth = longest_path_depths(cg, rounds=rounds)
-    roots = np.unique(doc_scc_table(sf_dir).column("scc").to_numpy())
+    roots = np.unique(scc.column("scc").to_numpy())
     return pa.table({"scc": pa.array(roots.astype(np.int64)),
                      "depth": pa.array(depth[roots])})
 
