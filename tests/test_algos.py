@@ -884,6 +884,40 @@ def test_hedonic_strict_all_coalition_equilibrium_exhaustive():
     assert refine_fired >= 1, "no case exercised the strict move loop"
 
 
+def test_pagerank_shard_backend_parity():
+    """The resident-shard-state PageRank/PPR path (`_PageRankVecSpec`)
+    must reproduce the Dataset backend to float-merge-order precision:
+    same iteration counts and convergence, ranks equal at the gate's
+    ×1e9 rounding and to 1e-13 relative (per-shard partial sums vs one
+    driver vector differ only in float add ORDER)."""
+    from hedonic_ray.algos.pagerank import pagerank, personalized_pagerank
+
+    n = 150
+    rng = np.random.default_rng(33)
+    edges = sorted({(int(u), int(v))
+                    for u, v in rng.integers(0, n, size=(700, 2)) if u != v})
+    g = make_graph(edges, n, directed=True, num_parts=6)
+
+    def check(a, b):
+        assert b.iterations == a.iterations
+        assert b.converged == a.converged
+        np.testing.assert_allclose(b.state["rank"], a.state["rank"],
+                                   rtol=1e-13, atol=1e-16)
+        np.testing.assert_array_equal(np.round(b.state["rank"] * 1e9),
+                                      np.round(a.state["rank"] * 1e9))
+
+    # fixed-iteration (the gate's shape) and converged runs
+    check(pagerank(g, max_iters=5, gather="dense"),
+          pagerank(g, max_iters=5, gather="shards"))
+    check(pagerank(g, gather="dense"), pagerank(g, gather="shards"))
+    # personalized teleport, seeds crossing shard boundaries
+    seeds = np.arange(0, n, 13)
+    check(personalized_pagerank(g, seeds, gather="dense", max_iters=6),
+          personalized_pagerank(g, seeds, gather="shards", max_iters=6))
+    check(personalized_pagerank(g, seeds, gather="dense"),
+          personalized_pagerank(g, seeds, gather="shards"))
+
+
 def test_vector_shard_backend_bit_identical():
     """The resident-shard-state vector superstep (engine/shards.py:
     VectorShardPool) must reproduce the Dataset backends bit-for-bit

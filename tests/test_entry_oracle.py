@@ -214,6 +214,9 @@ FORCED_SCALE = sorted([
                             # hot-bucket cap (vacuous at fixture scale)
     "graph_katz",           # resident-shard-state vector supersteps
     "graph_sssp",           # resident-shard-state vector supersteps
+    "graph_pagerank_full",  # resident-shard-state rank vector
+    "graph_pagerank_onestep",  # resident-shard-state rank vector
+    "graph_ppr",            # resident-shard-state personalized rank
     "graph_mis",            # resident-shard-state vector supersteps
     "graph_coloring",       # resident-shard-state vector supersteps
     "graph_matching",       # resident-shard-state vector supersteps
