@@ -1451,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_deciles": rel.acctbal_deciles,
         "rel_running_total": rel.user_running_total,
         "rel_latest_event": rel.latest_event_per_type,
+        "rel_cdc_upsert": rel.cdc_upsert_compaction,
         "rel_full_outer": rel.daily_orders_vs_shipments,
         "rel_event_sequence": rel.user_event_sequence,
         "rel_set_ops": rel.user_set_ops,
@@ -1513,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters": tx.heavy_hitters,
         "text_heavy_hitters_cms": tx.cms_heavy_hitters,
         "text_stratified_sample": tx.stratified_sample,
+        "text_mixture_weights": tx.mixture_weights,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
@@ -1830,6 +1832,22 @@ ORDER BY community"""),
             "FROM (" + _lang_id_sql() + ") GROUP BY 1, 2 "
             "ORDER BY 1, 2"),
         "text_intake_filter": _intake_filter_sql(),
+        "text_mixture_weights": """
+            -- temperature-resampled source mixture (tau = 0.5):
+            -- w_e6 = floor(1e6*sqrt(count)) is exact cross-engine
+            -- (IEEE sqrt is correctly rounded); quota is all-integer
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source),
+            w AS (SELECT source, n_docs,
+                         CAST(FLOOR(1e6 * sqrt(CAST(n_docs AS DOUBLE)))
+                              AS BIGINT) AS weight_e6
+                  FROM c),
+            tot AS (SELECT CAST(SUM(weight_e6) AS BIGINT) AS s FROM w)
+            SELECT w.source, w.n_docs, w.weight_e6,
+                   CAST((CAST(100000 AS BIGINT) * w.weight_e6) // tot.s
+                        AS BIGINT) AS quota
+            FROM w CROSS JOIN tot ORDER BY w.source
+        """,
         "text_stratified_sample": """
             -- per-language bottom-20 by md5(doc_id): the stratified
             -- deterministic sample (mix control)
@@ -3758,6 +3776,21 @@ ORDER BY community"""),
                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
                        AS cum_value_e2
             FROM events
+        """,
+        "rel_cdc_upsert": """
+            -- CDC merge with tombstones: latest version per user_id
+            -- by (ts, event_id); an 'error' event deletes the key
+            WITH r AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   event_type, ts_us
+            FROM r WHERE rn = 1 AND event_type <> 'error'
         """,
         "rel_latest_event": """
             -- latest-record compaction per (user, event_type)

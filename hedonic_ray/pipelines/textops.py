@@ -1019,6 +1019,42 @@ def stratified_sample(sf_dir: str, k: int = 20):
             .sort(["lang", "doc_id"]))
 
 
+def mixture_weights(sf_dir: str, target: int = 100_000):
+    """TEMPERATURE-RESAMPLED SOURCE MIXTURE (the domain-mixing step
+    every multi-source pretraining corpus runs — τ = 0.5 here, i.e.
+    weight ∝ √count, the Pile/mT5-style upweighting of small sources):
+    per-source doc counts → integer weights
+    ``w_e6 = floor(1e6 · sqrt(count))`` (IEEE sqrt is correctly
+    rounded, so the quantized weight is bit-identical cross-engine) →
+    resampling quota ``quota = target · w_e6 // Σ w_e6``.
+
+    Shape: one per-batch ``np.unique`` count partial (combiner) → one
+    grouped sum exchange → the per-SOURCE result (bounded by the
+    source vocabulary, not the corpus) is finished on the driver.
+    Columns: source, n_docs, weight_e6, quota."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("source").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"source": pa.array(u.astype(str)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("c", alias_name="n_docs")))
+    rows = sorted(agg.take_all(), key=lambda r: r["source"])
+    src = [r["source"] for r in rows]
+    n = np.array([r["n_docs"] for r in rows], dtype=np.int64)
+    w = np.floor(1e6 * np.sqrt(n.astype(np.float64))).astype(np.int64)
+    quota = (int(target) * w) // max(int(w.sum()), 1)
+    return pa.table({"source": pa.array(src, pa.string()),
+                     "n_docs": pa.array(n),
+                     "weight_e6": pa.array(w),
+                     "quota": pa.array(quota)})
+
+
 def intake_filter(sf_dir: str):
     """The C4/RefinedWeb-style INTAKE FILTER chain as ONE fused map
     stage — per doc, integer rule flags plus the final keep:

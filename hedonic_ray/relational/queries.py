@@ -907,6 +907,46 @@ def latest_event_per_type(sf_dir: str):
         latest, batch_format="numpy")
 
 
+def cdc_upsert_compaction(sf_dir: str):
+    """CDC MERGE WITH TOMBSTONES — the op-log compaction every
+    incremental ingest runs: the event stream is an upsert log keyed
+    by ``user_id`` (version order ``(ts, event_id)``), where an
+    ``'error'`` event is the key's DELETE tombstone; output = the
+    live keys with their current version.  Differs from
+    `latest_event_per_type` (pure latest-record) in the delete
+    semantics AND the shape: a per-batch vectorized pre-compaction
+    (lexsort + last-of-run — the combiner) shrinks the stream to at
+    most one row per (batch, key) BEFORE the single grouped exchange,
+    so the shuffle moves compacted versions, never raw log rows.
+    Columns: user_id, event_id, event_type, ts_us."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def partial(group: dict) -> dict:
+        u = group["user_id"].astype(np.int64)
+        ts = group["ts"].astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        last = np.concatenate(
+            [np.flatnonzero(np.diff(u[order]) != 0), [len(u) - 1]]) \
+            if len(u) else np.empty(0, np.int64)
+        keep = order[last]
+        return {"user_id": u[keep], "ts_us": ts[keep],
+                "event_id": eid[keep], "event_type": group["event_type"][keep]}
+
+    comp = ds.map_batches(partial, batch_format="numpy")
+
+    def merge(group: dict) -> dict:
+        i = np.lexsort((group["event_id"], group["ts_us"]))[-1]
+        sl = slice(i, i + 1) if group["event_type"][i] != "error" \
+            else slice(0, 0)
+        return {"user_id": group["user_id"][sl].astype(np.int64),
+                "event_id": group["event_id"][sl].astype(np.int64),
+                "event_type": group["event_type"][sl],
+                "ts_us": group["ts_us"][sl].astype(np.int64)}
+
+    return comp.groupby("user_id").map_groups(merge, batch_format="numpy")
+
+
 def daily_orders_vs_shipments(sf_dir: str, num_partitions: int = 8):
     """FULL OUTER fact-fact join: per-day order stats (count, total
     price in cents) against per-day shipment stats (count, total

@@ -155,6 +155,9 @@ SQL_CHECKED = sorted([
     # kernel), streaming Bloom dedup pre-filter audit, condensation-
     # DAG longest-path depths (max-plus resident supersteps)
     "sim_mmr", "dedup_bloom", "graph_critical_path", "sim_kmeans_step",
+    # round 5 session 3: CDC merge with tombstones, temperature-
+    # resampled source mixture weights
+    "rel_cdc_upsert", "text_mixture_weights",
 ])
 
 
