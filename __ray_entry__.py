@@ -1541,6 +1541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_bloom": tx.bloom_audit,
         "graph_critical_path": lg.doc_critical_path,
         "sim_kmeans_step": tx.kmeans_update,
+        "sim_recall_audit": tx.recall_audit,
     }
 
 
@@ -4346,6 +4347,63 @@ ORDER BY community"""),
     out["sim_ivf_topk"] = out["sim_topk_cosine"]
     out["sim_mmr"] = _mmr_chain_sql(k=8, pool=32)
     out["sim_kmeans_step"] = _kmeans_step_sql(n_clusters=4)
+    out["sim_recall_audit"] = """
+        -- recall@5 audit of the single-probe label-centroid bucket ANN
+        -- vs exact brute force, all-integer (quantize floor(x*1e6),
+        -- truncated-mean centroids, integer Euclidean d², rank order
+        -- (d², id) — the centroid_classify arithmetic)
+        WITH q AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000) AS BIGINT) AS v
+            FROM embeddings
+        ),
+        cs AS (SELECT e.label, q.dim, CAST(SUM(q.v) AS BIGINT) AS s,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM q JOIN embeddings e ON e.vec_id = q.vec_id
+               GROUP BY 1, 2),
+        cent AS MATERIALIZED (
+            SELECT label, dim,
+                   CAST(sign(s) * (abs(s) // n) AS BIGINT) AS c
+            FROM cs),
+        cdist AS (SELECT q.vec_id, cent.label AS clabel,
+                         CAST(SUM((q.v - cent.c) * (q.v - cent.c))
+                              AS BIGINT) AS d2
+                  FROM q JOIN cent ON cent.dim = q.dim
+                  GROUP BY 1, 2),
+        bkt AS MATERIALIZED (
+            SELECT vec_id, clabel AS bucket FROM (
+                SELECT vec_id, clabel, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+                FROM cdist) WHERE rn = 1),
+        pair AS MATERIALIZED (
+            SELECT qa.vec_id AS query_id, qb.vec_id AS cand,
+                   CAST(SUM((qa.v - qb.v) * (qa.v - qb.v)) AS BIGINT)
+                       AS d2
+            FROM q qa JOIN q qb
+              ON qb.dim = qa.dim AND qb.vec_id <> qa.vec_id
+            WHERE qa.vec_id % 10 = 0
+            GROUP BY 1, 2),
+        ex AS (SELECT query_id, cand, row_number() OVER (
+                   PARTITION BY query_id ORDER BY d2, cand) AS rn
+               FROM pair),
+        an AS (SELECT p.query_id, p.cand, row_number() OVER (
+                   PARTITION BY p.query_id ORDER BY p.d2, p.cand) AS rn
+               FROM pair p
+               JOIN bkt bq ON bq.vec_id = p.query_id
+               JOIN bkt bc ON bc.vec_id = p.cand
+                          AND bc.bucket = bq.bucket),
+        hits AS (SELECT e.query_id, COUNT(*) AS n_hit
+                 FROM ex e JOIN an a ON a.query_id = e.query_id
+                                    AND a.cand = e.cand AND a.rn <= 5
+                 WHERE e.rn <= 5 GROUP BY 1)
+        SELECT b.vec_id AS query_id, CAST(b.bucket AS BIGINT) AS bucket,
+               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(CAST(1000000 AS BIGINT) * COALESCE(h.n_hit, 0) // 5
+                    AS BIGINT) AS recall_e6
+        FROM bkt b LEFT JOIN hits h ON h.query_id = b.vec_id
+        WHERE b.vec_id % 10 = 0 ORDER BY query_id
+    """
     out["graph_critical_path"] = _critpath_chain_sql(rounds=6)
     out["dedup_bloom"] = """
         -- streaming Bloom-filter dedup pre-filter audit: kh=2 md5 bit

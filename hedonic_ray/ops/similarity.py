@@ -521,6 +521,47 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
     return t.take(idx)
 
 
+def _centroid_partials(batch: pa.Table, vec_col: str, label_col: str,
+                       scale: int) -> pa.Table:
+    """Per-batch (label, count, sum-of-quantized-vectors) combiner row
+    — the mergeable partial behind the exact integer label centroids."""
+    m = _batch_matrix(batch, vec_col, np.float64)
+    q = np.floor(m * scale).astype(np.int64)
+    lab = batch.column(label_col).to_numpy().astype(np.int64)
+    u, inv = np.unique(lab, return_inverse=True)
+    sums = np.zeros((len(u), q.shape[1]), dtype=np.int64)
+    np.add.at(sums, inv, q)
+    cnt = np.bincount(inv).astype(np.int64)
+    return pa.table({
+        "label": pa.array(u, pa.int64()),
+        "n": pa.array(cnt, pa.int64()),
+        "s": pa.array(list(sums), pa.list_(pa.int64()))})
+
+
+def _merge_centroid_partials(partials_ds):
+    """Driver-merge of the per-batch (label, count, sum-vector)
+    combiner rows into the exact integer truncated-mean centroid
+    matrix (O(labels·dim) ints — never embeddings).  Returns
+    ``(labels, cent)`` sorted ascending, or ``(None, None)`` on an
+    empty input."""
+    acc: dict[int, tuple[int, np.ndarray]] = {}
+    for b in partials_ds.iter_batches(batch_size=4096,
+                                      batch_format="pyarrow"):
+        labs = b.column("label").to_numpy()
+        ns = b.column("n").to_numpy()
+        ss = b.column("s")
+        for i, l_ in enumerate(labs.tolist()):
+            v = np.asarray(ss[i].as_py(), dtype=np.int64)
+            n0, s0 = acc.get(l_, (0, 0))
+            acc[l_] = (n0 + int(ns[i]), s0 + v)
+    if not acc:
+        return None, None
+    labels = np.array(sorted(acc), dtype=np.int64)
+    cent = np.stack([np.sign(acc[l_][1]) * (np.abs(acc[l_][1]) // acc[l_][0])
+                     for l_ in labels.tolist()]).astype(np.int64)
+    return labels, cent
+
+
 def centroid_classify(emb_ds, *, id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       label_col: str = "label",
@@ -550,36 +591,15 @@ def centroid_classify(emb_ds, *, id_col: str = "vec_id",
     import ray
 
     def partials(batch: pa.Table) -> pa.Table:
-        m = _batch_matrix(batch, vec_col, np.float64)
-        q = np.floor(m * scale).astype(np.int64)
-        lab = batch.column(label_col).to_numpy().astype(np.int64)
-        u, inv = np.unique(lab, return_inverse=True)
-        sums = np.zeros((len(u), q.shape[1]), dtype=np.int64)
-        np.add.at(sums, inv, q)
-        cnt = np.bincount(inv).astype(np.int64)
-        return pa.table({
-            "label": pa.array(u, pa.int64()),
-            "n": pa.array(cnt, pa.int64()),
-            "s": pa.array(list(sums), pa.list_(pa.int64()))})
+        return _centroid_partials(batch, vec_col, label_col, scale)
 
-    acc: dict[int, tuple[int, np.ndarray]] = {}
-    for b in emb_ds.map_batches(partials, batch_format="pyarrow") \
-            .iter_batches(batch_size=4096, batch_format="pyarrow"):
-        labs = b.column("label").to_numpy()
-        ns = b.column("n").to_numpy()
-        ss = b.column("s")
-        for i, l_ in enumerate(labs.tolist()):
-            v = np.asarray(ss[i].as_py(), dtype=np.int64)
-            n0, s0 = acc.get(l_, (0, 0))
-            acc[l_] = (n0 + int(ns[i]), s0 + v)
-    if not acc:
+    labels, cent = _merge_centroid_partials(
+        emb_ds.map_batches(partials, batch_format="pyarrow"))
+    if labels is None:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "label": pa.array([], pa.int64()),
                          "assigned": pa.array([], pa.int64()),
                          "d2": pa.array([], pa.int64())})
-    labels = np.array(sorted(acc), dtype=np.int64)
-    cent = np.stack([np.sign(acc[l_][1]) * (np.abs(acc[l_][1]) // acc[l_][0])
-                     for l_ in labels.tolist()]).astype(np.int64)
     cent_ref = ray.put((labels, cent))
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -1209,3 +1229,133 @@ def kmeans_step(emb_ds, *, n_clusters: int = 4, scale: int = 100000,
                        Sum("n_members", alias_name="n_members"))
             .map_batches(drop_empty, batch_format="pyarrow")
             .sort(["cluster", "dim"]))
+
+
+def ann_recall_audit(emb_ds, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", label_col: str = "label",
+                     k: int = 5, stride: int = 10,
+                     scale: int = 1_000_000) -> pa.Table:
+    """ANN RECALL@K AUDIT — the quality-measurement pass every
+    approximate index needs before it gates a 100-TB dedup/search run:
+    for a deterministic query sample (``id % stride == 0``), compare
+    the single-probe bucketed ANN answer against the exact brute-force
+    top-k and report per-query recall.  All-integer exact (the
+    `centroid_classify` arithmetic): vectors quantize to
+    ``floor(x·scale)`` int64, buckets are the truncated-mean label
+    centroids, distances are integer Euclidean d², rank order is
+    ``(d², id)`` ascending — bit-identical cross-engine, so the audit
+    itself is SQL-oracle-checkable.
+
+    Shape: pass A = the centroid combiner (O(labels·dim) rows); pass B
+    = ONE corpus scan emitting per (batch, query) the k best exact and
+    k best in-bucket candidate rows (the top-k combiner — at most
+    2k·Q small int rows per batch, the corpus never re-reads); a
+    grouped exchange per query_id finishes the top-k merge; the driver
+    holds only the Q output rows.  The query sample is asserted small
+    (≤ 1024) — recall audits run on samples by construction.
+
+    Columns: query_id, bucket, n_hit, recall_e6 (= 1e6·n_hit // k).
+    """
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return _centroid_partials(batch, vec_col, label_col, scale)
+
+    labels, cent = _merge_centroid_partials(
+        emb_ds.map_batches(partials, batch_format="pyarrow"))
+    if labels is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64()),
+                         "n_hit": pa.array([], pa.int64()),
+                         "recall_e6": pa.array([], pa.int64())})
+
+    def _assign(q: np.ndarray) -> np.ndarray:
+        # (rows, L) integer d² argmin; labels sorted ascending so the
+        # first-match rule IS the lowest-label tie-break
+        diff = q[:, None, :] - cent[None, :, :]
+        d2 = np.einsum("blk,blk->bl", diff, diff)
+        return labels[np.argmin(d2, axis=1)]
+
+    # the query sample: one filtered scan, driver holds Q rows only
+    import pyarrow.compute as pc
+
+    def pick_queries(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        return batch.take(np.flatnonzero(ids % stride == 0)).select(
+            [id_col, vec_col])
+
+    qrows = emb_ds.map_batches(pick_queries,
+                               batch_format="pyarrow").take_all()
+    assert len(qrows) <= 1024, (
+        f"ann_recall_audit query sample is {len(qrows)} rows — raise "
+        "stride; recall audits are sampled by construction")
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    order = np.argsort(qids)
+    qids = qids[order]
+    qmat = np.floor(np.stack(
+        [np.asarray(qrows[i][vec_col], dtype=np.float64)
+         for i in order.tolist()]) * scale).astype(np.int64)
+    qbuckets = _assign(qmat)
+    bcast = ray.put((qids, qmat, qbuckets))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids_q, qm, qb = ray.get(bcast)
+        q = np.floor(_batch_matrix(batch, vec_col, np.float64)
+                     * scale).astype(np.int64)
+        cand_ids = batch.column(id_col).to_numpy().astype(np.int64)
+        assigned = _assign(q)
+        # (rows, Q) exact integer distances in one einsum
+        diff = q[:, None, :] - qm[None, :, :]
+        d2 = np.einsum("bqk,bqk->bq", diff, diff)
+        out_q, out_c, out_d, out_b = [], [], [], []
+        for j in range(len(ids_q)):
+            not_self = cand_ids != ids_q[j]
+            in_bucket = (assigned == qb[j]) & not_self
+            col = d2[:, j]
+            for mask in (not_self, in_bucket):
+                idx = np.flatnonzero(mask)
+                if len(idx) == 0:
+                    continue
+                top = idx[np.lexsort((cand_ids[idx], col[idx]))[:k]]
+                out_q.append(np.full(len(top), ids_q[j], np.int64))
+                out_c.append(cand_ids[top])
+                out_d.append(col[top])
+                out_b.append((assigned[top] == qb[j]).astype(np.int64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "cand": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64()),
+                             "in_bucket": pa.array([], pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "cand": pa.array(np.concatenate(out_c)),
+                         "d2": pa.array(np.concatenate(out_d)),
+                         "in_bucket": pa.array(np.concatenate(out_b))})
+
+    def finish(group: dict) -> dict:
+        cand = group["cand"]
+        d2 = group["d2"]
+        inb = group["in_bucket"]
+        # dedup by cand (a cand can arrive from both the exact and the
+        # in-bucket emitter, with identical d2 and flag)
+        _, keep = np.unique(cand, return_index=True)
+        cand, d2, inb = cand[keep], d2[keep], inb[keep]
+        order = np.lexsort((cand, d2))
+        exact = set(cand[order[:k]].tolist())
+        border = order[inb[order] == 1][:k]
+        n_hit = len(exact & set(cand[border].tolist()))
+        qid = group["query_id"][:1].astype(np.int64)
+        return {"query_id": qid,
+                "n_hit": np.array([n_hit], np.int64),
+                "recall_e6": np.array([1_000_000 * n_hit // k], np.int64)}
+
+    merged = (emb_ds.map_batches(candidates, batch_format="pyarrow")
+              .groupby("query_id").map_groups(finish, batch_format="numpy")
+              .to_arrow_refs())
+    tbl = pa.concat_tables([ray.get(r) for r in merged])
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("query_id", "ascending")]))
+    bucket = pa.array(qbuckets, pa.int64())
+    assert tbl.column("query_id").to_pylist() == qids.tolist()
+    return pa.table({"query_id": tbl.column("query_id").cast(pa.int64()),
+                     "bucket": bucket,
+                     "n_hit": tbl.column("n_hit").cast(pa.int64()),
+                     "recall_e6": tbl.column("recall_e6").cast(pa.int64())})

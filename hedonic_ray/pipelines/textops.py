@@ -1187,6 +1187,22 @@ def centroid_classify(sf_dir: str):
                               columns=["vec_id", "embedding", "label"]))
 
 
+def recall_audit(sf_dir: str):
+    """Recall@5 of the single-probe label-centroid bucket ANN vs the
+    exact brute-force top-5, per sampled query
+    (`ops/similarity.ann_recall_audit`)."""
+    import ray.data as rd
+
+    from hedonic_ray.context import configure_context
+    from hedonic_ray.ops.similarity import ann_recall_audit
+
+    configure_context()
+    return ann_recall_audit(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"]),
+        k=5, stride=10)
+
+
 def chunk_plan(sf_dir: str, window: int = 64, stride: int = 48):
     """Per-document sliding-window chunk plan (64-token windows every
     48 tokens) — the RAG-style chunking counterpart of `pack_plan`."""

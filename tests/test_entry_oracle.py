@@ -157,7 +157,7 @@ SQL_CHECKED = sorted([
     "sim_mmr", "dedup_bloom", "graph_critical_path", "sim_kmeans_step",
     # round 5 session 3: CDC merge with tombstones, temperature-
     # resampled source mixture weights
-    "rel_cdc_upsert", "text_mixture_weights",
+    "rel_cdc_upsert", "text_mixture_weights", "sim_recall_audit",
 ])
 
 
