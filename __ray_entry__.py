@@ -1397,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": lg.doc_assortativity_table,
         "graph_common_neighbors": lg.doc_common_neighbors_table,
         "graph_resource_alloc": lg.doc_resource_alloc_table,
+        "graph_adamic_adar": lg.doc_adamic_adar_table,
         "graph_two_hop": lg.doc_two_hop_table,
         "graph_truss": lg.doc_truss_table,
         "graph_walks": lg.doc_walks_table,
@@ -3221,6 +3222,32 @@ ORDER BY community"""),
             LEFT JOIN und ON und.a = ra.a AND und.b = ra.b
             WHERE und.a IS NULL
             ORDER BY ra.ra_e9 DESC, ra.a, ra.b
+            LIMIT 20
+        """,
+        "graph_adamic_adar": f"""
+            -- top-20 NON-adjacent pairs by the Adamic–Adar index,
+            -- exact integer: each common neighbor z scores
+            -- 10^12 // floor(10^6 * ln(deg(z))) (deg(z) >= 2 for any
+            -- wedge center); deterministic ties (aa_e6 desc, a, b)
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            arcs AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT src AS v, count(*) AS d FROM arcs GROUP BY src),
+            aa AS (SELECT x.dst AS a, y.dst AS b,
+                          SUM(1000000000000 //
+                              CAST(FLOOR(1000000 * LN(deg.d)) AS BIGINT))
+                              AS aa_e6
+                   FROM arcs x
+                   JOIN arcs y ON y.src = x.src AND x.dst < y.dst
+                   JOIN deg ON deg.v = x.src
+                   GROUP BY 1, 2)
+            SELECT aa.a, aa.b, CAST(aa.aa_e6 AS BIGINT) AS aa_e6
+            FROM aa
+            LEFT JOIN und ON und.a = aa.a AND und.b = aa.b
+            WHERE und.a IS NULL
+            ORDER BY aa.aa_e6 DESC, aa.a, aa.b
             LIMIT 20
         """,
         "graph_bfs_dist": _bfs_chain_sql(rounds=6, stride=101),

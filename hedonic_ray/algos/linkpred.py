@@ -95,12 +95,17 @@ def _full_segments(bv):
 
 
 def _center_pairs_batch(batch: pa.Table, n_: int, max_degree,
-                        weighted: bool = False) -> pa.Table:
-    """Wedge rows per block.  ``weighted=False`` scores each wedge 1
-    (common-neighbor counting); ``weighted=True`` scores it
-    ``10⁹ // deg(center)`` (resource-allocation index, exact
-    integer — the center's degree is its full segment length, local
-    to the block, so no broadcast is needed)."""
+                        weight: str | None = None) -> pa.Table:
+    """Wedge rows per block.  ``weight=None`` scores each wedge 1
+    (common-neighbor counting); ``weight="ra"`` scores it
+    ``10⁹ // deg(center)`` (resource-allocation index);
+    ``weight="aa"`` scores it ``10¹² // floor(10⁶·ln(deg(center)))``
+    (Adamic–Adar, exact-integer quantized: a wedge center always has
+    degree ≥ 2, so the quantized log is ≥ 693147 and the division is
+    safe; ln of a small-int degree lands far from floor boundaries,
+    so libm-vs-DuckDB last-ulp drift cannot flip it).  The center's
+    degree is its full segment length, local to the block, so no
+    broadcast is needed."""
     from hedonic_ray.algos.triangles import _ordered_pairs
 
     n = np.int64(n_)
@@ -123,9 +128,13 @@ def _center_pairs_batch(batch: pa.Table, n_: int, max_degree,
                 indptr = np.zeros(nv + 1, dtype=np.int64)
                 np.cumsum(cnt, out=indptr[1:])
         wvec = None
-        if weighted:
+        if weight == "ra":
             wvec = np.floor_divide(np.int64(1_000_000_000),
                                    np.maximum(cnt, 1))
+        elif weight == "aa":
+            lnq = np.floor(1e6 * np.log(np.maximum(cnt, 2))) \
+                .astype(np.int64)
+            wvec = np.floor_divide(np.int64(1_000_000_000_000), lnq)
         lo_u = 0
         while lo_u < nv:
             hi_u = lo_u
@@ -136,7 +145,7 @@ def _center_pairs_batch(batch: pa.Table, n_: int, max_degree,
             u, a, b = _ordered_pairs(indptr, srt, lo_u, hi_u)
             if len(a):
                 parts.append(a * n + b)
-                if weighted:
+                if wvec is not None:
                     wparts.append(wvec[u])
             lo_u = hi_u
     if not parts:
@@ -144,7 +153,7 @@ def _center_pairs_batch(batch: pa.Table, n_: int, max_degree,
                          "val": pa.array([], pa.int64())})
     keys = np.concatenate(parts)
     uk, inv = np.unique(keys, return_inverse=True)
-    if weighted:
+    if weight is not None:
         uc = np.zeros(len(uk), np.int64)
         np.add.at(uc, inv, np.concatenate(wparts))
     else:
@@ -162,7 +171,7 @@ def common_neighbors_topk(g, k: int = 20, max_degree=None) -> pa.Table:
     via a vectorized ``searchsorted`` against the broadcast canonical
     edge keys; top-k runs as a per-batch combiner before the ≤
     k·blocks driver merge."""
-    return _pair_score_topk(g, k, max_degree, weighted=False,
+    return _pair_score_topk(g, k, max_degree, weight=None,
                             score_col="common")
 
 
@@ -175,11 +184,23 @@ def resource_allocation_topk(g, k: int = 20, max_degree=None) -> pa.Table:
     :func:`common_neighbors_topk`; the weight is block-local (the
     center's own segment length), so the weighted variant broadcasts
     nothing extra."""
-    return _pair_score_topk(g, k, max_degree, weighted=True,
+    return _pair_score_topk(g, k, max_degree, weight="ra",
                             score_col="ra_e9")
 
 
-def _pair_score_topk(g, k: int, max_degree, weighted: bool,
+def adamic_adar_topk(g, k: int = 20, max_degree=None) -> pa.Table:
+    """Top-k non-adjacent pairs by the ADAMIC–ADAR index (Adamic &
+    Adar 2003) — each common neighbor z contributes ``1/ln(deg(z))``,
+    scored as the exact integer ``Σ 10¹² // floor(10⁶·ln(deg(z)))``
+    so the ranking is float-free and SQL-mirrorable: ``(a, b, aa_e6)``
+    sorted by (aa_e6 desc, a, b).  The log-damped companion of
+    :func:`resource_allocation_topk` (RA damps hubs harder); same
+    single-exchange wedge pipeline, block-local weights."""
+    return _pair_score_topk(g, k, max_degree, weight="aa",
+                            score_col="aa_e6")
+
+
+def _pair_score_topk(g, k: int, max_degree, weight: str | None,
                      score_col: str) -> pa.Table:
     import ray
 
@@ -201,7 +222,7 @@ def _pair_score_topk(g, k: int, max_degree, weighted: bool,
     from ray.data.aggregate import Sum
 
     msgs = g.blocks.map_batches(
-        lambda t: _center_pairs_batch(t, n, max_degree, weighted),
+        lambda t: _center_pairs_batch(t, n, max_degree, weight),
         batch_format="pyarrow", batch_size=1)
     counts = msgs.groupby("key").aggregate(Sum("val", alias_name=score_col))
 

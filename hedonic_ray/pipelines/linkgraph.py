@@ -502,6 +502,16 @@ def doc_resource_alloc_table(sf_dir: str, k: int = 20) -> pa.Table:
     return resource_allocation_topk(doc_graph(sf_dir, directed=False), k=k)
 
 
+def doc_adamic_adar_table(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k non-adjacent pairs by the exact-integer Adamic–Adar index
+    Σ 10¹²//floor(10⁶·ln deg(z)) over common neighbors z (the
+    log-damped link-prediction companion of
+    :func:`doc_resource_alloc_table`)."""
+    from hedonic_ray.algos.linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(doc_graph(sf_dir, directed=False), k=k)
+
+
 def doc_spectrum_table(sf_dir: str) -> pa.Table:
     """Resolution spectrum (hedonic/__init__.py:432-449) with EXACT
     integer satisfaction tests over the grid α = i/10, evaluated on the
