@@ -70,7 +70,7 @@ def _edge_common_counts(g, max_degree):
     canon_ref = ray.put(canon)
 
     msgs = g.blocks.map_batches(
-        lambda t: _center_pairs_batch(t, n, max_degree, False),
+        lambda t: _center_pairs_batch(t, n, max_degree, None),
         batch_format="pyarrow", batch_size=1)
     counts = msgs.groupby("key").aggregate(Sum("val", alias_name="c"))
 
