@@ -1516,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters_cms": tx.cms_heavy_hitters,
         "text_stratified_sample": tx.stratified_sample,
         "text_mixture_weights": tx.mixture_weights,
+        "text_mixture_sample": tx.mixture_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
@@ -1849,6 +1850,31 @@ ORDER BY community"""),
                    CAST((CAST(100000 AS BIGINT) * w.weight_e6) // tot.s
                         AS BIGINT) AS quota
             FROM w CROSS JOIN tot ORDER BY w.source
+        """,
+        "text_mixture_sample": """
+            -- quota-apply mixing: per source, the bottom-quota docs by
+            -- md5(doc_id), quota = 40·w_e6 // Σw_e6 with
+            -- w_e6 = floor(1e6*sqrt(count)) (the mixture_weights
+            -- computation at target 40)
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY source),
+            w AS (SELECT source,
+                         CAST(FLOOR(1e6 * sqrt(CAST(n AS DOUBLE)))
+                              AS BIGINT) AS w
+                  FROM c),
+            tot AS (SELECT CAST(SUM(w) AS BIGINT) AS s FROM w),
+            quota AS (SELECT source,
+                             CAST((CAST(40 AS BIGINT) * w) // tot.s
+                                  AS BIGINT) AS q
+                      FROM w CROSS JOIN tot),
+            r AS (SELECT d.source, d.doc_id, row_number() OVER (
+                      PARTITION BY d.source
+                      ORDER BY md5_number_lower(CAST(d.doc_id AS VARCHAR)),
+                               d.doc_id) AS rn
+                  FROM documents d)
+            SELECT r.source, r.doc_id
+            FROM r JOIN quota ON quota.source = r.source
+            WHERE r.rn <= quota.q ORDER BY r.source, r.doc_id
         """,
         "text_stratified_sample": """
             -- per-language bottom-20 by md5(doc_id): the stratified

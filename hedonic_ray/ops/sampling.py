@@ -148,3 +148,59 @@ def stratified_bottomk_sample(ds, *, id_col: str, stratum_col: str,
 
     return (ds.map_batches(local, batch_format="pyarrow")
             .groupby(stratum_col).map_groups(merge, batch_format="numpy"))
+
+
+def stratified_quota_sample(ds, *, id_col: str, stratum_col: str,
+                            quotas: dict, method: str = "md5"):
+    """QUOTA-APPLY sampling: bottom-``quotas[stratum]`` by id hash
+    within each stratum — the execution half of temperature-resampled
+    source mixing (`pipelines/textops.py:mixture_weights` computes the
+    quotas; this draws them).  Same coordination-free bottom-k algebra
+    as :func:`stratified_bottomk_sample` with a PER-STRATUM k: each
+    task keeps its local per-stratum bottom-quota (the combiner, cut
+    vectorized against the broadcast quota vector), one grouped
+    exchange of ≤ Σ quotas·blocks rows, a per-stratum merge finishes.
+    A stratum smaller than its quota keeps every row; a stratum absent
+    from ``quotas`` contributes nothing.  Returns (stratum, id) rows."""
+    import pyarrow as pa
+    from hedonic_ray.functions.hashing import splitmix64
+
+    def _hash(ids: np.ndarray) -> np.ndarray:
+        if method == "md5":
+            from hedonic_ray.ops.dedup import md5_low64
+
+            return np.fromiter((md5_low64(str(int(i))) for i in ids),
+                               dtype=np.uint64, count=len(ids))
+        if method == "splitmix":
+            return splitmix64(ids.astype(np.uint64))
+        raise ValueError(f"unknown quota sample method {method!r}")
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        strata = np.asarray(t.column(stratum_col)).astype(str)
+        h = _hash(ids)
+        svals, sinv = np.unique(strata, return_inverse=True)
+        q = np.array([int(quotas.get(s, 0)) for s in svals.tolist()],
+                     dtype=np.int64)
+        order = np.lexsort((ids, h, sinv))
+        sel_s = sinv[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], sel_s[1:] != sel_s[:-1]))) if len(sel_s) else \
+            np.array([], int)
+        seg = np.repeat(starts, np.diff(np.append(starts, len(sel_s))))
+        rank = np.arange(len(sel_s)) - seg
+        keep = order[rank < q[sel_s]]
+        return pa.table({stratum_col: pa.array(strata[keep]),
+                         id_col: pa.array(ids[keep], pa.int64()),
+                         "h": pa.array(h[keep].astype(np.uint64))})
+
+    def merge(group: dict) -> dict:
+        h = group["h"]
+        ids = group[id_col]
+        kq = int(quotas.get(str(group[stratum_col][0]), 0))
+        order = np.lexsort((ids, h))[:kq]
+        return {stratum_col: group[stratum_col][order],
+                id_col: ids[order].astype(np.int64)}
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby(stratum_col).map_groups(merge, batch_format="numpy"))

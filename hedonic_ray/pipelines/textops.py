@@ -1055,6 +1055,24 @@ def mixture_weights(sf_dir: str, target: int = 100_000):
                      "quota": pa.array(quota)})
 
 
+def mixture_sample(sf_dir: str, target: int = 40):
+    """The EXECUTION half of temperature-resampled mixing: draw each
+    source's `mixture_weights` quota as the deterministic bottom-quota
+    by md5(doc_id) within the source
+    (`ops/sampling.stratified_quota_sample`).  The sampled rows
+    themselves are the output, so the gate hashes the actual draw.
+    Columns: source, doc_id."""
+    from hedonic_ray.ops.sampling import stratified_quota_sample
+
+    w = mixture_weights(sf_dir, target=target)
+    quotas = dict(zip(w.column("source").to_pylist(),
+                      w.column("quota").to_pylist()))
+    out = stratified_quota_sample(
+        _docs(sf_dir, ["doc_id", "source"]), id_col="doc_id",
+        stratum_col="source", quotas=quotas)
+    return out.sort(["source", "doc_id"])
+
+
 def intake_filter(sf_dir: str):
     """The C4/RefinedWeb-style INTAKE FILTER chain as ONE fused map
     stage — per doc, integer rule flags plus the final keep:
