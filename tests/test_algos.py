@@ -42,6 +42,26 @@ def test_connected_components_exact(gather):
     assert res.converged
 
 
+def test_components_shard_backend_bit_identical():
+    """The resident-shard-state components path (`_ComponentsVecSpec`)
+    is bit-identical to the Dataset backends per the monotone-min
+    argument in its docstring: same labels, iteration count and
+    convergence flag — integer labels, so exact equality, across
+    shard counts including the P=1 no-split path."""
+    n = 180
+    edges = rand_edges(n, 0.012, seed=23)
+    expected = oracles.components_uf(n, edges)
+    for num_parts in (1, 5):
+        g = make_graph(edges, n, num_parts=num_parts)
+        a = connected_components(g, gather="dense")
+        b = connected_components(g, gather="shards")
+        np.testing.assert_array_equal(b.state["component"],
+                                      a.state["component"])
+        np.testing.assert_array_equal(a.state["component"], expected)
+        assert b.iterations == a.iterations
+        assert b.converged and a.converged
+
+
 @pytest.mark.parametrize("gather", ["dense", "shuffle"])
 def test_lp_onepass_matches_oracle(gather):
     n = 30
