@@ -299,6 +299,28 @@ def test_spectral_three_blocks():
     assert oracles.adjusted_rand_index(mem, gt) > 0.9
 
 
+def test_spectral_shard_backend_parity():
+    """The resident-state power iteration (`_SpectralVecSpec`) runs
+    the same arithmetic as the Dataset exchange loop up to float merge
+    ORDER; on well-separated graphs (eigenvector entries bounded away
+    from 0) the sign split — hence the membership — is identical,
+    across shard counts including P=1, and the clique refusal path
+    agrees."""
+    from hedonic_ray.algos.spectral import spectral_communities
+
+    edges = sbm_edges(3, 20, p_in=0.55, multiplier=0.02, seed=15)
+    for num_parts in (1, 4):
+        g = make_graph(edges.tolist(), 60, num_parts=num_parts)
+        a = spectral_communities(g, clusters=4, backend="exchange")
+        b = spectral_communities(g, clusters=4, backend="shards")
+        np.testing.assert_array_equal(a, b)
+    iu = np.triu_indices(12, k=1)
+    clique = make_graph(np.stack(iu, axis=1).tolist(), 12, num_parts=2)
+    np.testing.assert_array_equal(
+        spectral_communities(clique, clusters=4, backend="shards"),
+        np.zeros(12, dtype=np.int64))
+
+
 def test_lp_shards_path_matches_dense(monkeypatch):
     """The LP ShardPool path is normally gated behind 200k vertices —
     lower the gate so the production shard branch is exercised and
