@@ -1351,6 +1351,12 @@ def _nav_earliest_arrival(sf_dir: str):
     return nav_earliest_arrival(sf_dir)
 
 
+def _text_jsonl_io(sf_dir: str):
+    from hedonic_ray.sources.jsonl import jsonl_roundtrip_stats
+
+    return jsonl_roundtrip_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from hedonic_ray.pipelines import linkgraph as lg
     from hedonic_ray.pipelines import textops as tx
@@ -1517,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stratified_sample": tx.stratified_sample,
         "text_mixture_weights": tx.mixture_weights,
         "text_mixture_sample": tx.mixture_sample,
+        "text_jsonl_io": _text_jsonl_io,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
@@ -1875,6 +1882,22 @@ ORDER BY community"""),
             SELECT r.source, r.doc_id
             FROM r JOIN quota ON quota.source = r.source
             WHERE r.rn <= quota.q ORDER BY r.source, r.doc_id
+        """,
+        "text_jsonl_io": """
+            -- JSONL round-trip fidelity: the Ray side converts
+            -- documents.parquet -> JSONL -> reads it back and audits
+            -- per-(lang, source) integer checksums; the oracle
+            -- computes the identical checksums straight off the
+            -- parquet (md5_number_lower == the engine's md5_low64)
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_nchars,
+                   CAST(SUM(md5_number_lower(text)
+                            % CAST(2147483648 AS HUGEINT)) AS BIGINT)
+                       AS text_hash_sum
+            FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "text_stratified_sample": """
             -- per-language bottom-20 by md5(doc_id): the stratified

@@ -158,7 +158,7 @@ SQL_CHECKED = sorted([
     # round 5 session 3: CDC merge with tombstones, temperature-
     # resampled source mixture weights
     "rel_cdc_upsert", "text_mixture_weights", "sim_recall_audit",
-    "graph_adamic_adar", "text_mixture_sample",
+    "graph_adamic_adar", "text_mixture_sample", "text_jsonl_io",
 ])
 
 

@@ -216,3 +216,26 @@ def test_cli_experiment_and_flagship(tmp_path, capsys):
     assert rc == 0
     flag = read_partitioned(out2).to_pandas()
     assert len(flag) == 500 and "coalition" in flag.columns
+
+
+def test_jsonl_roundtrip_bit_exact(tmp_path):
+    """parquet -> JSONL -> read back preserves every row and column
+    value (ids, text bytes, metadata) — the fidelity the text_jsonl_io
+    gate checksums summarize."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from hedonic_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    write_jsonl(ray.data.read_parquet(src, columns=cols),
+                str(tmp_path / "docs"))
+    import pandas as pd
+
+    back = (read_jsonl(str(tmp_path / "docs"), columns=cols)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    orig = (pq.read_table(src, columns=cols)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back[cols], orig[cols])
