@@ -40,7 +40,11 @@ _JSONL_CACHE: dict = {}
 def write_jsonl(ds, root: str) -> str:
     """Write ``ds`` as newline-delimited JSON, one file per block
     under ``root`` (Ray's partitioned layout — a resumable consumer
-    can re-read any subset; never one giant file)."""
+    can re-read any subset; never one giant file).
+
+    The write runs inside Ray tasks, so on a multi-node cluster
+    ``root`` must be shared storage — the same constraint
+    `sources/sinks.py:write_partitioned` documents and asserts."""
     os.makedirs(root, exist_ok=True)
     ds.write_json(root)
     return root
