@@ -1374,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_component_stats": lg.doc_component_stats,
         "graph_scc": lg.doc_scc_table,
         "graph_scc_dag": lg.doc_scc_dag,
+        "graph_bowtie": lg.doc_bowtie,
         "graph_hedonic": lg.doc_hedonic_table,
         "graph_hedonic_strict": lg.doc_hedonic_strict_table,
         "graph_reciprocity_pairs": lg.doc_reciprocity,
@@ -4120,6 +4121,37 @@ ORDER BY community"""),
                    JOIN comp c2 ON c2.v = e.dst
             WHERE c1.scc <> c2.scc
             ORDER BY src_scc, dst_scc
+        """,
+        "graph_bowtie": f"""
+            -- Broder bow-tie: classify each vertex against the giant
+            -- SCC (largest, ties -> lowest label): core / in (reaches
+            -- it) / out (reachable from it) / other
+            WITH RECURSIVE {_LINKS_CTE},
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, e.dst FROM reach r JOIN e ON e.src = r.u
+            ),
+            comp AS MATERIALIZED (
+                SELECT a.v, min(a.u) AS scc
+                FROM reach a JOIN reach b ON b.v = a.u AND b.u = a.v
+                GROUP BY a.v),
+            giant AS (SELECT scc FROM comp GROUP BY scc
+                      ORDER BY count(*) DESC, scc ASC LIMIT 1),
+            core AS MATERIALIZED (
+                SELECT comp.v FROM comp, giant WHERE comp.scc = giant.scc),
+            fwd AS MATERIALIZED (
+                SELECT DISTINCT r.u AS v
+                FROM reach r JOIN core c ON c.v = r.v),
+            bwd AS MATERIALIZED (
+                SELECT DISTINCT r.v AS v
+                FROM reach r JOIN core c ON c.v = r.u)
+            SELECT d.doc_id AS vertex,
+                   CASE WHEN d.doc_id IN (SELECT v FROM core) THEN 'core'
+                        WHEN d.doc_id IN (SELECT v FROM bwd) THEN 'in'
+                        WHEN d.doc_id IN (SELECT v FROM fwd) THEN 'out'
+                        ELSE 'other' END AS cls
+            FROM documents d ORDER BY vertex
         """,
         "graph_component_stats": f"""
             -- per-component vertex/edge counts + integer density

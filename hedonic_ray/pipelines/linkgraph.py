@@ -690,6 +690,54 @@ def doc_scc_dag(sf_dir: str, scc: pa.Table | None = None) -> pa.Table:
             .sort(["src_scc", "dst_scc"]))
 
 
+def doc_bowtie(sf_dir: str) -> pa.Table:
+    """BOW-TIE decomposition of the directed doc-link graph (Broder
+    et al. 2000, "Graph structure in the web" — THE macroscopic
+    web-graph analysis): every vertex classifies against the GIANT
+    strongly connected component (largest; ties → lowest label) as
+    ``core`` (inside it), ``in`` (reaches it), ``out`` (reachable
+    from it), ``other`` (tendrils/tubes/disconnected).
+
+    Shape: one SCC superstep run (shared with graph_scc via the
+    pipeline), then two frontier reachability closures — per round ONE
+    `masked_neighbor_count` pull over the forward / reversed CSR
+    blocks against the broadcast frontier (the BFS posture: O(rounds·m)
+    distributed work, V-sized driver vectors).  Both closures run to
+    the empty-frontier FIXED POINT, which the recursive-CTE oracle
+    shares by construction — no round-cap pairing to keep in sync
+    (the graph_mst lesson).  Forward reachability pulls over the
+    REVERSED rows (v joins when a forward in-neighbor is reached) and
+    dually for backward.  Columns: vertex, cls."""
+    import ray
+
+    from hedonic_ray.algos.kcore import masked_neighbor_count
+
+    scc_t = doc_scc_table(sf_dir)   # also builds + caches g_fwd / g_bwd
+    scc = scc_t.column("scc").to_numpy().astype(np.int64)
+    g_fwd = doc_graph(sf_dir, directed=True)
+    g_bwd = _GRAPH_CACHE[(sf_dir, "bwd")]
+    labs, cnts = np.unique(scc, return_counts=True)
+    giant = int(labs[np.lexsort((labs, -cnts))[0]])
+    core = scc == giant
+
+    def closure(g, seeds: np.ndarray) -> np.ndarray:
+        reached = seeds.copy()
+        frontier = seeds.copy()
+        while frontier.any():
+            cnt = masked_neighbor_count(g, ray.put(frontier))
+            frontier = (cnt > 0) & ~reached
+            reached |= frontier
+        return reached
+
+    out_r = closure(g_bwd, core)    # reachable FROM the core
+    in_r = closure(g_fwd, core)     # reaches the core
+    cls = np.where(core, "core",
+                   np.where(in_r, "in",
+                            np.where(out_r, "out", "other")))
+    return pa.table({"vertex": pa.array(np.arange(g_fwd.n), pa.int64()),
+                     "cls": pa.array(cls.astype(object), pa.string())})
+
+
 def doc_critical_path(sf_dir: str, rounds: int = 6) -> pa.Table:
     """TOPOLOGICAL DEPTH (radius-capped longest incoming path) per
     SCC of the doc graph's condensation DAG — the schedule level every
