@@ -1451,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_ema": rel.user_ema,
         "rel_autocorr": rel.daily_revenue_autocorr,
         "rel_q3_shipping": rel.top_unshipped_orders,
+        "rel_q5_local_volume": rel.local_supplier_volume,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
         "rel_pivot": rel.event_type_pivot,
@@ -3717,6 +3718,29 @@ ORDER BY community"""),
             FROM l JOIN o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "rel_q5_local_volume": """
+            -- TPC-H Q5 shape: revenue where customer and supplier sit
+            -- in the SAME nation, per (region, nation), orders in
+            -- [1995-01-01, 1998-01-01); exact e4 revenue units
+            SELECT r.r_name, n.n_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(ROUND(l.l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer c, orders o, lineitem l, supplier s,
+                 nation n, region r
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND o.o_orderdate >= DATE '1995-01-01'
+              AND o.o_orderdate < DATE '1998-01-01'
+            GROUP BY r.r_name, n.n_name
+            ORDER BY revenue_e4 DESC, n.n_name
         """,
         "rel_autocorr": """
             -- lag-1 autocorrelation of daily order revenue: exact

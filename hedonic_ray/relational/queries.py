@@ -2182,6 +2182,110 @@ def top_unshipped_orders(sf_dir: str, *, segment: str = "BUILDING",
                                pa.int64())})
 
 
+def local_supplier_volume(sf_dir: str, *, day_lo: int = 9131,
+                          day_hi: int = 10227, num_partitions: int = 8):
+    """TPC-H Q5 SHAPE — the classic 6-table join: revenue where the
+    CUSTOMER and the SUPPLIER sit in the SAME nation, per (region,
+    nation), for orders placed in [1995-01-01, 1998-01-01) (epoch
+    days 9131 ≤ d < 10227).  Revenue in exact e4 units:
+    Σ cents(extprice) · (100 − pct(discount)).
+
+    Shape: nation⋈region resolve driver-side (25 rows); the SUPPLIER
+    and CUSTOMER key→nationkey maps broadcast once (`ray.put` sorted
+    arrays + one searchsorted per batch — the Q3 dimension posture;
+    TPC-H dimensions stay small relative to the facts at every SF);
+    ORDERS (date-filtered, customer-nation attached) ⋈ LINEITEM
+    (supplier-nation + revenue attached) is the hash-partitioned
+    fact-fact join; the same-nation filter and a per-batch grouped
+    partial run inside the join output before ONE small
+    groupby(nation) exchange.  Columns: r_name, n_name, revenue_e4
+    sorted by (revenue_e4 desc, n_name)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nat = _collect_columns(_read(sf_dir, "nation",
+                                 ["n_nationkey", "n_name", "n_regionkey"]),
+                           ["n_nationkey", "n_name", "n_regionkey"])
+    reg = _collect_columns(_read(sf_dir, "region",
+                                 ["r_regionkey", "r_name"]),
+                           ["r_regionkey", "r_name"])
+    rname_by_key = dict(zip(reg["r_regionkey"].astype(np.int64),
+                            reg["r_name"]))
+    n_keys = nat["n_nationkey"].astype(np.int64)
+    n_name = dict(zip(n_keys, nat["n_name"]))
+    n_region = dict(zip(n_keys, nat["n_regionkey"].astype(np.int64)))
+
+    def key_map(table: str, key: str, val: str):
+        cols = _collect_columns(_read(sf_dir, table, [key, val]),
+                                [key, val])
+        order = np.argsort(cols[key].astype(np.int64))
+        return (cols[key].astype(np.int64)[order],
+                cols[val].astype(np.int64)[order])
+
+    sup_ref = ray.put(key_map("supplier", "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(key_map("customer", "c_custkey", "c_nationkey"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        ck_keys, ck_nat = ray.get(cust_ref)
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        m = (day >= day_lo) & (day < day_hi)
+        ck = t.column("o_custkey").to_numpy()[m]
+        i = np.searchsorted(ck_keys, ck)
+        assert len(ck) == 0 or (ck_keys[i] == ck).all(), \
+            "orders reference a missing customer key"
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").filter(pa.array(m)),
+            "c_nat": pa.array(ck_nat[i], pa.int64())})
+
+    of = orders.map_batches(ofilter, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        sk_keys, sk_nat = ray.get(sup_ref)
+        sk = t.column("l_suppkey").to_numpy()
+        i = np.searchsorted(sk_keys, sk)
+        assert len(sk) == 0 or (sk_keys[i] == sk).all(), \
+            "lineitems reference a missing supplier key"
+        cents = np.rint(t.column("l_extendedprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        pct = np.rint(t.column("l_discount").to_numpy()
+                      * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "s_nat": pa.array(sk_nat[i], pa.int64()),
+                         "rev": pa.array(cents * (100 - pct))})
+
+    lf = li.map_batches(lmap, batch_format="pyarrow")
+    j = lf.join(of, "inner", num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("c_nat"), t.column("s_nat"))
+        g = t.filter(m).select(["s_nat", "rev"])
+        return (g.group_by(["s_nat"]).aggregate([("rev", "sum")])
+                .rename_columns(["s_nat", "rev"]))
+
+    rows = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("s_nat").aggregate(Sum("rev", alias_name="revenue_e4"))
+            .take_all())
+    names = np.array([str(n_name[int(r["s_nat"])]) for r in rows])
+    regions = np.array([str(rname_by_key[n_region[int(r["s_nat"])]])
+                        for r in rows])
+    rev = np.array([int(r["revenue_e4"]) for r in rows], dtype=np.int64)
+    order = np.lexsort((names, -rev))
+    return pa.table({
+        "r_name": pa.array(regions[order] if len(rows) else [],
+                           pa.string()),
+        "n_name": pa.array(names[order] if len(rows) else [], pa.string()),
+        "revenue_e4": pa.array(rev[order], pa.int64())})
+
+
 def event_validity_intervals(sf_dir: str):
     """SCD-TYPE-2 INTERVAL RECONSTRUCTION from the event stream — the
     CDC-compaction complement of `latest_event_per_type`: per
