@@ -1548,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
+        "multimodal_tiles": tx.multimodal_tiles,
         "sim_mmr": tx.mmr_diversified,
         "dedup_bloom": tx.bloom_audit,
         "graph_critical_path": lg.doc_critical_path,
@@ -4451,6 +4452,28 @@ ORDER BY community"""),
                    CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8
                              ELSE 1 END AS BIGINT) AS frames
             FROM documents
+        """,
+        "multimodal_tiles": """
+            -- ViT-patch tile grid over each blob's (w, h), 16x16
+            -- non-overlapping with edge remainders; geometry is the
+            -- fake codec's doc_id arithmetic
+            WITH docs AS (SELECT doc_id,
+                                 CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS w,
+                                 CAST(16 + (doc_id * 13) % 48 AS BIGINT) AS h
+                          FROM documents),
+            xs AS (SELECT doc_id, w, h,
+                          unnest(range(0, CAST((w + 15) // 16 AS BIGINT)))
+                              AS tx
+                   FROM docs),
+            tiles AS (SELECT doc_id, w, h, tx,
+                             unnest(range(0, CAST((h + 15) // 16
+                                                  AS BIGINT))) AS ty
+                      FROM xs)
+            SELECT doc_id, CAST(tx AS BIGINT) AS tile_x,
+                   CAST(ty AS BIGINT) AS tile_y,
+                   CAST(LEAST(16, w - tx * 16) AS BIGINT) AS tile_w,
+                   CAST(LEAST(16, h - ty * 16) AS BIGINT) AS tile_h
+            FROM tiles ORDER BY doc_id, tile_x, tile_y
         """,
         "multimodal_resize": """
             WITH geom AS (

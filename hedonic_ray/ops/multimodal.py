@@ -207,6 +207,55 @@ def resize_media(media_ds, target: int = 32):
                                 concurrency=actor_pool())
 
 
+def tile_plan(media_ds, tile: int = 16):
+    """ViT-style PATCH-GRID plan per media blob: the non-overlapping
+    ``tile``×``tile`` grid over each decoded (width, height) with edge
+    remainders — one row per tile ``(doc_id, tile_x, tile_y, tile_w,
+    tile_h)``, the unit of work every vision-transformer / OCR / SAM
+    preprocessing pipeline fans out over.
+
+    Vectorized fan-out per batch: geometry from the same header parse
+    the decode stage uses, tile coordinates by one ``repeat`` + one
+    modular ``arange`` (x-major within a blob) — no Python loop.  The
+    plan composes BEFORE any pixel decode, so at 100 TB the expensive
+    codec stage can be scheduled per tile row instead of per image."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "tile_x": pa.array([], pa.int64()),
+                          "tile_y": pa.array([], pa.int64()),
+                          "tile_w": pa.array([], pa.int64()),
+                          "tile_h": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        _, _, ok, _kind, w, h, _f = _parse_fake_headers(
+            batch.column("payload"))
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)[ok]
+        w, h = w[ok], h[ok]
+        nx = -(-w // tile)
+        ny = -(-h // tile)
+        cnt = nx * ny
+        tot = int(cnt.sum())
+        if tot == 0:
+            return empty
+        base = np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        k = np.arange(tot, dtype=np.int64) - base
+        rny = np.repeat(ny, cnt)
+        tx = k // rny
+        ty = k % rny
+        rw = np.repeat(w, cnt)
+        rh = np.repeat(h, cnt)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, cnt)),
+            "tile_x": pa.array(tx),
+            "tile_y": pa.array(ty),
+            "tile_w": pa.array(np.minimum(tile, rw - tx * tile)),
+            "tile_h": pa.array(np.minimum(tile, rh - ty * tile)),
+        })
+
+    return media_ds.map_batches(f, batch_format="pyarrow")
+
+
 def frame_sample(media_ds, every: int = 2):
     """Video frame-sampling plumbing: one output row per sampled frame
     index (flat map over decoded video rows)."""

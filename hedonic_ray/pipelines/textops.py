@@ -342,6 +342,17 @@ def multimodal_frames(sf_dir: str):
     return mm.frame_sample(media).sort(["doc_id", "frame"])
 
 
+def multimodal_tiles(sf_dir: str, tile: int = 16):
+    """ViT-patch tile-grid plan over the synthetic media — the tile
+    geometry is pure doc_id arithmetic, SQL-oracle-checked."""
+    import ray.data as rd
+
+    configure_context()
+    media = rd.from_arrow(mm.synth_media_table(_n_docs(sf_dir)))
+    return mm.tile_plan(media, tile=tile).sort(
+        ["doc_id", "tile_x", "tile_y"])
+
+
 def repetition_signals(sf_dir: str):
     """(doc_id, n_lines, dup_line_frac_e9, top_bigram_frac_e9) —
     Gopher-style repetition quality signals (duplicate-line fraction,

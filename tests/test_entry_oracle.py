@@ -159,7 +159,7 @@ SQL_CHECKED = sorted([
     # resampled source mixture weights
     "rel_cdc_upsert", "text_mixture_weights", "sim_recall_audit",
     "graph_adamic_adar", "text_mixture_sample", "text_jsonl_io",
-    "graph_bowtie", "rel_q5_local_volume",
+    "graph_bowtie", "rel_q5_local_volume", "multimodal_tiles",
 ])
 
 
