@@ -1413,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": lg.doc_diameter,
         "graph_earliest_arrival": _nav_earliest_arrival,
         "graph_extract_anchors": lg.doc_anchor_text,
+        "graph_anchor_profile": lg.doc_anchor_profile,
         "graph_modularity": lg.doc_modularity,
         "graph_degree_hist": lg.doc_degree_hist,
         "graph_neighbor_degree": lg.doc_neighbor_degree,
@@ -3333,6 +3334,26 @@ ORDER BY community"""),
             FROM documents d, range(4) t(j)
             WHERE t.j <= d.doc_id % 4
             ORDER BY d.doc_id, pos
+        """,
+        "graph_anchor_profile": """
+            -- per-target anchor index: inlink counts (duplicates
+            -- kept), distinct sources, self-links, min source — the
+            -- engine aggregates the REAL HTML parse, the oracle the
+            -- planted-link arithmetic
+            WITH a AS (
+                SELECT d.doc_id AS src,
+                       CAST((d.doc_id * 2654435761 + t.j * 40503)
+                            % (SELECT count(*) FROM documents)
+                            AS BIGINT) AS dst
+                FROM documents d, range(4) t(j)
+                WHERE t.j <= d.doc_id % 4)
+            SELECT dst,
+                   CAST(count(*) AS BIGINT) AS n_anchors,
+                   CAST(count(DISTINCT src) AS BIGINT) AS n_src_docs,
+                   CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_self,
+                   CAST(min(src) AS BIGINT) AS first_src
+            FROM a GROUP BY dst ORDER BY dst
         """,
         "graph_reciprocity": """
             -- nav click-graph: arcs between consecutive per-user events

@@ -917,6 +917,75 @@ def doc_anchor_text(sf_dir: str) -> pa.Table:
     return pa.concat_tables(batches).combine_chunks()
 
 
+def doc_anchor_profile(sf_dir: str) -> pa.Table:
+    """PER-TARGET anchor profile — the aggregation a web-scale anchor
+    index runs over a parsed crawl (anchor text / inlink counts are
+    the classic target-page ranking + LLM-pretraining signal): for
+    every link TARGET, (n_anchors incl. duplicates, n_src_docs
+    distinct sources, n_self self-links, first_src = min source id),
+    computed from the REAL HTML byte parse (the `doc_anchor_text`
+    extractor), while the SQL oracle reconstructs the same aggregates
+    from the planted-link arithmetic.
+
+    Shape: actor-pool parse → per-batch (dst, src) partial combine →
+    ONE groupby(dst, src) exchange (dedups sources while keeping the
+    duplicate count) → per-batch dst partial → one small groupby(dst)
+    exchange.  Columns: dst, n_anchors, n_src_docs, n_self,
+    first_src, sorted by dst."""
+    from ray.data.aggregate import Min, Sum
+
+    from hedonic_ray.functions.extract import AnchorExtract
+
+    pages = doc_pages(sf_dir)
+    anchors = pages.map_batches(AnchorExtract(), batch_format="pyarrow",
+                                batch_size=2048)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"dst": t.column("dst"), "src": t.column("doc_id")})
+        return (g.group_by(["dst", "src"]).aggregate([("src", "count")])
+                .rename_columns(["dst", "src", "cnt"]))
+
+    pairs = (anchors.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["dst", "src"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    def dst_partial(t: pa.Table) -> pa.Table:
+        dst = t.column("dst").to_numpy().astype(np.int64)
+        src = t.column("src").to_numpy().astype(np.int64)
+        cnt = t.column("cnt").to_numpy().astype(np.int64)
+        order = np.argsort(dst, kind="stable")
+        d, s, c = dst[order], src[order], cnt[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], d[1:] != d[:-1]]))
+        return pa.table({
+            "dst": pa.array(d[starts], pa.int64()),
+            "n_anchors": pa.array(np.add.reduceat(c, starts), pa.int64()),
+            "n_src_docs": pa.array(
+                np.add.reduceat(np.ones(len(d), np.int64), starts),
+                pa.int64()),
+            "n_self": pa.array(
+                np.add.reduceat(np.where(s == d, c, 0), starts),
+                pa.int64()),
+            "first_src": pa.array(np.minimum.reduceat(s, starts),
+                                  pa.int64())})
+
+    agg = (pairs.map_batches(dst_partial, batch_format="pyarrow")
+           .groupby("dst")
+           .aggregate(Sum("n_anchors", alias_name="n_anchors"),
+                      Sum("n_src_docs", alias_name="n_src_docs"),
+                      Sum("n_self", alias_name="n_self"),
+                      Min("first_src", alias_name="first_src")))
+    rows = agg.sort("dst").take_all()
+    return pa.table({
+        "dst": pa.array([int(r["dst"]) for r in rows], pa.int64()),
+        "n_anchors": pa.array([int(r["n_anchors"]) for r in rows],
+                              pa.int64()),
+        "n_src_docs": pa.array([int(r["n_src_docs"]) for r in rows],
+                               pa.int64()),
+        "n_self": pa.array([int(r["n_self"]) for r in rows], pa.int64()),
+        "first_src": pa.array([int(r["first_src"]) for r in rows],
+                              pa.int64())})
+
+
 def doc_sssp(sf_dir: str, *, seed: int = 1, rounds: int = 6) -> pa.Table:
     """WEIGHTED SINGLE-SOURCE SHORTEST PATHS over the directed doc
     graph (Bellman-Ford supersteps, `algos/sssp.py`): exact integer

@@ -160,6 +160,7 @@ SQL_CHECKED = sorted([
     "rel_cdc_upsert", "text_mixture_weights", "sim_recall_audit",
     "graph_adamic_adar", "text_mixture_sample", "text_jsonl_io",
     "graph_bowtie", "rel_q5_local_volume", "multimodal_tiles",
+    "graph_anchor_profile",
 ])
 
 
