@@ -1527,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_mixture_weights": tx.mixture_weights,
         "text_mixture_sample": tx.mixture_sample,
         "text_jsonl_io": _text_jsonl_io,
+        "text_bpe": tx.bpe_merges,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
@@ -1685,6 +1686,56 @@ def _kmeans_step_sql(n_clusters: int = 4, scale: int = 100000) -> str:
         GROUP BY a.c, q.j
         ORDER BY cluster, dim
     """
+
+
+def _bpe_chain_sql(rounds: int = 3) -> str:
+    """Unrolled BPE merge-learning chain (Sennrich 2016): per round,
+    weighted adjacent-symbol-pair counts over the distinct-word table
+    (position self-join idiom), argmax pair (count desc, pair asc),
+    merge applied as the SAME two-pass space-delimited `replace` the
+    engine uses (`ops/bpe.py` module docstring: pass-1 skips are never
+    adjacent, so two passes are exact; DuckDB `replace` and Arrow
+    `replace_substring` agree byte-for-byte — tested)."""
+    parts = [r"""
+WITH words AS (
+    SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+w0 AS MATERIALIZED (
+    SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+           array_to_string(string_split(w, ''), ' ') AS s
+    FROM words GROUP BY w
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+x{r} AS MATERIALIZED (
+    SELECT term, tf, unnest(string_split(s, ' ')) AS sym,
+           generate_subscripts(string_split(s, ' '), 1) AS i
+    FROM w{r - 1}
+),
+b{r} AS MATERIALIZED (
+    SELECT a.sym AS l, b.sym AS r2, CAST(SUM(a.tf) AS BIGINT) AS c
+    FROM x{r} a JOIN x{r} b ON b.term = a.term AND b.i = a.i + 1
+    GROUP BY 1, 2 ORDER BY c DESC, l, r2 LIMIT 1
+),
+w{r} AS MATERIALIZED (
+    SELECT term, tf,
+           trim(replace(replace(' ' || w.s || ' ',
+                ' ' || b.l || ' ' || b.r2 || ' ',
+                ' ' || b.l || b.r2 || ' '),
+                ' ' || b.l || ' ' || b.r2 || ' ',
+                ' ' || b.l || b.r2 || ' ')) AS s
+    FROM w{r - 1} w, b{r} b
+)""")
+    selects = [f"""
+SELECT {r} AS merge_round, b.l AS left_sym, b.r2 AS right_sym,
+       b.c AS pair_count,
+       (SELECT CAST(SUM(tf * (length(s) - length(replace(s, ' ', ''))
+                              + 1)) AS BIGINT)
+        FROM w{r}) AS corpus_len
+FROM b{r} b""" for r in range(1, rounds + 1)]
+    return ("".join(parts) + "\nSELECT * FROM ("
+            + " UNION ALL ".join(selects)
+            + ") ORDER BY merge_round")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1887,6 +1938,7 @@ ORDER BY community"""),
             FROM r JOIN quota ON quota.source = r.source
             WHERE r.rn <= quota.q ORDER BY r.source, r.doc_id
         """,
+        "text_bpe": _bpe_chain_sql(rounds=3),
         "text_jsonl_io": """
             -- JSONL round-trip fidelity: the Ray side converts
             -- documents.parquet -> JSONL -> reads it back and audits

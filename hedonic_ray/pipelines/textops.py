@@ -1315,3 +1315,13 @@ def vocab_growth(sf_dir: str, bucket: int = 1):
     per-doc grid is the discriminating one)."""
     return ts.vocab_growth(_docs(sf_dir, ["doc_id", "text"]),
                            bucket=bucket)
+
+
+def bpe_merges(sf_dir: str, rounds: int = 3) -> pa.Table:
+    """BPE tokenizer-training merge table: the first ``rounds`` learned
+    merges with their exact weighted pair counts and the corpus token
+    length after each merge (`ops/bpe.py`)."""
+    from hedonic_ray.ops.bpe import bpe_train_rounds
+
+    return bpe_train_rounds(_docs(sf_dir, ["doc_id", "text"]),
+                            rounds=rounds)
