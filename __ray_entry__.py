@@ -1403,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edge_jaccard": lg.doc_edge_jaccard_table,
         "graph_assortativity": lg.doc_assortativity_table,
         "graph_common_neighbors": lg.doc_common_neighbors_table,
+        "graph_cocitation": lg.doc_cocitation,
         "graph_resource_alloc": lg.doc_resource_alloc_table,
         "graph_adamic_adar": lg.doc_adamic_adar_table,
         "graph_two_hop": lg.doc_two_hop_table,
@@ -3328,6 +3329,27 @@ ORDER BY community"""),
             WHERE und.a IS NULL
             ORDER BY ra.ra_e9 DESC, ra.a, ra.b
             LIMIT 20
+        """,
+        "graph_cocitation": f"""
+            -- co-citation (pages linking to both) and bibliographic
+            -- coupling (pages both link to) top-20 pairs on the
+            -- DIRECTED deduped doc graph; ties -> (cnt desc, a, b)
+            WITH {_LINKS_CTE},
+            cocite AS (SELECT x.dst AS a, y.dst AS b,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM e x JOIN e y
+                         ON y.src = x.src AND x.dst < y.dst
+                       GROUP BY 1, 2),
+            couple AS (SELECT x.src AS a, y.src AS b,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM e x JOIN e y
+                         ON y.dst = x.dst AND x.src < y.src
+                       GROUP BY 1, 2),
+            tc AS (SELECT 'cocite' AS kind, a, b, cnt FROM cocite
+                   ORDER BY cnt DESC, a, b LIMIT 20),
+            tp AS (SELECT 'couple' AS kind, a, b, cnt FROM couple
+                   ORDER BY cnt DESC, a, b LIMIT 20)
+            SELECT * FROM tc UNION ALL SELECT * FROM tp
         """,
         "graph_adamic_adar": f"""
             -- top-20 NON-adjacent pairs by the Adamic–Adar index,

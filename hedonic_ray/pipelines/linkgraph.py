@@ -653,6 +653,48 @@ def doc_two_hop_table(sf_dir: str) -> pa.Table:
     return two_hop_counts(doc_graph(sf_dir, directed=False))
 
 
+def doc_graph_reversed(sf_dir: str):
+    """The TRANSPOSED directed doc graph (session-cached like
+    :func:`doc_graph`): reuses the materialized edge table, swaps the
+    endpoint columns in one map, rebuilds CSR — the in-adjacency view
+    that bibliographic coupling (and any pull-style kernel) needs."""
+    from hedonic_ray.context import session_scoped
+
+    session_scoped(_GRAPH_CACHE)
+    key = (sf_dir, "rev")
+    if key not in _GRAPH_CACHE:
+        edges = doc_edges_cached(sf_dir)
+        _e, _urls, n = _GRAPH_CACHE[(sf_dir, "edges")]
+
+        def swap(t: pa.Table) -> pa.Table:
+            return pa.table({"src": t.column("dst"),
+                             "dst": t.column("src")})
+
+        rev = edges.map_batches(swap, batch_format="pyarrow")
+        _GRAPH_CACHE[key] = build_link_graph(rev, n, directed=True)
+    return _GRAPH_CACHE[key]
+
+
+def doc_cocitation(sf_dir: str, k: int = 20) -> pa.Table:
+    """Co-citation AND bibliographic coupling top-k on the directed doc
+    graph: rows ``(kind, a, b, cnt)`` — kind='cocite' pairs ranked by
+    the number of pages linking to both, kind='couple' pairs ranked by
+    the number of pages both link to (the transpose wedge; Small 1973
+    / Kessler 1963 — the classic citation-graph relatedness signals a
+    web-scale link engine serves).  Each side is the single-exchange
+    directed wedge pipeline (`algos/linkpred.py:directed_wedge_topk`);
+    the coupling side runs on the cached transposed CSR."""
+    from hedonic_ray.algos.linkpred import directed_wedge_topk
+
+    co = directed_wedge_topk(doc_graph(sf_dir, directed=True), k=k)
+    cp = directed_wedge_topk(doc_graph_reversed(sf_dir), k=k)
+    kind = pa.array(["cocite"] * co.num_rows + ["couple"] * cp.num_rows,
+                    pa.string())
+    both = pa.concat_tables([co, cp])
+    return pa.table({"kind": kind, "a": both.column("a"),
+                     "b": both.column("b"), "cnt": both.column("cnt")})
+
+
 def doc_truss_table(sf_dir: str, k: int = 3, rounds: int = 6) -> pa.Table:
     """k-truss membership flag per canonical edge of the doc graph."""
     from hedonic_ray.algos.truss import ktruss_edges

@@ -161,6 +161,9 @@ SQL_CHECKED = sorted([
     "graph_adamic_adar", "text_mixture_sample", "text_jsonl_io",
     "graph_bowtie", "rel_q5_local_volume", "multimodal_tiles",
     "graph_anchor_profile",
+    # round 5 session 6: BPE tokenizer-training merges, co-citation /
+    # bibliographic coupling
+    "text_bpe", "graph_cocitation",
 ])
 
 
