@@ -110,6 +110,62 @@ FROM r{iters}""")
     return "".join(parts)
 
 
+def _trustrank_chain_sql(iters: int = 5, damping: float = 0.85,
+                         stride: int = 97) -> str:
+    """TrustRank spam-mass oracle: the PageRank chain AND the
+    seed-set PPR chain side by side over one MATERIALIZED edge CTE,
+    then ``spam_mass_e6`` as truncating integer division of the two
+    ×1e9 half-up-rounded ranks (sign split: DuckDB ``//`` truncates
+    toward zero, matching the engine's sign·(abs//d) form)."""
+    parts = [f"""WITH {_LINKS_CTE},
+em AS MATERIALIZED (SELECT src, dst FROM e),
+nn AS (SELECT count(*) AS n FROM documents),
+ns AS (SELECT count(*) AS s FROM documents WHERE doc_id % {stride} = 0),
+sd AS (SELECT d.doc_id AS v,
+              CASE WHEN d.doc_id % {stride} = 0
+                   THEN 1.0 / ns.s ELSE 0.0 END AS pv
+       FROM documents d CROSS JOIN ns),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS d FROM em GROUP BY src),
+pr0 AS (SELECT d.doc_id AS v, 1.0 / nn.n AS r
+        FROM documents d CROSS JOIN nn),
+tr0 AS (SELECT v, pv AS r FROM sd)"""]
+    for i in range(iters):
+        parts.append(f""",
+pdang{i} AS (SELECT COALESCE(sum(r), 0) AS s FROM pr{i}
+             WHERE NOT EXISTS (SELECT 1 FROM em WHERE em.src = pr{i}.v)),
+pc{i} AS (SELECT em.dst AS v, sum(pr{i}.r / outdeg.d) AS c
+          FROM em JOIN pr{i} ON pr{i}.v = em.src
+          JOIN outdeg ON outdeg.src = em.src GROUP BY em.dst),
+pr{i + 1} AS MATERIALIZED (SELECT d.doc_id AS v,
+             (1 - {damping}) / nn.n
+             + {damping} * (COALESCE(pc{i}.c, 0) + pdang{i}.s / nn.n) AS r
+             FROM documents d CROSS JOIN nn CROSS JOIN pdang{i}
+             LEFT JOIN pc{i} ON pc{i}.v = d.doc_id),
+tdang{i} AS (SELECT COALESCE(sum(r), 0) AS s FROM tr{i}
+             WHERE NOT EXISTS (SELECT 1 FROM em WHERE em.src = tr{i}.v)),
+tc{i} AS (SELECT em.dst AS v, sum(tr{i}.r / outdeg.d) AS c
+          FROM em JOIN tr{i} ON tr{i}.v = em.src
+          JOIN outdeg ON outdeg.src = em.src GROUP BY em.dst),
+tr{i + 1} AS MATERIALIZED (SELECT sd.v,
+             CAST({(1.0 - damping)!r} AS DOUBLE) * sd.pv
+             + {damping} * (COALESCE(tc{i}.c, 0) + tdang{i}.s * sd.pv) AS r
+             FROM sd CROSS JOIN tdang{i}
+             LEFT JOIN tc{i} ON tc{i}.v = sd.v)""")
+    parts.append(f""",
+fin AS (SELECT p.v,
+               CAST(FLOOR(t.r * 1e9 + 0.5) AS BIGINT) AS tr_e9,
+               CAST(FLOOR(p.r * 1e9 + 0.5) AS BIGINT) AS pr_e9
+        FROM pr{iters} p JOIN tr{iters} t ON t.v = p.v)
+SELECT v AS vertex, tr_e9, pr_e9,
+       CAST(CASE WHEN pr_e9 <= 0 THEN 0
+            WHEN pr_e9 - tr_e9 >= 0
+                 THEN (pr_e9 - tr_e9) * 1000000 // pr_e9
+            ELSE -((tr_e9 - pr_e9) * 1000000 // pr_e9)
+       END AS BIGINT) AS spam_mass_e6
+FROM fin""")
+    return "".join(parts)
+
+
 def _nav_wpr_chain_sql(iters: int = 3, damping: float = 0.85) -> str:
     """Fixed-iteration WEIGHTED PageRank over the nav click graph
     (contribution r·w/W, uniform dangling) as chained CTEs; mirrors
@@ -1370,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_onestep": lambda sf: lg.doc_pagerank_table(sf, max_iters=1),
         "graph_pagerank_full": lg.doc_pagerank_full,
         "graph_ppr": lg.doc_ppr_table,
+        "graph_trustrank": lg.doc_trustrank,
         "graph_components": lg.doc_components_table,
         "graph_component_stats": lg.doc_component_stats,
         "graph_scc": lg.doc_scc_table,
@@ -1749,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_extract_edges": f"WITH {_LINKS_CTE} SELECT src, dst FROM e",
         "graph_pagerank_full": _pagerank_chain_sql(iters=5),
         "graph_ppr": _ppr_chain_sql(iters=5, stride=101),
+        "graph_trustrank": _trustrank_chain_sql(iters=5, stride=97),
         "graph_hedonic_2pass": _hedonic_chain_sql(iters=2),
         "graph_contract": (
             f"WITH {_LINKS_CTE},\n{_ARCS_CTE},\n"

@@ -408,6 +408,38 @@ def doc_ppr_table(sf_dir: str, *, iters: int = 5,
                      "rank_e9": pa.array(rank_e9, pa.int64())})
 
 
+def doc_trustrank(sf_dir: str, *, iters: int = 5,
+                  stride: int = 97) -> pa.Table:
+    """TrustRank + spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB
+    2004) on the directed doc graph: trust = personalized PageRank
+    from the deterministic trusted-seed set ``{v : v ≡ 0 (mod 97)}``,
+    and ``spam_mass_e6 = (pr_e9 − tr_e9)·10⁶ ÷ pr_e9`` (division
+    truncating toward zero on the ALREADY-ROUNDED ×1e9 integers, so
+    the ratio is exact int-of-ints — no float division anywhere near
+    the gate hash).  High spam mass = rank earned without trusted
+    endorsement, the classic link-spam demotion signal.  Both power
+    iterations are the existing fixed-iteration kernels; the seed
+    stride differs from `doc_ppr_table` (101) so the two queries
+    exercise different seed sets."""
+    from hedonic_ray.algos.pagerank import pagerank, personalized_pagerank
+
+    g = doc_graph(sf_dir, directed=True)
+    seeds = np.arange(0, g.n, stride, dtype=np.int64)
+    tr = personalized_pagerank(g, seeds, max_iters=iters,
+                               tol=0.0).state["rank"]
+    pr = pagerank(g, max_iters=iters, tol=0.0).state["rank"]
+    tr_e9 = np.floor(tr * 1e9 + 0.5).astype(np.int64)
+    pr_e9 = np.floor(pr * 1e9 + 0.5).astype(np.int64)
+    d = pr_e9 - tr_e9
+    spam = np.sign(d) * ((np.abs(d) * np.int64(1_000_000))
+                         // np.maximum(pr_e9, 1))
+    spam[pr_e9 <= 0] = 0
+    return pa.table({"vertex": pa.array(np.arange(g.n), pa.int64()),
+                     "tr_e9": pa.array(tr_e9, pa.int64()),
+                     "pr_e9": pa.array(pr_e9, pa.int64()),
+                     "spam_mass_e6": pa.array(spam, pa.int64())})
+
+
 def doc_scc_table(sf_dir: str) -> pa.Table:
     """Strongly connected components of the DIRECTED doc-link graph
     (label = min member id; the SQL oracle computes the same label via
@@ -416,15 +448,7 @@ def doc_scc_table(sf_dir: str) -> pa.Table:
     from hedonic_ray.algos.scc import strongly_connected_components
 
     g_fwd = doc_graph(sf_dir, directed=True)
-    key = (sf_dir, "bwd")
-    if key not in _GRAPH_CACHE:
-        edges, urls_ref, n = _GRAPH_CACHE[(sf_dir, "edges")]
-        rev = edges.map_batches(
-            lambda t: pa.table({"src": t.column("dst"),
-                                "dst": t.column("src")}),
-            batch_format="pyarrow")
-        _GRAPH_CACHE[key] = build_link_graph(rev, n, directed=True)
-    g_bwd = _GRAPH_CACHE[key]
+    g_bwd = doc_graph_reversed(sf_dir)
     scc = strongly_connected_components(g_fwd, g_bwd)
     return pa.table({"vertex": pa.array(np.arange(g_fwd.n), pa.int64()),
                      "scc": pa.array(scc, pa.int64())})
@@ -661,7 +685,7 @@ def doc_graph_reversed(sf_dir: str):
     from hedonic_ray.context import session_scoped
 
     session_scoped(_GRAPH_CACHE)
-    key = (sf_dir, "rev")
+    key = (sf_dir, "bwd")
     if key not in _GRAPH_CACHE:
         edges = doc_edges_cached(sf_dir)
         _e, _urls, n = _GRAPH_CACHE[(sf_dir, "edges")]

@@ -163,7 +163,7 @@ SQL_CHECKED = sorted([
     "graph_anchor_profile",
     # round 5 session 6: BPE tokenizer-training merges, co-citation /
     # bibliographic coupling
-    "text_bpe", "graph_cocitation",
+    "text_bpe", "graph_cocitation", "graph_trustrank",
 ])
 
 
