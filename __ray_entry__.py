@@ -1601,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_topk_cosine": tx.topk_similarity,
         "sim_ivf_topk": tx.ivf_similarity,
         "sim_range_search": tx.range_similarity,
+        "sim_dbscan": tx.dbscan_clusters,
         "sim_filtered_topk": tx.filtered_topk_similarity,
         "sim_knn_graph": tx.knn_graph_table,
         "sim_knn_clusters": tx.knn_mutual_clusters,
@@ -4574,6 +4575,60 @@ ORDER BY community"""),
             )
             SELECT v AS vec_id, CAST(min(u) AS BIGINT) AS cluster
             FROM reach GROUP BY v ORDER BY vec_id
+        """,
+        "sim_dbscan": """
+            -- DBSCAN, cosine eps-ball on the ROUNDED x1e6 score
+            -- (>= 300000), core iff >= 4 strict neighbors; clusters =
+            -- components over core-core pairs (min core id), border
+            -- takes the min label among its core neighbors
+            WITH RECURSIVE scored AS (
+                SELECT a.vec_id AS a, b.vec_id AS b,
+                       CAST(ROUND(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) * 1e6)
+                            AS BIGINT) AS s
+                FROM embeddings a JOIN embeddings b
+                     ON a.vec_id < b.vec_id
+            ),
+            nbr AS MATERIALIZED (SELECT a, b FROM scored
+                                 WHERE s >= 300000),
+            arcs AS MATERIALIZED (SELECT a AS u, b AS v FROM nbr
+                                  UNION ALL SELECT b, a FROM nbr),
+            core AS MATERIALIZED (
+                SELECT u AS vec_id FROM arcs GROUP BY u
+                HAVING COUNT(*) >= 4),
+            carcs AS MATERIALIZED (
+                SELECT ar.u, ar.v FROM arcs ar
+                JOIN core cu ON cu.vec_id = ar.u
+                JOIN core cv ON cv.vec_id = ar.v),
+            reach(v, u) AS (
+                SELECT vec_id, vec_id FROM core
+                UNION
+                SELECT r.v, a.v FROM reach r JOIN carcs a ON a.u = r.u
+            ),
+            clab AS MATERIALIZED (
+                SELECT v AS vec_id, MIN(u) AS cluster
+                FROM reach GROUP BY v),
+            blab AS (
+                SELECT ar.u AS vec_id, MIN(cl.cluster) AS cluster
+                FROM arcs ar
+                JOIN core cv ON cv.vec_id = ar.v
+                JOIN clab cl ON cl.vec_id = ar.v
+                LEFT JOIN core cu ON cu.vec_id = ar.u
+                WHERE cu.vec_id IS NULL
+                GROUP BY ar.u)
+            SELECT e.vec_id,
+                   CASE WHEN co.vec_id IS NOT NULL THEN 'core'
+                        WHEN bl.vec_id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(COALESCE(cl.cluster, bl.cluster, -1)
+                        AS BIGINT) AS cluster
+            FROM embeddings e
+            LEFT JOIN core co ON co.vec_id = e.vec_id
+            LEFT JOIN clab cl ON cl.vec_id = e.vec_id
+                              AND co.vec_id IS NOT NULL
+            LEFT JOIN blab bl ON bl.vec_id = e.vec_id
+            ORDER BY e.vec_id
         """,
         "sim_range_search": """
             -- radius search: membership decided on the ROUNDED ×1e6

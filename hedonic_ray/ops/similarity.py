@@ -1359,3 +1359,118 @@ def ann_recall_audit(emb_ds, *, id_col: str = "vec_id",
                      "bucket": bucket,
                      "n_hit": tbl.column("n_hit").cast(pa.int64()),
                      "recall_e6": tbl.column("recall_e6").cast(pa.int64())})
+
+
+def dbscan_cosine(emb_ds, n: int, *, threshold_e6: int = 300_000,
+                  min_nbrs: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> pa.Table:
+    """DBSCAN (Ester et al. 1996) over the embedding column with the
+    COSINE-similarity neighborhood ``N(v) = {u ≠ v : round(cos(u, v)
+    ·10⁶) ≥ threshold_e6}`` — the natural ε-ball for unit-normalized
+    text embeddings, decided on the rounded ×1e6 score so membership
+    is integer-stable across engines (the `sim_range_search` /
+    `sim_knn_graph` idiom).
+
+    Roles: CORE iff |N(v)| ≥ min_nbrs (strict neighbors, self
+    excluded); BORDER iff non-core with ≥1 core neighbor; NOISE
+    otherwise.  Clusters = connected components over core–core
+    neighbor pairs, label = min core id (the deterministic stand-in
+    for scan order); a border point takes the MIN cluster label among
+    its core neighbors (plain DBSCAN leaves border assignment
+    order-dependent; min is the canonical tie-free choice).
+
+    Composition, all existing scale machinery: ε-pairs from
+    `dedup.embedding_neardup_pairs` (blocked brute below the cap, IVF
+    bucketed groupby at scale — no full-matrix broadcast on the
+    forced-scale path), clusters from `dedup.duplicate_clusters`
+    (driver union-find below the cap, the engine's distributed CC at
+    scale).  The pair table is materialized ONCE and feeds the degree
+    count, the core–core filter and the border assignment; per-vertex
+    outputs are O(n) driver arrays like every components table.
+
+    Scale caveat, stated loudly: the IVF ε-pair path is APPROXIMATE
+    (bounded probes can miss boundary pairs — recall measured by
+    `sim_recall_audit`), so force-scale DBSCAN is approximate-
+    neighborhood DBSCAN, the standard production trade-off; the gate
+    checks the exact brute path that auto picks below the cap."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.ops.dedup import (duplicate_clusters,
+                                       embedding_neardup_pairs)
+
+    raw = embedding_neardup_pairs(
+        emb_ds, threshold=(threshold_e6 - 500) / 1e6, id_col=id_col,
+        vec_col=vec_col, dtype=np.float64)
+
+    def keep_rounded(t: pa.Table) -> pa.Table:
+        s = np.rint(t.column("cosine").to_numpy() * 1e6).astype(np.int64)
+        m = pa.array(s >= threshold_e6)
+        return pa.table({"a": t.column("a").filter(m),
+                         "b": t.column("b").filter(m)})
+
+    nbr = raw.map_batches(keep_rounded,
+                          batch_format="pyarrow").materialize()
+
+    def degree_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t.column("a").to_numpy().astype(np.int64),
+                              t.column("b").to_numpy().astype(np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()),
+                         "d": pa.array(c.astype(np.int64))})
+
+    deg = np.zeros(n, np.int64)
+    for b in (nbr.map_batches(degree_partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("d", alias_name="n"))
+              .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        deg[b.column("v").to_numpy()] = b.column("n").to_numpy()
+    core = deg >= min_nbrs
+    core_ref = ray.put(core)
+
+    def core_core(t: pa.Table) -> pa.Table:
+        cm = ray.get(core_ref)
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        m = pa.array(cm[a] & cm[b])
+        return pa.table({"a": t.column("a").filter(m),
+                         "b": t.column("b").filter(m)})
+
+    comp = duplicate_clusters(
+        nbr.map_batches(core_core, batch_format="pyarrow"), n)
+    comp_ref = ray.put(comp.astype(np.int64))
+
+    def border_partial(t: pa.Table) -> pa.Table:
+        cm, cl = ray.get(core_ref), ray.get(comp_ref)
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        va = a[cm[b] & ~cm[a]]          # a is border, b core
+        vb = b[cm[a] & ~cm[b]]
+        v = np.concatenate([va, vb])
+        lab = np.concatenate([cl[b[cm[b] & ~cm[a]]],
+                              cl[a[cm[a] & ~cm[b]]]])
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "lab": pa.array([], pa.int64())})
+        order = np.lexsort((lab, v))
+        v, lab = v[order], lab[order]
+        first = np.ones(len(v), bool)
+        first[1:] = v[1:] != v[:-1]     # per-batch min combiner
+        return pa.table({"v": pa.array(v[first], pa.int64()),
+                         "lab": pa.array(lab[first], pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    blab = np.full(n, -1, np.int64)
+    for b in (nbr.map_batches(border_partial, batch_format="pyarrow")
+              .groupby("v").aggregate(Min("lab", alias_name="m"))
+              .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        blab[b.column("v").to_numpy()] = b.column("m").to_numpy()
+
+    cluster = np.where(core, comp, blab)
+    role = np.where(core, "core",
+                    np.where(blab >= 0, "border", "noise"))
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "role": pa.array(role.astype(object), pa.string()),
+        "cluster": pa.array(cluster, pa.int64()),
+    })

@@ -1325,3 +1325,18 @@ def bpe_merges(sf_dir: str, rounds: int = 3) -> pa.Table:
 
     return bpe_train_rounds(_docs(sf_dir, ["doc_id", "text"]),
                             rounds=rounds)
+
+
+def dbscan_clusters(sf_dir: str, *, threshold_e6: int = 300_000,
+                    min_nbrs: int = 4) -> pa.Table:
+    """Density-based clustering of the embedding table: DBSCAN with
+    the rounded-cosine ε-ball (core/border/noise roles + min-id
+    cluster labels; `ops/similarity.py:dbscan_cosine`)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return sim.dbscan_cosine(emb, _n_vecs(sf_dir),
+                             threshold_e6=threshold_e6,
+                             min_nbrs=min_nbrs)

@@ -163,7 +163,7 @@ SQL_CHECKED = sorted([
     "graph_anchor_profile",
     # round 5 session 6: BPE tokenizer-training merges, co-citation /
     # bibliographic coupling
-    "text_bpe", "graph_cocitation", "graph_trustrank",
+    "text_bpe", "graph_cocitation", "graph_trustrank", "sim_dbscan",
 ])
 
 
@@ -235,6 +235,13 @@ FORCED_SCALE = sorted([
     "graph_diameter",       # resident-shard-state BFS double sweep
     "sim_pq_adc",           # serving-actor LUT build (no driver LUT)
     "graph_critical_path",  # resident-shard-state max-plus supersteps
+    "graph_trustrank",      # resident-shard-state rank vectors (both)
+    # sim_dbscan is NOT here by design: its forced-scale eps-pair stage
+    # is the IVF bucketed path, which is approximate at the fixture's
+    # near-noise threshold (recall audited by sim_recall_audit; the
+    # distributed clustering backend is force-tested via dedup_minhash
+    # and sim_knn_clusters).  The driver gate runs the auto path, which
+    # is exact below the brute cap.
 ])
 
 
