@@ -1586,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_mixture_sample": tx.mixture_sample,
         "text_jsonl_io": _text_jsonl_io,
         "text_bpe": tx.bpe_merges,
+        "text_lm_score": tx.lm_scores,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
@@ -1999,6 +2000,34 @@ ORDER BY community"""),
             WHERE r.rn <= quota.q ORDER BY r.source, r.doc_id
         """,
         "text_bpe": _bpe_chain_sql(rounds=3),
+        "text_lm_score": r"""
+            -- unigram-LM surprisal per doc (add-one smoothing), every
+            -- per-token term an exact integer: floor(1e6*ln(N+V)) -
+            -- floor(1e6*ln(tf+1)) (floors of ln(integer) only — the
+            -- adamic-adar parity pattern); mean = total // n_tokens
+            WITH words AS MATERIALIZED (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+                FROM documents
+            ),
+            tf AS MATERIALIZED (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                FROM words GROUP BY w),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM words),
+            voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tf),
+            sup AS MATERIALIZED (
+                SELECT w,
+                       CAST(FLOOR(1000000 * LN(tot.n + voc.v)) AS BIGINT)
+                       - CAST(FLOOR(1000000 * LN(tf.c + 1)) AS BIGINT)
+                           AS s_e6
+                FROM tf CROSS JOIN tot CROSS JOIN voc)
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(sup.s_e6) AS BIGINT) AS surprisal_e6,
+                   CAST(CAST(SUM(sup.s_e6) AS BIGINT) // COUNT(*)
+                        AS BIGINT) AS mean_surprisal_e6
+            FROM words d JOIN sup ON sup.w = d.w
+            GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
         "text_jsonl_io": """
             -- JSONL round-trip fidelity: the Ray side converts
             -- documents.parquet -> JSONL -> reads it back and audits

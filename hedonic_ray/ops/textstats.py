@@ -819,3 +819,126 @@ def chunk_plan(ds, *, window: int = 64, stride: int = 48,
                          "len_tok": pa.array(ln, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def lm_surprisal_scores(ds, col: str = "text", method: str = "auto",
+                        broadcast_max: int = 2_000_000):
+    """Unigram language-model SURPRISAL per document — the corpus-
+    self-trained perplexity-proxy quality filter (the CCNet/KenLM
+    pattern: score each doc by how surprising its tokens are under a
+    LM fit on the corpus; outliers on either end are boilerplate or
+    garbage).  Add-one smoothing: p(w) = (tf(w)+1)/(N+V), and every
+    per-token surprisal is the exact integer
+
+        s_e6(w) = floor(10⁶·ln(N+V)) − floor(10⁶·ln(tf(w)+1))
+
+    (−ln p quantized term-wise; both floors are of ln(INTEGER), the
+    `graph_adamic_adar` parity pattern — libm-vs-DuckDB last-ulp drift
+    lands far from floor boundaries), so the per-doc totals are exact
+    int64 sums with no float association order anywhere.  Returns
+    ``(doc_id, n_tokens, surprisal_e6, mean_surprisal_e6)`` with
+    mean = total // n_tokens.
+
+    Two stages like `tfidf_top_terms`: the distributed wordcount,
+    then a second corpus pass scoring each doc — surprisal table
+    broadcast below ``broadcast_max`` distinct terms (ray.put once,
+    searchsorted per batch), (doc, term, k) ⋈ surprisal hash join at
+    scale / under force_scale."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.context import drop_empty_blocks, force_scale
+
+    tf_ds = term_total_frequency(ds, col=col)
+    n_tok = int(tf_ds.sum("tf"))
+    n_vocab = tf_ds.count()
+    base_e6 = int(np.floor(1e6 * np.log(n_tok + n_vocab)))
+    if method == "auto":
+        method = ("join" if force_scale()
+                  else "broadcast" if n_vocab <= broadcast_max else "join")
+
+    def add_s(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy().astype(np.int64)
+        s = base_e6 - np.floor(1e6 * np.log(tf + 1)).astype(np.int64)
+        return pa.table({"term": t.column("term"),
+                         "s_e6": pa.array(s, pa.int64())})
+
+    sup = tf_ds.map_batches(add_s, batch_format="pyarrow")
+
+    if method == "broadcast":
+        rows = sup.take_all()
+        terms_sorted = np.array(sorted(r["term"] for r in rows), dtype=str)
+        by_term = {r["term"]: int(r["s_e6"]) for r in rows}
+        s_sorted = np.array([by_term[t] for t in terms_sorted.tolist()],
+                            dtype=np.int64)
+        lut_ref = ray.put((terms_sorted, s_sorted))
+
+        def score(batch: pa.Table) -> pa.Table:
+            flat, lens, doc_of = _flat_words(batch, col)
+            ids = batch.column("doc_id").to_numpy().astype(np.int64)
+            tot = np.zeros(batch.num_rows, np.int64)
+            if len(flat):
+                ts_, ss_ = ray.get(lut_ref)
+                s = ss_[np.searchsorted(
+                    ts_, np.asarray(flat).astype(str))]
+                np.add.at(tot, doc_of, s)
+            keep = lens > 0
+            mean = tot[keep] // lens[keep]
+            return pa.table({
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(lens[keep], pa.int64()),
+                "surprisal_e6": pa.array(tot[keep], pa.int64()),
+                "mean_surprisal_e6": pa.array(mean, pa.int64()),
+            })
+
+        return ds.map_batches(score, batch_format="pyarrow",
+                              batch_size=2048)
+
+    def doc_tf(batch: pa.Table) -> pa.Table:
+        flat, _lens, doc_of = _flat_words(batch, col)
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "k": pa.array([], pa.int64())})
+        words = np.asarray(flat).astype(str)
+        uniq, inv = np.unique(words, return_inverse=True)
+        key = doc_of * np.int64(len(uniq)) + inv
+        uk, k = np.unique(key, return_counts=True)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[(uk // len(uniq)).astype(np.int64)],
+                               pa.int64()),
+            "term": pa.array(uniq[(uk % len(uniq)).astype(np.int64)]
+                             .astype(object), pa.string()),
+            "k": pa.array(k.astype(np.int64)),
+        })
+
+    pairs = ds.map_batches(doc_tf, batch_format="pyarrow",
+                           batch_size=2048)
+    s_pairs = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                         ("k", pa.int64())])
+    s_sup = pa.schema([("term", pa.string()), ("s_e6", pa.int64())])
+    j = drop_empty_blocks(pairs, s_pairs).join(
+        drop_empty_blocks(sup, s_sup), "inner", 8, on=("term",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy().astype(np.int64)
+        s = t.column("s_e6").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "ntok_p": pa.array(k, pa.int64()),
+                         "sup_p": pa.array(k * s, pa.int64())})
+
+    g = (j.map_batches(contrib, batch_format="pyarrow")
+         .groupby("doc_id")
+         .aggregate(Sum("ntok_p", alias_name="n_tokens"),
+                    Sum("sup_p", alias_name="surprisal_e6")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy().astype(np.int64)
+        s = t.column("surprisal_e6").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "surprisal_e6": pa.array(s, pa.int64()),
+                         "mean_surprisal_e6": pa.array(s // n, pa.int64())})
+
+    return g.map_batches(finish, batch_format="pyarrow")

@@ -1340,3 +1340,10 @@ def dbscan_clusters(sf_dir: str, *, threshold_e6: int = 300_000,
     return sim.dbscan_cosine(emb, _n_vecs(sf_dir),
                              threshold_e6=threshold_e6,
                              min_nbrs=min_nbrs)
+
+
+def lm_scores(sf_dir: str):
+    """Per-doc unigram-LM surprisal quality scores
+    (`ops/textstats.py:lm_surprisal_scores`), doc_id order."""
+    return ts.lm_surprisal_scores(
+        _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
