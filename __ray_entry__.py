@@ -1587,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_jsonl_io": _text_jsonl_io,
         "text_bpe": tx.bpe_merges,
         "text_lm_score": tx.lm_scores,
+        "multimodal_phash": tx.multimodal_phash,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
@@ -4679,6 +4680,37 @@ ORDER BY community"""),
             )
             SELECT query_id, vec_id, score_e6
             FROM scored WHERE score_e6 >= 300000
+        """,
+        "multimodal_phash": """
+            -- aHash near-dup pairs over the grid-body fake decode:
+            -- 60-bit average hash (bit j iff 60*s_j > total), pairs
+            -- with Hamming <= 3; every pixel is doc_id arithmetic
+            WITH pos AS (SELECT unnest(range(0, 240)) AS i),
+            body AS (
+                SELECT d.doc_id, CAST(p.i AS BIGINT) AS i,
+                       ((d.doc_id % 20) * 31 + CAST(p.i AS BIGINT) * 17
+                        + CASE WHEN CAST(p.i AS BIGINT) // 4
+                                    = d.doc_id % 60
+                               THEN 200 ELSE 0 END) % 256 AS b
+                FROM documents d CROSS JOIN pos p),
+            bsum AS (SELECT doc_id, i // 4 AS j,
+                            CAST(SUM(b) AS BIGINT) AS s
+                     FROM body GROUP BY 1, 2),
+            tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t
+                    FROM bsum GROUP BY doc_id),
+            ph AS MATERIALIZED (
+                SELECT b.doc_id,
+                       CAST(SUM(CASE WHEN 60 * b.s > t.t
+                                THEN CAST(1 AS BIGINT)
+                                     << CAST(b.j AS INTEGER)
+                                ELSE 0 END) AS BIGINT) AS h
+                FROM bsum b JOIN tot t ON t.doc_id = b.doc_id
+                GROUP BY b.doc_id)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+            FROM ph x JOIN ph y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.h, y.h)) <= 3
+            ORDER BY a, b
         """,
         "multimodal_decode": """
             SELECT doc_id,

@@ -27,21 +27,36 @@ MAGIC = b"HRAY"
 KINDS = {0: "image", 1: "audio", 2: "video"}
 
 
-def fake_payload(doc_id: int, kind: int, *, payload_bytes: int = 256) -> bytes:
-    """Deterministic fake media blob: magic + kind + dims + seeded body."""
+def fake_payload(doc_id: int, kind: int, *, payload_bytes: int = 256,
+                 body: str = "rng") -> bytes:
+    """Deterministic fake media blob: magic + kind + dims + body.
+
+    ``body="rng"``: PCG64-seeded noise (the default fixture — content
+    opaque to SQL, used where only the geometry is oracled).
+    ``body="grid"``: the SQL-REPLICABLE luma plane
+    ``b(i) = ((doc_id%20)·31 + i·17 + [i//4 == doc_id%60]·200) % 256``
+    over 240 bytes — 20 planted pattern classes, each doc perturbing
+    its own 4-byte bucket, so perceptual-hash near-dup pairs exist by
+    construction and a DuckDB oracle can recompute every pixel."""
     w = 16 + (doc_id * 7) % 64
     h = 16 + (doc_id * 13) % 48
     frames = 1 if kind != 2 else 1 + doc_id % 8
     header = MAGIC + struct.pack("<BHHH", kind, w, h, frames)
+    if body == "grid":
+        i = np.arange(240, dtype=np.int64)
+        px = ((doc_id % 20) * 31 + i * 17
+              + np.where(i // 4 == doc_id % 60, 200, 0)) % 256
+        return header + px.astype(np.uint8).tobytes()
     rng = np.random.default_rng(doc_id * 3 + kind)
     return header + rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes()
 
 
-def synth_media_table(n: int) -> pa.Table:
+def synth_media_table(n: int, body: str = "rng") -> pa.Table:
     """Deterministic media fixture: one blob per doc, kind round-robin."""
     ids = np.arange(n, dtype=np.int64)
     kinds = (ids % 3).astype(np.int64)
-    payloads = [fake_payload(int(i), int(k)) for i, k in zip(ids, kinds)]
+    payloads = [fake_payload(int(i), int(k), body=body)
+                for i, k in zip(ids, kinds)]
     return pa.table({
         "doc_id": pa.array(ids),
         "kind": pa.array([KINDS[int(k)] for k in kinds], pa.string()),
@@ -275,3 +290,52 @@ def frame_sample(media_ds, every: int = 2):
                          "frame": pa.array(out_frame, pa.int64())})
 
     return decoded.map_batches(f, batch_format="pyarrow")
+
+
+class PerceptualHash:
+    """Actor-pool aHash stage: payload → 60-bit average-hash.
+
+    The average hash (the aHash family behind image-dedup systems like
+    PDQ's baseline): split the 240-byte decoded luma plane into 60
+    buckets of 4, set bit j iff the bucket's sum beats the global mean
+    — as the exact integer comparison ``60·s_j > Σ s`` (no division).
+    60 bits keep the packed hash clear of the int64 sign bit, so the
+    SQL oracle can build the identical BIGINT with shifts.  Fully
+    vectorized: one (N, 240) gather off the flat binary buffer, one
+    reshape-sum, one matmul-free threshold.  Real decoders would feed
+    the same stage their downsampled grayscale plane."""
+
+    BODY = 240
+    BUCKETS = 60
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offsets, data, ok, _, _, _, _ = _parse_fake_headers(
+            batch.column("payload"))
+        starts = offsets[:-1]
+        lens = offsets[1:] - starts
+        ok = ok & (lens >= 11 + self.BODY)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)[ok]
+        h = np.zeros(len(ids), np.int64)
+        if len(ids):
+            idx = starts[ok][:, None] + 11 + np.arange(self.BODY)
+            px = data[idx].astype(np.int64)
+            s = px.reshape(len(ids), self.BUCKETS, -1).sum(axis=2)
+            bits = (self.BUCKETS * s) > s.sum(axis=1, keepdims=True)
+            h = (bits.astype(np.int64)
+                 << np.arange(self.BUCKETS, dtype=np.int64)).sum(axis=1)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "simhash": pa.array(h, pa.int64())})
+
+
+def phash_dup_pairs(media_ds, *, max_hamming: int = 3):
+    """Perceptual-hash near-duplicate pairs over a media table:
+    aHash signatures (actor pool) → the simhash family's lossless
+    4×16-bit banding + bucket groupby + exact popcount verify
+    (`dedup.simhash_pairs` — Hamming ≤ 3 always shares a band).
+    Returns (a, b, hamming) — the image-dedup pipeline with the text
+    machinery reused wholesale."""
+    from hedonic_ray.ops.dedup import simhash_pairs
+
+    sigs = media_ds.map_batches(PerceptualHash, batch_format="pyarrow",
+                                batch_size=128, concurrency=actor_pool())
+    return simhash_pairs(sigs, max_hamming=max_hamming)

@@ -1347,3 +1347,27 @@ def lm_scores(sf_dir: str):
     (`ops/textstats.py:lm_surprisal_scores`), doc_id order."""
     return ts.lm_surprisal_scores(
         _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
+def multimodal_phash(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
+    """Perceptual-hash (aHash) near-duplicate image pairs over the
+    grid-body media fixture: decode-plane average hash → lossless
+    simhash banding → exact popcount verify
+    (`ops/multimodal.py:phash_dup_pairs`)."""
+    import ray.data as rd
+
+    configure_context()
+    media = rd.from_arrow(mm.synth_media_table(_n_docs(sf_dir),
+                                               body="grid"))
+    return phash_sorted(mm.phash_dup_pairs(media,
+                                           max_hamming=max_hamming))
+
+
+def phash_sorted(pairs_ds) -> pa.Table:
+    t = pa.concat_tables(
+        b for b in pairs_ds.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow"))
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"),
+                                                ("b", "ascending")]))

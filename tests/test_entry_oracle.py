@@ -164,7 +164,7 @@ SQL_CHECKED = sorted([
     # round 5 session 6: BPE tokenizer-training merges, co-citation /
     # bibliographic coupling
     "text_bpe", "graph_cocitation", "graph_trustrank", "sim_dbscan",
-    "text_lm_score",
+    "text_lm_score", "multimodal_phash",
 ])
 
 
