@@ -1466,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_two_hop": lg.doc_two_hop_table,
         "graph_truss": lg.doc_truss_table,
         "graph_walks": lg.doc_walks_table,
+        "graph_node2vec": lg.doc_node2vec,
         "graph_katz": lg.doc_katz,
         "graph_sssp": lg.doc_sssp,
         "graph_diameter": lg.doc_diameter,
@@ -3418,6 +3419,26 @@ ORDER BY community"""),
             WHERE und.a IS NULL
             ORDER BY ra.ra_e9 DESC, ra.a, ra.b
             LIMIT 20
+        """,
+        "graph_node2vec": f"""
+            -- node2vec (p=4, q=2) 2nd-order transition probabilities
+            -- for sampled walk contexts (prev % 17 = 0): integer
+            -- weights q/pq/p = 2/8/4, prob_e6 = w*1e6 // sum(w)
+            WITH {_LINKS_CTE},
+            w AS (SELECT src AS prev, dst AS cur FROM e
+                  WHERE src % 17 = 0),
+            trip AS (SELECT w.prev, w.cur, h.dst AS nxt
+                     FROM w JOIN e h ON h.src = w.cur),
+            wt AS (SELECT t.prev, t.cur, t.nxt,
+                          CAST(CASE WHEN t.nxt = t.prev THEN 2
+                                    WHEN m.src IS NOT NULL THEN 8
+                                    ELSE 4 END AS BIGINT) AS w
+                   FROM trip t
+                   LEFT JOIN e m ON m.src = t.prev AND m.dst = t.nxt)
+            SELECT prev, cur, nxt, w,
+                   CAST(w * 1000000 // SUM(w) OVER (
+                        PARTITION BY prev, cur) AS BIGINT) AS prob_e6
+            FROM wt ORDER BY prev, cur, nxt
         """,
         "graph_cocitation": f"""
             -- co-citation (pages linking to both) and bibliographic

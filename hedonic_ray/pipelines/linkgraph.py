@@ -1486,3 +1486,18 @@ def doc_bipartite(sf_dir: str, *, seed: int = 1, rounds: int = 6) -> pa.Table:
                      "parity": pa.array(par[reach]),
                      "n_conflict": pa.array(
                          conflict[reach].astype(np.int64))})
+
+
+def doc_node2vec(sf_dir: str, *, p: int = 4, q: int = 2,
+                 prev_stride: int = 17) -> pa.Table:
+    """node2vec 2nd-order transition probabilities on the directed doc
+    graph for the sampled (prev ≡ 0 mod 17) walk contexts — exact
+    integer weights {q, p·q, p} and prob_e6 rationals
+    (`algos/node2vec.py`)."""
+    from hedonic_ray.algos.node2vec import node2vec_transition_probs
+
+    raw = doc_edges_cached(sf_dir)   # pre-canonical: dups + self-loops
+    _e, _u, n = _GRAPH_CACHE[(sf_dir, "edges")]
+    edges = canonicalize_edges(raw, n, directed=True)
+    return node2vec_transition_probs(edges, n, p=p, q=q,
+                                     prev_stride=prev_stride)

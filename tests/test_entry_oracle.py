@@ -164,7 +164,7 @@ SQL_CHECKED = sorted([
     # round 5 session 6: BPE tokenizer-training merges, co-citation /
     # bibliographic coupling
     "text_bpe", "graph_cocitation", "graph_trustrank", "sim_dbscan",
-    "text_lm_score", "multimodal_phash",
+    "text_lm_score", "multimodal_phash", "graph_node2vec",
 ])
 
 
@@ -238,6 +238,7 @@ FORCED_SCALE = sorted([
     "graph_critical_path",  # resident-shard-state max-plus supersteps
     "graph_trustrank",      # resident-shard-state rank vectors (both)
     "text_lm_score",        # (doc, term, k) ⋈ surprisal hash-join path
+    "graph_node2vec",       # edge-membership marker-join path
     # sim_dbscan is NOT here by design: its forced-scale eps-pair stage
     # is the IVF bucketed path, which is approximate at the fixture's
     # near-noise threshold (recall audited by sim_recall_audit; the
