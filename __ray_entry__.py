@@ -1512,6 +1512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_autocorr": rel.daily_revenue_autocorr,
         "rel_q3_shipping": rel.top_unshipped_orders,
         "rel_q5_local_volume": rel.local_supplier_volume,
+        "rel_q18_large_orders": rel.large_quantity_orders,
+        "rel_q2_min_cost": rel.min_cost_supplier,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
         "rel_pivot": rel.event_type_pivot,
@@ -3924,6 +3926,43 @@ ORDER BY community"""),
             FROM l JOIN o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "rel_q18_large_orders": """
+            -- TPC-H Q18 shape: orders whose total lineitem quantity
+            -- >= 200, top-100 by (o_totalprice desc, orderkey asc)
+            WITH s AS (SELECT l_orderkey,
+                              CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS sum_qty
+                       FROM lineitem GROUP BY l_orderkey
+                       HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                              >= 200)
+            SELECT c.c_name, c.c_custkey, s.l_orderkey,
+                   CAST(epoch_us(o.o_orderdate) // 86400000000
+                        AS BIGINT) AS o_day,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                       AS total_cents,
+                   s.sum_qty
+            FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY total_cents DESC, s.l_orderkey LIMIT 100
+        """,
+        "rel_q2_min_cost": """
+            -- TPC-H Q2 shape (no partsupp in fixture): min unit-price
+            -- supplier per part from lineitem; argmin via the same
+            -- packed key unitp_e2 * 2^20 + suppkey the engine uses
+            WITH u AS (
+                SELECT l_partkey,
+                       MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            // GREATEST(CAST(ROUND(l_quantity) AS BIGINT),
+                                        1)) * 1048576
+                           + l_suppkey) AS k
+                FROM lineitem GROUP BY l_partkey)
+            SELECT u.l_partkey AS p_partkey,
+                   CAST(u.k // 1048576 AS BIGINT) AS unitp_e2,
+                   CAST(u.k % 1048576 AS BIGINT) AS s_suppkey,
+                   s.s_name
+            FROM u JOIN supplier s ON s.s_suppkey = u.k % 1048576
+            ORDER BY p_partkey
         """,
         "rel_q5_local_volume": """
             -- TPC-H Q5 shape: revenue where customer and supplier sit

@@ -2363,3 +2363,146 @@ def quantity_percentile_cont(sf_dir: str, qs_e2=(25, 50, 75, 90)):
         out_v.append(vlo * (100 - frac) + vhi * frac)
     return pa.table({"q_e2": pa.array(out_q, pa.int64()),
                      "value_x100": pa.array(out_v, pa.int64())})
+
+
+def large_quantity_orders(sf_dir: str, *, qty_min: int = 200,
+                          k: int = 100):
+    """TPC-H Q18 SHAPE — large-volume orders: customers whose order's
+    total lineitem quantity reaches ``qty_min``, top-``k`` by
+    (o_totalprice desc, o_orderkey asc).  Quantities and prices ride
+    as exact integers (qty is integral in the fixture; price ×100
+    cents).
+
+    Shape: ONE lineitem groupby(l_orderkey) with per-batch partial
+    sums (the combiner — shuffle volume is the per-batch distinct
+    order keys); the HAVING filter runs before any join; the
+    surviving ≤ |large orders| keys join ORDERS via a hash join and
+    the customer name attaches from a broadcast key→(name) map (the
+    Q3/Q5 dimension posture)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qpartial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        q = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, q)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "q_partial": pa.array(acc, pa.int64())})
+
+    sums = (li.map_batches(qpartial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("q_partial", alias_name="sum_qty"))
+            .filter(expr=f"sum_qty >= {qty_min}"))
+
+    cust = _collect_columns(_read(sf_dir, "customer",
+                                  ["c_custkey", "c_name"]),
+                            ["c_custkey", "c_name"])
+    order_ck = np.argsort(cust["c_custkey"].astype(np.int64))
+    cref = ray.put((cust["c_custkey"].astype(np.int64)[order_ck],
+                    cust["c_name"][order_ck]))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"])
+
+    def omap(t: pa.Table) -> pa.Table:
+        ck_keys, ck_name = ray.get(cref)
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        i = np.searchsorted(ck_keys, ck)
+        assert len(ck) == 0 or (ck_keys[i] == ck).all(), \
+            "orders reference a missing customer key"
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        cents = np.rint(t.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            "c_custkey": pa.array(ck, pa.int64()),
+            "c_name": pa.array(ck_name[i].astype(object), pa.string()),
+            "o_day": pa.array(day, pa.int64()),
+            "total_cents": pa.array(cents, pa.int64())})
+
+    om = orders.map_batches(omap, batch_format="pyarrow")
+    s_s = pa.schema([("l_orderkey", pa.int64()), ("sum_qty", pa.int64())])
+    s_o = pa.schema([("o_orderkey", pa.int64()), ("c_custkey", pa.int64()),
+                     ("c_name", pa.string()), ("o_day", pa.int64()),
+                     ("total_cents", pa.int64())])
+    j = drop_empty_blocks(sums, s_s).join(
+        drop_empty_blocks(om, s_o), "inner", 8,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    t = pa.concat_tables(
+        b.select(["c_name", "c_custkey", "l_orderkey", "o_day",
+                  "total_cents", "sum_qty"])
+        for b in j.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(t, sort_keys=[("total_cents", "descending"),
+                                        ("l_orderkey", "ascending")])
+    return t.take(idx[:k])
+
+
+def min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 SHAPE — min-cost supplier per part, from the lineitem
+    facts (this fixture has no partsupp): unit price as the exact
+    integer ``unitp_e2 = cents(l_extendedprice) // qty``, argmin per
+    part with ties → lowest s_suppkey via ONE packed-key Min groupby
+    (``unitp_e2 · 2²⁰ + suppkey`` — the MST partial-argmin idiom,
+    asserted against the 2⁶³ bound).  Supplier name attaches from the
+    broadcast dimension map.  Columns: p_partkey, unitp_e2, s_suppkey,
+    s_name sorted by p_partkey."""
+    import ray
+    from ray.data.aggregate import Min
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_quantity"])
+    sup = _collect_columns(_read(sf_dir, "supplier",
+                                 ["s_suppkey", "s_name"]),
+                           ["s_suppkey", "s_name"])
+    so = np.argsort(sup["s_suppkey"].astype(np.int64))
+    sref = ray.put((sup["s_suppkey"].astype(np.int64)[so],
+                    sup["s_name"][so]))
+    smax = int(sup["s_suppkey"].astype(np.int64).max())
+    pack = np.int64(1 << 20)
+    assert smax < (1 << 20), "packed argmin key needs suppkey < 2^20"
+
+    def lpartial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        unitp = cents // np.maximum(qty, 1)
+        assert unitp.size == 0 or int(unitp.max()) < (1 << 42), \
+            "packed argmin key overflows int64"
+        key = unitp * pack + sk
+        uk, inv = np.unique(pk, return_inverse=True)
+        best = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, inv, key)
+        return pa.table({"p_partkey": pa.array(uk, pa.int64()),
+                         "k_partial": pa.array(best, pa.int64())})
+
+    best = (li.map_batches(lpartial, batch_format="pyarrow")
+            .groupby("p_partkey")
+            .aggregate(Min("k_partial", alias_name="k")))
+
+    def unpackf(t: pa.Table) -> pa.Table:
+        sk_keys, sk_name = ray.get(sref)
+        k = t.column("k").to_numpy().astype(np.int64)
+        unitp = k // pack
+        sk = k % pack
+        i = np.searchsorted(sk_keys, sk)
+        return pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "unitp_e2": pa.array(unitp, pa.int64()),
+            "s_suppkey": pa.array(sk, pa.int64()),
+            "s_name": pa.array(sk_name[i].astype(object), pa.string())})
+
+    return best.map_batches(unpackf,
+                            batch_format="pyarrow").sort("p_partkey")
