@@ -110,6 +110,61 @@ FROM r{iters}""")
     return "".join(parts)
 
 
+def _pr_refresh_chain_sql(iters: int = 5, extra: int = 2,
+                          damping: float = 0.85,
+                          stride: int = 31) -> str:
+    """Incremental-refresh oracle: the plain PageRank chain on the
+    base edges, then the deterministic delta edges union in and the
+    chain continues WARM-STARTED from r{iters} for ``extra`` rounds
+    over the updated out-degrees/dangling set."""
+    parts = [f"""WITH {_LINKS_CTE},
+nn AS (SELECT count(*) AS n FROM documents),
+outdeg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT d.doc_id AS v, 1.0 / nn.n AS r FROM documents d CROSS JOIN nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+dang{i} AS (SELECT COALESCE(sum(r), 0) AS s FROM r{i}
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = r{i}.v)),
+c{i} AS (SELECT e.dst AS v, sum(r{i}.r / outdeg.d) AS c
+         FROM e JOIN r{i} ON r{i}.v = e.src
+         JOIN outdeg ON outdeg.src = e.src GROUP BY e.dst),
+r{i + 1} AS (SELECT d.doc_id AS v,
+             (1 - {damping}) / nn.n
+             + {damping} * (COALESCE(c{i}.c, 0) + dang{i}.s / nn.n) AS r
+             FROM documents d CROSS JOIN nn CROSS JOIN dang{i}
+             LEFT JOIN c{i} ON c{i}.v = d.doc_id)""")
+    parts.append(f""",
+delta AS (SELECT d.doc_id AS src,
+                 (d.doc_id * 17 + 3) % nn.n AS dst
+          FROM documents d CROSS JOIN nn
+          WHERE d.doc_id % {stride} = 0
+            AND d.doc_id <> (d.doc_id * 17 + 3) % nn.n),
+e2 AS MATERIALIZED (SELECT src, dst FROM e
+                    UNION SELECT src, dst FROM delta),
+outdeg2 AS (SELECT src, count(*) AS d FROM e2 GROUP BY src),
+w0 AS (SELECT v, r FROM r{iters})""")
+    for i in range(extra):
+        parts.append(f""",
+wdang{i} AS (SELECT COALESCE(sum(r), 0) AS s FROM w{i}
+             WHERE NOT EXISTS (SELECT 1 FROM e2 WHERE e2.src = w{i}.v)),
+wc{i} AS (SELECT e2.dst AS v, sum(w{i}.r / outdeg2.d) AS c
+          FROM e2 JOIN w{i} ON w{i}.v = e2.src
+          JOIN outdeg2 ON outdeg2.src = e2.src GROUP BY e2.dst),
+w{i + 1} AS (SELECT d.doc_id AS v,
+             (1 - {damping}) / nn.n
+             + {damping} * (COALESCE(wc{i}.c, 0) + wdang{i}.s / nn.n) AS r
+             FROM documents d CROSS JOIN nn CROSS JOIN wdang{i}
+             LEFT JOIN wc{i} ON wc{i}.v = d.doc_id)""")
+    parts.append(f"""
+SELECT p.v AS vertex,
+       CAST(FLOOR(p.r * 1e9 + 0.5) AS BIGINT) AS prior_e9,
+       CAST(FLOOR(w.r * 1e9 + 0.5) AS BIGINT) AS rank_e9,
+       CAST(FLOOR(w.r * 1e9 + 0.5) AS BIGINT)
+       - CAST(FLOOR(p.r * 1e9 + 0.5) AS BIGINT) AS delta_e9
+FROM r{iters} p JOIN w{extra} w ON w.v = p.v""")
+    return "".join(parts)
+
+
 def _trustrank_chain_sql(iters: int = 5, damping: float = 0.85,
                          stride: int = 97) -> str:
     """TrustRank spam-mass oracle: the PageRank chain AND the
@@ -1427,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_full": lg.doc_pagerank_full,
         "graph_ppr": lg.doc_ppr_table,
         "graph_trustrank": lg.doc_trustrank,
+        "graph_pagerank_refresh": lg.doc_pagerank_refresh,
         "graph_components": lg.doc_components_table,
         "graph_component_stats": lg.doc_component_stats,
         "graph_scc": lg.doc_scc_table,
@@ -1813,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_full": _pagerank_chain_sql(iters=5),
         "graph_ppr": _ppr_chain_sql(iters=5, stride=101),
         "graph_trustrank": _trustrank_chain_sql(iters=5, stride=97),
+        "graph_pagerank_refresh": _pr_refresh_chain_sql(iters=5, extra=2),
         "graph_hedonic_2pass": _hedonic_chain_sql(iters=2),
         "graph_contract": (
             f"WITH {_LINKS_CTE},\n{_ARCS_CTE},\n"

@@ -33,11 +33,16 @@ SHARDS_MIN_VERTICES = 200_000  # same switch point as Katz/LP: below it
 
 
 class PageRankStep:
-    def __init__(self, damping: float = 0.85, tol: float = 1e-12):
+    def __init__(self, damping: float = 0.85, tol: float = 1e-12,
+                 rank0: np.ndarray | None = None):
         self.damping = damping
         self.tol = tol
+        self.rank0 = None if rank0 is None else \
+            np.asarray(rank0, dtype=np.float64)
 
     def init_state(self, g) -> dict:
+        if self.rank0 is not None:
+            return {"rank": self.rank0.copy()}
         return {"rank": np.full(g.n, 1.0 / g.n, dtype=np.float64)}
 
     def broadcast_state(self, state: dict):
@@ -119,15 +124,22 @@ class _PageRankVecSpec:
     (tested, incl. under HEDONIC_RAY_FORCE_SCALE)."""
 
     def __init__(self, damping: float, tol: float,
-                 seeds: np.ndarray | None = None):
+                 seeds: np.ndarray | None = None,
+                 rank0: np.ndarray | None = None):
         self.damping, self.tol = damping, tol
         self.seeds = None if seeds is None else \
             np.asarray(seeds, dtype=np.int64)
+        # warm start (incremental refresh): ships O(V) ONCE inside the
+        # pickled spec — the warm start IS a one-time O(V) transfer;
+        # per-round traffic stays the scalar pair either way
+        self.rank0 = None if rank0 is None else \
+            np.asarray(rank0, dtype=np.float64)
 
     def init_slice(self, lo, hi, n):
         if self.seeds is None:
-            return {"rank": np.full(hi - lo, 1.0 / n, dtype=np.float64),
-                    "outdeg": None}
+            r = (np.full(hi - lo, 1.0 / n, dtype=np.float64)
+                 if self.rank0 is None else self.rank0[lo:hi].copy())
+            return {"rank": r, "outdeg": None}
         p = np.zeros(hi - lo, dtype=np.float64)
         local = self.seeds[(self.seeds >= lo) & (self.seeds < hi)] - lo
         p[local] = 1.0 / len(self.seeds)
@@ -214,7 +226,8 @@ def _wants_shards(g, gather: str) -> bool:
 def pagerank(g, *, damping: float = 0.85, max_iters: int = 100, tol: float = 1e-12,
              gather: str = "auto", checkpoint_dir: str | None = None,
              run_id: str | None = None, checkpoint_every: int = 5,
-             resume: bool = False) -> RunResult:
+             resume: bool = False,
+             rank0: np.ndarray | None = None) -> RunResult:
     """Run PageRank to convergence; ``result.state['rank']`` is the
     (n,) rank vector (sums to 1).
 
@@ -224,11 +237,12 @@ def pagerank(g, *, damping: float = 0.85, max_iters: int = 100, tol: float = 1e-
     which stays on `run_supersteps` (the shard state is rebuilt from
     scratch per run; checkpoint/resume needs the driver-held state)."""
     if checkpoint_dir is None and _wants_shards(g, gather):
-        rank0 = np.full(g.n, 1.0 / g.n, dtype=np.float64)
-        d0 = float(rank0[g.out_degree == 0].sum())
+        r0 = (np.full(g.n, 1.0 / g.n, dtype=np.float64)
+              if rank0 is None else np.asarray(rank0, np.float64))
+        d0 = float(r0[g.out_degree == 0].sum())
         return _pagerank_shards(
-            g, _PageRankVecSpec(damping, tol), max_iters, d0)
-    algo = PageRankStep(damping=damping, tol=tol)
+            g, _PageRankVecSpec(damping, tol, rank0=rank0), max_iters, d0)
+    algo = PageRankStep(damping=damping, tol=tol, rank0=rank0)
     return run_supersteps(g, algo, max_iters=max_iters,
                           gather="auto" if gather == "shards" else gather,
                           checkpoint_dir=checkpoint_dir, run_id=run_id,

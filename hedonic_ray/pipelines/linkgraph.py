@@ -408,6 +408,43 @@ def doc_ppr_table(sf_dir: str, *, iters: int = 5,
                      "rank_e9": pa.array(rank_e9, pa.int64())})
 
 
+def doc_pagerank_refresh(sf_dir: str, *, iters: int = 5, extra: int = 2,
+                         stride: int = 31) -> pa.Table:
+    """INCREMENTAL PageRank refresh — the crawl-update analytics twin
+    of `dedup_incremental`: rank the base graph (``iters`` fixed
+    iterations), apply a deterministic edge delta (every ``stride``-th
+    doc gains the link ``d → (17d+3) mod n``), then WARM-START from
+    the prior ranks and run only ``extra`` iterations on the updated
+    graph — the production refresh pattern that skips re-converging
+    from uniform after each crawl.  The warm start ships the prior
+    vector once (inside the shard spec at scale); per-round traffic
+    stays scalar.  Columns: vertex, prior_e9, rank_e9, delta_e9
+    (signed ×1e9 half-up-rounded; delta is the difference of the two
+    ROUNDED columns, so it is exact int arithmetic)."""
+    from hedonic_ray.algos.pagerank import pagerank
+
+    g = doc_graph(sf_dir, directed=True)
+    n = g.n
+    pr = pagerank(g, max_iters=iters, tol=0.0).state["rank"]
+
+    src = np.arange(0, n, stride, dtype=np.int64)
+    dst = (src * 17 + 3) % n
+    keep = src != dst
+    delta_ds = edges_from_numpy(
+        np.stack([src[keep], dst[keep]], axis=1))
+    # raw cached edges keep dups/self-loops; build_link_graph dedups
+    g2 = build_link_graph(doc_edges_cached(sf_dir).union(delta_ds),
+                          n, directed=True)
+    pr2 = pagerank(g2, max_iters=extra, tol=0.0,
+                   rank0=pr).state["rank"]
+    prior_e9 = np.floor(pr * 1e9 + 0.5).astype(np.int64)
+    rank_e9 = np.floor(pr2 * 1e9 + 0.5).astype(np.int64)
+    return pa.table({"vertex": pa.array(np.arange(n), pa.int64()),
+                     "prior_e9": pa.array(prior_e9, pa.int64()),
+                     "rank_e9": pa.array(rank_e9, pa.int64()),
+                     "delta_e9": pa.array(rank_e9 - prior_e9, pa.int64())})
+
+
 def doc_trustrank(sf_dir: str, *, iters: int = 5,
                   stride: int = 97) -> pa.Table:
     """TrustRank + spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB
