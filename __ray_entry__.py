@@ -1483,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ppr": lg.doc_ppr_table,
         "graph_trustrank": lg.doc_trustrank,
         "graph_pagerank_refresh": lg.doc_pagerank_refresh,
+        "graph_components_refresh": lg.doc_components_refresh,
         "graph_components": lg.doc_components_table,
         "graph_component_stats": lg.doc_component_stats,
         "graph_scc": lg.doc_scc_table,
@@ -1870,6 +1871,39 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": _ppr_chain_sql(iters=5, stride=101),
         "graph_trustrank": _trustrank_chain_sql(iters=5, stride=97),
         "graph_pagerank_refresh": _pr_refresh_chain_sql(iters=5, extra=2),
+        "graph_components_refresh": f"""
+            -- incremental CC refresh: prior labels on the base graph,
+            -- new labels after the deterministic delta edges merge in
+            WITH RECURSIVE {_LINKS_CTE},
+            nn AS (SELECT count(*) AS n FROM documents),
+            arcs AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            delta AS (SELECT d.doc_id AS src,
+                             (d.doc_id * 17 + 3) % nn.n AS dst
+                      FROM documents d CROSS JOIN nn
+                      WHERE d.doc_id % 31 = 0
+                        AND d.doc_id <> (d.doc_id * 17 + 3) % nn.n),
+            arcs2 AS (SELECT src, dst FROM arcs
+                      UNION SELECT src, dst FROM delta
+                      UNION SELECT dst, src FROM delta),
+            reach(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, a.dst FROM reach r JOIN arcs a ON a.src = r.u
+            ),
+            reach2(v, u) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.v, a.dst FROM reach2 r JOIN arcs2 a
+                ON a.src = r.u
+            ),
+            prior AS (SELECT v, MIN(u) AS c FROM reach GROUP BY v),
+            cur AS (SELECT v, MIN(u) AS c FROM reach2 GROUP BY v)
+            SELECT p.v AS vertex, CAST(p.c AS BIGINT) AS prior_comp,
+                   CAST(c2.c AS BIGINT) AS component,
+                   CAST(CASE WHEN p.c <> c2.c THEN 1 ELSE 0 END
+                        AS BIGINT) AS changed
+            FROM prior p JOIN cur c2 ON c2.v = p.v ORDER BY vertex
+        """,
         "graph_hedonic_2pass": _hedonic_chain_sql(iters=2),
         "graph_contract": (
             f"WITH {_LINKS_CTE},\n{_ARCS_CTE},\n"

@@ -445,6 +445,42 @@ def doc_pagerank_refresh(sf_dir: str, *, iters: int = 5, extra: int = 2,
                      "delta_e9": pa.array(rank_e9 - prior_e9, pa.int64())})
 
 
+def doc_components_refresh(sf_dir: str, *, stride: int = 31) -> pa.Table:
+    """INCREMENTAL connected-components refresh — the second member of
+    the crawl-update family (next to `doc_pagerank_refresh`): labels
+    on the base undirected graph, then the deterministic edge delta
+    merges components WITHOUT re-running CC on the full graph: the
+    delta edges project to OLD-LABEL pairs (≤ |delta| of them), the
+    tiny label graph clusters through the existing dup-cluster CC
+    machinery, and the final label is one broadcast-array gather —
+    O(delta) work against an O(V+E) recompute, exactly how a crawl
+    pipeline folds in a day's new links.  Columns: vertex, prior_comp,
+    component, changed (0/1)."""
+    import ray.data as rd
+
+    from hedonic_ray.algos.components import connected_components
+    from hedonic_ray.ops.dedup import duplicate_clusters
+
+    g = doc_graph(sf_dir, directed=False)
+    n = g.n
+    prior = connected_components(g).state["component"].astype(np.int64)
+
+    src = np.arange(0, n, stride, dtype=np.int64)
+    dst = (src * 17 + 3) % n
+    keep = src != dst
+    la, lb = prior[src[keep]], prior[dst[keep]]
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(np.minimum(la, lb), pa.int64()),
+        "b": pa.array(np.maximum(la, lb), pa.int64())}))
+    root = duplicate_clusters(pairs, n)  # over the label id space
+    comp = root[prior]
+    return pa.table({
+        "vertex": pa.array(np.arange(n), pa.int64()),
+        "prior_comp": pa.array(prior, pa.int64()),
+        "component": pa.array(comp, pa.int64()),
+        "changed": pa.array((comp != prior).astype(np.int64), pa.int64())})
+
+
 def doc_trustrank(sf_dir: str, *, iters: int = 5,
                   stride: int = 97) -> pa.Table:
     """TrustRank + spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB

@@ -166,6 +166,7 @@ SQL_CHECKED = sorted([
     "text_bpe", "graph_cocitation", "graph_trustrank", "sim_dbscan",
     "text_lm_score", "multimodal_phash", "graph_node2vec",
     "rel_q18_large_orders", "rel_q2_min_cost", "graph_pagerank_refresh",
+    "graph_components_refresh",
 ])
 
 
@@ -241,6 +242,7 @@ FORCED_SCALE = sorted([
     "text_lm_score",        # (doc, term, k) ⋈ surprisal hash-join path
     "graph_node2vec",       # edge-membership marker-join path
     "graph_pagerank_refresh",  # warm-start rank0 through the shard spec
+    "graph_components_refresh",  # resident CC + distributed label merge
     # sim_dbscan is NOT here by design: its forced-scale eps-pair stage
     # is the IVF bucketed path, which is approximate at the fixture's
     # near-noise threshold (recall audited by sim_recall_audit; the
