@@ -1648,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe": tx.bpe_merges,
         "text_lm_score": tx.lm_scores,
         "multimodal_phash": tx.multimodal_phash,
+        "text_weighted_sample": tx.weighted_sample,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
@@ -4831,6 +4832,18 @@ ORDER BY community"""),
             )
             SELECT query_id, vec_id, score_e6
             FROM scored WHERE score_e6 >= 300000
+        """,
+        "text_weighted_sample": """
+            -- length-weighted priority sample: bottom-50 by
+            -- md5_low64(id) // max(n_chars, 2); ties -> doc_id
+            WITH pr AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                            // GREATEST(CAST(n_chars AS BIGINT), 2)
+                            AS BIGINT) AS priority
+                FROM documents)
+            SELECT doc_id, w, priority
+            FROM pr ORDER BY priority, doc_id LIMIT 50
         """,
         "multimodal_phash": """
             -- aHash near-dup pairs over the grid-body fake decode:

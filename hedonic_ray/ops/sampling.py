@@ -204,3 +204,42 @@ def stratified_quota_sample(ds, *, id_col: str, stratum_col: str,
 
     return (ds.map_batches(local, batch_format="pyarrow")
             .groupby(stratum_col).map_groups(merge, batch_format="numpy"))
+
+
+def weighted_bottomk_sample(ds, *, id_col: str, weight_col: str, k: int):
+    """WEIGHTED fixed-size priority sample: keep the k rows with the
+    smallest ``md5_low64(str(id)) // max(weight, 2)`` — a size-biased
+    bottom-k (double the weight ≈ double the inclusion odds) in the
+    priority-sampling family (Duffield, Lund & Thorup 2007), kept
+    INTEGER so it is bit-reproducible inside SQL (true
+    Efraimidis–Spirakis ``u^(1/w)`` keys need float pow, which is
+    engine-ordering-sensitive; this integer surrogate trades exact
+    inclusion probabilities for cross-engine auditability — stated
+    trade-off).  ``max(weight, 2)`` keeps the quotient under 2⁶³ so
+    the priority rides as BIGINT in both engines.
+
+    Same coordination-free algebra as :func:`bottomk_sample`: each
+    task keeps its local bottom-k (the combiner), a ≤ k·blocks driver
+    merge finishes.  Returns ``(id, w, priority)`` sorted by
+    (priority, id)."""
+    from hedonic_ray.ops.dedup import md5_low64
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        w = t.column(weight_col).to_numpy().astype(np.int64)
+        h = np.fromiter((md5_low64(str(int(i))) for i in ids),
+                        dtype=np.uint64, count=len(ids))
+        pr = (h // np.maximum(w, 2).astype(np.uint64)).astype(np.int64)
+        order = np.lexsort((ids, pr))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "w": pa.array(w[order], pa.int64()),
+                         "priority": pa.array(pr[order], pa.int64())})
+
+    rows = ds.map_batches(local, batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    w = np.array([r["w"] for r in rows], dtype=np.int64)
+    pr = np.array([r["priority"] for r in rows], dtype=np.int64)
+    order = np.lexsort((ids, pr))[:k]
+    return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                     "w": pa.array(w[order], pa.int64()),
+                     "priority": pa.array(pr[order], pa.int64())})

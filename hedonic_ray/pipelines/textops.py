@@ -1371,3 +1371,13 @@ def phash_sorted(pairs_ds) -> pa.Table:
 
     return t.take(pc.sort_indices(t, sort_keys=[("a", "ascending"),
                                                 ("b", "ascending")]))
+
+
+def weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
+    """Length-weighted fixed-size document sample
+    (`ops/sampling.py:weighted_bottomk_sample`, weight = n_chars)."""
+    from hedonic_ray.ops.sampling import weighted_bottomk_sample
+
+    return weighted_bottomk_sample(
+        _docs(sf_dir, ["doc_id", "n_chars"]), id_col="doc_id",
+        weight_col="n_chars", k=k)
