@@ -1649,6 +1649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lm_score": tx.lm_scores,
         "multimodal_phash": tx.multimodal_phash,
         "text_weighted_sample": tx.weighted_sample,
+        "text_textrank": tx.textrank_keywords,
         "text_intake_filter": tx.intake_filter,
         "text_tfidf": tx.tfidf_keywords,
         "dedup_minhash": tx.minhash_components,
@@ -1808,6 +1809,54 @@ def _kmeans_step_sql(n_clusters: int = 4, scale: int = 100000) -> str:
         GROUP BY a.c, q.j
         ORDER BY cluster, dim
     """
+
+
+def _textrank_chain_sql(iters: int = 3, damping: float = 0.85,
+                        k: int = 20) -> str:
+    """TextRank oracle: word co-occurrence graph (sorted-distinct
+    vocab ids via ROW_NUMBER, adjacent-token und edges) + the standard
+    unrolled PageRank chain, top-k by (×1e9 rank desc, term)."""
+    parts = [r"""WITH words AS MATERIALIZED (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+           generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+    FROM documents
+),
+vocab AS MATERIALIZED (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS id
+    FROM (SELECT DISTINCT w FROM words)
+),
+adj AS (SELECT va.id AS x, vb.id AS y
+        FROM words a JOIN words b ON b.doc_id = a.doc_id
+                                 AND b.i = a.i + 1
+        JOIN vocab va ON va.w = a.w
+        JOIN vocab vb ON vb.w = b.w
+        WHERE va.id <> vb.id),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(x, y) AS a,
+                                     GREATEST(x, y) AS b FROM adj),
+arcs AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                      UNION ALL SELECT b, a FROM und),
+nn AS (SELECT count(*) AS n FROM vocab),
+outdeg AS (SELECT src, count(*) AS d FROM arcs GROUP BY src),
+r0 AS (SELECT id AS v, 1.0 / nn.n AS r FROM vocab CROSS JOIN nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+dang{i} AS (SELECT COALESCE(sum(r), 0) AS s FROM r{i}
+            WHERE NOT EXISTS (SELECT 1 FROM arcs
+                              WHERE arcs.src = r{i}.v)),
+c{i} AS (SELECT arcs.dst AS v, sum(r{i}.r / outdeg.d) AS c
+         FROM arcs JOIN r{i} ON r{i}.v = arcs.src
+         JOIN outdeg ON outdeg.src = arcs.src GROUP BY arcs.dst),
+r{i + 1} AS (SELECT vocab.id AS v,
+             (1 - {damping}) / nn.n
+             + {damping} * (COALESCE(c{i}.c, 0) + dang{i}.s / nn.n) AS r
+             FROM vocab CROSS JOIN nn CROSS JOIN dang{i}
+             LEFT JOIN c{i} ON c{i}.v = vocab.id)""")
+    parts.append(f"""
+SELECT vocab.w AS term,
+       CAST(FLOOR(r{iters}.r * 1e9 + 0.5) AS BIGINT) AS rank_e9
+FROM r{iters} JOIN vocab ON vocab.id = r{iters}.v
+ORDER BY rank_e9 DESC, term LIMIT {k}""")
+    return "".join(parts)
 
 
 def _bpe_chain_sql(rounds: int = 3) -> str:
@@ -2096,6 +2145,7 @@ ORDER BY community"""),
             WHERE r.rn <= quota.q ORDER BY r.source, r.doc_id
         """,
         "text_bpe": _bpe_chain_sql(rounds=3),
+        "text_textrank": _textrank_chain_sql(iters=3, k=20),
         "text_lm_score": r"""
             -- unigram-LM surprisal per doc (add-one smoothing), every
             -- per-token term an exact integer: floor(1e6*ln(N+V)) -

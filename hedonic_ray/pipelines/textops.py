@@ -1381,3 +1381,54 @@ def weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
     return weighted_bottomk_sample(
         _docs(sf_dir, ["doc_id", "n_chars"]), id_col="doc_id",
         weight_col="n_chars", k=k)
+
+
+def textrank_keywords(sf_dir: str, *, iters: int = 3, k: int = 20) -> pa.Table:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004): build the
+    word CO-OCCURRENCE GRAPH (adjacent \\S+ tokens, undirected,
+    deduped, self-pairs dropped), run the ENGINE'S OWN PageRank over
+    its CSR blocks for ``iters`` fixed iterations, report the top-k
+    terms by ×1e9 half-up-rounded rank (ties → term asc).  The
+    composition query: text stage → graph build → superstep kernel,
+    all existing machinery — vocabulary ids are the sorted-distinct
+    index (broadcast below any realistic vocab size; the url→id
+    dense-rank join of `graph/build.py` is the stated scale path),
+    edges pre-deduped per batch, the vocab-sized rank vector is the
+    usual O(V) per-vertex output."""
+    import ray
+
+    from hedonic_ray.algos.pagerank import pagerank
+    from hedonic_ray.graph.build import build_link_graph
+    from hedonic_ray.ops.textstats import _flat_words
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    tf = ts.term_total_frequency(docs)
+    terms = np.array(sorted(r["term"] for r in tf.take_all()), dtype=str)
+    n_vocab = len(terms)
+    vref = ray.put(terms)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        flat, _lens, doc_of = _flat_words(batch, "text")
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        vs = ray.get(vref)
+        ids = np.searchsorted(vs, np.asarray(flat).astype(str))
+        adj = (doc_of[:-1] == doc_of[1:]) & (ids[:-1] != ids[1:])
+        if not adj.any():
+            return empty
+        a = np.minimum(ids[:-1][adj], ids[1:][adj]).astype(np.int64)
+        b = np.maximum(ids[:-1][adj], ids[1:][adj]).astype(np.int64)
+        key = np.unique(a * np.int64(n_vocab) + b)
+        return pa.table({"src": pa.array(key // n_vocab, pa.int64()),
+                         "dst": pa.array(key % n_vocab, pa.int64())})
+
+    g = build_link_graph(docs.map_batches(edges, batch_format="pyarrow"),
+                         n_vocab, directed=False)
+    r = pagerank(g, max_iters=iters, tol=0.0).state["rank"]
+    rank_e9 = np.floor(r * 1e9 + 0.5).astype(np.int64)
+    order = np.lexsort((terms, -rank_e9))[:k]
+    return pa.table({
+        "term": pa.array(terms[order].astype(object), pa.string()),
+        "rank_e9": pa.array(rank_e9[order], pa.int64())})
