@@ -165,6 +165,43 @@ FROM r{iters} p JOIN w{extra} w ON w.v = p.v""")
     return "".join(parts)
 
 
+def _multilevel_chain_sql(lp_iters: int = 2) -> str:
+    """Two-level community detection oracle: 2-pass hedonic (m2) →
+    weighted super-graph → unrolled weighted-LP rounds on the
+    super-graph (max incoming weight, ties → lowest label, no in-arcs
+    keep) → project back per vertex."""
+    parts = [f"""WITH {_LINKS_CTE},
+{_ARCS_CTE},
+{_hedonic_chain_ctes(2)},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                        GREATEST(src, dst) AS b FROM e),
+sup AS MATERIALIZED (
+    SELECT LEAST(la.lab, lb.lab) AS ca, GREATEST(la.lab, lb.lab) AS cb,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM und JOIN m2 la ON la.v = und.a
+             JOIN m2 lb ON lb.v = und.b
+    WHERE la.lab <> lb.lab GROUP BY 1, 2),
+sarcs AS MATERIALIZED (SELECT ca AS src, cb AS dst, w FROM sup
+                       UNION ALL SELECT cb, ca, w FROM sup),
+comms AS MATERIALIZED (SELECT DISTINCT lab AS c FROM m2),
+l0 AS (SELECT c, c AS l FROM comms)"""]
+    for i in range(lp_iters):
+        parts.append(f""",
+g{i} AS (SELECT a.dst AS c, l{i}.l AS lab, SUM(a.w) AS tw
+         FROM sarcs a JOIN l{i} ON l{i}.c = a.src GROUP BY 1, 2),
+p{i} AS (SELECT c, lab FROM (
+             SELECT c, lab, row_number() OVER (
+                 PARTITION BY c ORDER BY tw DESC, lab) AS rn
+             FROM g{i}) WHERE rn = 1),
+l{i + 1} AS (SELECT l{i}.c, COALESCE(p{i}.lab, l{i}.l) AS l
+             FROM l{i} LEFT JOIN p{i} ON p{i}.c = l{i}.c)""")
+    parts.append(f"""
+SELECT m2.v AS vertex, CAST(m2.lab AS BIGINT) AS level1,
+       CAST(lf.l AS BIGINT) AS level2
+FROM m2 JOIN l{lp_iters} lf ON lf.c = m2.lab ORDER BY vertex""")
+    return "".join(parts)
+
+
 def _trustrank_chain_sql(iters: int = 5, damping: float = 0.85,
                          stride: int = 97) -> str:
     """TrustRank spam-mass oracle: the PageRank chain AND the
@@ -1484,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_trustrank": lg.doc_trustrank,
         "graph_pagerank_refresh": lg.doc_pagerank_refresh,
         "graph_components_refresh": lg.doc_components_refresh,
+        "graph_multilevel": lg.doc_multilevel,
         "graph_components": lg.doc_components_table,
         "graph_component_stats": lg.doc_component_stats,
         "graph_scc": lg.doc_scc_table,
@@ -1921,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": _ppr_chain_sql(iters=5, stride=101),
         "graph_trustrank": _trustrank_chain_sql(iters=5, stride=97),
         "graph_pagerank_refresh": _pr_refresh_chain_sql(iters=5, extra=2),
+        "graph_multilevel": _multilevel_chain_sql(lp_iters=2),
         "graph_components_refresh": f"""
             -- incremental CC refresh: prior labels on the base graph,
             -- new labels after the deterministic delta edges merge in

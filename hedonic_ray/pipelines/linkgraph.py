@@ -481,6 +481,57 @@ def doc_components_refresh(sf_dir: str, *, stride: int = 31) -> pa.Table:
         "changed": pa.array((comp != prior).astype(np.int64), pa.int64())})
 
 
+def doc_multilevel(sf_dir: str, *, lp_iters: int = 2) -> pa.Table:
+    """TWO-LEVEL community detection (the Louvain/Leiden multi-level
+    loop, one coarsening): level 1 = the 2-pass hedonic partition;
+    contract to the weighted super-graph (`doc_contract`'s pair
+    pipeline); level 2 = ``lp_iters`` rounds of weighted label
+    propagation ON THE SUPER-GRAPH (max incoming weight, ties → lowest
+    label, no in-arcs → keep); project back.  Columns: vertex,
+    level1, level2.
+
+    The super-graph is orders of magnitude smaller than the graph
+    (that is the point of contraction), so the level-2 LP runs on the
+    driver over community-bounded arrays — the same justification as
+    every post-aggregation collect; the contraction itself is the
+    distributed pair-grid exchange."""
+    mem = hedonic_2pass_membership(sf_dir).astype(np.int64)
+    sup = doc_contract(sf_dir)
+    ca = sup.column("ca").to_numpy().astype(np.int64)
+    cb = sup.column("cb").to_numpy().astype(np.int64)
+    w = sup.column("weight").to_numpy().astype(np.int64)
+    m = ca != cb
+    src = np.concatenate([ca[m], cb[m]])
+    dst = np.concatenate([cb[m], ca[m]])
+    aw = np.concatenate([w[m], w[m]])
+    comms = np.unique(mem)
+    lab = comms.copy()
+    si = np.searchsorted(comms, src)
+    di = np.searchsorted(comms, dst)
+    for _ in range(lp_iters):
+        # incoming-weight grid over (dst, label(src)) — C-bounded
+        key = di * np.int64(len(comms) + 1) + \
+            np.searchsorted(comms, lab[si])
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, aw)
+        gd = uk // (len(comms) + 1)
+        gl = comms[(uk % (len(comms) + 1)).astype(np.int64)]
+        order = np.lexsort((gl, -acc, gd))
+        first = np.empty(len(gd), bool)
+        if len(gd):
+            first[0] = True
+            first[1:] = gd[order][1:] != gd[order][:-1]
+            new = lab.copy()
+            new[gd[order][first]] = gl[order][first]
+            lab = new
+    level2 = lab[np.searchsorted(comms, mem)]
+    return pa.table({
+        "vertex": pa.array(np.arange(len(mem)), pa.int64()),
+        "level1": pa.array(mem, pa.int64()),
+        "level2": pa.array(level2, pa.int64())})
+
+
 def doc_trustrank(sf_dir: str, *, iters: int = 5,
                   stride: int = 97) -> pa.Table:
     """TrustRank + spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB
