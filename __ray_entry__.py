@@ -1499,6 +1499,12 @@ def _nav_earliest_arrival(sf_dir: str):
     return nav_earliest_arrival(sf_dir)
 
 
+def _nav_entry_exit(sf_dir: str):
+    from hedonic_ray.graph.nav import nav_entry_exit
+
+    return nav_entry_exit(sf_dir)
+
+
 def _text_jsonl_io(sf_dir: str):
     from hedonic_ray.sources.jsonl import jsonl_roundtrip_stats
 
@@ -1566,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": lg.doc_sssp,
         "graph_diameter": lg.doc_diameter,
         "graph_earliest_arrival": _nav_earliest_arrival,
+        "rel_entry_exit": _nav_entry_exit,
         "graph_extract_anchors": lg.doc_anchor_text,
         "graph_anchor_profile": lg.doc_anchor_profile,
         "graph_modularity": lg.doc_modularity,
@@ -4016,6 +4023,54 @@ ORDER BY community"""),
             SELECT CAST(ks.q_e2 AS BIGINT) AS q_e2,
                    CAST(FLOOR(r.v * 100.0) AS BIGINT) AS value_e2
             FROM ks JOIN r ON r.rn = ks.k
+        """,
+        "rel_entry_exit": """
+            -- session entry/exit/bounce page counts (30-min gap
+            -- sessions, (ts, event_id) order); only pages that are
+            -- some session's boundary appear (the engine emits
+            -- boundary nodes only)
+            WITH o AS (
+                SELECT user_id, event_id, epoch_us(ts) AS tus,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS node,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events),
+            f AS (SELECT *, CASE WHEN prev IS NULL
+                                      OR tus - prev > 1800000000
+                                 THEN 1 ELSE 0 END AS new_s
+                  FROM o),
+            s AS (SELECT user_id, node, tus, event_id,
+                         SUM(new_s) OVER (
+                             PARTITION BY user_id
+                             ORDER BY tus, event_id
+                             ROWS UNBOUNDED PRECEDING) AS seq
+                  FROM f),
+            m AS MATERIALIZED (
+                SELECT node,
+                       row_number() OVER (PARTITION BY user_id, seq
+                                          ORDER BY tus, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id, seq) AS ne
+                FROM s),
+            entry AS (SELECT node, COUNT(*) AS c FROM m
+                      WHERE rn = 1 GROUP BY node),
+            exitt AS (SELECT node, COUNT(*) AS c FROM m
+                      WHERE rn = ne GROUP BY node),
+            bounce AS (SELECT node, COUNT(*) AS c FROM m
+                       WHERE rn = 1 AND ne = 1 GROUP BY node),
+            nodes AS (SELECT node FROM entry UNION
+                      SELECT node FROM exitt UNION
+                      SELECT node FROM bounce)
+            SELECT n.node,
+                   CAST(COALESCE(e.c, 0) AS BIGINT) AS entries,
+                   CAST(COALESCE(x.c, 0) AS BIGINT) AS exits,
+                   CAST(COALESCE(b.c, 0) AS BIGINT) AS bounces
+            FROM nodes n
+            LEFT JOIN entry e ON e.node = n.node
+            LEFT JOIN exitt x ON x.node = n.node
+            LEFT JOIN bounce b ON b.node = n.node
+            ORDER BY n.node
         """,
         "rel_sessionize": """
             -- full session table: gap-islands (>30 min) per user,

@@ -338,3 +338,54 @@ def nav_weighted_labelprop(sf_dir: str, *, iters: int = 2) -> pa.Table:
         new[np.searchsorted(nodes, d[first])] = gl[first]
         lab = new
     return pa.table({"node": pa.array(nodes), "label": pa.array(lab)})
+
+
+def nav_entry_exit(sf_dir: str, *, gap_minutes: int = 30) -> "object":
+    """Session ENTRY/EXIT/BOUNCE page analytics over the click log:
+    per node, how many 30-min-gap sessions START there (the landing
+    page), END there (the exit page), and consist of ONLY that event
+    (bounce).  The session segmentation is `rel_sessionize`'s exact
+    rule ((ts, event_id) order, gap > 30 min); one groupby(user)
+    exchange produces per-group (node, entries, exits, bounces)
+    partials (np.unique pre-combine) and one small groupby(node)
+    finishes.  Columns: node, entries, exits, bounces sorted by
+    node."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def partial(group: pa.Table) -> pa.Table:
+        ts = (group.column("ts").to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        eid = group.column("event_id").to_numpy()
+        node = group.column("node").to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts))
+        ts, node = ts[order], node[order]
+        new = np.ones(len(ts), bool)
+        new[1:] = np.diff(ts) > gap_us
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ts)) - 1
+        entry_n = node[starts]
+        exit_n = node[ends]
+        bounce_n = node[starts[starts == ends]]
+        nodes = np.unique(np.concatenate([entry_n, exit_n, bounce_n]))
+
+        def cnt(vals):
+            out = np.zeros(len(nodes), np.int64)
+            u, c = np.unique(vals, return_counts=True)
+            out[np.searchsorted(nodes, u)] = c
+            return out
+
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "e": pa.array(cnt(entry_n)),
+                         "x": pa.array(cnt(exit_n)),
+                         "b": pa.array(cnt(bounce_n))})
+
+    return (nav_events(sf_dir).groupby("user_id")
+            .map_groups(partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("e", alias_name="entries"),
+                       Sum("x", alias_name="exits"),
+                       Sum("b", alias_name="bounces"))
+            .sort("node"))
