@@ -1505,6 +1505,12 @@ def _nav_entry_exit(sf_dir: str):
     return nav_entry_exit(sf_dir)
 
 
+def _nav_attribution(sf_dir: str):
+    from hedonic_ray.graph.nav import nav_attribution
+
+    return nav_attribution(sf_dir)
+
+
 def _text_jsonl_io(sf_dir: str):
     from hedonic_ray.sources.jsonl import jsonl_roundtrip_stats
 
@@ -1573,6 +1579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": lg.doc_diameter,
         "graph_earliest_arrival": _nav_earliest_arrival,
         "rel_entry_exit": _nav_entry_exit,
+        "rel_attribution": _nav_attribution,
         "graph_extract_anchors": lg.doc_anchor_text,
         "graph_anchor_profile": lg.doc_anchor_profile,
         "graph_modularity": lg.doc_modularity,
@@ -4023,6 +4030,40 @@ ORDER BY community"""),
             SELECT CAST(ks.q_e2 AS BIGINT) AS q_e2,
                    CAST(FLOOR(r.v * 100.0) AS BIGINT) AS value_e2
             FROM ks JOIN r ON r.rn = ks.k
+        """,
+        "rel_attribution": """
+            -- last-touch attribution: each purchase's cents credit
+            -- the user's most recent preceding non-purchase event's
+            -- page within 7 days ((ts, event_id) order); packed
+            -- (seq*1024 + node) carry-forward window max
+            WITH o AS (
+                SELECT user_id, event_id, event_type,
+                       epoch_us(ts) AS tus,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS node,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS seq
+                FROM events),
+            w AS (SELECT *,
+                         MAX(CASE WHEN event_type <> 'purchase'
+                                  THEN seq * 1024 + node END)
+                             OVER (PARTITION BY user_id ORDER BY seq
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pk
+                  FROM o),
+            conv AS (SELECT w.user_id, w.cents, w.tus,
+                            w.pk // 1024 AS pseq, w.pk % 1024 AS pnode
+                     FROM w
+                     WHERE event_type = 'purchase' AND pk IS NOT NULL),
+            att AS (SELECT c.pnode AS node, c.cents
+                    FROM conv c JOIN o p ON p.user_id = c.user_id
+                                        AND p.seq = c.pseq
+                    WHERE c.tus - p.tus <= 7 * 86400 * CAST(1000000
+                                                            AS BIGINT))
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM att GROUP BY node ORDER BY node
         """,
         "rel_entry_exit": """
             -- session entry/exit/bounce page counts (30-min gap

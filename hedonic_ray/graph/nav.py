@@ -389,3 +389,80 @@ def nav_entry_exit(sf_dir: str, *, gap_minutes: int = 30) -> "object":
                        Sum("x", alias_name="exits"),
                        Sum("b", alias_name="bounces"))
             .sort("node"))
+
+
+def nav_attribution(sf_dir: str, *, window_days: int = 7) -> "object":
+    """LAST-TOUCH ATTRIBUTION over the click log: each 'purchase'
+    event's value (exact cents) is credited to the page of the most
+    recent PRECEDING non-purchase event by the same user within
+    ``window_days`` ((ts, event_id) order; purchases with no
+    qualifying touch are dropped).  The marketing-analytics join every
+    event pipeline runs; same one-exchange groupby(user) shape as
+    sessionize, with per-group vectorized searchsorted attribution and
+    a small groupby(node) finish.  Columns: node, n_conversions,
+    revenue_cents sorted by node."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.context import configure_context
+
+    configure_context()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t.column("props"), pattern=_K_PATTERN)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "cents": pa.array(np.rint(
+                t.column("value").to_numpy() * 100.0).astype(np.int64)),
+            "node": pc.cast(pc.struct_field(s, "node"), pa.int64())})
+
+    win_us = np.int64(window_days) * 86_400_000_000
+
+    def partial(group: pa.Table) -> pa.Table:
+        ts = (group.column("ts").to_numpy()
+              .astype("datetime64[us]").astype(np.int64))
+        eid = group.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        node = group.column("node").to_numpy().astype(np.int64)[order]
+        cents = group.column("cents").to_numpy().astype(np.int64)[order]
+        is_p = (group.column("event_type").to_numpy(zero_copy_only=False)
+                .astype(str) == "purchase")[order]
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        touch_idx = np.flatnonzero(~is_p)
+        conv_idx = np.flatnonzero(is_p)
+        if len(touch_idx) == 0 or len(conv_idx) == 0:
+            return empty
+        # index of the last touch STRICTLY before each conversion
+        pos = np.searchsorted(touch_idx, conv_idx) - 1
+        ok = pos >= 0
+        conv_idx, pos = conv_idx[ok], pos[ok]
+        t_idx = touch_idx[pos]
+        ok = ts[conv_idx] - ts[t_idx] <= win_us
+        conv_idx, t_idx = conv_idx[ok], t_idx[ok]
+        if len(conv_idx) == 0:
+            return empty
+        nodes, inv = np.unique(node[t_idx], return_inverse=True)
+        n = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+        rev = np.zeros(len(nodes), np.int64)
+        np.add.at(rev, inv, cents[conv_idx])
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "n": pa.array(n),
+                         "cents": pa.array(rev, pa.int64())})
+
+    return (ds.map_batches(ext, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("n", alias_name="n_conversions"),
+                       Sum("cents", alias_name="revenue_cents"))
+            .sort("node"))
