@@ -1622,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q3_shipping": rel.top_unshipped_orders,
         "rel_q5_local_volume": rel.local_supplier_volume,
         "rel_q18_large_orders": rel.large_quantity_orders,
+        "rel_basket_rules": rel.basket_rules,
         "rel_q2_min_cost": rel.min_cost_supplier,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
@@ -4203,6 +4204,34 @@ ORDER BY community"""),
             FROM l JOIN o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "rel_basket_rules": """
+            -- association rules over the top-20 copurchase pairs
+            -- (both directions, support >= 2): exact integer
+            -- confidence and lift rationals
+            WITH dp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            pc AS (SELECT a.p AS pa2, b.p AS pb,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM dp a JOIN dp b ON b.o = a.o AND a.p < b.p
+                   GROUP BY 1, 2),
+            top AS (SELECT pa2 AS a, pb AS b, n FROM pc
+                    ORDER BY n DESC, pa2, pb LIMIT 20),
+            topf AS (SELECT * FROM top WHERE n >= 2),
+            item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ni
+                     FROM dp GROUP BY p),
+            nt AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n
+                   FROM dp),
+            rules AS (SELECT a AS ante, b AS cons, n FROM topf
+                      UNION ALL SELECT b, a, n FROM topf)
+            SELECT r.ante, r.cons, r.n AS n_both, ia.ni AS n_ante,
+                   CAST(r.n * 1000000 // ia.ni AS BIGINT) AS conf_e6,
+                   CAST(r.n * nt.n * 1000000 // (ia.ni * ic.ni)
+                        AS BIGINT) AS lift_e6
+            FROM rules r JOIN item ia ON ia.p = r.ante
+                         JOIN item ic ON ic.p = r.cons
+                         CROSS JOIN nt
+            ORDER BY ante, cons
         """,
         "rel_q18_large_orders": """
             -- TPC-H Q18 shape: orders whose total lineitem quantity

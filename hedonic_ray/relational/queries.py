@@ -2506,3 +2506,65 @@ def min_cost_supplier(sf_dir: str):
 
     return best.map_batches(unpackf,
                             batch_format="pyarrow").sort("p_partkey")
+
+
+def basket_rules(sf_dir: str, k: int = 20, min_orders: int = 2):
+    """ASSOCIATION RULES from the top co-purchase pairs: for each
+    directed rule a→b over the top-k pairs of :func:`copurchase_pairs`
+    (both directions), support = orders containing both, and the exact
+    integer rationals
+
+        confidence_e6 = n_ab·10⁶ // n_a
+        lift_e6       = n_ab·N·10⁶ // (n_a·n_b)
+
+    (N = distinct orders with ≥1 lineitem).  Per-item order counts
+    come from ONE distinct-pair exchange (order, part) → part count;
+    the rule table itself is 2k rows joined driver-side against that
+    count grid (parts dimension ≪ facts) — the A-Priori scoring stage
+    after the pair mining.  Columns: ante, cons, n_both, n_ante,
+    conf_e6, lift_e6 sorted by (ante, cons)."""
+    from ray.data.aggregate import Count
+
+    top = copurchase_pairs(sf_dir, k=k)
+    a = top.column("a").to_numpy().astype(np.int64)
+    b = top.column("b").to_numpy().astype(np.int64)
+    nb = top.column("n_orders").to_numpy().astype(np.int64)
+    keep = nb >= min_orders
+    a, b, nb = a[keep], b[keep], nb[keep]
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dpairs(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        key = np.unique(ok * np.int64(1 << 31) + pk)
+        return pa.table({"o": pa.array(key >> 31, pa.int64()),
+                         "p": pa.array(key & ((1 << 31) - 1), pa.int64())})
+
+    grid = (ds.map_batches(dpairs, batch_format="pyarrow")
+            .groupby(["o", "p"])
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+    item = grid.groupby("p").aggregate(Count(alias_name="n_item"))
+    n_orders_total = grid.groupby("o").aggregate(
+        Count(alias_name="_c")).count()
+    cnt = {int(r["p"]): int(r["n_item"]) for r in item.take_all()
+           if int(r["p"]) in set(np.concatenate([a, b]).tolist())}
+
+    ante = np.concatenate([a, b])
+    cons = np.concatenate([b, a])
+    both = np.concatenate([nb, nb])
+    n_a = np.array([cnt[int(x)] for x in ante], np.int64)
+    n_c = np.array([cnt[int(x)] for x in cons], np.int64)
+    assert int(n_orders_total) < 3_000_000, \
+        "lift numerator n_both*N*1e6 needs N < 3e6 in int64: rescale"
+    conf = both * np.int64(1_000_000) // n_a
+    lift = both * np.int64(n_orders_total) * np.int64(1_000_000) \
+        // (n_a * n_c)
+    order = np.lexsort((cons, ante))
+    return pa.table({
+        "ante": pa.array(ante[order], pa.int64()),
+        "cons": pa.array(cons[order], pa.int64()),
+        "n_both": pa.array(both[order], pa.int64()),
+        "n_ante": pa.array(n_a[order], pa.int64()),
+        "conf_e6": pa.array(conf[order], pa.int64()),
+        "lift_e6": pa.array(lift[order], pa.int64())})
