@@ -1403,3 +1403,32 @@ def test_critical_path_chain_closed_form():
         got, np.minimum(np.arange(n), 4).astype(np.int64))
     full = longest_path_depths(g, rounds=16)
     np.testing.assert_array_equal(full, np.arange(n, dtype=np.int64))
+
+
+def test_pagerank_warm_start_split_run_bit_identical():
+    """Running 5 iterations equals 3 iterations + a 2-iteration
+    WARM-STARTED continuation, bit-exactly (same backend, no RNG) —
+    the property graph_pagerank_refresh's incremental semantics rest
+    on."""
+    edges = rand_edges(60, 0.08, seed=11)
+    g = make_graph(edges, 60, directed=True)
+    full = pagerank(g, max_iters=5, tol=0.0, gather="dense").state["rank"]
+    head = pagerank(g, max_iters=3, tol=0.0, gather="dense").state["rank"]
+    cont = pagerank(g, max_iters=2, tol=0.0, gather="dense",
+                    rank0=head).state["rank"]
+    np.testing.assert_array_equal(full, cont)
+
+
+def test_pagerank_warm_start_shards_matches_dense():
+    """The resident-shard warm start (rank0 sliced per shard inside
+    the spec) agrees with the Dataset backend at the gate's 1e-9
+    rounding."""
+    edges = rand_edges(80, 0.06, seed=12)
+    g = make_graph(edges, 80, directed=True)
+    r0 = pagerank(g, max_iters=3, tol=0.0, gather="dense").state["rank"]
+    a = pagerank(g, max_iters=2, tol=0.0, gather="dense",
+                 rank0=r0).state["rank"]
+    b = pagerank(g, max_iters=2, tol=0.0, gather="shards",
+                 rank0=r0).state["rank"]
+    np.testing.assert_array_equal(np.floor(a * 1e9 + 0.5),
+                                  np.floor(b * 1e9 + 0.5))
