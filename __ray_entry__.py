@@ -1719,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ivf_topk": tx.ivf_similarity,
         "sim_range_search": tx.range_similarity,
         "sim_dbscan": tx.dbscan_clusters,
+        "sim_sq8_audit": tx.sq8_quant_audit,
         "sim_filtered_topk": tx.filtered_topk_similarity,
         "sim_knn_graph": tx.knn_graph_table,
         "sim_knn_clusters": tx.knn_mutual_clusters,
@@ -4971,6 +4972,30 @@ ORDER BY community"""),
             )
             SELECT v AS vec_id, CAST(min(u) AS BIGINT) AS cluster
             FROM reach GROUP BY v ORDER BY vec_id
+        """,
+        "sim_sq8_audit": """
+            -- SQ8 scalar-quantization audit on the FLOOR(x*1e5) grid:
+            -- per-dim min/max, code = (q-mn)*255 // range, recon =
+            -- mn + code*range // 255; exact L1 error + code checksum
+            WITH q AS MATERIALIZED (
+                SELECT vec_id, j,
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 100000) AS BIGINT)
+                           AS qv
+                FROM (SELECT vec_id, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS j
+                      FROM embeddings)),
+            st AS MATERIALIZED (
+                SELECT j, MIN(qv) AS mn,
+                       GREATEST(MAX(qv) - MIN(qv), 1) AS rng
+                FROM q GROUP BY j),
+            c AS (SELECT q.vec_id, q.qv, st.mn, st.rng,
+                         (q.qv - st.mn) * 255 // st.rng AS code
+                  FROM q JOIN st ON st.j = q.j)
+            SELECT vec_id,
+                   CAST(SUM(ABS(qv - (mn + code * rng // 255)))
+                        AS BIGINT) AS err_l1,
+                   CAST(SUM(code) AS BIGINT) AS code_sum
+            FROM c GROUP BY vec_id ORDER BY vec_id
         """,
         "sim_dbscan": """
             -- DBSCAN, cosine eps-ball on the ROUNDED x1e6 score

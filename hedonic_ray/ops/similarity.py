@@ -1474,3 +1474,61 @@ def dbscan_cosine(emb_ds, n: int, *, threshold_e6: int = 300_000,
         "role": pa.array(role.astype(object), pa.string()),
         "cluster": pa.array(cluster, pa.int64()),
     })
+
+
+def sq8_audit(emb_ds, *, scale: int = 100_000, levels: int = 255,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """SQ8 SCALAR-QUANTIZATION audit — the memory-compression stage of
+    FAISS-style ANN serving (4 bytes/dim → 1): per dimension, the
+    corpus min/max define a ``levels``-step uniform grid; each value
+    quantizes to ``code = (q − mn)·levels // range`` and reconstructs
+    as ``mn + code·range // levels``.  All arithmetic on the
+    FLOOR(x·scale) integer grid (the kmeans/PQ idiom — FLOOR has no
+    tie rules), so the per-vector L1 reconstruction error and code
+    checksum are exact integers the gate can hash.
+
+    Two passes: per-dim min/max partials → one dim-sized groupby
+    (stats broadcast back), then a vectorized per-batch encode/audit.
+    Returns ``(vec_id, err_l1, code_sum)`` — the audit a serving team
+    runs before flipping compression on."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def qmat(batch: pa.Table):
+        m = np.asarray(batch.column(vec_col).combine_chunks().flatten(),
+                       dtype=np.float64).reshape(batch.num_rows, -1)
+        return np.floor(m * scale).astype(np.int64)
+
+    def dim_partial(batch: pa.Table) -> pa.Table:
+        q = qmat(batch)
+        j = np.arange(q.shape[1], dtype=np.int64)
+        return pa.table({"j": pa.array(j),
+                         "mn_p": pa.array(q.min(axis=0)),
+                         "mx_p": pa.array(q.max(axis=0))})
+
+    stats = (emb_ds.map_batches(dim_partial, batch_format="pyarrow")
+             .groupby("j").aggregate(Min("mn_p", alias_name="mn"),
+                                     Max("mx_p", alias_name="mx"))
+             .take_all())
+    dim = len(stats)
+    mn = np.zeros(dim, np.int64)
+    mx = np.zeros(dim, np.int64)
+    for r in stats:
+        mn[int(r["j"])] = int(r["mn"])
+        mx[int(r["j"])] = int(r["mx"])
+    rng = np.maximum(mx - mn, 1)
+    st_ref = ray.put((mn, rng))
+
+    def audit(batch: pa.Table) -> pa.Table:
+        q = qmat(batch)
+        mn_, rng_ = ray.get(st_ref)
+        code = (q - mn_) * np.int64(levels) // rng_
+        recon = mn_ + code * rng_ // np.int64(levels)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "err_l1": pa.array(np.abs(q - recon).sum(axis=1)
+                               .astype(np.int64)),
+            "code_sum": pa.array(code.sum(axis=1).astype(np.int64)),
+        })
+
+    return emb_ds.map_batches(audit, batch_format="pyarrow").sort(id_col)

@@ -1432,3 +1432,14 @@ def textrank_keywords(sf_dir: str, *, iters: int = 3, k: int = 20) -> pa.Table:
     return pa.table({
         "term": pa.array(terms[order].astype(object), pa.string()),
         "rank_e9": pa.array(rank_e9[order], pa.int64())})
+
+
+def sq8_quant_audit(sf_dir: str):
+    """Per-vector SQ8 quantization audit
+    (`ops/similarity.py:sq8_audit`)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return sim.sq8_audit(emb)
