@@ -2547,8 +2547,9 @@ def basket_rules(sf_dir: str, k: int = 20, min_orders: int = 2):
     item = grid.groupby("p").aggregate(Count(alias_name="n_item"))
     n_orders_total = grid.groupby("o").aggregate(
         Count(alias_name="_c")).count()
+    need = set(np.concatenate([a, b]).tolist()) if len(a) else set()
     cnt = {int(r["p"]): int(r["n_item"]) for r in item.take_all()
-           if int(r["p"]) in set(np.concatenate([a, b]).tolist())}
+           if int(r["p"]) in need}
 
     ante = np.concatenate([a, b])
     cons = np.concatenate([b, a])
