@@ -1699,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_mixture_sample": tx.mixture_sample,
         "text_jsonl_io": _text_jsonl_io,
         "text_bpe": tx.bpe_merges,
+        "text_bpe_apply": tx.bpe_apply,
         "text_lm_score": tx.lm_scores,
         "multimodal_phash": tx.multimodal_phash,
         "text_weighted_sample": tx.weighted_sample,
@@ -1913,23 +1914,10 @@ ORDER BY rank_e9 DESC, term LIMIT {k}""")
     return "".join(parts)
 
 
-def _bpe_chain_sql(rounds: int = 3) -> str:
-    """Unrolled BPE merge-learning chain (Sennrich 2016): per round,
-    weighted adjacent-symbol-pair counts over the distinct-word table
-    (position self-join idiom), argmax pair (count desc, pair asc),
-    merge applied as the SAME two-pass space-delimited `replace` the
-    engine uses (`ops/bpe.py` module docstring: pass-1 skips are never
-    adjacent, so two passes are exact; DuckDB `replace` and Arrow
-    `replace_substring` agree byte-for-byte — tested)."""
-    parts = [r"""
-WITH words AS (
-    SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
-),
-w0 AS MATERIALIZED (
-    SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
-           array_to_string(string_split(w, ''), ' ') AS s
-    FROM words GROUP BY w
-)"""]
+def _bpe_round_ctes(rounds: int) -> str:
+    """The shared per-round BPE CTE fragment x{r}/b{r}/w{r} (requires
+    ``w0 (term, tf, s)`` in scope)."""
+    parts = []
     for r in range(1, rounds + 1):
         parts.append(f""",
 x{r} AS MATERIALIZED (
@@ -1951,6 +1939,49 @@ w{r} AS MATERIALIZED (
                 ' ' || b.l || b.r2 || ' ')) AS s
     FROM w{r - 1} w, b{r} b
 )""")
+    return "".join(parts)
+
+
+def _bpe_apply_sql(rounds: int = 3) -> str:
+    """Tokenizer-apply oracle: the same learned-merge chain, then each
+    document's token count under the final vocab (Σ per-word symbol
+    counts over the doc's word occurrences)."""
+    return (r"""
+WITH dwords AS MATERIALIZED (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+    FROM documents
+),
+w0 AS MATERIALIZED (
+    SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+           array_to_string(string_split(w, ''), ' ') AS s
+    FROM dwords GROUP BY w
+)""" + _bpe_round_ctes(rounds) + f""",
+wn AS (SELECT term,
+              length(s) - length(replace(s, ' ', '')) + 1 AS nsym
+       FROM w{rounds})
+SELECT d.doc_id,
+       CAST(SUM(wn.nsym) AS BIGINT) AS n_tokens_merged
+FROM dwords d JOIN wn ON wn.term = d.w
+GROUP BY d.doc_id ORDER BY d.doc_id""")
+
+
+def _bpe_chain_sql(rounds: int = 3) -> str:
+    """Unrolled BPE merge-learning chain (Sennrich 2016): per round,
+    weighted adjacent-symbol-pair counts over the distinct-word table
+    (position self-join idiom), argmax pair (count desc, pair asc),
+    merge applied as the SAME two-pass space-delimited `replace` the
+    engine uses (`ops/bpe.py` module docstring: pass-1 skips are never
+    adjacent, so two passes are exact; DuckDB `replace` and Arrow
+    `replace_substring` agree byte-for-byte — tested)."""
+    parts = [r"""
+WITH words AS (
+    SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+w0 AS MATERIALIZED (
+    SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+           array_to_string(string_split(w, ''), ' ') AS s
+    FROM words GROUP BY w
+)""", _bpe_round_ctes(rounds)]
     selects = [f"""
 SELECT {r} AS merge_round, b.l AS left_sym, b.r2 AS right_sym,
        b.c AS pair_count,
@@ -2200,6 +2231,7 @@ ORDER BY community"""),
             WHERE r.rn <= quota.q ORDER BY r.source, r.doc_id
         """,
         "text_bpe": _bpe_chain_sql(rounds=3),
+        "text_bpe_apply": _bpe_apply_sql(rounds=3),
         "text_textrank": _textrank_chain_sql(iters=3, k=20),
         "text_lm_score": r"""
             -- unigram-LM surprisal per doc (add-one smoothing), every

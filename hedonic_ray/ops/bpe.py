@@ -101,8 +101,8 @@ def _merged_len(batch: pa.Table) -> pa.Table:
     return pa.table({"len_partial": pa.array([tot], pa.int64())})
 
 
-def bpe_train_rounds(docs_ds, rounds: int = 3,
-                     col: str = "text") -> pa.Table:
+def bpe_train_rounds(docs_ds, rounds: int = 3, col: str = "text",
+                     return_vocab: bool = False):
     """Learn ``rounds`` BPE merges over the \\S+-tokenized corpus.
 
     Returns one row per merge round: ``(merge_round, left_sym,
@@ -119,6 +119,7 @@ def bpe_train_rounds(docs_ds, rounds: int = 3,
     def init_sym(batch: pa.Table) -> pa.Table:
         term = np.asarray(batch.column("term")).astype(str)
         return pa.table({
+            "term": batch.column("term"),
             "symseq": pa.array(np.char.join(" ", term).astype(object),
                                pa.string()),
             "tf": batch.column("tf"),
@@ -153,7 +154,8 @@ def bpe_train_rounds(docs_ds, rounds: int = 3,
                 pc.replace_substring(padded, pattern=pattern,
                                      replacement=repl),
                 pattern=pattern, replacement=repl)
-            return pa.table({"symseq": pc.utf8_trim(m, " "),
+            return pa.table({"term": batch.column("term"),
+                             "symseq": pc.utf8_trim(m, " "),
                              "tf": batch.column("tf")})
 
         vocab = vocab.map_batches(merge,
@@ -166,10 +168,57 @@ def bpe_train_rounds(docs_ds, rounds: int = 3,
         out_c.append(cnt)
         out_len.append(corpus_len)
 
-    return pa.table({
+    merges = pa.table({
         "merge_round": pa.array(out_round, pa.int64()),
         "left_sym": pa.array(out_l, pa.string()),
         "right_sym": pa.array(out_r, pa.string()),
         "pair_count": pa.array(out_c, pa.int64()),
         "corpus_len": pa.array(out_len, pa.int64()),
     })
+    if return_vocab:
+        return merges, vocab  # final (term, symseq, tf) Dataset
+    return merges
+
+
+def bpe_encode_counts(docs_ds, rounds: int = 3, col: str = "text",
+                      id_col: str = "doc_id"):
+    """Tokenizer APPLY: encode every document with the ``rounds``
+    learned merges and return ``(doc_id, n_tokens_merged)`` — the
+    post-BPE token count (the sequence-length planning input;
+    `text_token_counts`'s regex proxy measured against the REAL
+    learned tokenizer).  The trained vocab's final symbol counts
+    (term → symbols-per-word) broadcast as sorted arrays — vocab ≪
+    corpus, the tokenizer-shipping pattern — and one corpus pass sums
+    them per document (`_flat_words` + searchsorted, no Python in the
+    hot path)."""
+    import ray
+
+    from hedonic_ray.ops.textstats import _flat_words
+
+    _merges, vocab = bpe_train_rounds(docs_ds, rounds=rounds, col=col,
+                                      return_vocab=True)
+    terms, nsyms = [], []
+    for b in vocab.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        terms.append(np.asarray(b.column("term")).astype(str))
+        nsyms.append(pc.add(pc.count_substring(b.column("symseq"), " "),
+                            1).to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+    t = np.concatenate(terms) if terms else np.empty(0, str)
+    s = np.concatenate(nsyms) if nsyms else np.empty(0, np.int64)
+    order = np.argsort(t)
+    lut_ref = ray.put((t[order], s[order]))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        flat, lens, doc_of = _flat_words(batch, col)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        tot = np.zeros(batch.num_rows, np.int64)
+        if len(flat):
+            ts_, ss_ = ray.get(lut_ref)
+            tot_syms = ss_[np.searchsorted(
+                ts_, np.asarray(flat).astype(str))]
+            np.add.at(tot, doc_of, tot_syms)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens_merged": pa.array(tot, pa.int64())})
+
+    return docs_ds.map_batches(encode, batch_format="pyarrow",
+                               batch_size=2048)

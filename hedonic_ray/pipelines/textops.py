@@ -1443,3 +1443,12 @@ def sq8_quant_audit(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return sim.sq8_audit(emb)
+
+
+def bpe_apply(sf_dir: str, rounds: int = 3):
+    """Per-doc token counts under the learned BPE merges
+    (`ops/bpe.py:bpe_encode_counts`), doc_id order."""
+    from hedonic_ray.ops.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(_docs(sf_dir, ["doc_id", "text"]),
+                             rounds=rounds).sort("doc_id")

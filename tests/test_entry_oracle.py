@@ -168,7 +168,7 @@ SQL_CHECKED = sorted([
     "rel_q18_large_orders", "rel_q2_min_cost", "graph_pagerank_refresh",
     "graph_components_refresh", "text_weighted_sample", "text_textrank",
     "graph_multilevel", "rel_entry_exit", "rel_attribution",
-    "rel_basket_rules", "sim_sq8_audit",
+    "rel_basket_rules", "sim_sq8_audit", "text_bpe_apply",
 ])
 
 
