@@ -1721,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_range_search": tx.range_similarity,
         "sim_dbscan": tx.dbscan_clusters,
         "sim_sq8_audit": tx.sq8_quant_audit,
+        "sim_kmeans_iters": tx.kmeans_converged,
         "sim_filtered_topk": tx.filtered_topk_similarity,
         "sim_knn_graph": tx.knn_graph_table,
         "sim_knn_clusters": tx.knn_mutual_clusters,
@@ -1911,6 +1912,51 @@ SELECT vocab.w AS term,
        CAST(FLOOR(r{iters}.r * 1e9 + 0.5) AS BIGINT) AS rank_e9
 FROM r{iters} JOIN vocab ON vocab.id = r{iters}.v
 ORDER BY rank_e9 DESC, term LIMIT {k}""")
+    return "".join(parts)
+
+
+def _kmeans_iters_sql(n_clusters: int = 4, iters: int = 3,
+                      scale: int = 100000) -> str:
+    """Iterated-Lloyd oracle: unrolled assignment (argmin of the
+    integer objective, ties → lowest cluster) + sign-split integer
+    centroid means, empty clusters carrying the previous centroid."""
+    parts = [f"""WITH q AS MATERIALIZED (
+    SELECT vec_id, j, CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
+               AS qv
+    FROM (SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS j FROM embeddings)
+),
+c0 AS (SELECT vec_id AS cluster, j AS dim, qv AS cq FROM q
+       WHERE vec_id < {n_clusters})"""]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+    SELECT q.vec_id, c.cluster,
+           CAST(SUM(c.cq * c.cq - 2 * q.qv * c.cq) AS BIGINT) AS obj
+    FROM q JOIN c{r - 1} c ON c.dim = q.j
+    GROUP BY 1, 2),
+a{r} AS MATERIALIZED (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, row_number() OVER (
+            PARTITION BY vec_id ORDER BY obj, cluster) AS rn
+        FROM d{r}) WHERE rn = 1),
+s{r} AS (SELECT a.cluster, q.j AS dim,
+                CAST(SUM(q.qv) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM a{r} a JOIN q ON q.vec_id = a.vec_id
+         GROUP BY 1, 2),
+c{r} AS MATERIALIZED (
+    SELECT p.cluster, p.dim,
+           COALESCE(CASE WHEN s.s >= 0 THEN s.s // s.n
+                         ELSE -((-s.s) // s.n) END, p.cq) AS cq
+    FROM c{r - 1} p
+    LEFT JOIN s{r} s ON s.cluster = p.cluster AND s.dim = p.dim)""")
+    parts.append(f"""
+SELECT c.cluster, c.dim, CAST(c.cq AS BIGINT) AS centroid_q,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_members
+FROM c{iters} c
+LEFT JOIN s{iters} s ON s.cluster = c.cluster AND s.dim = c.dim
+ORDER BY c.cluster, c.dim""")
     return "".join(parts)
 
 
@@ -5005,6 +5051,7 @@ ORDER BY community"""),
             SELECT v AS vec_id, CAST(min(u) AS BIGINT) AS cluster
             FROM reach GROUP BY v ORDER BY vec_id
         """,
+        "sim_kmeans_iters": _kmeans_iters_sql(n_clusters=4, iters=3),
         "sim_sq8_audit": """
             -- SQ8 scalar-quantization audit on the FLOOR(x*1e5) grid:
             -- per-dim min/max, code = (q-mn)*255 // range, recon =

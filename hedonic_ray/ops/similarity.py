@@ -1532,3 +1532,86 @@ def sq8_audit(emb_ds, *, scale: int = 100_000, levels: int = 255,
         })
 
     return emb_ds.map_batches(audit, batch_format="pyarrow").sort(id_col)
+
+
+def kmeans_iterations(emb_ds, *, n_clusters: int = 4, iters: int = 3,
+                      scale: int = 100_000, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> pa.Table:
+    """ITERATED exact-integer Lloyd k-means (`kmeans_step` run to
+    ``iters`` rounds with the centroid update closed in integers):
+    assignment by the −2⟨q,c⟩+|c|² integer objective (ties → lowest
+    cluster id), update = per-(cluster, dim) integer mean
+    ``sign(s)·(|s| // n)`` (sign-split so SQL ``//`` truncation
+    matches), empty clusters keep their previous centroid.  Per round:
+    ONE broadcast of the C×dim centroid grid, ONE map_batches pass
+    with per-batch C×dim partial sums, ONE C·dim-group exchange —
+    corpus-size-independent driver state.  Returns the final
+    ``(cluster, dim, centroid_q, n_members)`` grid."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column(id_col), n_clusters))
+
+    crows = emb_ds.map_batches(pick, batch_format="pyarrow").take_all()
+    assert len(crows) == n_clusters, "init expects dense ids 0..C-1"
+    crows.sort(key=lambda r: r[id_col])
+    cent = np.floor(np.asarray(
+        [np.asarray(r[vec_col], np.float64) for r in crows]) * scale
+    ).astype(np.int64)
+    dim = cent.shape[1]
+    counts = np.zeros(n_clusters, np.int64)
+    emb_ds = emb_ds.materialize()
+
+    for _ in range(iters):
+        c2 = np.einsum("ij,ij->i", cent, cent)
+        cref = ray.put((cent, c2))
+
+        def partial(batch: pa.Table, cref=cref) -> pa.Table:
+            c, csq = ray.get(cref)
+            ncl, d = c.shape
+            if batch.num_rows == 0:
+                e = pa.array([], pa.int64())
+                return pa.table({"cluster": e, "dim": e,
+                                 "s_p": e, "n_p": e})
+            m = _batch_matrix(batch, vec_col, dtype=np.float64)
+            qm = np.floor(m * scale).astype(np.int64)
+            obj = -2 * (qm @ c.T) + csq
+            assign = np.argmin(obj, axis=1)
+            sums = np.zeros((ncl, d), np.int64)
+            np.add.at(sums, assign, qm)
+            nm = np.bincount(assign, minlength=ncl).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(
+                    np.arange(ncl, dtype=np.int64), d)),
+                "dim": pa.array(np.tile(
+                    np.arange(1, d + 1, dtype=np.int64), ncl)),
+                "s_p": pa.array(sums.reshape(-1)),
+                "n_p": pa.array(np.repeat(nm, d)),
+            })
+
+        grid = (emb_ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["cluster", "dim"])
+                .aggregate(Sum("s_p", alias_name="s"),
+                           Sum("n_p", alias_name="n")).take_all())
+        sums = np.zeros((n_clusters, dim), np.int64)
+        counts = np.zeros(n_clusters, np.int64)
+        for r in grid:
+            sums[int(r["cluster"]), int(r["dim"]) - 1] = int(r["s"])
+            counts[int(r["cluster"])] = int(r["n"])  # same for every dim
+        nz = counts > 0
+        newc = cent.copy()
+        n_col = np.maximum(counts[:, None], 1)
+        newc[nz] = (np.sign(sums[nz])
+                    * (np.abs(sums[nz]) // n_col[nz]))
+        cent = newc
+
+    return pa.table({
+        "cluster": pa.array(np.repeat(np.arange(n_clusters,
+                                                dtype=np.int64), dim)),
+        "dim": pa.array(np.tile(np.arange(1, dim + 1,
+                                          dtype=np.int64), n_clusters)),
+        "centroid_q": pa.array(cent.reshape(-1)),
+        "n_members": pa.array(np.repeat(counts, dim)),
+    })

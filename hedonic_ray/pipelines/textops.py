@@ -1452,3 +1452,14 @@ def bpe_apply(sf_dir: str, rounds: int = 3):
 
     return bpe_encode_counts(_docs(sf_dir, ["doc_id", "text"]),
                              rounds=rounds).sort("doc_id")
+
+
+def kmeans_converged(sf_dir: str, n_clusters: int = 4, iters: int = 3):
+    """Final centroid grid after 3 exact-integer Lloyd rounds
+    (`ops/similarity.py:kmeans_iterations`)."""
+    import ray.data as rd
+
+    configure_context()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return sim.kmeans_iterations(emb, n_clusters=n_clusters, iters=iters)
