@@ -1623,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q5_local_volume": rel.local_supplier_volume,
         "rel_q18_large_orders": rel.large_quantity_orders,
         "rel_basket_rules": rel.basket_rules,
+        "rel_gaps_islands": rel.order_day_islands,
         "rel_q2_min_cost": rel.min_cost_supplier,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
@@ -4283,6 +4284,24 @@ ORDER BY community"""),
             FROM l JOIN o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "rel_gaps_islands": """
+            -- gaps-and-islands on the distinct order-day axis:
+            -- contiguous runs via the day - dense_rank constant
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                              AS BIGINT) AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1),
+            g AS (SELECT day, n,
+                         day - row_number() OVER (ORDER BY day) AS grp
+                  FROM d)
+            SELECT CAST(row_number() OVER (ORDER BY MIN(day)) AS BIGINT)
+                       AS island_seq,
+                   CAST(MIN(day) AS BIGINT) AS start_day,
+                   CAST(MAX(day) AS BIGINT) AS end_day,
+                   CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS n_days,
+                   CAST(SUM(n) AS BIGINT) AS n_orders
+            FROM g GROUP BY grp ORDER BY island_seq
         """,
         "rel_basket_rules": """
             -- association rules over the top-20 copurchase pairs

@@ -2569,3 +2569,48 @@ def basket_rules(sf_dir: str, k: int = 20, min_orders: int = 2):
         "n_ante": pa.array(n_a[order], pa.int64()),
         "conf_e6": pa.array(conf[order], pa.int64()),
         "lift_e6": pa.array(lift[order], pa.int64())})
+
+
+def order_day_islands(sf_dir: str):
+    """GAPS-AND-ISLANDS over the distinct order-day axis: contiguous
+    runs of days with ≥1 order, as ``(island_seq, start_day, end_day,
+    n_days, n_orders)``.  The calendar-continuity audit every
+    event-warehouse runs (sessionize's global-axis twin).
+
+    Shape: per-batch distinct-day + count partials → ONE
+    groupby(day) exchange (the day axis is bounded by the calendar,
+    thousands of rows per decade) → the island segmentation is a
+    vectorized diff on the collected day axis."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def dpartial(t: pa.Table) -> pa.Table:
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n_p": pa.array(c.astype(np.int64))})
+
+    rows = (ds.map_batches(dpartial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("n_p", alias_name="n"))
+            .sort("day").take_all())
+    day = np.array([r["day"] for r in rows], np.int64)
+    n = np.array([r["n"] for r in rows], np.int64)
+    if len(day) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table({"island_seq": e, "start_day": e, "end_day": e,
+                         "n_days": e, "n_orders": e})
+    new = np.ones(len(day), bool)
+    new[1:] = np.diff(day) > 1
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(day)) - 1
+    cum = np.concatenate([[0], np.cumsum(n)])
+    return pa.table({
+        "island_seq": pa.array(np.arange(1, len(starts) + 1,
+                                         dtype=np.int64)),
+        "start_day": pa.array(day[starts], pa.int64()),
+        "end_day": pa.array(day[ends], pa.int64()),
+        "n_days": pa.array(day[ends] - day[starts] + 1, pa.int64()),
+        "n_orders": pa.array(cum[ends + 1] - cum[starts], pa.int64()),
+    })
