@@ -1624,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q18_large_orders": rel.large_quantity_orders,
         "rel_basket_rules": rel.basket_rules,
         "rel_gaps_islands": rel.order_day_islands,
+        "rel_rfm": rel.rfm_scores,
         "rel_q2_min_cost": rel.min_cost_supplier,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
@@ -4284,6 +4285,36 @@ ORDER BY community"""),
             FROM l JOIN o ON o.o_orderkey = l.l_orderkey
             GROUP BY 1, 2
             ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "rel_rfm": """
+            -- RFM quintile segmentation of purchasers; explicit rank
+            -- formula 1 + (rank-1)*5 // n (engine-stable, not NTILE)
+            WITH p AS (
+                SELECT user_id,
+                       CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT)
+                           AS r_day,
+                       CAST(COUNT(*) AS BIGINT) AS f_n,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                            AS BIGINT) AS m_cents
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+            r AS (SELECT p.*,
+                         row_number() OVER (ORDER BY r_day, user_id)
+                             AS rr,
+                         row_number() OVER (ORDER BY f_n, user_id)
+                             AS rf,
+                         row_number() OVER (ORDER BY m_cents, user_id)
+                             AS rm
+                  FROM p)
+            SELECT user_id, r_day, f_n, m_cents,
+                   CAST(1 + (rr - 1) * 5 // nn.n AS BIGINT) AS r_score,
+                   CAST(1 + (rf - 1) * 5 // nn.n AS BIGINT) AS f_score,
+                   CAST(1 + (rm - 1) * 5 // nn.n AS BIGINT) AS m_score,
+                   CAST(100 * (1 + (rr - 1) * 5 // nn.n)
+                        + 10 * (1 + (rf - 1) * 5 // nn.n)
+                        + (1 + (rm - 1) * 5 // nn.n) AS BIGINT) AS rfm
+            FROM r CROSS JOIN nn ORDER BY user_id
         """,
         "rel_gaps_islands": """
             -- gaps-and-islands on the distinct order-day axis:

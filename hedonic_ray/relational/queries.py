@@ -2614,3 +2614,63 @@ def order_day_islands(sf_dir: str):
         "n_days": pa.array(day[ends] - day[starts] + 1, pa.int64()),
         "n_orders": pa.array(cum[ends + 1] - cum[starts], pa.int64()),
     })
+
+
+def rfm_scores(sf_dir: str):
+    """RFM SEGMENTATION of purchasers: per user, Recency (last
+    purchase day), Frequency (purchase count), Monetary (exact cents),
+    each scored into quintiles by the explicit rank formula
+    ``score = 1 + (rank−1)·5 // n`` over the (metric, user_id)
+    composite ascending order (NOT SQL NTILE — its remainder
+    distribution is engine-specific; this formula is bit-identical on
+    both sides), plus the composite ``rfm = 100·r + 10·f + m``.
+
+    Shape: one groupby(user) aggregate; the scoring ranks run over
+    the users DIMENSION (bounded; at corpus scale the rank becomes
+    the distributed-sort `rel_deciles` shape).  Columns: user_id,
+    r_day, f_n, m_cents, r_score, f_score, m_score, rfm."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("event_type"), "purchase")
+        t = t.filter(m)
+        day = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        cents = np.rint(t.column("value").to_numpy() * 100.0) \
+            .astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": pa.array(day, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    rows = (ds.map_batches(purchases, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Max("day", alias_name="r_day"),
+                       Count(alias_name="f_n"),
+                       Sum("cents", alias_name="m_cents"))
+            .take_all())
+    uid = np.array([r["user_id"] for r in rows], np.int64)
+    rd_ = np.array([r["r_day"] for r in rows], np.int64)
+    fn = np.array([r["f_n"] for r in rows], np.int64)
+    mc = np.array([r["m_cents"] for r in rows], np.int64)
+    n = len(uid)
+
+    def quint(metric: np.ndarray) -> np.ndarray:
+        order = np.lexsort((uid, metric))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(1, n + 1)
+        return 1 + (rank - 1) * 5 // max(n, 1)
+
+    rs, fs, ms = quint(rd_), quint(fn), quint(mc)
+    order = np.argsort(uid)
+    return pa.table({
+        "user_id": pa.array(uid[order], pa.int64()),
+        "r_day": pa.array(rd_[order], pa.int64()),
+        "f_n": pa.array(fn[order], pa.int64()),
+        "m_cents": pa.array(mc[order], pa.int64()),
+        "r_score": pa.array(rs[order], pa.int64()),
+        "f_score": pa.array(fs[order], pa.int64()),
+        "m_score": pa.array(ms[order], pa.int64()),
+        "rfm": pa.array((100 * rs + 10 * fs + ms)[order], pa.int64()),
+    })
