@@ -1574,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_truss": lg.doc_truss_table,
         "graph_walks": lg.doc_walks_table,
         "graph_node2vec": lg.doc_node2vec,
+        "graph_orbits": lg.doc_orbits,
         "graph_katz": lg.doc_katz,
         "graph_sssp": lg.doc_sssp,
         "graph_diameter": lg.doc_diameter,
@@ -3698,6 +3699,40 @@ ORDER BY community"""),
             WHERE und.a IS NULL
             ORDER BY ra.ra_e9 DESC, ra.a, ra.b
             LIMIT 20
+        """,
+        "graph_orbits": f"""
+            -- 3-node graphlet orbits per vertex (induced):
+            -- deg / path-end / path-center / triangle-corner
+            WITH {_LINKS_CTE},
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e),
+            arcs AS (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM arcs GROUP BY src),
+            nds AS (SELECT a.src AS v, CAST(SUM(dd.d) AS BIGINT) AS s
+                    FROM arcs a JOIN deg dd ON dd.v = a.dst
+                    GROUP BY a.src),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (SELECT x AS v FROM tri UNION ALL
+                        SELECT y FROM tri UNION ALL SELECT z FROM tri),
+            tc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+                   FROM corners GROUP BY v)
+            SELECT d.doc_id AS vertex,
+                   CAST(COALESCE(dg.d, 0) AS BIGINT) AS deg,
+                   CAST(COALESCE(nds.s, 0) - COALESCE(dg.d, 0)
+                        - 2 * COALESCE(tc.t, 0) AS BIGINT) AS path_end,
+                   CAST(COALESCE(dg.d, 0) * (COALESCE(dg.d, 0) - 1) // 2
+                        - COALESCE(tc.t, 0) AS BIGINT) AS path_center,
+                   CAST(COALESCE(tc.t, 0) AS BIGINT) AS tri_corner
+            FROM documents d
+            LEFT JOIN deg dg ON dg.v = d.doc_id
+            LEFT JOIN nds ON nds.v = d.doc_id
+            LEFT JOIN tc ON tc.v = d.doc_id
+            ORDER BY vertex
         """,
         "graph_node2vec": f"""
             -- node2vec (p=4, q=2) 2nd-order transition probabilities

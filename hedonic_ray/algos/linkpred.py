@@ -483,3 +483,49 @@ def directed_wedge_topk(g, k: int = 20, max_degree=None,
     return pa.table({"a": pa.array(key // n, pa.int64()),
                      "b": pa.array(key % n, pa.int64()),
                      score_col: pa.array(score, pa.int64())})
+
+
+def graphlet_orbits(g) -> pa.Table:
+    """3-node GRAPHLET ORBIT counts per vertex (the degree / path-end
+    / path-center / triangle-corner profile — the feature row graphlet
+    kernels and GNN positional features start from; Pržulj 2007
+    orbits 0–3).  Induced closed forms from two existing kernels:
+
+        o0 = deg(v)
+        o1 (path end)    = Σ_{u∈N(v)} (deg(u)−1) − 2·tri(v)
+        o2 (path center) = C(deg(v), 2) − tri(v)
+        o3 (triangle corner) = tri(v)
+
+    — one neighbor-degree scatter (`avg_neighbor_degree`'s partial)
+    plus the oriented-wedge triangle count; everything exact int64."""
+    import ray
+
+    from hedonic_ray.algos.triangles import triangle_count
+
+    if g.directed:
+        raise ValueError("graphlet_orbits needs an undirected graph")
+    deg = g.out_degree.astype(np.int64)
+    deg_ref = ray.put(deg)
+    n = g.n
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        acc = np.zeros(n, np.int64)
+        for bv in iter_block_views(batch):
+            np.add.at(acc, bv.src_per_edge(), d[bv.indices])
+        return pa.table({"s": pa.array([acc])})
+
+    parts = g.blocks.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=4).take_all()
+    s = np.zeros(n, np.int64)
+    for r in parts:
+        s += np.asarray(r["s"], dtype=np.int64)
+    tri = np.asarray(triangle_count(g).per_vertex, dtype=np.int64)
+    o1 = s - deg - 2 * tri
+    o2 = deg * (deg - 1) // 2 - tri
+    return pa.table({
+        "vertex": pa.array(np.arange(n, dtype=np.int64)),
+        "deg": pa.array(deg),
+        "path_end": pa.array(o1),
+        "path_center": pa.array(o2),
+        "tri_corner": pa.array(tri)})

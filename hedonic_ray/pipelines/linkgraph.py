@@ -971,6 +971,14 @@ def doc_neighbor_degree(sf_dir: str) -> pa.Table:
     return avg_neighbor_degree(doc_graph(sf_dir, directed=False))
 
 
+def doc_orbits(sf_dir: str) -> pa.Table:
+    """Per-vertex 3-node graphlet orbit profile
+    (`algos/linkpred.py:graphlet_orbits`)."""
+    from hedonic_ray.algos.linkpred import graphlet_orbits
+
+    return graphlet_orbits(doc_graph(sf_dir, directed=False))
+
+
 def doc_walks_table(sf_dir: str, stride: int = 101,
                     steps: int = 5) -> pa.Table:
     """Deterministic random walks from the stride seeds (the

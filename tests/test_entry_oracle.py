@@ -169,7 +169,7 @@ SQL_CHECKED = sorted([
     "graph_components_refresh", "text_weighted_sample", "text_textrank",
     "graph_multilevel", "rel_entry_exit", "rel_attribution",
     "rel_basket_rules", "sim_sq8_audit", "text_bpe_apply",
-    "sim_kmeans_iters", "rel_gaps_islands", "rel_rfm",
+    "sim_kmeans_iters", "rel_gaps_islands", "rel_rfm", "graph_orbits",
 ])
 
 
