@@ -1627,6 +1627,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_gaps_islands": rel.order_day_islands,
         "rel_rfm": rel.rfm_scores,
         "rel_q2_min_cost": rel.min_cost_supplier,
+        "rel_q6_forecast": rel.forecast_revenue,
+        "rel_q13_custdist": rel.customer_distribution,
+        "rel_q14_promo": rel.promo_revenue,
+        "rel_q17_small_qty": rel.small_quantity_revenue,
+        "rel_q21_late_supplier": rel.late_supplier_ranking,
+        "rel_q22_idle": rel.idle_customers,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
         "rel_pivot": rel.event_type_pivot,
@@ -4456,6 +4462,146 @@ ORDER BY community"""),
               AND o.o_orderdate < DATE '1998-01-01'
             GROUP BY r.r_name, n.n_name
             ORDER BY revenue_e4 DESC, n.n_name
+        """,
+        "rel_q6_forecast": """
+            -- TPC-H Q6 shape: revenue uplift of discounts 3..7 e2 on
+            -- small-quantity lineitems shipped inside one year
+            WITH f AS (
+                SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS cents,
+                       CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                       CAST(epoch_us(l_shipdate) // 86400000000
+                            AS BIGINT) AS day
+                FROM lineitem)
+            SELECT CAST(COALESCE(SUM(cents * disc), 0) AS BIGINT)
+                       AS revenue_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM f
+            WHERE day >= 9496 AND day < 9862
+              AND disc BETWEEN 3 AND 7 AND qty < 24
+        """,
+        "rel_q13_custdist": """
+            -- TPC-H Q13 shape: order-count distribution per customer
+            -- incl. the zero-order bucket; one priority class excluded
+            WITH oc AS (
+                SELECT o_custkey, COUNT(*) AS c_count
+                FROM orders
+                WHERE o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY o_custkey),
+            allc AS (
+                SELECT c.c_custkey, COALESCE(oc.c_count, 0) AS c_count
+                FROM customer c
+                LEFT JOIN oc ON oc.o_custkey = c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM allc GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "rel_q14_promo": """
+            -- TPC-H Q14 shape: promo-part share of one month's
+            -- discounted revenue; pct as HUGEINT-safe floor e6
+            WITH f AS (
+                SELECT l_partkey,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT)) AS rev,
+                       CAST(epoch_us(l_shipdate) // 86400000000
+                            AS BIGINT) AS day
+                FROM lineitem),
+            w AS (
+                SELECT f.rev, (p.p_type = 'PROMO') AS is_promo
+                FROM f JOIN part p ON p.p_partkey = f.l_partkey
+                WHERE f.day >= 9740 AND f.day < 9770)
+            SELECT CAST(COALESCE(SUM(CASE WHEN is_promo THEN rev
+                                          ELSE 0 END), 0) AS BIGINT)
+                       AS promo_e4,
+                   CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS total_e4,
+                   CAST(CASE WHEN COALESCE(SUM(rev), 0) = 0 THEN 0
+                             ELSE (100000000 *
+                                   SUM(CASE WHEN is_promo THEN rev
+                                            ELSE 0 END)) // SUM(rev)
+                        END AS BIGINT) AS promo_pct_e6
+            FROM w
+        """,
+        "rel_q17_small_qty": """
+            -- TPC-H Q17 shape: revenue of lineitems below 20% of
+            -- their part's average quantity, one brand; the average
+            -- predicate exact in integers (5*qty*cnt < sum)
+            WITH pr AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#23'),
+            f AS (
+                SELECT l.l_partkey AS pk,
+                       CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+                       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           AS cents
+                FROM lineitem l
+                JOIN pr ON pr.p_partkey = l.l_partkey),
+            st AS (
+                SELECT pk, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                       CAST(COUNT(*) AS BIGINT) AS n_li
+                FROM f GROUP BY pk)
+            SELECT CAST(COALESCE(SUM(f.cents), 0) AS BIGINT)
+                       AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_small,
+                   CAST(COALESCE(SUM(f.cents), 0) // 7 AS BIGINT)
+                       AS avg_yearly_e2
+            FROM f JOIN st ON st.pk = f.pk
+            WHERE 5 * f.qty * st.n_li < st.sum_qty
+        """,
+        "rel_q21_late_supplier": """
+            -- TPC-H Q21 shape (adapted: no commit/receipt dates in
+            -- fixture): latest shipper per finished multi-supplier
+            -- order via the packed argmax day*2^20+suppkey
+            WITH pp AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CAST(epoch_us(l_shipdate) // 86400000000
+                                AS BIGINT)) AS last_day
+                FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            po AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp,
+                       MAX(last_day * 1048576 + l_suppkey) AS latest
+                FROM pp GROUP BY l_orderkey
+                HAVING COUNT(*) >= 2),
+            fo AS (SELECT o_orderkey FROM orders
+                   WHERE o_orderstatus = 'F'),
+            w AS (
+                SELECT CAST(po.latest % 1048576 AS BIGINT) AS s_suppkey
+                FROM po JOIN fo ON fo.o_orderkey = po.l_orderkey)
+            SELECT w.s_suppkey, s.s_name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey
+            GROUP BY w.s_suppkey, s.s_name
+            ORDER BY numwait DESC, w.s_suppkey LIMIT 100
+        """,
+        "rel_q22_idle": """
+            -- TPC-H Q22 shape: per selected nation, customers above
+            -- the subset positive-average balance with no RECENT
+            -- order (>= epoch day 11323; every fixture customer has
+            -- some order); average exact in integers (e2*n > sum)
+            WITH sel AS (
+                SELECT c_custkey,
+                       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                           AS acctbal_e2
+                FROM customer
+                WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+            avgp AS (
+                SELECT CAST(COALESCE(SUM(acctbal_e2), 0) AS BIGINT)
+                           AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM sel WHERE acctbal_e2 > 0)
+            SELECT sel.c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(sel.acctbal_e2) AS BIGINT) AS totacctbal_e2
+            FROM sel, avgp
+            WHERE sel.acctbal_e2 * avgp.n > avgp.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = sel.c_custkey
+                    AND epoch_us(o.o_orderdate) // 86400000000
+                        >= 11323)
+            GROUP BY sel.c_nationkey ORDER BY sel.c_nationkey
         """,
         "rel_autocorr": """
             -- lag-1 autocorrelation of daily order revenue: exact

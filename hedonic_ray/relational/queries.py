@@ -2674,3 +2674,379 @@ def rfm_scores(sf_dir: str):
         "m_score": pa.array(ms[order], pa.int64()),
         "rfm": pa.array((100 * rs + 10 * fs + ms)[order], pa.int64()),
     })
+
+
+def forecast_revenue(sf_dir: str, *, day_lo: int = 9496,
+                     day_hi: int = 9862, disc_lo: int = 3,
+                     disc_hi: int = 7, qty_max: int = 24):
+    """TPC-H Q6 SHAPE — forecasting revenue change: the revenue uplift
+    of dropping discounts ``disc_lo..disc_hi`` (e2 units) on small
+    orders (qty < ``qty_max``) shipped inside one year, as the exact
+    integer ``SUM(cents(extendedprice) * disc_e2)`` (e4 units).
+
+    The canonical filter-then-sum scan: every predicate is a numpy
+    mask inside ONE ``map_batches`` pass that emits a single partial
+    row per batch; the combine is a scalar sum — no groupby shuffle at
+    any scale."""
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        disc = np.rint(t.column("l_discount").to_numpy()
+                       * 100.0).astype(np.int64)
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        m = ((day >= day_lo) & (day < day_hi)
+             & (disc >= disc_lo) & (disc <= disc_hi)
+             & (qty < qty_max))
+        return pa.table({
+            "rev": pa.array([int((cents[m] * disc[m]).sum())], pa.int64()),
+            "n": pa.array([int(m.sum())], pa.int64())})
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    rev = int(p.sum("rev"))
+    n = int(p.sum("n"))
+    return pa.table({"revenue_e4": pa.array([rev], pa.int64()),
+                     "n_rows": pa.array([n], pa.int64())})
+
+
+def customer_distribution(sf_dir: str, *,
+                          excluded_priority: str = "4-NOT SPECIFIED"):
+    """TPC-H Q13 SHAPE — customer order-count distribution including
+    zero-order customers: orders (minus one excluded priority class)
+    count per customer, then a histogram of those counts; the
+    c_count = 0 bucket is ``|customer| - |customers with orders|``
+    computed from two scalar counts, NOT a materialized outer join.
+
+    Shape: per-batch partial counts → groupby(custkey) [shuffle 1,
+    |customers| keys] → groupby(c_count) [shuffle 2, ≤ max-orders
+    keys]; the driver only ever holds the final histogram."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("o_orderpriority"),
+                            pa.scalar(excluded_priority))
+        ck = t.filter(keep).column("o_custkey").to_numpy() \
+            .astype(np.int64)
+        uk, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uk, pa.int64()),
+                         "c_partial": pa.array(cnt, pa.int64())})
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("c_partial", alias_name="c_count")))
+    hist = (per_cust.groupby("c_count")
+            .aggregate(Count(alias_name="custdist"))
+            .take_all())
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_with = sum(r["custdist"] for r in hist)
+    rows = [(int(r["c_count"]), int(r["custdist"])) for r in hist]
+    if n_customers - n_with > 0:
+        rows.append((0, n_customers - n_with))
+    rows.sort(key=lambda r: (-r[1], -r[0]))
+    return pa.table({
+        "c_count": pa.array([r[0] for r in rows], pa.int64()),
+        "custdist": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def promo_revenue(sf_dir: str, *, day_lo: int = 9740,
+                  day_hi: int = 9770, promo_type: str = "PROMO"):
+    """TPC-H Q14 SHAPE — promotion effect: share of one month's
+    discounted revenue earned by promo-type parts.  Revenue rides as
+    the exact e4 integer ``cents(extendedprice) * (100 - disc_e2)``;
+    the final percentage is computed on the driver with PYTHON ints
+    (``100e6 * promo // total`` needs > 63 bits at warehouse scale)
+    and floor semantics on both sides.
+
+    The part dimension broadcasts as a sorted (partkey, is_promo)
+    pair (``ray.put`` once, searchsorted per batch) — the Q3/Q5/Q18
+    dimension posture; lineitem streams in one pass."""
+    import ray
+
+    part = _collect_columns(_read(sf_dir, "part",
+                                  ["p_partkey", "p_type"]),
+                            ["p_partkey", "p_type"])
+    order = np.argsort(part["p_partkey"].astype(np.int64))
+    pk_sorted = part["p_partkey"].astype(np.int64)[order]
+    is_promo = (part["p_type"][order].astype(str)
+                == promo_type)
+    pref = ray.put((pk_sorted, is_promo))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, promo = ray.get(pref)
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        m = (day >= day_lo) & (day < day_hi)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)[m]
+        i = np.searchsorted(keys, pk)
+        assert len(pk) == 0 or (keys[i] == pk).all(), \
+            "lineitem references a missing part key"
+        cents = np.rint(t.column("l_extendedprice").to_numpy()
+                        * 100.0).astype(np.int64)[m]
+        disc = np.rint(t.column("l_discount").to_numpy()
+                       * 100.0).astype(np.int64)[m]
+        rev = cents * (100 - disc)
+        pm = promo[i]
+        return pa.table({
+            "promo": pa.array([int(rev[pm].sum())], pa.int64()),
+            "total": pa.array([int(rev.sum())], pa.int64())})
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    promo_e4 = int(p.sum("promo"))
+    total_e4 = int(p.sum("total"))
+    pct_e6 = (100_000_000 * promo_e4) // total_e4 if total_e4 else 0
+    return pa.table({
+        "promo_e4": pa.array([promo_e4], pa.int64()),
+        "total_e4": pa.array([total_e4], pa.int64()),
+        "promo_pct_e6": pa.array([pct_e6], pa.int64())})
+
+
+def small_quantity_revenue(sf_dir: str, *, brand: str = "Brand#23"):
+    """TPC-H Q17 SHAPE — small-quantity-order revenue for one brand:
+    lineitems whose quantity is below 20 % of their part's average
+    order quantity.  The correlated-average predicate is EXACT in
+    integers: ``qty < sum/(5·cnt)  ⇔  5·qty·cnt < sum`` — no float
+    average is ever formed.
+
+    Two passes over the brand-pruned lineitem stream: pass 1 is a
+    per-part (sum, count) groupby; pass 2 re-scans with the per-part
+    stats broadcast (bounded by the brand's share of the part
+    dimension) and the integer cross-multiplication as the filter."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = _collect_columns(_read(sf_dir, "part",
+                                  ["p_partkey", "p_brand"]),
+                            ["p_partkey", "p_brand"])
+    bk = np.sort(part["p_partkey"].astype(np.int64)[
+        part["p_brand"].astype(str) == brand])
+    bref = ray.put(bk)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keys = ray.get(bref)
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, pk)
+        pos = np.clip(pos, 0, max(len(keys) - 1, 0))
+        m = (keys[pos] == pk) if len(keys) else np.zeros(len(pk), bool)
+        qty = np.rint(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)[m]
+        cents = np.rint(t.column("l_extendedprice").to_numpy()
+                        * 100.0).astype(np.int64)[m]
+        return pa.table({"pk": pa.array(pk[m], pa.int64()),
+                         "qty": pa.array(qty, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    pruned = li.map_batches(prune, batch_format="pyarrow")
+    stats = (pruned.select_columns(["pk", "qty"])
+             .groupby("pk")
+             .aggregate(Sum("qty", alias_name="sum_qty"),
+                        Count(alias_name="n_li"))
+             .take_all())
+    sk = np.array([r["pk"] for r in stats], np.int64)
+    so = np.argsort(sk)
+    sref = ray.put((sk[so],
+                    np.array([r["sum_qty"] for r in stats],
+                             np.int64)[so],
+                    np.array([r["n_li"] for r in stats], np.int64)[so]))
+
+    def small(t: pa.Table) -> pa.Table:
+        keys, sums, cnts = ray.get(sref)
+        pk = t.column("pk").to_numpy()
+        i = np.searchsorted(keys, pk)
+        qty = t.column("qty").to_numpy()
+        cents = t.column("cents").to_numpy()
+        m = 5 * qty * cnts[i] < sums[i]
+        return pa.table({
+            "cents": pa.array([int(cents[m].sum())], pa.int64()),
+            "n": pa.array([int(m.sum())], pa.int64())})
+
+    p = pruned.map_batches(small, batch_format="pyarrow")
+    total_cents = int(p.sum("cents"))
+    n_small = int(p.sum("n"))
+    return pa.table({
+        "total_cents": pa.array([total_cents], pa.int64()),
+        "n_small": pa.array([n_small], pa.int64()),
+        "avg_yearly_e2": pa.array([total_cents // 7], pa.int64())})
+
+
+def late_supplier_ranking(sf_dir: str, *, k: int = 100,
+                          num_partitions: int = 8):
+    """TPC-H Q21 SHAPE (adapted — the fixture has no commit/receipt
+    dates): suppliers who were the LATEST shipper on finished
+    multi-supplier orders.  Per order, the unique argmax supplier by
+    (last shipday, then suppkey) rides as ONE packed Max key
+    ``shipday·2²⁰ + suppkey`` (the Q2/MST partial-argmin idiom,
+    bound-asserted); orders with a single supplier are dropped.
+
+    Shape: groupby(orderkey, suppkey) Max → groupby(orderkey)
+    {Count, Max packed} → inner join against status-'F' order keys →
+    groupby(suppkey) Count; supplier names attach from the broadcast
+    dimension.  Three shuffles, every one over per-order keys, never
+    raw lineitem rows."""
+    import ray
+    from ray.data.aggregate import Count, Max
+    from hedonic_ray.context import drop_empty_blocks
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        assert len(sk) == 0 or int(sk.max()) < (1 << 20), \
+            "packed argmax key needs suppkey < 2^20"
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        key = ok * (1 << 20) + sk
+        uk, inv = np.unique(key, return_inverse=True)
+        mx = np.full(len(uk), -1, np.int64)
+        np.maximum.at(mx, inv, day)
+        return pa.table({"o_s": pa.array(uk, pa.int64()),
+                         "day": pa.array(mx, pa.int64())})
+
+    per_pair = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_s")
+                .aggregate(Max("day", alias_name="last_day")))
+
+    def repack(t: pa.Table) -> pa.Table:
+        os_ = t.column("o_s").to_numpy()
+        day = t.column("last_day").to_numpy()
+        ok = os_ >> 20
+        sk = os_ & ((1 << 20) - 1)
+        assert len(day) == 0 or int(day.max()) < (1 << 42), \
+            "packed day·2^20+suppkey key overflows int64"
+        return pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                         "packed": pa.array(day * (1 << 20) + sk,
+                                            pa.int64())})
+
+    per_order = (per_pair.map_batches(repack, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Count(alias_name="n_supp"),
+                            Max("packed", alias_name="latest"))
+                 .filter(expr="n_supp >= 2"))
+
+    fkeys = (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+             .filter(expr="o_orderstatus == 'F'")
+             .select_columns(["o_orderkey"]))
+    s_l = pa.schema([("l_orderkey", pa.int64()), ("n_supp", pa.int64()),
+                     ("latest", pa.int64())])
+    s_o = pa.schema([("o_orderkey", pa.int64())])
+    j = drop_empty_blocks(per_order, s_l).join(
+        drop_empty_blocks(fkeys, s_o), "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_supp(t: pa.Table) -> pa.Table:
+        sk = t.column("latest").to_numpy() & ((1 << 20) - 1)
+        return pa.table({"s_suppkey": pa.array(sk, pa.int64())})
+
+    counts = (j.map_batches(to_supp, batch_format="pyarrow")
+              .groupby("s_suppkey")
+              .aggregate(Count(alias_name="numwait"))
+              .take_all())
+    sup = _collect_columns(_read(sf_dir, "supplier",
+                                 ["s_suppkey", "s_name"]),
+                           ["s_suppkey", "s_name"])
+    so = np.argsort(sup["s_suppkey"].astype(np.int64))
+    skeys, snames = sup["s_suppkey"].astype(np.int64)[so], \
+        sup["s_name"][so]
+    sk = np.array([r["s_suppkey"] for r in counts], np.int64)
+    nw = np.array([r["numwait"] for r in counts], np.int64)
+    i = np.searchsorted(skeys, sk)
+    order = np.lexsort((sk, -nw))[:k]
+    return pa.table({
+        "s_suppkey": pa.array(sk[order], pa.int64()),
+        "s_name": pa.array(snames[i][order].astype(object),
+                           pa.string()),
+        "numwait": pa.array(nw[order], pa.int64())})
+
+
+def idle_customers(sf_dir: str, *,
+                   nations=(1, 3, 5, 7, 9, 11, 13),
+                   recent_day: int = 11323, num_partitions: int = 8):
+    """TPC-H Q22 SHAPE — global sales opportunity: per selected
+    nation, the count and exact cent sum of customers whose balance
+    exceeds the selected-subset positive average AND who have no
+    RECENT order (none on/after epoch day ``recent_day`` —
+    every fixture customer has SOME order, so the canonical
+    no-orders-at-all predicate would be vacuous).  The average
+    predicate is exact in integers (``cents·cnt > sum_cents``); the
+    idleness test is Ray Data's native ``left_anti`` hash join
+    against per-batch-deduped recent-order custkeys (the
+    rel_anti_join posture).
+
+    /root/reference has no relational surface; shape parity is with
+    TPC-H Q22 itself."""
+    from ray.data.aggregate import Count, Sum
+    from hedonic_ray.context import drop_empty_blocks
+
+    nat = np.sort(np.array(sorted(set(int(n) for n in nations)),
+                           np.int64))
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy().astype(np.int64)
+        m = np.isin(nk, nat)
+        e2 = np.rint(t.column("c_acctbal").to_numpy()[m] * 100.0) \
+            .astype(np.int64)
+        return pa.table({
+            "c_custkey": pa.array(
+                t.column("c_custkey").to_numpy().astype(np.int64)[m],
+                pa.int64()),
+            "c_nationkey": pa.array(nk[m], pa.int64()),
+            "acctbal_e2": pa.array(e2, pa.int64())})
+
+    cents = cust.map_batches(to_cents, batch_format="pyarrow")
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        e2 = t.column("acctbal_e2").to_numpy()
+        p = e2[e2 > 0]
+        return pa.table({"s": pa.array([int(p.sum())], pa.int64()),
+                         "n": pa.array([int(len(p))], pa.int64())})
+
+    pp = cents.map_batches(pos_partial, batch_format="pyarrow")
+    sum_pos = int(pp.sum("s"))
+    n_pos = int(pp.sum("n"))
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        e2 = t.column("acctbal_e2").to_numpy()
+        return t.filter(pa.array(e2 * n_pos > sum_pos))
+
+    rich = cents.map_batches(above_avg, batch_format="pyarrow")
+
+    def distinct_recent_keys(t: pa.Table) -> pa.Table:
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({"o_custkey": pa.array(
+            np.unique(ck[day >= recent_day]), pa.int64())})
+
+    ok = drop_empty_blocks(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(distinct_recent_keys, batch_format="pyarrow"),
+        pa.schema([("o_custkey", pa.int64())]))
+    s_c = pa.schema([("c_custkey", pa.int64()),
+                     ("c_nationkey", pa.int64()),
+                     ("acctbal_e2", pa.int64())])
+    anti = drop_empty_blocks(rich, s_c).join(
+        ok, "left_anti", num_partitions,
+        on=("c_custkey",), right_on=("o_custkey",))
+    return (anti.select_columns(["c_nationkey", "acctbal_e2"])
+            .groupby("c_nationkey")
+            .aggregate(Count(alias_name="numcust"),
+                       Sum("acctbal_e2", alias_name="totacctbal_e2"))
+            .sort("c_nationkey"))

@@ -170,6 +170,9 @@ SQL_CHECKED = sorted([
     "graph_multilevel", "rel_entry_exit", "rel_attribution",
     "rel_basket_rules", "sim_sq8_audit", "text_bpe_apply",
     "sim_kmeans_iters", "rel_gaps_islands", "rel_rfm", "graph_orbits",
+    # round 5 session 7: the remaining classic TPC-H join shapes
+    "rel_q6_forecast", "rel_q13_custdist", "rel_q14_promo",
+    "rel_q17_small_qty", "rel_q21_late_supplier", "rel_q22_idle",
 ])
 
 
