@@ -1733,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_kmeans_iters": tx.kmeans_converged,
         "sim_filtered_topk": tx.filtered_topk_similarity,
         "sim_knn_graph": tx.knn_graph_table,
+        "sim_hard_negatives": tx.hard_negatives_table,
         "sim_knn_clusters": tx.knn_mutual_clusters,
         "sim_centroid_classify": tx.centroid_classify,
         "multimodal_decode": tx.multimodal_decode,
@@ -5239,6 +5240,29 @@ ORDER BY community"""),
                             AS BIGINT) AS score_e6
                 FROM embeddings a JOIN embeddings b
                      ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src
+                    ORDER BY score_e6 DESC, nbr) AS rank
+                FROM scored
+            )
+            SELECT src, CAST(rank AS BIGINT) AS rank, nbr, score_e6
+            FROM ranked WHERE rank <= 3
+            ORDER BY src, rank
+        """,
+        "sim_hard_negatives": """
+            -- hard-negative mining: per vector, top-3 DIFFERENT-label
+            -- vectors on the ROUNDED x1e6 integer cosine (ties ->
+            -- lowest nbr) — the contrastive-training impostor set
+            WITH scored AS (
+                SELECT a.vec_id AS src, b.vec_id AS nbr,
+                       CAST(ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) * 1e6)
+                            AS BIGINT) AS score_e6
+                FROM embeddings a JOIN embeddings b
+                     ON a.label <> b.label
             ),
             ranked AS (
                 SELECT *, row_number() OVER (

@@ -339,7 +339,7 @@ def _fit_centroids(emb_ds, vec_col: str, n_clusters: int,
 def knn_graph_ds(emb_ds, k: int = 3, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_clusters: int | None = None,
                  nprobe: int | None = None, sample_size: int = 4096,
-                 seed: int = 0):
+                 seed: int = 0, label_col: str | None = None):
     """DISTRIBUTED k-NN graph self-join (the corpus-scale path): the
     corpus never lands on the driver — each vector is routed to its
     nearest-centroid bucket as a CANDIDATE and to its ``nprobe``
@@ -397,12 +397,16 @@ def knn_graph_ds(emb_ds, k: int = 3, *, id_col: str = "vec_id",
         # row is query+candidate (role 3) exactly there and query-only
         # (role 1) in its other probe buckets
         role = np.where(buckets == assigned[rows], 3, 1).astype(np.int64)
-        return pa.table({
+        cols = {
             "bucket": pa.array(buckets),
             "role": pa.array(role),
             id_col: pa.array(ids[rows]),
             vec_col: batch.column(vec_col).take(pa.array(rows)),
-        })
+        }
+        if label_col is not None:
+            cols["_lbl"] = batch.column(label_col).cast(pa.int64()) \
+                .take(pa.array(rows))
+        return pa.table(cols)
 
     routed = emb_ds.map_batches(route, batch_format="pyarrow",
                                 batch_size=4096)
@@ -420,6 +424,9 @@ def knn_graph_ds(emb_ds, k: int = 3, *, id_col: str = "vec_id",
         qids, cids = ids[isq], ids[isc]
         se6 = np.rint((m[isq] @ m[isc].T) * 1e6).astype(np.int64)
         se6[qids[:, None] == cids[None, :]] = _KNN_MASK
+        if label_col is not None:
+            lbl = g.column("_lbl").to_numpy().astype(np.int64)
+            se6[lbl[isq][:, None] == lbl[isc][None, :]] = _KNN_MASK
         return _rank_grid(qids, cids, se6, k).select(
             ["src", "nbr", "score_e6"])
 
@@ -445,7 +452,7 @@ def knn_graph_ds(emb_ds, k: int = 3, *, id_col: str = "vec_id",
 def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
               vec_col: str = "embedding", method: str = "auto",
               broadcast_max: int = 2_000_000,
-              dtype=np.float64) -> pa.Table:
+              dtype=np.float64, label_col: str | None = None) -> pa.Table:
     """k-NEAREST-NEIGHBOR GRAPH over the embedding column — the
     all-vs-all self-join semantic-dedup clustering and knn-graph
     community detection start from: for every vector, its ``k`` most
@@ -480,7 +487,8 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
                       for c in ("src", "rank", "nbr", "score_e6")})
 
     if method == "ivf":
-        out = knn_graph_ds(emb_ds, k, id_col=id_col, vec_col=vec_col)
+        out = knn_graph_ds(emb_ds, k, id_col=id_col, vec_col=vec_col,
+                           label_col=label_col)
         parts = [b for b in out.iter_batches(batch_size=None,
                                              batch_format="pyarrow")]
         t = pa.concat_tables(parts) if parts else empty
@@ -488,11 +496,15 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
                                             ("rank", "ascending")])
         return t.take(idx)
 
-    ids_parts, mat_parts = [], []
-    for batch in emb_ds.select_columns([id_col, vec_col]).iter_batches(
+    gather_cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    ids_parts, mat_parts, lbl_parts = [], [], []
+    for batch in emb_ds.select_columns(gather_cols).iter_batches(
             batch_size=65536, batch_format="pyarrow"):
         ids_parts.append(batch.column(id_col).to_numpy().astype(np.int64))
         mat_parts.append(_batch_matrix(batch, vec_col, dtype))
+        if label_col is not None:
+            lbl_parts.append(batch.column(label_col).to_numpy()
+                             .astype(np.int64))
     ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
     assert ids.max(initial=0) < (1 << 31), "composite key packs id in 32 bits"
     if len(ids) > broadcast_max:
@@ -501,14 +513,20 @@ def knn_graph(emb_ds, k: int = 3, *, id_col: str = "vec_id",
             f"broadcast_max={broadcast_max}; use method='ivf'")
     if not len(ids):
         return empty
-    corpus_ref = ray.put((ids, _normalize(np.concatenate(mat_parts))))
+    lbls = (np.concatenate(lbl_parts) if lbl_parts
+            else np.empty(0, np.int64))
+    corpus_ref = ray.put((ids, _normalize(np.concatenate(mat_parts)),
+                          lbls))
 
     def local(batch: pa.Table) -> pa.Table:
-        cids, cmat = ray.get(corpus_ref)
+        cids, cmat, clbl = ray.get(corpus_ref)
         bids = batch.column(id_col).to_numpy().astype(np.int64)
         bm = _normalize(_batch_matrix(batch, vec_col, cmat.dtype))
         se6 = np.rint((bm @ cmat.T) * 1e6).astype(np.int64)
         se6[bids[:, None] == cids[None, :]] = _KNN_MASK
+        if label_col is not None:
+            blbl = batch.column(label_col).to_numpy().astype(np.int64)
+            se6[blbl[:, None] == clbl[None, :]] = _KNN_MASK
         return _rank_grid(bids, cids, se6, k)
 
     parts = [b for b in emb_ds.map_batches(

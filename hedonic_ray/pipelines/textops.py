@@ -512,6 +512,27 @@ def knn_graph_table(sf_dir: str, k: int = 3) -> pa.Table:
     return _tx_cached(("knn_graph", sf_dir, k), build)
 
 
+def hard_negatives_table(sf_dir: str, k: int = 3) -> pa.Table:
+    """HARD-NEGATIVE MINING for contrastive training (the triplet /
+    in-batch-negatives curation stage): for every vector, its ``k``
+    most cosine-similar vectors with a DIFFERENT label — the
+    near-miss impostors a metric-learning loss learns the most from.
+    Same integer-ranked machinery as :func:`knn_graph_table`
+    (``score·2³² + (2³²−1−id)`` composite key, ties → lowest nbr),
+    with the same-label grid cells masked alongside the self cell;
+    the IVF bucketed self-join threads the label through the route
+    exchange under force_scale."""
+    import ray.data as rd
+
+    def build():
+        configure_context()
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding", "label"])
+        return sim.knn_graph(emb, k=k, label_col="label")
+
+    return _tx_cached(("hard_negatives", sf_dir, k), build)
+
+
 def bigram_tf_top(sf_dir: str, k: int = 50) -> pa.Table:
     """Top-k word bigrams by total occurrence count (ties → bigram
     asc) — the n-gram LM statistics stage."""

@@ -170,9 +170,11 @@ SQL_CHECKED = sorted([
     "graph_multilevel", "rel_entry_exit", "rel_attribution",
     "rel_basket_rules", "sim_sq8_audit", "text_bpe_apply",
     "sim_kmeans_iters", "rel_gaps_islands", "rel_rfm", "graph_orbits",
-    # round 5 session 7: the remaining classic TPC-H join shapes
+    # round 5 session 7: the remaining classic TPC-H join shapes +
+    # contrastive-training hard-negative mining
     "rel_q6_forecast", "rel_q13_custdist", "rel_q14_promo",
     "rel_q17_small_qty", "rel_q21_late_supplier", "rel_q22_idle",
+    "sim_hard_negatives",
 ])
 
 
@@ -249,6 +251,9 @@ FORCED_SCALE = sorted([
     "graph_node2vec",       # edge-membership marker-join path
     "graph_pagerank_refresh",  # warm-start rank0 through the shard spec
     "graph_components_refresh",  # resident CC + distributed label merge
+    "sim_hard_negatives",   # label-masked IVF bucketed self-join (the
+                            # label rides the route exchange; exact at
+                            # the default full probe sweep)
     # sim_dbscan is NOT here by design: its forced-scale eps-pair stage
     # is the IVF bucketed path, which is approximate at the fixture's
     # near-noise threshold (recall audited by sim_recall_audit; the
