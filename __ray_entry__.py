@@ -1734,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_filtered_topk": tx.filtered_topk_similarity,
         "sim_knn_graph": tx.knn_graph_table,
         "sim_hard_negatives": tx.hard_negatives_table,
+        "dedup_semantic": tx.semantic_dedup_table,
         "sim_knn_clusters": tx.knn_mutual_clusters,
         "sim_centroid_classify": tx.centroid_classify,
         "multimodal_decode": tx.multimodal_decode,
@@ -1925,11 +1926,12 @@ ORDER BY rank_e9 DESC, term LIMIT {k}""")
     return "".join(parts)
 
 
-def _kmeans_iters_sql(n_clusters: int = 4, iters: int = 3,
-                      scale: int = 100000) -> str:
-    """Iterated-Lloyd oracle: unrolled assignment (argmin of the
-    integer objective, ties → lowest cluster) + sign-split integer
-    centroid means, empty clusters carrying the previous centroid."""
+def _kmeans_cte_chain(n_clusters: int, iters: int,
+                      scale: int) -> str:
+    """Shared unrolled-Lloyd CTE chain (q, c0, d{r}/a{r}/s{r}/c{r} per
+    round) used by the k-means oracle and the SemDeDup oracle; ends
+    with c{iters} (final centroids) and s{iters} (member counts) in
+    scope."""
     parts = [f"""WITH q AS MATERIALIZED (
     SELECT vec_id, j, CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) AS BIGINT)
                AS qv
@@ -1961,13 +1963,64 @@ c{r} AS MATERIALIZED (
                          ELSE -((-s.s) // s.n) END, p.cq) AS cq
     FROM c{r - 1} p
     LEFT JOIN s{r} s ON s.cluster = p.cluster AND s.dim = p.dim)""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_iters_sql(n_clusters: int = 4, iters: int = 3,
+                      scale: int = 100000) -> str:
+    """Iterated-Lloyd oracle: unrolled assignment (argmin of the
+    integer objective, ties → lowest cluster) + sign-split integer
+    centroid means, empty clusters carrying the previous centroid."""
+    return _kmeans_cte_chain(n_clusters, iters, scale) + f"""
 SELECT c.cluster, c.dim, CAST(c.cq AS BIGINT) AS centroid_q,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS n_members
 FROM c{iters} c
 LEFT JOIN s{iters} s ON s.cluster = c.cluster AND s.dim = c.dim
-ORDER BY c.cluster, c.dim""")
-    return "".join(parts)
+ORDER BY c.cluster, c.dim"""
+
+
+def _semantic_dedup_sql(n_clusters: int = 4, iters: int = 3,
+                        scale: int = 100000,
+                        threshold_e6: int = 400000) -> str:
+    """SemDeDup oracle (Abbas et al. 2023 shape): the SAME unrolled
+    integer Lloyd chain, a final assignment round against c{iters},
+    within-cluster pairs on the rounded ×1e6 cosine, recursive-CTE
+    connected components over those pairs, representative = min id."""
+    chain = _kmeans_cte_chain(n_clusters, iters, scale)
+    return chain + f""",
+dF AS MATERIALIZED (
+    SELECT q.vec_id, c.cluster,
+           CAST(SUM(c.cq * c.cq - 2 * q.qv * c.cq) AS BIGINT) AS obj
+    FROM q JOIN c{iters} c ON c.dim = q.j
+    GROUP BY 1, 2),
+asg AS MATERIALIZED (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, row_number() OVER (
+            PARTITION BY vec_id ORDER BY obj, cluster) AS rn
+        FROM dF) WHERE rn = 1),
+pairs AS MATERIALIZED (
+    SELECT x.vec_id AS a, y.vec_id AS b
+    FROM asg x JOIN asg y
+         ON y.cluster = x.cluster AND y.vec_id > x.vec_id
+    JOIN embeddings ea ON ea.vec_id = x.vec_id
+    JOIN embeddings eb ON eb.vec_id = y.vec_id
+    WHERE CAST(ROUND(list_cosine_similarity(
+              CAST(ea.embedding AS DOUBLE[]),
+              CAST(eb.embedding AS DOUBLE[])) * 1e6) AS BIGINT)
+          >= {threshold_e6}),
+arcs AS (SELECT a AS src, b AS dst FROM pairs
+         UNION ALL SELECT b, a FROM pairs)
+SELECT v AS vec_id,
+       CAST(asg.cluster AS BIGINT) AS cluster,
+       CAST(min(u) AS BIGINT) AS grp,
+       CAST(CASE WHEN min(u) = v THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (WITH RECURSIVE reach(v, u) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT r.v, a.dst FROM reach r JOIN arcs a ON a.src = r.u)
+      SELECT v, u FROM reach) rc
+JOIN asg ON asg.vec_id = rc.v
+GROUP BY v, asg.cluster ORDER BY vec_id"""
 
 
 def _bpe_round_ctes(rounds: int) -> str:
@@ -5307,6 +5360,7 @@ ORDER BY community"""),
             FROM reach GROUP BY v ORDER BY vec_id
         """,
         "sim_kmeans_iters": _kmeans_iters_sql(n_clusters=4, iters=3),
+        "dedup_semantic": _semantic_dedup_sql(n_clusters=4, iters=3),
         "sim_sq8_audit": """
             -- SQ8 scalar-quantization audit on the FLOOR(x*1e5) grid:
             -- per-dim min/max, code = (q-mn)*255 // range, recon =

@@ -1986,3 +1986,87 @@ def bloom_dedup_audit(docs_ds, *, m: int = 65536, kh: int = 2,
             .aggregate(Sum("n_pos", alias_name="n_pos"),
                        Sum("n_preset", alias_name="n_preset"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def semantic_dedup(emb_ds, n: int, *, n_clusters: int = 4,
+                   iters: int = 3, scale: int = 100_000,
+                   threshold_e6: int = 400_000, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> pa.Table:
+    """SEMANTIC DEDUP — the SemDeDup curation shape (Abbas et al.
+    2023, arXiv:2303.09540): k-means the embedding space, then search
+    for near-duplicates ONLY within each cluster, keeping the lowest
+    id per duplicate group.  The cluster scoping is the whole point
+    at scale: the candidate-pair space drops from O(n²) to
+    Σ|cluster|², and the pair stage parallelizes per cluster with no
+    global broadcast.
+
+    Determinism contract (all oracle-replicable): centroids from the
+    exact-integer Lloyd of :func:`~hedonic_ray.ops.similarity.
+    kmeans_iterations` (floor-quantized grid, sign-split means);
+    assignment by the −2⟨q,c⟩+|c|² integer objective, ties → lowest
+    cluster; pair membership on the rounded ×1e6 float cosine (the
+    sim_* convention); group label = min vec_id via
+    :func:`duplicate_clusters` (driver union-find below the cap, the
+    engine's distributed CC under force_scale).
+
+    Returns (vec_id, cluster, grp, keep) sorted by vec_id."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from hedonic_ray.ops.similarity import (_batch_matrix, _normalize,
+                                            kmeans_iterations)
+
+    grid = kmeans_iterations(emb_ds, n_clusters=n_clusters, iters=iters,
+                             scale=scale, id_col=id_col, vec_col=vec_col)
+    dim = grid.num_rows // n_clusters
+    cent = np.zeros((n_clusters, dim), np.int64)
+    cent[grid.column("cluster").to_numpy(),
+         grid.column("dim").to_numpy() - 1] = \
+        grid.column("centroid_q").to_numpy()
+    c2 = np.einsum("ij,ij->i", cent, cent)
+    cref = ray.put((cent, c2))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c, csq = ray.get(cref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col)})
+        m = _batch_matrix(batch, vec_col, dtype=np.float64)
+        qm = np.floor(m * scale).astype(np.int64)
+        obj = -2 * (qm @ c.T) + csq
+        a = np.argmin(obj, axis=1).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+                         "cluster": pa.array(a),
+                         vec_col: batch.column(vec_col)})
+
+    asg = emb_ds.map_batches(assign,
+                             batch_format="pyarrow").materialize()
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy().astype(np.int64)
+        m = _normalize(_batch_matrix(g, vec_col, np.float64))
+        se6 = np.rint((m @ m.T) * 1e6).astype(np.int64)
+        ii, jj = np.nonzero(np.triu(se6 >= threshold_e6, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table({"a": pa.array(a2, pa.int64()),
+                         "b": pa.array(b2, pa.int64())})
+
+    pairs = asg.groupby("cluster").map_groups(group_pairs,
+                                              batch_format="pyarrow")
+    comp = duplicate_clusters(pairs, n).astype(np.int64)
+
+    cluster = np.zeros(n, np.int64)
+    for b in asg.select_columns([id_col, "cluster"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        cluster[b.column(id_col).to_numpy()] = \
+            b.column("cluster").to_numpy()
+    vid = np.arange(n, dtype=np.int64)
+    return pa.table({
+        "vec_id": pa.array(vid),
+        "cluster": pa.array(cluster),
+        "grp": pa.array(comp),
+        "keep": pa.array((comp == vid).astype(np.int64))})

@@ -533,6 +533,22 @@ def hard_negatives_table(sf_dir: str, k: int = 3) -> pa.Table:
     return _tx_cached(("hard_negatives", sf_dir, k), build)
 
 
+def semantic_dedup_table(sf_dir: str) -> pa.Table:
+    """SemDeDup over the embeddings table: exact-integer k-means
+    clustering, within-cluster near-dup pairs on the rounded cosine,
+    min-id representative per duplicate group."""
+    import ray.data as rd
+
+    def build():
+        configure_context()
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        n = emb.count()
+        return dd.semantic_dedup(emb, n)
+
+    return _tx_cached(("semantic_dedup", sf_dir), build)
+
+
 def bigram_tf_top(sf_dir: str, k: int = 50) -> pa.Table:
     """Top-k word bigrams by total occurrence count (ties → bigram
     asc) — the n-gram LM statistics stage."""

@@ -174,7 +174,7 @@ SQL_CHECKED = sorted([
     # contrastive-training hard-negative mining
     "rel_q6_forecast", "rel_q13_custdist", "rel_q14_promo",
     "rel_q17_small_qty", "rel_q21_late_supplier", "rel_q22_idle",
-    "sim_hard_negatives",
+    "sim_hard_negatives", "dedup_semantic",
 ])
 
 
@@ -254,6 +254,9 @@ FORCED_SCALE = sorted([
     "sim_hard_negatives",   # label-masked IVF bucketed self-join (the
                             # label rides the route exchange; exact at
                             # the default full probe sweep)
+    "dedup_semantic",       # distributed-CC duplicate grouping (the
+                            # cluster-scoped pair stage is exact at
+                            # any scale — it is a groupby, not an ANN)
     # sim_dbscan is NOT here by design: its forced-scale eps-pair stage
     # is the IVF bucketed path, which is approximate at the fixture's
     # near-noise threshold (recall audited by sim_recall_audit; the
