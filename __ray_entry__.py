@@ -1481,6 +1481,12 @@ def _nav_top_transitions(sf_dir: str):
     return nav_top_transitions(sf_dir)
 
 
+def _nav_rich_club(sf_dir: str):
+    from hedonic_ray.graph.nav import nav_rich_club
+
+    return nav_rich_club(sf_dir)
+
+
 def _nav_weighted_pagerank(sf_dir: str):
     from hedonic_ray.graph.nav import nav_weighted_pagerank
 
@@ -1594,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_lp_onepass": lg.supplier_lp_onepass,
         "graph_reciprocity": _nav_reciprocity,
         "graph_top_transitions": _nav_top_transitions,
+        "graph_rich_club": _nav_rich_club,
         "graph_weighted_pagerank": _nav_weighted_pagerank,
         "graph_weighted_lp": _nav_weighted_labelprop,
         # --- relational operators ---
@@ -5119,6 +5126,46 @@ ORDER BY community"""),
         """,
         "graph_weighted_pagerank": _nav_wpr_chain_sql(iters=3),
         "graph_weighted_lp": _nav_wlp_chain_sql(iters=2),
+        "graph_rich_club": """
+            -- rich-club profile of the undirected nav graph: per
+            -- degree threshold k, phi = 2*E_k/(N_k*(N_k-1)) over the
+            -- deg>k induced subgraph, exact floor e6; N_k<2 dropped
+            WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS node
+                FROM events),
+            hop AS (
+                SELECT node AS src,
+                       lead(node) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+                FROM ev),
+            arcs AS (SELECT DISTINCT src, dst FROM hop
+                     WHERE dst IS NOT NULL AND dst <> src),
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM arcs),
+            sym AS (SELECT a AS v FROM und
+                    UNION ALL SELECT b FROM und),
+            deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM sym GROUP BY v),
+            em AS (SELECT LEAST(da.d, db.d) AS md
+                   FROM und JOIN deg da ON da.v = und.a
+                            JOIN deg db ON db.v = und.b),
+            ks AS (SELECT unnest(range(0, (SELECT CAST(MAX(d) AS BIGINT)
+                                           FROM deg))) AS k),
+            nk AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_rich
+                   FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k),
+            ek AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+                   FROM ks JOIN em ON em.md > ks.k GROUP BY ks.k)
+            SELECT nk.k, nk.n_rich,
+                   CAST(COALESCE(ek.e_rich, 0) AS BIGINT) AS e_rich,
+                   CAST(CAST(2000000 AS BIGINT)
+                        * COALESCE(ek.e_rich, 0)
+                        // (nk.n_rich * (nk.n_rich - 1))
+                        AS BIGINT) AS phi_e6
+            FROM nk LEFT JOIN ek ON ek.k = nk.k
+            WHERE nk.n_rich >= 2 ORDER BY nk.k
+        """,
         "graph_top_transitions": """
             -- weighted click-graph: top-20 transitions by click count
             WITH ev AS (

@@ -466,3 +466,83 @@ def nav_attribution(sf_dir: str, *, window_days: int = 7) -> "object":
             .aggregate(Sum("n", alias_name="n_conversions"),
                        Sum("cents", alias_name="revenue_cents"))
             .sort("node"))
+
+
+def nav_rich_club(sf_dir: str) -> pa.Table:
+    """RICH-CLUB coefficient profile of the undirected navigation
+    graph (Zhou & Mondragón 2004; Colizza et al. 2006 normalization
+    left to the caller): for every degree threshold ``k`` below the
+    max degree, φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph
+    induced by nodes of degree > k, as the exact floor integer
+    ``phi_e6``.  Rows with N_k < 2 (φ undefined) are dropped.
+
+    Closed-form from TWO histograms — no per-k subgraph pass: N_k is
+    a suffix sum of the degree histogram, and E_k is a suffix sum of
+    the histogram of per-edge MIN endpoint degree (an edge survives
+    the induction at threshold k iff min(deg_a, deg_b) > k).  One
+    distinct-edge groupby, one degree groupby, one broadcast
+    deg-lookup pass over the edges; the driver only ever holds the
+    two histograms."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    arcs = nav_arcs(sf_dir)
+
+    def undir(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy().astype(np.int64)
+        dst = t.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"a": pa.array(np.minimum(src, dst)),
+                         "b": pa.array(np.maximum(src, dst))})
+
+    und = (arcs.map_batches(undir, batch_format="pyarrow")
+           .groupby(["a", "b"])
+           .aggregate(Count(alias_name="_c"))
+           .drop_columns(["_c"]).materialize())
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(np.concatenate(
+            [t.column("a").to_numpy(), t.column("b").to_numpy()]),
+            pa.int64())})
+
+    vs, ds_ = [], []
+    for b in (und.map_batches(ends, batch_format="pyarrow")
+              .groupby("v").aggregate(Count(alias_name="d"))
+              .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        vs.append(b.column("v").to_numpy())
+        ds_.append(b.column("d").to_numpy())
+    v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+    d = np.concatenate(ds_) if ds_ else np.empty(0, np.int64)
+    order = np.argsort(v)
+    dref = ray.put((v[order], d[order].astype(np.int64)))
+
+    def min_deg_partial(t: pa.Table) -> pa.Table:
+        keys, dd = ray.get(dref)
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        md = np.minimum(dd[np.searchsorted(keys, a)],
+                        dd[np.searchsorted(keys, b)])
+        u, c = np.unique(md, return_counts=True)
+        return pa.table({"md": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    mh = (und.map_batches(min_deg_partial, batch_format="pyarrow")
+          .groupby("md").aggregate(Sum("cnt", alias_name="n"))
+          .take_all())
+    maxd = int(d.max()) if len(d) else 0
+    dh = np.bincount(d, minlength=maxd + 1)
+    eh = np.zeros(maxd + 1, np.int64)
+    for r in mh:
+        eh[int(r["md"])] = int(r["n"])
+    # suffix sums: N_k = #nodes deg > k, E_k = #edges min-deg > k
+    nk = np.cumsum(dh[::-1])[::-1]
+    ek = np.cumsum(eh[::-1])[::-1]
+    ks = np.arange(maxd, dtype=np.int64)
+    n_rich = np.append(nk, 0)[ks + 1]
+    e_rich = np.append(ek, 0)[ks + 1]
+    keep = n_rich >= 2
+    ks, n_rich, e_rich = ks[keep], n_rich[keep], e_rich[keep]
+    phi = (2_000_000 * e_rich) // (n_rich * (n_rich - 1))
+    return pa.table({"k": pa.array(ks, pa.int64()),
+                     "n_rich": pa.array(n_rich.astype(np.int64)),
+                     "e_rich": pa.array(e_rich.astype(np.int64)),
+                     "phi_e6": pa.array(phi.astype(np.int64))})
