@@ -1689,6 +1689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ttr": tx.ttr,
         "text_passage_dedup": tx.dup_passages,
         "text_term_tf": tx.term_tf_top,
+        "text_zipf": tx.zipf_slope_table,
+        "text_burstiness": tx.burstiness_table,
         "text_bigrams": tx.bigram_tf_top,
         "text_colloc_lift": tx.bigram_lift_top,
         "dedup_cdc": tx.cdc_dedup,
@@ -5183,6 +5185,58 @@ ORDER BY community"""),
             GROUP BY src, dst
             ORDER BY n DESC, src, dst
             LIMIT 20
+        """,
+        "text_zipf": r"""
+            -- Zipf rank-frequency slope: FLOOR(ln*1e6) regression
+            -- over the top-100 terms, sign-split floor-ratio finish
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+            tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY term),
+            top AS (SELECT tf, row_number() OVER (
+                        ORDER BY tf DESC, term) AS rnk
+                    FROM tf ORDER BY tf DESC, term LIMIT 100),
+            xy AS (SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000)
+                               AS BIGINT) AS x,
+                          CAST(FLOOR(ln(CAST(tf AS DOUBLE)) * 1000000)
+                               AS BIGINT) AS y
+                   FROM top),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx
+                  FROM xy)
+            SELECT n AS n_terms, sx, sy, sxy, sxx,
+                   CAST(CASE
+                        WHEN n * sxx - sx * sx = 0 THEN 0
+                        WHEN n * sxy - sx * sy >= 0 THEN
+                            (CAST(1000000 AS HUGEINT)
+                             * (n * sxy - sx * sy))
+                            // (n * sxx - sx * sx)
+                        ELSE -((CAST(1000000 AS HUGEINT)
+                                * (sx * sy - n * sxy))
+                               // (n * sxx - sx * sx))
+                        END AS BIGINT) AS slope_e6
+            FROM g
+        """,
+        "text_burstiness": r"""
+            -- term burstiness cf/df: top-50 by (burst desc, term asc)
+            -- among terms with df >= 5; exact floor e6
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+            s AS (SELECT term,
+                         CAST(count(*) AS BIGINT) AS cf,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM toks GROUP BY term)
+            SELECT term, cf, df,
+                   CAST(cf * CAST(1000000 AS BIGINT) // df AS BIGINT)
+                       AS burst_e6
+            FROM s WHERE df >= 5
+            ORDER BY burst_e6 DESC, term LIMIT 50
         """,
         "text_term_tf": r"""
             WITH toks AS (

@@ -942,3 +942,116 @@ def lm_surprisal_scores(ds, col: str = "text", method: str = "auto",
                          "mean_surprisal_e6": pa.array(s // n, pa.int64())})
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def zipf_slope(ds, col: str = "text", top_n: int = 100):
+    """ZIPF RANK-FREQUENCY SLOPE over the corpus vocabulary — the
+    one-number lexical-health diagnostic (natural corpora sit near
+    slope −1; generated/templated text drifts): least-squares slope of
+    ``ln(tf)`` on ``ln(rank)`` over the ``top_n`` terms by frequency.
+
+    Exactness contract (cross-engine): ranks are 1-based over the
+    deterministic (tf desc, term asc) order; both logs enter the
+    regression as ``FLOOR(ln(integer)·1e6)`` int64 (the adamic-adar /
+    lm_score parity pattern — both engines take ln of the SAME exact
+    integer), the four sufficient sums are exact int64, and the slope
+    finishes as a sign-split floor ratio in Python ints (the 1e6·num
+    product needs >63 bits).
+
+    One wordcount shuffle + a top-n sort; the regression runs on
+    ``top_n`` driver rows."""
+    tf = term_total_frequency(ds, col)
+    top = (tf.sort(["tf", "term"], descending=[True, False])
+           .limit(top_n).take_all())
+    n = len(top)
+    if n == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({"n_terms": z, "sx": z, "sy": z, "sxy": z,
+                         "sxx": z, "slope_e6": z})
+    ranks = np.arange(1, n + 1, dtype=np.int64)
+    tfs = np.array([int(r["tf"]) for r in top], np.int64)
+    x = np.floor(np.log(ranks.astype(np.float64)) * 1e6).astype(np.int64)
+    y = np.floor(np.log(tfs.astype(np.float64)) * 1e6).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    if den == 0:
+        slope = 0
+    else:
+        q = (10**6 * abs(num)) // den
+        slope = q if num >= 0 else -q
+    return pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "sx": pa.array([sx], pa.int64()),
+        "sy": pa.array([sy], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "sxx": pa.array([sxx], pa.int64()),
+        "slope_e6": pa.array([slope], pa.int64())})
+
+
+def term_burstiness(ds, col: str = "text", k: int = 50,
+                    min_df: int = 5):
+    """TERM BURSTINESS (Church & Gale shape): collection frequency
+    over document frequency per term, ``burst_e6 = 1e6·cf // df`` —
+    bursty terms (high cf/df) concentrate in few documents (topical /
+    boilerplate markers), while cf ≈ df terms spread evenly (function
+    words).  Top-``k`` by (burst_e6 desc, term asc) among terms with
+    df ≥ ``min_df``.
+
+    ONE pass computes both statistics: each batch emits per-term
+    (total count, distinct-doc count) from the same unique() sweep,
+    then one ``groupby(term)`` with two Sums — the wordcount shuffle
+    shape, volume bounded by batch vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(batch.column(col),
+                                       r"\s+").combine_chunks()
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = words.flatten()
+        docs = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        docs = docs[keep]
+        if not len(docs):
+            e = pa.array([], pa.int64())
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cf_p": e, "df_p": e})
+        terms, inv = np.unique(np.asarray(flat).astype(str),
+                               return_inverse=True)
+        cf = np.bincount(inv, minlength=len(terms))
+        key = docs * np.int64(len(terms)) + inv
+        uk = np.unique(key)
+        df = np.bincount((uk % len(terms)).astype(np.int64),
+                         minlength=len(terms))
+        return pa.table({
+            "term": pa.array(terms.astype(object), pa.string()),
+            "cf_p": pa.array(cf.astype(np.int64)),
+            "df_p": pa.array(df.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=2048)
+           .groupby("term")
+           .aggregate(Sum("cf_p", alias_name="cf"),
+                      Sum("df_p", alias_name="df")))
+
+    def score(t: pa.Table) -> pa.Table:
+        cf = t.column("cf").to_numpy().astype(np.int64)
+        df = t.column("df").to_numpy().astype(np.int64)
+        m = pa.array(df >= min_df)
+        burst = cf * np.int64(1_000_000) // np.maximum(df, 1)
+        return pa.table({"term": t.column("term").filter(m),
+                         "cf": pa.array(cf).filter(m),
+                         "df": pa.array(df).filter(m),
+                         "burst_e6": pa.array(burst).filter(m)})
+
+    out = (agg.map_batches(score, batch_format="pyarrow")
+           .sort(["burst_e6", "term"], descending=[True, False])
+           .limit(k).take_all())
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], pa.string()),
+        "cf": pa.array([int(r["cf"]) for r in out], pa.int64()),
+        "df": pa.array([int(r["df"]) for r in out], pa.int64()),
+        "burst_e6": pa.array([int(r["burst_e6"]) for r in out],
+                             pa.int64())})

@@ -549,6 +549,17 @@ def semantic_dedup_table(sf_dir: str) -> pa.Table:
     return _tx_cached(("semantic_dedup", sf_dir), build)
 
 
+def zipf_slope_table(sf_dir: str) -> pa.Table:
+    """Zipf rank-frequency slope of the corpus vocabulary (integer
+    log-floor regression over the top-100 terms)."""
+    return ts.zipf_slope(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def burstiness_table(sf_dir: str) -> pa.Table:
+    """Top-50 burstiest terms (cf/df) with df >= 5."""
+    return ts.term_burstiness(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def bigram_tf_top(sf_dir: str, k: int = 50) -> pa.Table:
     """Top-k word bigrams by total occurrence count (ties → bigram
     asc) — the n-gram LM statistics stage."""
