@@ -1552,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_labelprop": lg.doc_labelprop_table,
         "graph_triangles_docs": lg.doc_triangles_table,
         "graph_clustering_coef": lg.doc_clustering_table,
+        "graph_simrank": lg.doc_simrank,
         "graph_global_clustering": lg.doc_global_clustering,
         "graph_kcore": lg.doc_kcore_table,
         "graph_bfs_dist": lg.doc_bfs_table,
@@ -3648,6 +3649,50 @@ ORDER BY community"""),
             JOIN deg da ON da.v = u.a
             JOIN deg db ON db.v = u.b
             LEFT JOIN cn ON cn.a = u.a AND cn.b = u.b
+        """,
+        "graph_simrank": f"""
+            -- SimRank (C=0.8, 2 rounds, e9 fixed point): unrolled to
+            -- the engine's round cap; S_r(u,u)=1e9 rides as the
+            -- co-citation diagonal term 1e9*common(a,b)
+            WITH {_LINKS_CTE},
+            ind AS (SELECT dst AS v, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM e GROUP BY dst),
+            common AS MATERIALIZED (
+                SELECT x.dst AS a, y.dst AS b,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM e x JOIN e y ON y.src = x.src AND x.dst < y.dst
+                GROUP BY 1, 2),
+            s1 AS MATERIALIZED (
+                SELECT a, b,
+                       CAST(8 * (c * 1000000000)
+                            // (10 * da.d * db.d) AS BIGINT) AS s
+                FROM common JOIN ind da ON da.v = a
+                            JOIN ind db ON db.v = b
+                WHERE 8 * (c * 1000000000)
+                      // (10 * da.d * db.d) > 0),
+            s1b AS (SELECT a AS u, b AS v, s FROM s1
+                    UNION ALL SELECT b, a, s FROM s1),
+            contrib AS (
+                SELECT ea.dst AS a, eb.dst AS b,
+                       CAST(SUM(sb.s) AS BIGINT) AS p
+                FROM s1b sb JOIN e ea ON ea.src = sb.u
+                            JOIN e eb ON eb.src = sb.v
+                WHERE ea.dst < eb.dst
+                GROUP BY 1, 2),
+            raw2 AS (
+                SELECT a, b, CAST(SUM(p) AS BIGINT) AS raw FROM (
+                    SELECT a, b, p FROM contrib
+                    UNION ALL
+                    SELECT a, b, c * 1000000000 FROM common)
+                GROUP BY 1, 2),
+            s2 AS (SELECT r.a, r.b,
+                          CAST(8 * r.raw // (10 * da.d * db.d)
+                               AS BIGINT) AS s_e9
+                   FROM raw2 r JOIN ind da ON da.v = r.a
+                               JOIN ind db ON db.v = r.b
+                   WHERE 8 * r.raw // (10 * da.d * db.d) > 0)
+            SELECT a, b, s_e9 FROM s2
+            ORDER BY s_e9 DESC, a, b LIMIT 50
         """,
         "graph_assortativity": f"""
             -- degree assortativity over the 2m symmetric arcs:

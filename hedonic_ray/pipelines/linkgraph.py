@@ -1633,3 +1633,150 @@ def doc_node2vec(sf_dir: str, *, p: int = 4, q: int = 2,
     edges = canonicalize_edges(raw, n, directed=True)
     return node2vec_transition_probs(edges, n, p=p, q=q,
                                      prev_stride=prev_stride)
+
+
+def doc_simrank(sf_dir: str, *, rounds: int = 2, k: int = 50,
+                num_partitions: int = 8) -> pa.Table:
+    """SIMRANK (Jeh & Widom 2002) on the directed doc graph, fixed
+    ``rounds`` iterations of the e9 fixed-point recursion
+    ``S_{r+1}(a,b) = floor(8 · Σ_{u→a, v→b} S_r(u,v) / (10·|I(a)|·
+    |I(b)|))`` with C = 0.8 and S_r(u,u) ≡ 1e9 — "two pages are
+    similar if similar pages link to them", the structural companion
+    to co-citation.  Top-``k`` pairs by (s_e9 desc, a, b).
+
+    Every round floors to the SAME e9 integers the unrolled SQL
+    oracle computes, so the gate compare is exact; the engine round
+    cap EQUALS the SQL unroll cap (the graph_mst parity rule).
+
+    Scale shape per round: the sparse S_r pair table (both
+    orientations) hash-joins the edge table TWICE (u→A, then v→B) and
+    one groupby(A, B) sums the scatter; the constant diagonal
+    contribution rides as ``1e9 · common(A,B)`` (the co-citation
+    count, computed once by the same wedge groupby the cocite query
+    uses).  No driver state beyond the n-sized in-degree vector (the
+    components-table convention); pair-table growth is the standard
+    SimRank densification, bounded here by rounds=2 and at production
+    scale by per-source top-k pruning between rounds (documented
+    trade-off, not applied at gate scale)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    def noloop(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        m = pa.array(src != dst)
+        return pa.table({"src": t.column("src").filter(m),
+                         "dst": t.column("dst").filter(m)})
+
+    # the cached edge table keeps self-loops (build_link_graph drops
+    # them when building the CSR); SimRank's I(·) excludes them too
+    edges = (doc_edges_cached(sf_dir)
+             .map_batches(noloop, batch_format="pyarrow")
+             .materialize())
+    g = doc_graph(sf_dir, directed=True)
+    n = int(g.n)
+
+    ind = np.zeros(n, np.int64)
+    for b in (edges.groupby("dst")
+              .aggregate(Count(alias_name="d"))
+              .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        ind[b.column("dst").to_numpy()] = b.column("d").to_numpy()
+    ind_ref = ray.put(ind)
+
+    def src_pairs(grp: pa.Table) -> pa.Table:
+        dsts = np.unique(grp.column("dst").to_numpy().astype(np.int64))
+        if len(dsts) < 2:
+            e = pa.array([], pa.int64())
+            return pa.table({"a": e, "b": e})
+        ii, jj = np.triu_indices(len(dsts), k=1)
+        return pa.table({"a": pa.array(dsts[ii], pa.int64()),
+                         "b": pa.array(dsts[jj], pa.int64())})
+
+    common = (edges.groupby("src")
+              .map_groups(src_pairs, batch_format="pyarrow")
+              .groupby(["a", "b"])
+              .aggregate(Count(alias_name="c"))
+              .materialize())
+
+    def scale_round(t: pa.Table, sum_col: str) -> pa.Table:
+        dd = ray.get(ind_ref)
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        raw = t.column(sum_col).to_numpy().astype(np.int64)
+        den = 10 * dd[a] * dd[b]
+        s = np.where(den > 0, 8 * raw // np.maximum(den, 1), 0)
+        m = pa.array(s > 0)
+        return pa.table({"a": pa.array(a, pa.int64()).filter(m),
+                         "b": pa.array(b, pa.int64()).filter(m),
+                         "s": pa.array(s, pa.int64()).filter(m)})
+
+    def diag_term(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy().astype(np.int64)
+        return pa.table({"a": t.column("a").cast(pa.int64()),
+                         "b": t.column("b").cast(pa.int64()),
+                         "part": pa.array(c * np.int64(1_000_000_000))})
+
+    # round 1: S_0 is the identity, so the scatter sum IS the
+    # diagonal term
+    s_cur = common.map_batches(
+        lambda t: scale_round(diag_term(t).rename_columns(
+            ["a", "b", "raw"]), "raw"),
+        batch_format="pyarrow").materialize()
+
+    s_edge = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                        ("s", pa.int64())])
+    s_e = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    for _ in range(rounds - 1):
+        def both(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy()
+            b = t.column("b").to_numpy()
+            s = t.column("s").to_numpy()
+            return pa.table({
+                "u": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+                "s": pa.array(np.concatenate([s, s]), pa.int64())})
+
+        s_both = s_cur.map_batches(both, batch_format="pyarrow")
+        j1 = drop_empty_blocks(s_both, s_edge).join(
+            drop_empty_blocks(edges.select_columns(["src", "dst"]), s_e),
+            "inner", num_partitions, on=("u",), right_on=("src",))
+
+        def proj1(t: pa.Table) -> pa.Table:
+            return pa.table({"va": t.column("dst").cast(pa.int64()),
+                             "v": t.column("v").cast(pa.int64()),
+                             "s": t.column("s").cast(pa.int64())})
+
+        m1 = j1.map_batches(proj1, batch_format="pyarrow")
+        s_m1 = pa.schema([("va", pa.int64()), ("v", pa.int64()),
+                          ("s", pa.int64())])
+        j2 = drop_empty_blocks(m1, s_m1).join(
+            drop_empty_blocks(edges.select_columns(["src", "dst"]), s_e),
+            "inner", num_partitions, on=("v",), right_on=("src",))
+
+        def proj2(t: pa.Table) -> pa.Table:
+            va = t.column("va").to_numpy().astype(np.int64)
+            vb = t.column("dst").to_numpy().astype(np.int64)
+            s = t.column("s").to_numpy().astype(np.int64)
+            m = pa.array(va < vb)   # symmetric: keep canonical order
+            return pa.table({"a": pa.array(va).filter(m),
+                             "b": pa.array(vb).filter(m),
+                             "part": pa.array(s).filter(m)})
+
+        scatter = j2.map_batches(proj2, batch_format="pyarrow")
+        raw = (scatter.union(
+            common.map_batches(diag_term, batch_format="pyarrow"))
+            .groupby(["a", "b"])
+            .aggregate(Sum("part", alias_name="raw")))
+        s_cur = raw.map_batches(
+            lambda t: scale_round(t, "raw"),
+            batch_format="pyarrow").materialize()
+
+    top = (s_cur.sort(["s", "a", "b"], descending=[True, False, False])
+           .limit(k).take_all())
+    return pa.table({
+        "a": pa.array([int(r["a"]) for r in top], pa.int64()),
+        "b": pa.array([int(r["b"]) for r in top], pa.int64()),
+        "s_e9": pa.array([int(r["s"]) for r in top], pa.int64())})

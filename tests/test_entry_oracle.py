@@ -175,7 +175,7 @@ SQL_CHECKED = sorted([
     "rel_q6_forecast", "rel_q13_custdist", "rel_q14_promo",
     "rel_q17_small_qty", "rel_q21_late_supplier", "rel_q22_idle",
     "sim_hard_negatives", "dedup_semantic", "graph_rich_club",
-    "text_zipf", "text_burstiness",
+    "text_zipf", "text_burstiness", "graph_simrank",
 ])
 
 
