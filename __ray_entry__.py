@@ -1641,6 +1641,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q17_small_qty": rel.small_quantity_revenue,
         "rel_q21_late_supplier": rel.late_supplier_ranking,
         "rel_q22_idle": rel.idle_customers,
+        "rel_q7_volume": rel.volume_shipping,
+        "rel_q8_share": rel.national_market_share,
+        "rel_q9_profit": rel.product_type_profit,
+        "rel_q10_returns": rel.returned_item_revenue,
+        "rel_q11_value": rel.important_part_value,
+        "rel_q12_priority": rel.shipping_delay_priority,
+        "rel_q15_top_supplier": rel.top_revenue_supplier,
+        "rel_q16_partcount": rel.parts_supplier_counts,
+        "rel_q19_disjunct": rel.disjunctive_revenue,
+        "rel_q20_promo": rel.promotion_share_suppliers,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
         "rel_pivot": rel.event_type_pivot,
@@ -4710,6 +4720,243 @@ ORDER BY community"""),
                     AND epoch_us(o.o_orderdate) // 86400000000
                         >= 11323)
             GROUP BY sel.c_nationkey ORDER BY sel.c_nationkey
+        """,
+        "rel_q7_volume": """
+            -- TPC-H Q7 shape: cross-REGION trade revenue per
+            -- (supp_region, cust_region, ship year), regions {0,1}
+            WITH f AS (
+                SELECT l.l_orderkey,
+                       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100)
+                                         AS BIGINT)) AS rev,
+                       ns.n_regionkey AS s_reg,
+                       CAST(epoch_us(l.l_shipdate) // 86400000000
+                            AS BIGINT) AS day
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation ns ON ns.n_nationkey = s.s_nationkey)
+            SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
+                   f.l_year, CAST(SUM(f.rev) AS BIGINT) AS revenue_e4
+            FROM f
+            JOIN orders o ON o.o_orderkey = f.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            JOIN region rs ON rs.r_regionkey = f.s_reg
+            JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+            WHERE f.day >= 9131 AND f.day < 9862
+              AND f.s_reg IN (0, 1) AND nc.n_regionkey IN (0, 1)
+              AND f.s_reg <> nc.n_regionkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "rel_q8_share": """
+            -- TPC-H Q8 shape: region-3 suppliers' share of the
+            -- region-2 customer market for STANDARD parts, per order
+            -- year; share as truncating e6 (SUM is HUGEINT-safe)
+            WITH f AS (
+                SELECT l.l_orderkey,
+                       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100)
+                                         AS BIGINT)) AS rev,
+                       (ns.n_regionkey = 3) AS is_target
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                    AND p.p_type = 'STANDARD'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation ns ON ns.n_nationkey = s.s_nationkey),
+            w AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       f.rev, f.is_target
+                FROM f JOIN orders o ON o.o_orderkey = f.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+                WHERE nc.n_regionkey = 2
+                  AND epoch_us(o.o_orderdate) // 86400000000 >= 9131
+                  AND epoch_us(o.o_orderdate) // 86400000000 < 9862)
+            SELECT o_year, CAST(SUM(rev) AS BIGINT) AS total_e4,
+                   CAST(COALESCE(SUM(CASE WHEN is_target THEN rev
+                                          ELSE 0 END), 0) AS BIGINT)
+                       AS share_e4,
+                   CAST(CASE WHEN SUM(rev) = 0 THEN 0
+                        ELSE (1000000 * SUM(CASE WHEN is_target
+                                                 THEN rev ELSE 0 END))
+                             // SUM(rev) END AS BIGINT) AS mkt_share_e6
+            FROM w GROUP BY o_year ORDER BY o_year
+        """,
+        "rel_q9_profit": """
+            -- TPC-H Q9 shape (cost adapted to retail price): profit
+            -- per (supplier nation, ship year) for '% widget' parts
+            WITH f AS (
+                SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                       s.s_nationkey,
+                       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100)
+                                         AS BIGINT))
+                       - CAST(ROUND(l.l_quantity) AS BIGINT)
+                           * CAST(ROUND(p.p_retailprice * 100)
+                                  AS BIGINT) * 100 AS profit
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE p.p_name LIKE '% widget')
+            SELECT n.n_name, f.l_year,
+                   CAST(SUM(f.profit) AS BIGINT) AS profit_e4
+            FROM f JOIN nation n ON n.n_nationkey = f.s_nationkey
+            GROUP BY 1, 2 ORDER BY n.n_name, f.l_year DESC
+        """,
+        "rel_q10_returns": """
+            -- TPC-H Q10 shape: lost revenue per customer from 'R'
+            -- lineitems of one quarter's orders, top 20
+            WITH f AS (
+                SELECT o.o_custkey,
+                       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100)
+                                         AS BIGINT)) AS rev
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND epoch_us(o.o_orderdate) // 86400000000 >= 9404
+                  AND epoch_us(o.o_orderdate) // 86400000000 < 9496)
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                       AS acctbal_e2,
+                   CAST(SUM(f.rev) AS BIGINT) AS revenue_e4
+            FROM f JOIN customer c ON c.c_custkey = f.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
+        """,
+        "rel_q11_value": """
+            -- TPC-H Q11 shape (value = shipped qty*price; threshold =
+            -- above the mean part value, exact integers)
+            WITH v AS MATERIALIZED (
+                SELECT l.l_partkey,
+                       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)
+                                * CAST(ROUND(l.l_extendedprice * 100)
+                                       AS BIGINT)) AS BIGINT)
+                           AS value_e2
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                WHERE n.n_regionkey = 3 GROUP BY 1),
+            tot AS (SELECT CAST(SUM(value_e2) AS HUGEINT) AS t,
+                           CAST(COUNT(*) AS HUGEINT) AS n FROM v)
+            SELECT v.l_partkey, v.value_e2
+            FROM v, tot
+            WHERE CAST(v.value_e2 AS HUGEINT) * tot.n > tot.t
+            ORDER BY v.value_e2 DESC, v.l_partkey
+        """,
+        "rel_q12_priority": """
+            -- TPC-H Q12 shape (shipmode adapted to ship-delay
+            -- buckets): high- vs low-priority line counts per bucket
+            WITH f AS (
+                SELECT CAST(epoch_us(l.l_shipdate) // 86400000000
+                            AS BIGINT)
+                       - CAST(epoch_us(o.o_orderdate) // 86400000000
+                              AS BIGINT) AS delay,
+                       CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END AS hi
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE epoch_us(l.l_shipdate) // 86400000000 >= 9496
+                  AND epoch_us(l.l_shipdate) // 86400000000 < 9862)
+            SELECT CASE WHEN delay < 30 THEN 'UNDER_30'
+                        WHEN delay < 90 THEN 'D30_TO_89'
+                        ELSE 'D90_PLUS' END AS delay_bucket,
+                   CAST(SUM(hi) AS BIGINT) AS high_line_count,
+                   CAST(SUM(1 - hi) AS BIGINT) AS low_line_count
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "rel_q15_top_supplier": """
+            -- TPC-H Q15 shape: all suppliers tied at the max quarter
+            -- revenue (exact integers make the tie well-defined)
+            WITH r AS MATERIALIZED (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100)
+                                              AS BIGINT))) AS BIGINT)
+                           AS total_revenue_e4
+                FROM lineitem
+                WHERE epoch_us(l_shipdate) // 86400000000 >= 9496
+                  AND epoch_us(l_shipdate) // 86400000000 < 9587
+                GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_e4 =
+                  (SELECT MAX(total_revenue_e4) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        "rel_q16_partcount": """
+            -- TPC-H Q16 shape: distinct suppliers per (brand, type,
+            -- size) from the observed supplies relation, exclusions
+            -- applied (complaint list = suppkey % 4 == 0)
+            WITH su AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_suppkey % 4 <> 0)
+            SELECT p.p_brand, p.p_type,
+                   CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT su.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM su JOIN part p ON p.p_partkey = su.l_partkey
+            WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+        """,
+        "rel_q19_disjunct": """
+            -- TPC-H Q19 shape: 3-clause disjunctive (brand, qty
+            -- range, size range) predicate; disjoint brands => the
+            -- revenue also reports per clause
+            WITH f AS (
+                SELECT CASE
+                    WHEN p.p_brand = 'Brand#12'
+                         AND CAST(ROUND(l.l_quantity) AS BIGINT)
+                             BETWEEN 1 AND 11
+                         AND p.p_size BETWEEN 1 AND 20 THEN 1
+                    WHEN p.p_brand = 'Brand#23'
+                         AND CAST(ROUND(l.l_quantity) AS BIGINT)
+                             BETWEEN 10 AND 20
+                         AND p.p_size BETWEEN 1 AND 30 THEN 2
+                    WHEN p.p_brand = 'Brand#24'
+                         AND CAST(ROUND(l.l_quantity) AS BIGINT)
+                             BETWEEN 20 AND 30
+                         AND p.p_size BETWEEN 1 AND 40 THEN 3
+                    ELSE 0 END AS clause,
+                       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100)
+                                         AS BIGINT)) AS rev
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey)
+            SELECT CAST(clause AS BIGINT) AS clause,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM f WHERE clause > 0 GROUP BY 1 ORDER BY 1
+        """,
+        "rel_q20_promo": """
+            -- TPC-H Q20 shape (availqty adapted to a majority-share
+            -- test on shipped quantity): region-0 suppliers shipping
+            -- > half of some 'large %' part's total
+            WITH pq AS MATERIALIZED (
+                SELECT l.l_partkey, l.l_suppkey,
+                       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT))
+                            AS BIGINT) AS sq
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_name LIKE 'large %'
+                  AND epoch_us(l.l_shipdate) // 86400000000 >= 9131
+                  AND epoch_us(l.l_shipdate) // 86400000000 < 9862
+                GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq
+                    FROM pq GROUP BY 1),
+            win AS (SELECT DISTINCT pq.l_suppkey
+                    FROM pq JOIN tot ON tot.l_partkey = pq.l_partkey
+                    WHERE 2 * pq.sq > tot.tq)
+            SELECT s.s_suppkey, s.s_name
+            FROM win JOIN supplier s ON s.s_suppkey = win.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_regionkey = 0 ORDER BY s.s_suppkey
         """,
         "rel_autocorr": """
             -- lag-1 autocorrelation of daily order revenue: exact

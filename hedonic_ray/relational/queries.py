@@ -3050,3 +3050,813 @@ def idle_customers(sf_dir: str, *,
             .aggregate(Count(alias_name="numcust"),
                        Sum("acctbal_e2", alias_name="totacctbal_e2"))
             .sort("c_nationkey"))
+
+
+# --- the remaining classic TPC-H shapes (Q7-Q12, Q15, Q16, Q19, Q20),
+# adapted to the fixture schema (no partsupp / shipmode / commit dates;
+# nation-pair predicates widened to REGION level so they bite at every
+# SF — the fixture plants only ~10 suppliers at sf0.001).  Together
+# with Q1-Q6, Q13/Q14, Q17/Q18, Q21/Q22 above this completes all 22
+# TPC-H query shapes as gate queries.
+
+_YEAR_STARTS = np.array([9131, 9496, 9862, 10227, 10592, 10957, 11323,
+                         11688], dtype=np.int64)  # 1995-01-01 .. 2002
+
+
+def _year_of_day(day: np.ndarray) -> np.ndarray:
+    """Calendar year of an epoch day, exact over the fixture's
+    1995-2001 span (boundaries precomputed; 1996/2000 leap)."""
+    assert day.size == 0 or (day >= _YEAR_STARTS[0]).all() and \
+        (day < _YEAR_STARTS[-1]).all()
+    return 1995 + (np.searchsorted(_YEAR_STARTS, day, side="right")
+                   - 1).astype(np.int64)
+
+
+def _sorted_key_map(sf_dir: str, table: str, key: str, val: str):
+    """(sorted keys, values) int64 pair for a broadcast dimension
+    lookup (the Q5 posture — TPC-H dimensions stay small relative to
+    the facts at every SF)."""
+    cols = _collect_columns(_read(sf_dir, table, [key, val]), [key, val])
+    order = np.argsort(cols[key].astype(np.int64))
+    return (cols[key].astype(np.int64)[order],
+            cols[val].astype(np.int64)[order])
+
+
+def _region_of_nation(sf_dir: str):
+    """nationkey → regionkey dense int64 array (25 rows, driver)."""
+    nat = _collect_columns(_read(sf_dir, "nation",
+                                 ["n_nationkey", "n_regionkey"]),
+                           ["n_nationkey", "n_regionkey"])
+    k = nat["n_nationkey"].astype(np.int64)
+    out = np.full(int(k.max()) + 1, -1, np.int64)
+    out[k] = nat["n_regionkey"].astype(np.int64)
+    return out
+
+
+def _region_names(sf_dir: str) -> dict:
+    reg = _collect_columns(_read(sf_dir, "region",
+                                 ["r_regionkey", "r_name"]),
+                           ["r_regionkey", "r_name"])
+    return dict(zip(reg["r_regionkey"].astype(np.int64), reg["r_name"]))
+
+
+def _rev_e4(t: pa.Table) -> np.ndarray:
+    """Exact e4 revenue units: cents(extprice) · (100 − pct(disc))."""
+    cents = np.rint(t.column("l_extendedprice").to_numpy()
+                    * 100.0).astype(np.int64)
+    pct = np.rint(t.column("l_discount").to_numpy()
+                  * 100.0).astype(np.int64)
+    return cents * (100 - pct)
+
+
+def volume_shipping(sf_dir: str, *, region_a: int = 0, region_b: int = 1,
+                    day_lo: int = 9131, day_hi: int = 9862,
+                    num_partitions: int = 8):
+    """TPC-H Q7 SHAPE — volume shipping between two trading REGIONS
+    (nation pair widened to regions; see module note): revenue of
+    lineitems shipped in [1995-01-01, 1997-01-01) where the supplier
+    sits in one region and the customer in the OTHER, per
+    (supp_region, cust_region, ship year).
+
+    Shape: supplier→region and customer→region ride as broadcast
+    sorted-key maps; LINEITEM (filtered+revenue) ⋈ ORDERS (customer
+    region attached) is the one hash-partitioned fact-fact join; the
+    cross-region filter and a grouped partial run inside the join
+    output before one tiny groupby exchange.  Columns: supp_region,
+    cust_region, l_year, revenue_e4."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    n2r = _region_of_nation(sf_dir)
+    rnames = _region_names(sf_dir)
+    sup_ref = ray.put((*_sorted_key_map(sf_dir, "supplier", "s_suppkey",
+                                        "s_nationkey"), n2r))
+    cust_ref = ray.put((*_sorted_key_map(sf_dir, "customer", "c_custkey",
+                                         "c_nationkey"), n2r))
+    pair = (region_a, region_b)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        sk_keys, sk_nat, reg = ray.get(sup_ref)
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        sk = t.column("l_suppkey").to_numpy()
+        i = np.searchsorted(sk_keys, sk)
+        assert len(sk) == 0 or (sk_keys[i] == sk).all()
+        s_reg = reg[sk_nat[i]]
+        m = (day >= day_lo) & (day < day_hi) & np.isin(s_reg, pair)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").filter(pa.array(m)),
+            "s_reg": pa.array(s_reg[m], pa.int64()),
+            "l_year": pa.array(_year_of_day(day[m])),
+            "rev": pa.array(_rev_e4(t)[m])})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def omap(t: pa.Table) -> pa.Table:
+        ck_keys, ck_nat, reg = ray.get(cust_ref)
+        ck = t.column("o_custkey").to_numpy()
+        i = np.searchsorted(ck_keys, ck)
+        assert len(ck) == 0 or (ck_keys[i] == ck).all()
+        c_reg = reg[ck_nat[i]]
+        m = np.isin(c_reg, pair)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").filter(pa.array(m)),
+            "c_reg": pa.array(c_reg[m], pa.int64())})
+
+    s_l = pa.schema([("l_orderkey", pa.int64()), ("s_reg", pa.int64()),
+                     ("l_year", pa.int64()), ("rev", pa.int64())])
+    s_o = pa.schema([("o_orderkey", pa.int64()), ("c_reg", pa.int64())])
+    j = drop_empty_blocks(
+        li.map_batches(lmap, batch_format="pyarrow"), s_l).join(
+        drop_empty_blocks(orders.map_batches(omap, batch_format="pyarrow"),
+                          s_o),
+        "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t.column("s_reg"), t.column("c_reg")))
+        g = t.filter(m).select(["s_reg", "c_reg", "l_year", "rev"])
+        return (g.group_by(["s_reg", "c_reg", "l_year"])
+                .aggregate([("rev", "sum")])
+                .rename_columns(["s_reg", "c_reg", "l_year", "rev"]))
+
+    rows = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["s_reg", "c_reg", "l_year"])
+            .aggregate(Sum("rev", alias_name="revenue_e4"))
+            .take_all())
+    sr = np.array([str(rnames[int(r["s_reg"])]) for r in rows])
+    cr = np.array([str(rnames[int(r["c_reg"])]) for r in rows])
+    yr = np.array([int(r["l_year"]) for r in rows], np.int64)
+    rev = np.array([int(r["revenue_e4"]) for r in rows], np.int64)
+    order = np.lexsort((yr, cr, sr))
+    return pa.table({
+        "supp_region": pa.array(sr[order] if len(rows) else [],
+                                pa.string()),
+        "cust_region": pa.array(cr[order] if len(rows) else [],
+                                pa.string()),
+        "l_year": pa.array(yr[order], pa.int64()),
+        "revenue_e4": pa.array(rev[order], pa.int64())})
+
+
+def national_market_share(sf_dir: str, *, supp_region: int = 3,
+                          cust_region: int = 2,
+                          part_type: str = "STANDARD",
+                          day_lo: int = 9131, day_hi: int = 9862,
+                          num_partitions: int = 8):
+    """TPC-H Q8 SHAPE — national market share (nation widened to
+    region): within the market of orders placed in [1995-01-01,
+    1997-01-01) by region-``cust_region`` customers for parts of one
+    type, the share of revenue supplied by region-``supp_region``
+    suppliers, per order year.  The share is the truncating integer
+    ratio ×1e6 computed with Python ints driver-side (2 rows; sums
+    are HUGEINT-scale in the oracle).
+
+    Shape: part-type keep set and supplier→region map broadcast;
+    LINEITEM ⋈ ORDERS (date+customer-region filtered, year attached)
+    is the fact-fact join; per-batch grouped partials → one 2-row
+    groupby.  Columns: o_year, total_e4, share_e4, mkt_share_e6."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    n2r = _region_of_nation(sf_dir)
+    part = _collect_columns(_read(sf_dir, "part", ["p_partkey", "p_type"]),
+                            ["p_partkey", "p_type"])
+    pkeys = np.sort(part["p_partkey"].astype(np.int64)[
+        part["p_type"] == part_type])
+    pref = ray.put(pkeys)
+    sup_ref = ray.put((*_sorted_key_map(sf_dir, "supplier", "s_suppkey",
+                                        "s_nationkey"), n2r))
+    cust_ref = ray.put((*_sorted_key_map(sf_dir, "customer", "c_custkey",
+                                         "c_nationkey"), n2r))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        pk_set = ray.get(pref)
+        sk_keys, sk_nat, reg = ray.get(sup_ref)
+        pk = t.column("l_partkey").to_numpy()
+        i = np.searchsorted(pk_set, pk)
+        i[i == len(pk_set)] = 0
+        m = len(pk_set) > 0 and (pk_set[i] == pk)
+        if isinstance(m, bool):  # empty keep set
+            m = np.zeros(len(pk), bool)
+        sk = t.column("l_suppkey").to_numpy()
+        si = np.searchsorted(sk_keys, sk)
+        assert len(sk) == 0 or (sk_keys[si] == sk).all()
+        is_target = (reg[sk_nat[si]] == supp_region) & m
+        rev = _rev_e4(t)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").filter(pa.array(m)),
+            "rev": pa.array(rev[m]),
+            "trev": pa.array(np.where(is_target[m], rev[m], 0))})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def omap(t: pa.Table) -> pa.Table:
+        ck_keys, ck_nat, reg = ray.get(cust_ref)
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        ck = t.column("o_custkey").to_numpy()
+        i = np.searchsorted(ck_keys, ck)
+        assert len(ck) == 0 or (ck_keys[i] == ck).all()
+        m = ((day >= day_lo) & (day < day_hi)
+             & (reg[ck_nat[i]] == cust_region))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").filter(pa.array(m)),
+            "o_year": pa.array(_year_of_day(day[m]))})
+
+    s_l = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64()),
+                     ("trev", pa.int64())])
+    s_o = pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())])
+    j = drop_empty_blocks(
+        li.map_batches(lmap, batch_format="pyarrow"), s_l).join(
+        drop_empty_blocks(orders.map_batches(omap, batch_format="pyarrow"),
+                          s_o),
+        "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["o_year", "rev", "trev"])
+        return (g.group_by(["o_year"])
+                .aggregate([("rev", "sum"), ("trev", "sum")])
+                .rename_columns(["o_year", "rev", "trev"]))
+
+    rows = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_year")
+            .aggregate(Sum("rev", alias_name="total_e4"),
+                       Sum("trev", alias_name="share_e4"))
+            .take_all())
+    rows.sort(key=lambda r: int(r["o_year"]))
+    yr = [int(r["o_year"]) for r in rows]
+    tot = [int(r["total_e4"]) for r in rows]
+    sh = [int(r["share_e4"]) for r in rows]
+    mk = [0 if t_ == 0 else (1_000_000 * s_) // t_
+          for s_, t_ in zip(sh, tot)]  # Python ints: no int64 overflow
+    return pa.table({"o_year": pa.array(yr, pa.int64()),
+                     "total_e4": pa.array(tot, pa.int64()),
+                     "share_e4": pa.array(sh, pa.int64()),
+                     "mkt_share_e6": pa.array(mk, pa.int64())})
+
+
+def product_type_profit(sf_dir: str, *, name_word: str = "widget",
+                        num_partitions: int = 8):
+    """TPC-H Q9 SHAPE — product-type profit (adapted: the fixture has
+    no partsupp, so unit cost is the part's RETAIL price; profit may
+    be negative): for parts whose name ends in ``name_word``, profit
+    per (supplier nation, ship year) in exact e4 units:
+    Σ [cents(extprice)·(100−pct(disc)) − qty·cents(retail)·100].
+
+    Shape: one lineitem pass — part (cost + name filter) and
+    supplier→nation maps broadcast, year from l_shipdate (no join);
+    per-batch grouped partials → one small groupby.  Columns:
+    n_name, l_year, profit_e4."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _collect_columns(
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]),
+        ["p_partkey", "p_name", "p_retailprice"])
+    keep = np.array([n.endswith(" " + name_word) for n in part["p_name"]])
+    order = np.argsort(part["p_partkey"].astype(np.int64)[keep])
+    pk_keys = part["p_partkey"].astype(np.int64)[keep][order]
+    pk_cost = np.rint(part["p_retailprice"][keep][order]
+                      * 100.0).astype(np.int64)
+    pref = ray.put((pk_keys, pk_cost))
+    sup_ref = ray.put(_sorted_key_map(sf_dir, "supplier", "s_suppkey",
+                                      "s_nationkey"))
+    nat = _collect_columns(_read(sf_dir, "nation",
+                                 ["n_nationkey", "n_name"]),
+                           ["n_nationkey", "n_name"])
+    n_name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        pk_keys, pk_cost = ray.get(pref)
+        sk_keys, sk_nat = ray.get(sup_ref)
+        pk = t.column("l_partkey").to_numpy()
+        i = np.searchsorted(pk_keys, pk)
+        i[i == len(pk_keys)] = 0
+        m = (pk_keys[i] == pk) if len(pk_keys) else np.zeros(len(pk), bool)
+        sk = t.column("l_suppkey").to_numpy()
+        si = np.searchsorted(sk_keys, sk)
+        assert len(sk) == 0 or (sk_keys[si] == sk).all()
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        profit = _rev_e4(t)[m] - qty[m] * pk_cost[i[m]] * 100
+        g = pa.table({"n_nat": pa.array(sk_nat[si][m], pa.int64()),
+                      "l_year": pa.array(_year_of_day(day[m])),
+                      "profit": pa.array(profit)})
+        return (g.group_by(["n_nat", "l_year"])
+                .aggregate([("profit", "sum")])
+                .rename_columns(["n_nat", "l_year", "profit"]))
+
+    rows = (li.map_batches(lmap, batch_format="pyarrow")
+            .groupby(["n_nat", "l_year"])
+            .aggregate(Sum("profit", alias_name="profit_e4"))
+            .take_all())
+    nm = np.array([str(n_name[int(r["n_nat"])]) for r in rows])
+    yr = np.array([int(r["l_year"]) for r in rows], np.int64)
+    pr = np.array([int(r["profit_e4"]) for r in rows], np.int64)
+    order = np.lexsort((-yr, nm))
+    return pa.table({
+        "n_name": pa.array(nm[order] if len(rows) else [], pa.string()),
+        "l_year": pa.array(yr[order], pa.int64()),
+        "profit_e4": pa.array(pr[order], pa.int64())})
+
+
+def returned_item_revenue(sf_dir: str, *, day_lo: int = 9404,
+                          day_hi: int = 9496, k: int = 20,
+                          num_partitions: int = 8):
+    """TPC-H Q10 SHAPE — returned-item reporting: lost revenue per
+    customer from RETURNED ('R') lineitems of orders placed in
+    [1995-10-01, 1996-01-01), top-``k`` by (revenue desc, custkey
+    asc), with the customer's name, nation and balance attached.
+
+    Shape: ORDERS (quarter filter) ⋈ LINEITEM (returnflag filter,
+    revenue attached) hash join; per-batch grouped partials → one
+    groupby(custkey) bounded by quarter-active customers; name/
+    nation/balance attach from broadcast maps at the top-k finish.
+    Columns: c_custkey, c_name, n_name, acctbal_e2, revenue_e4."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").filter(pa.array(m)),
+            "rev": pa.array(_rev_e4(t)[m])})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def omap(t: pa.Table) -> pa.Table:
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        m = (day >= day_lo) & (day < day_hi)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey").filter(pa.array(m)),
+            "o_custkey": t.column("o_custkey").filter(pa.array(m))})
+
+    s_l = pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())])
+    s_o = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())])
+    j = drop_empty_blocks(
+        li.map_batches(lmap, batch_format="pyarrow"), s_l).join(
+        drop_empty_blocks(orders.map_batches(omap, batch_format="pyarrow"),
+                          s_o),
+        "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["o_custkey", "rev"])
+        return (g.group_by(["o_custkey"]).aggregate([("rev", "sum")])
+                .rename_columns(["o_custkey", "rev"]))
+
+    rows = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("rev", alias_name="revenue_e4"))
+            .take_all())
+    cust = _collect_columns(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]),
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    order_ck = np.argsort(cust["c_custkey"].astype(np.int64))
+    ck_keys = cust["c_custkey"].astype(np.int64)[order_ck]
+    ck_name = cust["c_name"][order_ck]
+    ck_nat = cust["c_nationkey"].astype(np.int64)[order_ck]
+    ck_bal = np.rint(cust["c_acctbal"][order_ck] * 100.0).astype(np.int64)
+    nat = _collect_columns(_read(sf_dir, "nation",
+                                 ["n_nationkey", "n_name"]),
+                           ["n_nationkey", "n_name"])
+    n_name = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+
+    ck = np.array([int(r["o_custkey"]) for r in rows], np.int64)
+    rev = np.array([int(r["revenue_e4"]) for r in rows], np.int64)
+    sel = np.lexsort((ck, -rev))[:k]
+    ck, rev = ck[sel], rev[sel]
+    i = np.searchsorted(ck_keys, ck)
+    assert len(ck) == 0 or (ck_keys[i] == ck).all()
+    return pa.table({
+        "c_custkey": pa.array(ck, pa.int64()),
+        "c_name": pa.array(ck_name[i].astype(object) if len(ck) else [],
+                           pa.string()),
+        "n_name": pa.array([str(n_name[n]) for n in ck_nat[i]],
+                           pa.string()),
+        "acctbal_e2": pa.array(ck_bal[i] if len(ck) else [], pa.int64()),
+        "revenue_e4": pa.array(rev, pa.int64())})
+
+
+def important_part_value(sf_dir: str, *, supp_region: int = 3):
+    """TPC-H Q11 SHAPE — important stock (adapted: no partsupp, so a
+    part's "stock value" is the shipped value Σ qty·cents(extprice)
+    over lineitems supplied from region ``supp_region``; the HAVING
+    fraction is ABOVE-AVERAGE so the threshold self-scales with SF):
+    parts whose value strictly exceeds the mean part value, by
+    (value desc, partkey).
+
+    Shape: one lineitem pass with a broadcast supplier→region map and
+    per-batch grouped partials → groupby(partkey); the scalar (total,
+    n_parts) pair folds on the driver from the grouped result (its
+    size is bounded by the part dimension); exact integer threshold
+    value·n > total.  Columns: l_partkey, value_e2."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n2r = _region_of_nation(sf_dir)
+    sup_ref = ray.put((*_sorted_key_map(sf_dir, "supplier", "s_suppkey",
+                                        "s_nationkey"), n2r))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        sk_keys, sk_nat, reg = ray.get(sup_ref)
+        sk = t.column("l_suppkey").to_numpy()
+        i = np.searchsorted(sk_keys, sk)
+        assert len(sk) == 0 or (sk_keys[i] == sk).all()
+        m = reg[sk_nat[i]] == supp_region
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        cents = np.rint(t.column("l_extendedprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        g = pa.table({"l_partkey": t.column("l_partkey").filter(
+            pa.array(m)), "v": pa.array((qty * cents)[m])})
+        return (g.group_by(["l_partkey"]).aggregate([("v", "sum")])
+                .rename_columns(["l_partkey", "v"]))
+
+    rows = (li.map_batches(lmap, batch_format="pyarrow")
+            .groupby("l_partkey").aggregate(Sum("v", alias_name="value_e2"))
+            .take_all())
+    pk = np.array([int(r["l_partkey"]) for r in rows], np.int64)
+    v = np.array([int(r["value_e2"]) for r in rows], np.int64)
+    total, n = int(v.sum()), len(v)
+    assert v.size == 0 or int(v.max()) * n < 2**63, \
+        "value*n exceeds int64 — switch the threshold compare to " \
+        "Python ints (the Q8 mkt_share posture)"
+    keep = v * n > total  # exact integer above-average threshold
+    pk, v = pk[keep], v[keep]
+    order = np.lexsort((pk, -v))
+    return pa.table({"l_partkey": pa.array(pk[order], pa.int64()),
+                     "value_e2": pa.array(v[order], pa.int64())})
+
+
+def shipping_delay_priority(sf_dir: str, *, day_lo: int = 9496,
+                            day_hi: int = 9862,
+                            num_partitions: int = 8):
+    """TPC-H Q12 SHAPE — shipping modes & order priority (adapted:
+    the fixture has no shipmode/commit/receipt dates, so the
+    "mode" axis is the SHIP-DELAY BUCKET l_shipdate − o_orderdate:
+    UNDER_30 / D30_TO_89 / D90_PLUS): for lineitems shipped in
+    [1996-01-01, 1997-01-01), the count of high-priority (1-URGENT /
+    2-HIGH) vs lower-priority order lines per bucket.
+
+    Shape: ORDERS (day + priority class) ⋈ LINEITEM (window filter)
+    hash join; the bucket CASE and a grouped partial run inside the
+    join output; one 3-row groupby.  Columns: delay_bucket,
+    high_line_count, low_line_count."""
+    import ray  # noqa: F401  (posture parity with the sibling shapes)
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        m = (day >= day_lo) & (day < day_hi)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").filter(pa.array(m)),
+            "l_day": pa.array(day[m])})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def omap(t: pa.Table) -> pa.Table:
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        prio = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        high = ((prio == "1-URGENT") | (prio == "2-HIGH")).astype(np.int64)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_day": pa.array(day),
+                         "is_high": pa.array(high)})
+
+    s_l = pa.schema([("l_orderkey", pa.int64()), ("l_day", pa.int64())])
+    s_o = pa.schema([("o_orderkey", pa.int64()), ("o_day", pa.int64()),
+                     ("is_high", pa.int64())])
+    j = drop_empty_blocks(
+        li.map_batches(lmap, batch_format="pyarrow"), s_l).join(
+        drop_empty_blocks(orders.map_batches(omap, batch_format="pyarrow"),
+                          s_o),
+        "inner", num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    buckets = np.array(["UNDER_30", "D30_TO_89", "D90_PLUS"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        delay = (t.column("l_day").to_numpy()
+                 - t.column("o_day").to_numpy())
+        b = np.where(delay < 30, 0, np.where(delay < 90, 1, 2))
+        hi = t.column("is_high").to_numpy()
+        g = pa.table({"delay_bucket": pa.array(buckets[b], pa.string()),
+                      "h": pa.array(hi), "lo": pa.array(1 - hi)})
+        return (g.group_by(["delay_bucket"])
+                .aggregate([("h", "sum"), ("lo", "sum")])
+                .rename_columns(["delay_bucket", "h", "lo"]))
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("delay_bucket")
+            .aggregate(Sum("h", alias_name="high_line_count"),
+                       Sum("lo", alias_name="low_line_count"))
+            .sort("delay_bucket"))
+
+
+def top_revenue_supplier(sf_dir: str, *, day_lo: int = 9496,
+                         day_hi: int = 9587):
+    """TPC-H Q15 SHAPE — top supplier(s): revenue per supplier over
+    lineitems shipped in the quarter [1996-01-01, 1996-04-01); ALL
+    suppliers tied at the maximum are returned (the classic
+    view/HAVING-max shape), ordered by suppkey.  Revenue exact e4.
+
+    Shape: one lineitem pass with per-batch grouped partials →
+    groupby(suppkey) (bounded by the supplier dimension); the max and
+    the tie filter fold driver-side; names attach from the supplier
+    dimension.  Columns: s_suppkey, s_name, total_revenue_e4."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        m = (day >= day_lo) & (day < day_hi)
+        g = pa.table({"l_suppkey": t.column("l_suppkey").filter(
+            pa.array(m)), "rev": pa.array(_rev_e4(t)[m])})
+        return (g.group_by(["l_suppkey"]).aggregate([("rev", "sum")])
+                .rename_columns(["l_suppkey", "rev"]))
+
+    rows = (li.map_batches(lmap, batch_format="pyarrow")
+            .groupby("l_suppkey")
+            .aggregate(Sum("rev", alias_name="total_revenue_e4"))
+            .take_all())
+    sk = np.array([int(r["l_suppkey"]) for r in rows], np.int64)
+    rev = np.array([int(r["total_revenue_e4"]) for r in rows], np.int64)
+    if len(rev):
+        keep = rev == rev.max()
+        sk, rev = sk[keep], rev[keep]
+        order = np.argsort(sk)
+        sk, rev = sk[order], rev[order]
+    sup = _collect_columns(_read(sf_dir, "supplier",
+                                 ["s_suppkey", "s_name"]),
+                           ["s_suppkey", "s_name"])
+    so = np.argsort(sup["s_suppkey"].astype(np.int64))
+    sk_keys = sup["s_suppkey"].astype(np.int64)[so]
+    sk_name = sup["s_name"][so]
+    i = np.searchsorted(sk_keys, sk)
+    assert len(sk) == 0 or (sk_keys[i] == sk).all()
+    return pa.table({
+        "s_suppkey": pa.array(sk, pa.int64()),
+        "s_name": pa.array(sk_name[i].astype(object) if len(sk) else [],
+                           pa.string()),
+        "total_revenue_e4": pa.array(rev, pa.int64())})
+
+
+def parts_supplier_counts(sf_dir: str, *, excl_brand: str = "Brand#5",
+                          excl_type: str = "PROMO",
+                          sizes=(1, 5, 10, 15, 20, 25, 30, 35),
+                          excl_supp_mod: int = 4):
+    """TPC-H Q16 SHAPE — parts/supplier relationship (adapted: the
+    supplies relation is the DISTINCT (partkey, suppkey) pairs
+    observed in lineitem — no partsupp; the "complaint supplier"
+    NOT-IN list is the deterministic set suppkey ≡ 0 (mod
+    ``excl_supp_mod``), non-vacuous at every SF): distinct supplier
+    count per (brand, type, size) over the selected sizes, excluding
+    one brand, one type and the complaint suppliers; ordered by
+    (count desc, brand, type, size).
+
+    Shape: part attrs broadcast; per-batch distinct projection →
+    groupby on the full (brand, type, size, suppkey) key (the
+    distinct idiom) → per-batch grouped count partials → one small
+    groupby.  Columns: p_brand, p_type, p_size, supplier_cnt."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = _collect_columns(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type",
+                               "p_size"]),
+        ["p_partkey", "p_brand", "p_type", "p_size"])
+    size = part["p_size"].astype(np.int64)
+    keep = ((part["p_brand"] != excl_brand)
+            & (part["p_type"] != excl_type)
+            & np.isin(size, np.asarray(sizes, np.int64)))
+    order = np.argsort(part["p_partkey"].astype(np.int64)[keep])
+    pref = ray.put((part["p_partkey"].astype(np.int64)[keep][order],
+                    part["p_brand"][keep][order],
+                    part["p_type"][keep][order], size[keep][order]))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def project(t: pa.Table) -> pa.Table:
+        pk_keys, pk_brand, pk_type, pk_size = ray.get(pref)
+        pk = t.column("l_partkey").to_numpy()
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        i = np.searchsorted(pk_keys, pk)
+        i[i == len(pk_keys)] = 0
+        m = (pk_keys[i] == pk) if len(pk_keys) else np.zeros(len(pk), bool)
+        m &= (sk % excl_supp_mod) != 0
+        pairs = np.unique(np.stack([pk[m], sk[m]], axis=1), axis=0)
+        j = np.searchsorted(pk_keys, pairs[:, 0])
+        return pa.table({
+            "p_brand": pa.array(pk_brand[j].astype(object), pa.string()),
+            "p_type": pa.array(pk_type[j].astype(object), pa.string()),
+            "p_size": pa.array(pk_size[j], pa.int64()),
+            "s_suppkey": pa.array(pairs[:, 1], pa.int64())})
+
+    distinct = (li.map_batches(project, batch_format="pyarrow")
+                .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+                .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
+        return (g.group_by(["p_brand", "p_type", "p_size"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["p_brand", "p_type", "p_size", "one"]))
+
+    rows = (distinct.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Sum("one", alias_name="supplier_cnt"))
+            .take_all())
+    br = np.array([str(r["p_brand"]) for r in rows])
+    ty = np.array([str(r["p_type"]) for r in rows])
+    sz = np.array([int(r["p_size"]) for r in rows], np.int64)
+    cnt = np.array([int(r["supplier_cnt"]) for r in rows], np.int64)
+    order = np.lexsort((sz, ty, br, -cnt))
+    return pa.table({
+        "p_brand": pa.array(br[order] if len(rows) else [], pa.string()),
+        "p_type": pa.array(ty[order] if len(rows) else [], pa.string()),
+        "p_size": pa.array(sz[order], pa.int64()),
+        "supplier_cnt": pa.array(cnt[order], pa.int64())})
+
+
+_Q19_CLAUSES = (  # (brand, qty_lo, qty_hi, size_lo, size_hi), inclusive
+    ("Brand#12", 1, 11, 1, 20),
+    ("Brand#23", 10, 20, 1, 30),
+    ("Brand#24", 20, 30, 1, 40),
+)
+
+
+def disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 SHAPE — discounted revenue under a 3-clause
+    DISJUNCTIVE (brand, quantity-range, size-range) predicate
+    (containers/shipmode absent from the fixture; brands make the
+    clauses disjoint, so revenue is also reported per clause).
+
+    Shape: one lineitem pass — part (brand, size) broadcast, the
+    three clause masks vectorized per batch, grouped partials → one
+    3-row groupby.  Columns: clause, revenue_e4, n_rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _collect_columns(_read(sf_dir, "part",
+                                  ["p_partkey", "p_brand", "p_size"]),
+                            ["p_partkey", "p_brand", "p_size"])
+    order = np.argsort(part["p_partkey"].astype(np.int64))
+    pref = ray.put((part["p_partkey"].astype(np.int64)[order],
+                    part["p_brand"][order],
+                    part["p_size"].astype(np.int64)[order]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        pk_keys, pk_brand, pk_size = ray.get(pref)
+        pk = t.column("l_partkey").to_numpy()
+        i = np.searchsorted(pk_keys, pk)
+        assert len(pk) == 0 or (pk_keys[i] == pk).all()
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        brand, size = pk_brand[i], pk_size[i]
+        clause = np.zeros(len(pk), np.int64)
+        for c, (b, qlo, qhi, slo, shi) in enumerate(_Q19_CLAUSES, 1):
+            clause[(brand == b) & (qty >= qlo) & (qty <= qhi)
+                   & (size >= slo) & (size <= shi)] = c
+        m = clause > 0
+        g = pa.table({"clause": pa.array(clause[m]),
+                      "rev": pa.array(_rev_e4(t)[m]),
+                      "one": pa.array(np.ones(int(m.sum()), np.int64))})
+        return (g.group_by(["clause"])
+                .aggregate([("rev", "sum"), ("one", "sum")])
+                .rename_columns(["clause", "rev", "one"]))
+
+    return (li.map_batches(lmap, batch_format="pyarrow")
+            .groupby("clause")
+            .aggregate(Sum("rev", alias_name="revenue_e4"),
+                       Sum("one", alias_name="n_rows"))
+            .sort("clause"))
+
+
+def promotion_share_suppliers(sf_dir: str, *, name_word: str = "large",
+                              supp_region: int = 0, day_lo: int = 9131,
+                              day_hi: int = 9862):
+    """TPC-H Q20 SHAPE — potential part promotion (adapted: no
+    partsupp availqty, so the "excess stock" test is a MAJORITY-SHARE
+    test on shipped quantity): region-``supp_region`` suppliers who,
+    for some part whose name STARTS with ``name_word``, shipped
+    strictly more than half of that part's total quantity over
+    [1995-01-01, 1997-01-01); exact integers (2·supp_qty >
+    total_qty).  Distinct suppliers, ordered by suppkey.
+
+    Shape: one lineitem pass (part keep-set + supplier→region
+    broadcast) with per-batch grouped (part, supplier) partials →
+    groupby → per-part majority test inside map_groups (vectorized) →
+    distinct suppliers; name attach at the finish.  Columns:
+    s_suppkey, s_name."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = _collect_columns(_read(sf_dir, "part", ["p_partkey", "p_name"]),
+                            ["p_partkey", "p_name"])
+    keep = np.array([n.startswith(name_word + " ")
+                     for n in part["p_name"]])
+    pref = ray.put(np.sort(part["p_partkey"].astype(np.int64)[keep]))
+    n2r = _region_of_nation(sf_dir)
+    sup_ref = ray.put((*_sorted_key_map(sf_dir, "supplier", "s_suppkey",
+                                        "s_nationkey"), n2r))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def lmap(t: pa.Table) -> pa.Table:
+        pk_set = ray.get(pref)
+        day = (t.column("l_shipdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        pk = t.column("l_partkey").to_numpy()
+        i = np.searchsorted(pk_set, pk)
+        i[i == len(pk_set)] = 0
+        m = (pk_set[i] == pk) if len(pk_set) else np.zeros(len(pk), bool)
+        m &= (day >= day_lo) & (day < day_hi)
+        qty = np.rint(t.column("l_quantity").to_numpy()).astype(np.int64)
+        g = pa.table({"l_partkey": t.column("l_partkey").filter(
+            pa.array(m)),
+            "l_suppkey": t.column("l_suppkey").filter(pa.array(m)),
+            "qty": pa.array(qty[m])})
+        return (g.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("qty", "sum")])
+                .rename_columns(["l_partkey", "l_suppkey", "qty"]))
+
+    per_pair = (li.map_batches(lmap, batch_format="pyarrow")
+                .groupby(["l_partkey", "l_suppkey"])
+                .aggregate(Sum("qty", alias_name="sq")))
+
+    def majority(g: pa.Table) -> pa.Table:
+        sq = g.column("sq").to_numpy()
+        win = 2 * sq > int(sq.sum())
+        return pa.table({"s_suppkey": g.column("l_suppkey").filter(
+            pa.array(win))})
+
+    winners = (per_pair.groupby("l_partkey")
+               .map_groups(majority, batch_format="pyarrow")
+               .groupby("s_suppkey")
+               .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+    sk = np.sort(np.concatenate(
+        [b.column("s_suppkey").to_numpy() for b in
+         winners.iter_batches(batch_size=65536, batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]).astype(np.int64))
+    sk_keys, sk_nat, reg = ray.get(sup_ref)
+    i = np.searchsorted(sk_keys, sk)
+    assert len(sk) == 0 or (sk_keys[i] == sk).all()
+    m = reg[sk_nat[i]] == supp_region
+    sk = sk[m]
+    sup = _collect_columns(_read(sf_dir, "supplier",
+                                 ["s_suppkey", "s_name"]),
+                           ["s_suppkey", "s_name"])
+    so = np.argsort(sup["s_suppkey"].astype(np.int64))
+    nk = sup["s_suppkey"].astype(np.int64)[so]
+    nv = sup["s_name"][so]
+    i = np.searchsorted(nk, sk)
+    assert len(sk) == 0 or (nk[i] == sk).all()
+    return pa.table({
+        "s_suppkey": pa.array(sk, pa.int64()),
+        "s_name": pa.array(nv[i].astype(object) if len(sk) else [],
+                           pa.string())})

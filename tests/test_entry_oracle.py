@@ -176,6 +176,10 @@ SQL_CHECKED = sorted([
     "rel_q17_small_qty", "rel_q21_late_supplier", "rel_q22_idle",
     "sim_hard_negatives", "dedup_semantic", "graph_rich_club",
     "text_zipf", "text_burstiness", "graph_simrank",
+    # round 5 session 8: TPC-H sweep completed — all 22 query shapes
+    "rel_q7_volume", "rel_q8_share", "rel_q9_profit", "rel_q10_returns",
+    "rel_q11_value", "rel_q12_priority", "rel_q15_top_supplier",
+    "rel_q16_partcount", "rel_q19_disjunct", "rel_q20_promo",
 ])
 
 
