@@ -1730,6 +1730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe": tx.bpe_merges,
         "text_bpe_apply": tx.bpe_apply,
         "text_lm_score": tx.lm_scores,
+        "text_bm25": tx.bm25_scores,
+        "text_entropy": tx.entropy_scores,
         "multimodal_phash": tx.multimodal_phash,
         "text_weighted_sample": tx.weighted_sample,
         "text_textrank": tx.textrank_keywords,
@@ -2362,6 +2364,76 @@ ORDER BY community"""),
         "text_bpe": _bpe_chain_sql(rounds=3),
         "text_bpe_apply": _bpe_apply_sql(rounds=3),
         "text_textrank": _textrank_chain_sql(iters=3, k=20),
+        "text_bm25": r"""
+            -- exact-integer Lucene BM25 (k1=1.2, b=0.75) top-10 per
+            -- query: idf as a difference of FLOOR(ln(integer)*1e6),
+            -- tf-norm as the cleared rational (22*tf*L) over
+            -- (10*tf*L + 3*L + 9*dl*N); nonneg so // == trunc
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+            dl AS MATERIALIZED (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                FROM toks GROUP BY 1),
+            corpus AS MATERIALIZED (
+                SELECT CAST(SUM(dl) AS BIGINT) AS L,
+                       CAST(COUNT(*) AS BIGINT) AS N FROM dl),
+            qt(query_id, term) AS (VALUES ('q1', 'scan'),
+                                          ('q1', 'merge'),
+                                          ('q2', 'customer'),
+                                          ('q2', 'window')),
+            tf AS (SELECT t.doc_id, q.query_id, t.term,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM toks t JOIN qt q ON q.term = t.term
+                   GROUP BY 1, 2, 3),
+            df AS (SELECT term,
+                          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM toks WHERE term IN (SELECT term FROM qt)
+                   GROUP BY 1),
+            idf AS (SELECT df.term,
+                           CAST(FLOOR(ln(2*c.N + 2)*1000000) AS BIGINT)
+                           - CAST(FLOOR(ln(2*df.df + 1)*1000000)
+                                  AS BIGINT) AS idf_e6
+                    FROM df, corpus c),
+            contrib AS (
+                SELECT tf.query_id, tf.doc_id,
+                       (CAST(i.idf_e6 AS HUGEINT) * (22 * tf.tf * c.L))
+                       // (10 * tf.tf * c.L + 3 * c.L + 9 * d.dl * c.N)
+                           AS s
+                FROM tf JOIN idf i ON i.term = tf.term
+                JOIN dl d ON d.doc_id = tf.doc_id, corpus c),
+            score AS (SELECT query_id, doc_id,
+                             CAST(SUM(s) AS BIGINT) AS score_e6
+                      FROM contrib GROUP BY 1, 2 HAVING SUM(s) > 0),
+            ranked AS (SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_e6 DESC, doc_id) AS rn
+                       FROM score)
+            SELECT query_id, doc_id, score_e6 FROM ranked
+            WHERE rn <= 10 ORDER BY query_id, score_e6 DESC, doc_id
+        """,
+        "text_entropy": r"""
+            -- per-doc token Shannon entropy, exact e6 integers:
+            -- H_e6 = (dl*lnE6(dl) - SUM tf*lnE6(tf)) // dl with
+            -- lnE6(x) = FLOOR(ln(integer)*1e6); numerator nonneg
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\S+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+                   FROM toks GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           CAST(SUM(c * CAST(FLOOR(ln(c)*1000000)
+                                             AS BIGINT)) AS BIGINT)
+                               AS s
+                    FROM tf GROUP BY 1)
+            SELECT doc_id, n_tokens,
+                   CAST((n_tokens
+                         * CAST(FLOOR(ln(n_tokens)*1000000) AS BIGINT)
+                         - s) // n_tokens AS BIGINT) AS entropy_e6
+            FROM agg ORDER BY doc_id
+        """,
         "text_lm_score": r"""
             -- unigram-LM surprisal per doc (add-one smoothing), every
             -- per-token term an exact integer: floor(1e6*ln(N+V)) -

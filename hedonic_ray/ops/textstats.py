@@ -1055,3 +1055,168 @@ def term_burstiness(ds, col: str = "text", k: int = 50,
         "df": pa.array([int(r["df"]) for r in out], pa.int64()),
         "burst_e6": pa.array([int(r["burst_e6"]) for r in out],
                              pa.int64())})
+
+
+_BM25_QUERIES = (("q1", ("scan", "merge")),
+                 ("q2", ("customer", "window")))
+
+
+def bm25_topk(ds, *, col="text", id_col="doc_id",
+              queries=_BM25_QUERIES, k=10):
+    """Lucene-BM25 (k1=1.2, b=0.75) top-k docs per query, EXACT
+    integers end to end: with L = corpus tokens, N = docs,
+    avgdl = L/N, the per-(doc, term) contribution is
+
+        contrib = idf_e6(t) * (22*tf*L) // (10*tf*L + 3*L + 9*dl*N)
+
+    (the k1/b rationals cleared by multiplying num/den by 10*L), and
+    idf_e6(t) = floor(1e6*ln(2N+2)) - floor(1e6*ln(2*df+1)) — the
+    nonnegative Lucene idf ln(1 + (N-df+.5)/(df+.5)) as a difference
+    of floors of ln(INTEGER) (adamic-adar parity pattern); nonneg
+    everywhere so // floor==trunc on both engines.  Two passes:
+    corpus stats (N, L, df per query term), then a scoring pass with
+    per-batch top-k partials and a driver merge bounded by
+    batches*queries*k.  Columns: query_id, doc_id, score_e6."""
+    import ray
+
+    terms = sorted({t for _, ts_ in queries for t in ts_})
+    t_idx = {t: i for i, t in enumerate(terms)}
+    T = len(terms)
+    terms_arr = np.array(terms, dtype=str)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, lens, doc_of = _flat_words(batch, col)
+        w = np.asarray(flat).astype(str)
+        ti = np.searchsorted(terms_arr, w)
+        ti[ti == T] = 0
+        m = (terms_arr[ti] == w) if T else np.zeros(len(w), bool)
+        # per-batch df partial: distinct (doc, term) among query terms
+        pk = np.unique(doc_of[m] * T + ti[m])
+        df_part = np.bincount((pk % T).astype(np.int64), minlength=T)
+        return pa.table({
+            "ti": pa.array(np.arange(T + 1, dtype=np.int64)),
+            "df": pa.array(np.concatenate([df_part, [0]]).astype(np.int64)),
+            "n_docs": pa.array([0] * T + [batch.num_rows], pa.int64()),
+            "n_tok": pa.array([0] * T + [int(lens.sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    srows = (ds.map_batches(stats, batch_format="pyarrow")
+             .groupby("ti")
+             .aggregate(Sum("df", alias_name="df"),
+                        Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_tok", alias_name="n_tok"))
+             .take_all())
+    df = np.zeros(T, np.int64)
+    N = L = 0
+    for r in srows:
+        i = int(r["ti"])
+        if i == T:
+            N, L = int(r["n_docs"]), int(r["n_tok"])
+        else:
+            df[i] = int(r["df"])
+    idf_e6 = (int(np.floor(1e6 * np.log(2 * N + 2)))
+              - np.floor(1e6 * np.log(2 * df + 1)).astype(np.int64))
+    assert idf_e6.size == 0 or \
+        int(idf_e6.max()) * 22 * L * L < 2**62, \
+        "idf*tf*L exceeds int64 — rescale to e3 units"
+    # query membership matrix: q x T
+    qids = [q for q, _ in queries]
+    member = np.zeros((len(queries), T), np.int64)
+    for qi, (_, ts_) in enumerate(queries):
+        for t in ts_:
+            member[qi, t_idx[t]] = 1
+    bref = ray.put((terms_arr, idf_e6, member, np.array(qids, dtype=str)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ta, idf, mem, qn = ray.get(bref)
+        flat, lens, doc_of = _flat_words(batch, col)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        w = np.asarray(flat).astype(str)
+        ti = np.searchsorted(ta, w)
+        ti[ti == T] = 0
+        m = (ta[ti] == w) if T else np.zeros(len(w), bool)
+        pk, tf = np.unique(doc_of[m] * T + ti[m], return_counts=True)
+        d, t = pk // T, pk % T
+        tf = tf.astype(np.int64)
+        dl = lens[d]
+        contrib = (idf[t] * (22 * tf * L)
+                   // (10 * tf * L + 3 * L + 9 * dl * N))
+        # scores: (#queries, #batch docs) via membership scatter
+        sc = np.zeros((mem.shape[0], batch.num_rows), np.int64)
+        for qi in range(mem.shape[0]):
+            sel = mem[qi, t] == 1
+            np.add.at(sc[qi], d[sel], contrib[sel])
+        out_q, out_d, out_s = [], [], []
+        for qi in range(mem.shape[0]):
+            nz = np.flatnonzero(sc[qi] > 0)
+            if not len(nz):
+                continue
+            order = np.lexsort((ids[nz], -sc[qi][nz]))[:k]
+            out_q.append(np.full(len(order), qi, np.int64))
+            out_d.append(ids[nz][order])
+            out_s.append(sc[qi][nz][order])
+        if not out_q:
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score_e6": pa.array([], pa.int64())})
+        return pa.table({"qi": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "score_e6": pa.array(np.concatenate(out_s))})
+
+    parts = [b for b in ds.map_batches(score, batch_format="pyarrow",
+                                       batch_size=2048)
+             .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    t = pa.concat_tables([p for p in parts if p.num_rows]) if parts \
+        else None
+    if t is None or t.num_rows == 0:
+        return pa.table({"query_id": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score_e6": pa.array([], pa.int64())})
+    qi = t.column("qi").to_numpy()
+    d = t.column("doc_id").to_numpy()
+    s = t.column("score_e6").to_numpy()
+    out_q, out_d, out_s = [], [], []
+    for q in range(len(qids)):
+        m = qi == q
+        order = np.lexsort((d[m], -s[m]))[:k]
+        out_q += [qids[q]] * len(order)
+        out_d.append(d[m][order])
+        out_s.append(s[m][order])
+    return pa.table({
+        "query_id": pa.array(out_q, pa.string()),
+        "doc_id": pa.array(np.concatenate(out_d) if out_d else
+                           np.empty(0, np.int64), pa.int64()),
+        "score_e6": pa.array(np.concatenate(out_s) if out_s else
+                             np.empty(0, np.int64), pa.int64())})
+
+
+def token_entropy(ds, *, col="text", id_col="doc_id"):
+    """Per-doc Shannon entropy of the token distribution as the exact
+    integer  H_e6 = (dl*lnE6(dl) - sum_t tf_t*lnE6(tf_t)) // dl  with
+    lnE6(x) = floor(1e6*ln(x)) (ln of INTEGERS only — the adamic-adar
+    parity pattern; the numerator is nonnegative so // is safe).
+    Columns: doc_id, n_tokens, entropy_e6 (docs with 0 tokens drop)."""
+    def f(batch: pa.Table) -> pa.Table:
+        flat, lens, doc_of = _flat_words(batch, col)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        w = np.asarray(flat).astype(str)
+        # per-(doc, distinct word) counts: unique on (doc, word) pairs
+        _, inv = np.unique(w, return_inverse=True) if len(w) else \
+            (None, np.empty(0, np.int64))
+        nv = int(inv.max()) + 1 if len(w) else 1
+        pk, tf = np.unique(doc_of * nv + inv, return_counts=True)
+        d = (pk // nv).astype(np.int64)
+        tf = tf.astype(np.int64)
+        s = np.zeros(batch.num_rows, np.int64)
+        np.add.at(s, d, tf * np.floor(
+            1e6 * np.log(tf)).astype(np.int64))
+        keep = lens > 0
+        dl = lens[keep]
+        h = (dl * np.floor(1e6 * np.log(dl)).astype(np.int64)
+             - s[keep]) // dl
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "n_tokens": pa.array(dl, pa.int64()),
+                         "entropy_e6": pa.array(h, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=2048)

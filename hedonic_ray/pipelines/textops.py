@@ -1397,6 +1397,20 @@ def lm_scores(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
 
+def bm25_scores(sf_dir: str) -> pa.Table:
+    """Exact-integer Lucene-BM25 top-10 docs for two fixed 2-term
+    queries (`ops/textstats.py:bm25_topk`), (query, score desc,
+    doc) order."""
+    return ts.bm25_topk(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def entropy_scores(sf_dir: str):
+    """Per-doc token-distribution Shannon entropy as exact e6
+    integers (`ops/textstats.py:token_entropy`), doc_id order."""
+    return ts.token_entropy(
+        _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
 def multimodal_phash(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
     """Perceptual-hash (aHash) near-duplicate image pairs over the
     grid-body media fixture: decode-plane average hash → lossless
