@@ -1585,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_katz": lg.doc_katz,
         "graph_sssp": lg.doc_sssp,
         "graph_diameter": lg.doc_diameter,
+        "graph_neighborhood": lg.doc_neighborhood_function,
         "graph_earliest_arrival": _nav_earliest_arrival,
         "rel_entry_exit": _nav_entry_exit,
         "rel_attribution": _nav_attribution,
@@ -2364,6 +2365,34 @@ ORDER BY community"""),
         "text_bpe": _bpe_chain_sql(rounds=3),
         "text_bpe_apply": _bpe_apply_sql(rounds=3),
         "text_textrank": _textrank_chain_sql(iters=3, k=20),
+        "graph_neighborhood": f"""
+            -- exact neighborhood function: cumulative ordered pairs
+            -- within h hops on the undirected doc graph + truncating
+            -- e6 share of all reachable pairs (effective-diameter
+            -- curve); recursion cap 32 == the engine round cap
+            WITH RECURSIVE {_LINKS_CTE},
+            arcs AS (SELECT src, dst FROM e
+                     UNION SELECT dst, src FROM e),
+            bfs(src, dst, h) AS (
+                SELECT doc_id, doc_id, CAST(0 AS BIGINT)
+                FROM documents
+                UNION
+                SELECT b.src, a.dst, b.h + 1
+                FROM bfs b JOIN arcs a ON a.src = b.dst
+                WHERE b.h < 32),
+            dist AS (SELECT src, dst, CAST(MIN(h) AS BIGINT) AS d
+                     FROM bfs GROUP BY 1, 2),
+            hist AS (SELECT d AS h, CAST(count(*) AS BIGINT)
+                         AS new_pairs
+                     FROM dist GROUP BY 1),
+            cum AS (SELECT h, CAST(SUM(new_pairs) OVER (ORDER BY h)
+                                   AS BIGINT) AS n_pairs FROM hist),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM dist)
+            SELECT c.h, c.n_pairs,
+                   CAST((1000000 * c.n_pairs) // t.t AS BIGINT)
+                       AS pct_e6
+            FROM cum c, tot t ORDER BY c.h
+        """,
         "text_bm25": r"""
             -- exact-integer Lucene BM25 (k1=1.2, b=0.75) top-10 per
             -- query: idf as a difference of FLOOR(ln(integer)*1e6),

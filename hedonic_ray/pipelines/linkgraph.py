@@ -1057,6 +1057,26 @@ def doc_katz(sf_dir: str, *, iters: int = 4, beta_inv: int = 4) -> pa.Table:
                      "katz_den": pa.array(np.full(g.n, den), pa.int64())})
 
 
+def doc_neighborhood_function(sf_dir: str, *, rounds: int = 32) -> pa.Table:
+    """Exact neighborhood function N(h) of the undirected doc-link
+    graph (`algos/anf.py`): per hop h, the cumulative ordered-pair
+    count within distance h and its share of all reachable pairs as
+    the truncating integer pct_e6 = 1e6·N(h) // N(max) — the curve
+    whose 90% crossing is the effective diameter.  Round cap 32
+    equals the SQL recursion cap (fixed-round parity rule).
+    Columns: h, n_pairs, pct_e6."""
+    from hedonic_ray.algos.anf import neighborhood_function
+
+    g = doc_graph(sf_dir, directed=False)
+    counts = neighborhood_function(g, rounds=rounds)
+    total = int(counts[-1])
+    h = np.arange(len(counts), dtype=np.int64)
+    pct = (1_000_000 * counts) // total  # nonneg: // == trunc
+    return pa.table({"h": pa.array(h),
+                     "n_pairs": pa.array(counts),
+                     "pct_e6": pa.array(pct.astype(np.int64))})
+
+
 def doc_diameter(sf_dir: str, *, rounds: int = 6) -> pa.Table:
     """DOUBLE-SWEEP DIAMETER lower bound, radius-``rounds``-capped
     fixed-round semantics (the standard 2-sweep heuristic: BFS from

@@ -1432,3 +1432,53 @@ def test_pagerank_warm_start_shards_matches_dense():
                  rank0=r0).state["rank"]
     np.testing.assert_array_equal(np.floor(a * 1e9 + 0.5),
                                   np.floor(b * 1e9 + 0.5))
+
+
+def test_neighborhood_function_vs_bfs_oracle():
+    """N(h) must equal the per-source BFS distance histogram on a
+    random graph (independent numpy adjacency-list oracle)."""
+    from collections import deque
+
+    import numpy as np
+
+    from hedonic_ray.algos.anf import neighborhood_function
+    from tests.fixtures import make_graph, rand_edges
+
+    n = 40
+    edges = rand_edges(n, 0.08, seed=7)
+    g = make_graph(edges, n, num_parts=3)
+    counts = neighborhood_function(g, rounds=32)
+
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    hist = np.zeros(n + 1, np.int64)
+    maxd = 0
+    for s in range(n):
+        dist = np.full(n, -1)
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        for d in dist[dist >= 0]:
+            hist[d] += 1
+            maxd = max(maxd, int(d))
+    expected = np.cumsum(hist[:maxd + 1])
+    assert counts.tolist() == expected.tolist()
+
+
+def test_neighborhood_function_rounds_cap_truncates():
+    """A path graph with diameter 5 capped at rounds=2 reports only
+    h = 0..2 (the radius-capped semantic the SQL cap mirrors)."""
+    from hedonic_ray.algos.anf import neighborhood_function
+    from tests.fixtures import make_graph
+
+    g = make_graph([(i, i + 1) for i in range(5)], 6, num_parts=2)
+    counts = neighborhood_function(g, rounds=2)
+    # h=0: 6 self-pairs; h=1: +2*5 arcs; h=2: +2*4 two-hop pairs
+    assert counts.tolist() == [6, 16, 24]
