@@ -1586,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": lg.doc_sssp,
         "graph_diameter": lg.doc_diameter,
         "graph_neighborhood": lg.doc_neighborhood_function,
+        "graph_salsa": lg.doc_salsa,
         "graph_earliest_arrival": _nav_earliest_arrival,
         "rel_entry_exit": _nav_entry_exit,
         "rel_attribution": _nav_attribution,
@@ -2365,6 +2366,59 @@ ORDER BY community"""),
         "text_bpe": _bpe_chain_sql(rounds=3),
         "text_bpe_apply": _bpe_apply_sql(rounds=3),
         "text_textrank": _textrank_chain_sql(iters=3, k=20),
+        "graph_salsa": f"""
+            -- stationary SALSA (Lempel-Moran): closed-form authority
+            -- weight (|A_j|/|A|)*(indeg/S_j) over CO-CITATION
+            -- components (hub side symmetric), as truncating e9
+            -- integers; components via the bipartite incidence graph
+            -- (targets 0..n-1, sources n..2n-1)
+            WITH RECURSIVE {_LINKS_CTE},
+            corpus AS (SELECT CAST(count(*) AS BIGINT) AS n
+                       FROM documents),
+            bip AS (SELECT e.dst AS a, e.src + c.n AS b
+                    FROM e, corpus c),
+            arcs2 AS (SELECT a AS x, b AS y FROM bip
+                      UNION SELECT b, a FROM bip),
+            nodes AS (SELECT DISTINCT x FROM arcs2),
+            reach(v, u) AS (
+                SELECT x, x FROM nodes
+                UNION
+                SELECT r.v, a.y FROM reach r
+                JOIN arcs2 a ON a.x = r.u),
+            comp AS (SELECT v, CAST(MIN(u) AS BIGINT) AS croot,
+                            CAST(MIN(CASE WHEN u >= c.n THEN u END)
+                                 - c.n AS BIGINT) AS hroot
+                     FROM reach, corpus c GROUP BY v, c.n),
+            indeg AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS deg
+                      FROM e GROUP BY 1),
+            outdeg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+                       FROM e GROUP BY 1),
+            au AS MATERIALIZED (
+                SELECT i.v, i.deg, c.croot AS comp
+                FROM indeg i JOIN comp c ON c.v = i.v),
+            ast AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize,
+                           CAST(SUM(deg) AS BIGINT) AS s
+                    FROM au GROUP BY 1),
+            atot AS (SELECT CAST(count(*) AS BIGINT) AS na FROM au),
+            hu AS MATERIALIZED (
+                SELECT o.v, o.deg, c.hroot AS comp
+                FROM outdeg o JOIN comp c ON c.v = o.v +
+                    (SELECT n FROM corpus)),
+            hst AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize,
+                           CAST(SUM(deg) AS BIGINT) AS s
+                    FROM hu GROUP BY 1),
+            htot AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM hu)
+            SELECT 'auth' AS side, au.v AS vertex, au.deg, au.comp,
+                   CAST((1000000000 * ast.csize * au.deg)
+                        // (atot.na * ast.s) AS BIGINT) AS score_e9
+            FROM au JOIN ast USING (comp), atot
+            UNION ALL
+            SELECT 'hub', hu.v, hu.deg, hu.comp,
+                   CAST((1000000000 * hst.csize * hu.deg)
+                        // (htot.nh * hst.s) AS BIGINT)
+            FROM hu JOIN hst USING (comp), htot
+            ORDER BY side, vertex
+        """,
         "graph_neighborhood": f"""
             -- exact neighborhood function: cumulative ordered pairs
             -- within h hops on the undirected doc graph + truncating

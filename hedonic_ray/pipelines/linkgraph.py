@@ -1057,6 +1057,81 @@ def doc_katz(sf_dir: str, *, iters: int = 4, beta_inv: int = 4) -> pa.Table:
                      "katz_den": pa.array(np.full(g.n, den), pa.int64())})
 
 
+def doc_salsa(sf_dir: str) -> pa.Table:
+    """STATIONARY SALSA hub/authority scores (Lempel & Moran 2000) of
+    the directed doc graph, closed form in exact integers: the SALSA
+    walk's stationary authority weight is
+
+        a(v) = (|A_j| / |A|) · (indeg(v) / Σ_{u ∈ A_j} indeg(u))
+
+    where A_j is v's component of the CO-CITATION graph (hub side
+    symmetric with outdeg / bibliographic-coupling components) —
+    reported as the truncating integer
+    score_e9 = (1e9·|A_j|·deg(v)) // (|A|·S_j).
+
+    Both component structures come from ONE distributed CC over the
+    BIPARTITE INCIDENCE graph (targets 0..n−1, sources n..2n−1, one
+    undirected edge per arc): co-citation components are the
+    bipartite components restricted to targets, coupling components
+    restricted to sources — no quadratic wedge pair set is ever
+    materialized (the scale posture SALSA needs; the co-citation
+    TOP-K query materializes pairs, this one must not).  Degrees are
+    the cached forward/transposed CSR degree vectors.  Columns:
+    side, vertex, deg, comp, score_e9 (comp = min same-side member)."""
+    from hedonic_ray.algos.components import connected_components
+    from hedonic_ray.graph.build import build_link_graph
+
+    g_fwd = doc_graph(sf_dir, directed=True)
+    g_bwd = doc_graph_reversed(sf_dir)
+    n = g_fwd.n
+    outdeg = g_fwd.out_degree.astype(np.int64)
+    indeg = g_bwd.out_degree.astype(np.int64)
+
+    edges = doc_edges_cached(sf_dir)
+
+    def bip(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # the cached raw edge table keeps self-links (the anchors
+        # query needs them); SALSA's arc set is the canonical one
+        t = t.filter(pc.invert(pc.equal(t.column("src"),
+                                        t.column("dst"))))
+        return pa.table({
+            "src": t.column("dst").cast(pa.int64()),
+            "dst": pc.add(t.column("src").cast(pa.int64()),
+                          pa.scalar(n, pa.int64()))})
+
+    g_bip = build_link_graph(edges.map_batches(bip, batch_format="pyarrow"),
+                             2 * n, directed=False)
+    labels = connected_components(g_bip).state["component"]
+    # min SOURCE id per bipartite component (hub-side component label)
+    minsrc = np.full(2 * n, 2 * n, np.int64)
+    src_ids = np.arange(n, 2 * n, dtype=np.int64)
+    np.minimum.at(minsrc, labels[n:], src_ids)
+
+    def side(deg: np.ndarray, comp: np.ndarray, name: str) -> pa.Table:
+        keep = np.flatnonzero(deg > 0)
+        c, d = comp[keep], deg[keep]
+        total = len(keep)
+        uc, inv = np.unique(c, return_inverse=True)
+        csize = np.bincount(inv).astype(np.int64)
+        csum = np.zeros(len(uc), np.int64)
+        np.add.at(csum, inv, d)
+        assert int(csize.max(initial=0)) * int(d.max(initial=0)) \
+            * 1_000_000_000 < 2**63
+        score = (1_000_000_000 * csize[inv] * d) // (total * csum[inv])
+        return pa.table({
+            "side": pa.array([name] * total, pa.string()),
+            "vertex": pa.array(keep.astype(np.int64)),
+            "deg": pa.array(d),
+            "comp": pa.array(c),
+            "score_e9": pa.array(score)})
+
+    auth = side(indeg, labels[:n], "auth")
+    hub = side(outdeg, minsrc[labels[n:]] - n, "hub")
+    return pa.concat_tables([auth, hub])
+
+
 def doc_neighborhood_function(sf_dir: str, *, rounds: int = 32) -> pa.Table:
     """Exact neighborhood function N(h) of the undirected doc-link
     graph (`algos/anf.py`): per hop h, the cumulative ordered-pair
