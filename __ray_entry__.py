@@ -1735,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bm25": tx.bm25_scores,
         "text_entropy": tx.entropy_scores,
         "multimodal_phash": tx.multimodal_phash,
+        "multimodal_audio_energy": tx.multimodal_audio_energy,
         "text_weighted_sample": tx.weighted_sample,
         "text_textrank": tx.textrank_keywords,
         "text_intake_filter": tx.intake_filter,
@@ -2366,6 +2367,22 @@ ORDER BY community"""),
         "text_bpe": _bpe_chain_sql(rounds=3),
         "text_bpe_apply": _bpe_apply_sql(rounds=3),
         "text_textrank": _textrank_chain_sql(iters=3, k=20),
+        "multimodal_audio_energy": """
+            -- per-window energy/peak of the audio-kind fake-PCM grid
+            -- plane: sample b(i) recomputed from the planted formula,
+            -- x = b - 128, windows of 60 samples
+            WITH a AS (SELECT doc_id FROM documents
+                       WHERE doc_id % 3 = 1),
+            s AS (SELECT a.doc_id, t.i,
+                         ((a.doc_id % 20) * 31 + t.i * 17 +
+                          CASE WHEN t.i // 4 = a.doc_id % 60
+                               THEN 200 ELSE 0 END) % 256 - 128 AS x
+                  FROM a, range(240) t(i))
+            SELECT doc_id, CAST(i // 60 AS BIGINT) AS win,
+                   CAST(SUM(x * x) AS BIGINT) AS energy,
+                   CAST(MAX(ABS(x)) AS BIGINT) AS peak
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "graph_salsa": f"""
             -- stationary SALSA (Lempel-Moran): closed-form authority
             -- weight (|A_j|/|A|)*(indeg/S_j) over CO-CITATION

@@ -339,3 +339,46 @@ def phash_dup_pairs(media_ds, *, max_hamming: int = 3):
     sigs = media_ds.map_batches(PerceptualHash, batch_format="pyarrow",
                                 batch_size=128, concurrency=actor_pool())
     return simhash_pairs(sigs, max_hamming=max_hamming)
+
+
+def audio_window_energy(media_ds, *, window: int = 60,
+                        body_bytes: int = 240):
+    """Per-window ENERGY/PEAK profile of the audio-kind blobs — the
+    voice-activity-detection / silence-trim building block of a
+    speech-data curation pipeline, over the same fake-PCM grid plane
+    the phash op decodes (`fake_payload(body="grid")`): each body
+    byte is a sample, windows are ``window`` samples, and per window
+    the exact integers energy = Σ (b−128)² and peak = max |b−128|.
+
+    One vectorized ``map_batches``: the header parse is the shared
+    `_parse_fake_headers` gather, the body a single (k, body_bytes)
+    fancy-index into the flat binary buffer — no per-blob Python.
+    Real PCM decode plugs in where the fake gather sits (the
+    `DecodeMedia` integration-point pattern).  Columns: doc_id, win,
+    energy, peak."""
+    nw = body_bytes // window
+
+    def f(batch: pa.Table) -> pa.Table:
+        offsets, data, ok, kind, _w, _h, _f = _parse_fake_headers(
+            batch.column("payload"))
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        starts = offsets[:-1] + 11
+        lens = offsets[1:] - starts
+        sel = np.flatnonzero(ok & (kind == 1) & (lens >= body_bytes))
+        if not len(sel):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.int64()),
+                             "energy": pa.array([], pa.int64()),
+                             "peak": pa.array([], pa.int64())})
+        body = data[starts[sel, None] + np.arange(body_bytes)]
+        x = body.astype(np.int64) - 128
+        xx = x.reshape(len(sel), nw, window)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids[sel], nw)),
+            "win": pa.array(np.tile(np.arange(nw, dtype=np.int64),
+                                    len(sel))),
+            "energy": pa.array((xx * xx).sum(axis=2).ravel()),
+            "peak": pa.array(np.abs(xx).max(axis=2).ravel())})
+
+    return media_ds.map_batches(f, batch_format="pyarrow",
+                                batch_size=1024)

@@ -1411,6 +1411,23 @@ def entropy_scores(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
 
+def multimodal_audio_energy(sf_dir: str) -> pa.Table:
+    """Per-window energy/peak of the audio-kind media blobs
+    (`ops/multimodal.py:audio_window_energy`), (doc, win) order."""
+    import ray.data as rd
+
+    configure_context()
+    media = rd.from_arrow(mm.synth_media_table(_n_docs(sf_dir),
+                                               body="grid"))
+    t = pa.concat_tables(
+        b for b in mm.audio_window_energy(media).iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending"),
+                                                ("win", "ascending")]))
+
+
 def multimodal_phash(sf_dir: str, *, max_hamming: int = 3) -> pa.Table:
     """Perceptual-hash (aHash) near-duplicate image pairs over the
     grid-body media fixture: decode-plane average hash → lossless
