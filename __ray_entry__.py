@@ -1732,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe": tx.bpe_merges,
         "text_bpe_apply": tx.bpe_apply,
         "text_lm_score": tx.lm_scores,
+        "text_bigram_lm": tx.bigram_lm,
         "text_bm25": tx.bm25_scores,
         "text_entropy": tx.entropy_scores,
         "multimodal_phash": tx.multimodal_phash,
@@ -2463,6 +2464,46 @@ ORDER BY community"""),
                    CAST((1000000 * c.n_pairs) // t.t AS BIGINT)
                        AS pct_e6
             FROM cum c, tot t ORDER BY c.h
+        """,
+        "text_bigram_lm": r"""
+            -- bigram-LM surprisal, add-one smoothing over the
+            -- corpus's own bigram table: per position s_e6 =
+            -- FLOOR(ln(c1+V)*1e6) - FLOOR(ln(c2+1)*1e6); c1+V > c2+1
+            -- so nonneg and // == trunc
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            toks AS MATERIALIZED (
+                SELECT doc_id, unnest(ws) AS w,
+                       generate_subscripts(ws, 1) AS pos
+                FROM t),
+            bg AS MATERIALIZED (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM toks a JOIN toks b
+                  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            c2 AS MATERIALIZED (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                FROM bg GROUP BY 1, 2),
+            c1 AS MATERIALIZED (
+                SELECT w1, CAST(SUM(c) AS BIGINT) AS c
+                FROM c2 GROUP BY 1),
+            vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                      FROM toks),
+            s AS MATERIALIZED (
+                SELECT c2.w1, c2.w2,
+                       CAST(FLOOR(ln(c1.c + vocab.v)*1000000) AS BIGINT)
+                       - CAST(FLOOR(ln(c2.c + 1)*1000000) AS BIGINT)
+                           AS s_e6
+                FROM c2 JOIN c1 USING (w1), vocab),
+            doc AS (SELECT bg.doc_id,
+                           CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(SUM(s.s_e6) AS BIGINT) AS tot
+                    FROM bg JOIN s ON s.w1 = bg.w1 AND s.w2 = bg.w2
+                    GROUP BY 1)
+            SELECT doc_id, n_bigrams, tot AS surprisal_e6,
+                   CAST(tot // n_bigrams AS BIGINT)
+                       AS mean_surprisal_e6
+            FROM doc ORDER BY doc_id
         """,
         "text_bm25": r"""
             -- exact-integer Lucene BM25 (k1=1.2, b=0.75) top-10 per

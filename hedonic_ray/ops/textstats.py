@@ -1220,3 +1220,169 @@ def token_entropy(ds, *, col="text", id_col="doc_id"):
                          "entropy_e6": pa.array(h, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=2048)
+
+
+def bigram_lm_scores(ds, col: str = "text", method: str = "auto",
+                     broadcast_max: int = 2_000_000):
+    """BIGRAM language-model surprisal per document — the next-order
+    refinement of :func:`lm_surprisal_scores` (the CCNet/KenLM quality
+    filter actually uses n-gram context, not unigrams): add-one
+    smoothing over the corpus's own bigram table,
+
+        p(w_i | w_{i-1}) = (c2(w_{i-1}, w_i) + 1) / (c1(w_{i-1}) + V)
+
+    with c2 = bigram count, c1(w) = Σ_x c2(w, x) (bigram-prefix count)
+    and V = unigram vocabulary size.  Every per-position surprisal is
+    the exact integer
+
+        s_e6 = floor(1e6·ln(c1+V)) − floor(1e6·ln(c2+1))
+
+    (both floors of ln(INTEGER), the adamic-adar parity pattern;
+    c1 + V > c2 + 1 always, so s_e6 ≥ 0 and // is trunc on both
+    engines).  Returns (doc_id, n_bigrams, surprisal_e6,
+    mean_surprisal_e6) with mean = total // n_bigrams; docs with < 2
+    tokens have no bigram positions and drop.
+
+    Stages: the distributed bigram wordcount
+    (:func:`bigram_total_frequency`), prefix counts as ONE further
+    groupby over the bigram table (not a second corpus pass), then a
+    scoring pass — s_e6 LUT broadcast below ``broadcast_max`` distinct
+    bigrams, (doc, bigram, k) ⋈ s_e6 hash joins at scale / under
+    force_scale (the lm_surprisal join posture)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from hedonic_ray.context import drop_empty_blocks, force_scale
+
+    bg_tf = bigram_total_frequency(ds, col=col)
+    n_vocab = term_total_frequency(ds, col=col).count()
+    if method == "auto":
+        method = "join" if force_scale() else "broadcast"
+        if method == "broadcast" and bg_tf.count() > broadcast_max:
+            method = "join"
+
+    def add_prefix(t: pa.Table) -> pa.Table:
+        w1 = pc.list_element(
+            pc.split_pattern(t.column("bigram"), " ", max_splits=1), 0)
+        return t.append_column("w1", w1)
+
+    bgp = bg_tf.map_batches(add_prefix, batch_format="pyarrow")
+
+    def doc_bg(batch: pa.Table) -> pa.Table:
+        """(doc_id, bigram, k) occurrence counts — each row is one
+        whole document, so per-doc counts complete per batch."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "bigram": pa.array([], pa.string()),
+                          "k": pa.array([], pa.int64())})
+        flat, _lens, doc_of = _flat_words(batch, col)
+        if len(flat) < 2:
+            return empty
+        same = doc_of[:-1] == doc_of[1:]
+        if not same.any():
+            return empty
+        w1 = flat.slice(0, len(flat) - 1).filter(pa.array(same))
+        w2 = flat.slice(1).filter(pa.array(same))
+        bg = np.asarray(pc.binary_join_element_wise(w1, w2, " ")
+                        ).astype(str)
+        d = doc_of[:-1][same]
+        uniq, inv = np.unique(bg, return_inverse=True)
+        key = d * np.int64(len(uniq)) + inv
+        uk, k = np.unique(key, return_counts=True)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[(uk // len(uniq)).astype(np.int64)]),
+            "bigram": pa.array(uniq[(uk % len(uniq)).astype(np.int64)]
+                               .astype(object), pa.string()),
+            "k": pa.array(k.astype(np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_bigrams").to_numpy().astype(np.int64)
+        s = t.column("surprisal_e6").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bigrams": pa.array(n, pa.int64()),
+            "surprisal_e6": pa.array(s, pa.int64()),
+            "mean_surprisal_e6": pa.array(s // n, pa.int64())})
+
+    if method == "broadcast":
+        rows_bg, rows_w1 = {}, {}
+        for b in bgp.iter_batches(batch_size=65536,
+                                  batch_format="pyarrow"):
+            for bgm, tf, w1 in zip(b.column("bigram").to_pylist(),
+                                   b.column("tf").to_numpy(),
+                                   b.column("w1").to_pylist()):
+                rows_bg[bgm] = int(tf)
+                rows_w1[w1] = rows_w1.get(w1, 0) + int(tf)
+        bgs = np.array(sorted(rows_bg), dtype=str)
+        c2 = np.array([rows_bg[x] for x in bgs.tolist()], np.int64)
+        c1 = np.array([rows_w1[x.split(" ", 1)[0]] for x in bgs.tolist()],
+                      np.int64)
+        s_e6 = (np.floor(1e6 * np.log(c1 + n_vocab)).astype(np.int64)
+                - np.floor(1e6 * np.log(c2 + 1)).astype(np.int64))
+        lut_ref = ray.put((bgs, s_e6))
+
+        def score(batch: pa.Table) -> pa.Table:
+            t = doc_bg(batch)
+            if t.num_rows == 0:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "surprisal_e6": pa.array([], pa.int64()),
+                    "mean_surprisal_e6": pa.array([], pa.int64())})
+            keys, lut = ray.get(lut_ref)
+            i = np.searchsorted(keys, np.asarray(t.column("bigram"))
+                                .astype(str))
+            k = t.column("k").to_numpy().astype(np.int64)
+            d = t.column("doc_id").to_numpy().astype(np.int64)
+            ud, inv = np.unique(d, return_inverse=True)
+            n = np.zeros(len(ud), np.int64)
+            s = np.zeros(len(ud), np.int64)
+            np.add.at(n, inv, k)
+            np.add.at(s, inv, k * lut[i])
+            return pa.table({
+                "doc_id": pa.array(ud),
+                "n_bigrams": pa.array(n),
+                "surprisal_e6": pa.array(s),
+                "mean_surprisal_e6": pa.array(s // n)})
+
+        return ds.map_batches(score, batch_format="pyarrow",
+                              batch_size=2048)
+
+    # join path: bigram table ⋈ prefix counts → s_e6 table; doc pairs
+    # ⋈ s_e6 → per-doc grouped totals
+    c1 = bgp.groupby("w1").aggregate(Sum("tf", alias_name="c1"))
+    s_bgp = pa.schema([("bigram", pa.string()), ("tf", pa.int64()),
+                       ("w1", pa.string())])
+    s_c1 = pa.schema([("w1", pa.string()), ("c1", pa.int64())])
+    sj = drop_empty_blocks(bgp, s_bgp).join(
+        drop_empty_blocks(c1, s_c1), "inner", 8, on=("w1",))
+
+    def add_s(t: pa.Table) -> pa.Table:
+        c2 = t.column("tf").to_numpy().astype(np.int64)
+        c1v = t.column("c1").to_numpy().astype(np.int64)
+        s = (np.floor(1e6 * np.log(c1v + n_vocab)).astype(np.int64)
+             - np.floor(1e6 * np.log(c2 + 1)).astype(np.int64))
+        return pa.table({"bigram": t.column("bigram"),
+                         "s_e6": pa.array(s, pa.int64())})
+
+    sup = sj.map_batches(add_s, batch_format="pyarrow")
+    pairs = ds.map_batches(doc_bg, batch_format="pyarrow",
+                           batch_size=2048)
+    s_pairs = pa.schema([("doc_id", pa.int64()), ("bigram", pa.string()),
+                         ("k", pa.int64())])
+    s_sup = pa.schema([("bigram", pa.string()), ("s_e6", pa.int64())])
+    j = drop_empty_blocks(pairs, s_pairs).join(
+        drop_empty_blocks(sup, s_sup), "inner", 8, on=("bigram",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy().astype(np.int64)
+        s = t.column("s_e6").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "nbg_p": pa.array(k, pa.int64()),
+                         "sup_p": pa.array(k * s, pa.int64())})
+
+    g = (j.map_batches(contrib, batch_format="pyarrow")
+         .groupby("doc_id")
+         .aggregate(Sum("nbg_p", alias_name="n_bigrams"),
+                    Sum("sup_p", alias_name="surprisal_e6")))
+    return g.map_batches(finish, batch_format="pyarrow")

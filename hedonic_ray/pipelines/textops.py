@@ -1397,6 +1397,13 @@ def lm_scores(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
 
+def bigram_lm(sf_dir: str):
+    """Per-doc bigram-LM surprisal quality scores
+    (`ops/textstats.py:bigram_lm_scores`), doc_id order."""
+    return ts.bigram_lm_scores(
+        _docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
+
+
 def bm25_scores(sf_dir: str) -> pa.Table:
     """Exact-integer Lucene-BM25 top-10 docs for two fixed 2-term
     queries (`ops/textstats.py:bm25_topk`), (query, score desc,

@@ -181,7 +181,7 @@ SQL_CHECKED = sorted([
     "rel_q11_value", "rel_q12_priority", "rel_q15_top_supplier",
     "rel_q16_partcount", "rel_q19_disjunct", "rel_q20_promo",
     "text_bm25", "text_entropy", "graph_neighborhood", "graph_salsa",
-    "multimodal_audio_energy",
+    "multimodal_audio_energy", "text_bigram_lm",
 ])
 
 
@@ -254,6 +254,7 @@ FORCED_SCALE = sorted([
     "sim_pq_adc",           # serving-actor LUT build (no driver LUT)
     "graph_critical_path",  # resident-shard-state max-plus supersteps
     "graph_trustrank",      # resident-shard-state rank vectors (both)
+    "text_bigram_lm",          # bigram s_e6 join path
     "text_lm_score",        # (doc, term, k) ⋈ surprisal hash-join path
     "graph_node2vec",       # edge-membership marker-join path
     "graph_pagerank_refresh",  # warm-start rank0 through the shard spec
