@@ -1586,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": lg.doc_sssp,
         "graph_diameter": lg.doc_diameter,
         "graph_neighborhood": lg.doc_neighborhood_function,
+        "graph_eccentricity": lg.doc_eccentricity,
         "graph_salsa": lg.doc_salsa,
         "graph_earliest_arrival": _nav_earliest_arrival,
         "rel_entry_exit": _nav_entry_exit,
@@ -1763,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": tx.semantic_dedup_table,
         "sim_knn_clusters": tx.knn_mutual_clusters,
         "sim_centroid_classify": tx.centroid_classify,
+        "sim_pca_power": tx.pca_direction,
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
@@ -2436,6 +2438,25 @@ ORDER BY community"""),
                         // (htot.nh * hst.s) AS BIGINT)
             FROM hu JOIN hst USING (comp), htot
             ORDER BY side, vertex
+        """,
+        "graph_eccentricity": f"""
+            -- per-vertex eccentricity (radius-capped max BFS dist;
+            -- isolated vertices 0 via the self-pair); recursion cap
+            -- 32 == the engine round cap
+            WITH RECURSIVE {_LINKS_CTE},
+            arcs AS (SELECT src, dst FROM e
+                     UNION SELECT dst, src FROM e),
+            bfs(src, dst, h) AS (
+                SELECT doc_id, doc_id, CAST(0 AS BIGINT)
+                FROM documents
+                UNION
+                SELECT b.src, a.dst, b.h + 1
+                FROM bfs b JOIN arcs a ON a.src = b.dst
+                WHERE b.h < 32),
+            dist AS (SELECT src, dst, CAST(MIN(h) AS BIGINT) AS d
+                     FROM bfs GROUP BY 1, 2)
+            SELECT src AS vertex, CAST(MAX(d) AS BIGINT) AS ecc
+            FROM dist GROUP BY 1 ORDER BY 1
         """,
         "graph_neighborhood": f"""
             -- exact neighborhood function: cumulative ordered pairs
@@ -5804,6 +5825,42 @@ ORDER BY community"""),
             SELECT passage, count(*) AS n_occ,
                    count(DISTINCT doc_id) AS n_docs
             FROM c GROUP BY passage HAVING count(*) > 1
+        """,
+        "sim_pca_power": """
+            -- leading PCA direction by 4-round integer power
+            -- iteration on M = sum q q^T (q = FLOOR(x*1e4)); each
+            -- round rescales by the sign-split // of max|Mv|/2^17 --
+            -- identical trunc arithmetic on both engines
+            WITH E AS MATERIALIZED (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                            AS BIGINT) AS q
+                FROM embeddings),
+            M AS MATERIALIZED (
+                SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS m
+                FROM E a JOIN E b USING (vec_id) GROUP BY 1, 2),
+            v0 AS (SELECT DISTINCT i, CAST(1 AS BIGINT) AS val FROM E),
+            w1 AS (SELECT m.i, CAST(SUM(m.m * v.val) AS BIGINT) AS val
+                   FROM M m JOIN v0 v ON v.i = m.j GROUP BY 1),
+            d1 AS (SELECT GREATEST(1, CAST(MAX(ABS(val)) AS BIGINT) // 131072) AS d FROM w1),
+            v1 AS (SELECT i, CAST(CASE WHEN val >= 0 THEN val // d
+                                  ELSE -((-val) // d) END AS BIGINT) AS val FROM w1, d1),
+            w2 AS (SELECT m.i, CAST(SUM(m.m * v.val) AS BIGINT) AS val
+                   FROM M m JOIN v1 v ON v.i = m.j GROUP BY 1),
+            d2 AS (SELECT GREATEST(1, CAST(MAX(ABS(val)) AS BIGINT) // 131072) AS d FROM w2),
+            v2 AS (SELECT i, CAST(CASE WHEN val >= 0 THEN val // d
+                                  ELSE -((-val) // d) END AS BIGINT) AS val FROM w2, d2),
+            w3 AS (SELECT m.i, CAST(SUM(m.m * v.val) AS BIGINT) AS val
+                   FROM M m JOIN v2 v ON v.i = m.j GROUP BY 1),
+            d3 AS (SELECT GREATEST(1, CAST(MAX(ABS(val)) AS BIGINT) // 131072) AS d FROM w3),
+            v3 AS (SELECT i, CAST(CASE WHEN val >= 0 THEN val // d
+                                  ELSE -((-val) // d) END AS BIGINT) AS val FROM w3, d3),
+            w4 AS (SELECT m.i, CAST(SUM(m.m * v.val) AS BIGINT) AS val
+                   FROM M m JOIN v3 v ON v.i = m.j GROUP BY 1),
+            d4 AS (SELECT GREATEST(1, CAST(MAX(ABS(val)) AS BIGINT) // 131072) AS d FROM w4),
+            v4 AS (SELECT i, CAST(CASE WHEN val >= 0 THEN val // d
+                                  ELSE -((-val) // d) END AS BIGINT) AS val FROM w4, d4)
+            SELECT i AS dim, val AS v FROM v4 ORDER BY dim
         """,
         "sim_centroid_classify": """
             -- exact nearest-centroid (Rocchio) re-assignment: quantize

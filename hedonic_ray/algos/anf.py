@@ -38,12 +38,18 @@ def _popcount_total(bits: np.ndarray) -> int:
     return int(_POP8[bits.view(np.uint8)].sum(dtype=np.int64))
 
 
-def neighborhood_function(g, *, rounds: int = 32):
+def neighborhood_function(g, *, rounds: int = 32,
+                          return_ecc: bool = False):
     """(h, n_pairs) rows for h = 0..min(diameter, rounds): n_pairs =
     ordered pairs within distance h (self-pairs included at h = 0).
     The round cap MUST equal the SQL oracle's unroll/recursion cap
     (fixed-round parity rule); both saturate at the true diameter
-    when it is below the cap."""
+    when it is below the cap.
+
+    ``return_ecc=True`` also returns the per-vertex ECCENTRICITY
+    (max distance to any reachable vertex, radius-capped) — free from
+    the same run: a vertex's eccentricity is the last round its
+    bitset changed."""
     import ray
 
     import pyarrow as pa
@@ -60,7 +66,8 @@ def neighborhood_function(g, *, rounds: int = 32):
     bits[v, v >> 6] |= np.uint64(1) << (v.astype(np.uint64) & np.uint64(63))
 
     counts = [_popcount_total(bits)]  # h = 0: the n self-pairs
-    for _ in range(rounds):
+    ecc = np.zeros(n, np.int64)
+    for rnd in range(1, rounds + 1):
         bref = ray.put(bits)
 
         def pull(batch: pa.Table) -> pa.Table:
@@ -102,8 +109,11 @@ def neighborhood_function(g, *, rounds: int = 32):
                               offset=arr.offset * 8 * w
                               ).reshape(len(arr), w)
             np.bitwise_or.at(new_bits, d, a)
-        if np.array_equal(new_bits, bits):
+        changed = (new_bits != bits).any(axis=1)
+        if not changed.any():
             break  # saturated below the cap == the SQL fixed point
+        ecc[changed] = rnd
         bits = new_bits
         counts.append(_popcount_total(bits))
-    return np.array(counts, dtype=np.int64)
+    out = np.array(counts, dtype=np.int64)
+    return (out, ecc) if return_ecc else out

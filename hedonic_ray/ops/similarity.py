@@ -1633,3 +1633,55 @@ def kmeans_iterations(emb_ds, *, n_clusters: int = 4, iters: int = 3,
         "centroid_q": pa.array(cent.reshape(-1)),
         "n_members": pa.array(np.repeat(counts, dim)),
     })
+
+
+def pca_power_direction(ds, *, col="embedding", rounds=4,
+                        scale=10_000, shift=131_072):
+    """Leading PCA direction of the (uncentered) embedding
+    second-moment matrix M = Σ q qᵀ by FIXED-ROUND integer power
+    iteration, exact cross-engine: q = floor(float64(x)·scale)
+    (the centroid-classify quantization), M accumulates as int64
+    per-batch (dim, dim) partials, and each round rescales
+    v ← signdiv(M v, max(1, max|Mv| // shift)) with the sign-split
+    // (trunc) on both engines — all arithmetic integer after the
+    one IEEE quantize multiply.  Round cap MUST match the SQL
+    unroll.  Columns: dim, v."""
+
+    def mpart(t: pa.Table) -> pa.Table:
+        colv = t.column(col)
+        if isinstance(colv, pa.ChunkedArray):
+            colv = colv.combine_chunks()
+        flat = colv.flatten().to_numpy(zero_copy_only=False)
+        d = len(colv[0]) if len(colv) else 0
+        x = flat.astype(np.float64).reshape(-1, d)
+        q = np.floor(x * scale).astype(np.int64)
+        m = q.T @ q
+        i, j = np.divmod(np.arange(d * d, dtype=np.int64), d)
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "m": pa.array(m.ravel())})
+
+    M = None
+    for b in ds.map_batches(mpart, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        i = b.column("i").to_numpy()
+        j = b.column("j").to_numpy()
+        m = b.column("m").to_numpy()
+        d = int(i.max()) + 1
+        if M is None:
+            M = np.zeros((d, d), np.int64)
+        np.add.at(M, (i, j), m)
+    if M is None:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+    dim = M.shape[0]
+    v = np.ones(dim, np.int64)
+    for _ in range(rounds):
+        assert int(np.abs(M).max()) * int(np.abs(v).max()) * dim \
+            < 2**63, "matvec overflow: raise shift divisor"
+        w = M @ v
+        d = max(1, int(np.abs(w).max()) // shift)
+        v = np.sign(w) * (np.abs(w) // d)  # trunc == SQL signed //
+    return pa.table({"dim": pa.array(np.arange(dim, dtype=np.int64)),
+                     "v": pa.array(v)})

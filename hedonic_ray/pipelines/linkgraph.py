@@ -1152,6 +1152,23 @@ def doc_neighborhood_function(sf_dir: str, *, rounds: int = 32) -> pa.Table:
                      "pct_e6": pa.array(pct.astype(np.int64))})
 
 
+def doc_eccentricity(sf_dir: str, *, rounds: int = 32) -> pa.Table:
+    """Per-vertex ECCENTRICITY of the undirected doc graph (max
+    distance to any reachable vertex, radius-capped at ``rounds``) —
+    free from the neighborhood-function bitset run
+    (`algos/anf.py:neighborhood_function(return_ecc=True)`: a
+    vertex's eccentricity is the last round its reachability bitset
+    changed).  Isolated vertices report 0, matching the SQL's
+    self-pair MAX.  Columns: vertex, ecc."""
+    from hedonic_ray.algos.anf import neighborhood_function
+
+    g = doc_graph(sf_dir, directed=False)
+    _counts, ecc = neighborhood_function(g, rounds=rounds,
+                                         return_ecc=True)
+    return pa.table({"vertex": pa.array(np.arange(g.n, dtype=np.int64)),
+                     "ecc": pa.array(ecc)})
+
+
 def doc_diameter(sf_dir: str, *, rounds: int = 6) -> pa.Table:
     """DOUBLE-SWEEP DIAMETER lower bound, radius-``rounds``-capped
     fixed-round semantics (the standard 2-sweep heuristic: BFS from

@@ -1251,6 +1251,21 @@ def pack_plan(sf_dir: str, chunk_tokens: int = 512):
                         chunk_tokens=chunk_tokens).sort("doc_id")
 
 
+def pca_direction(sf_dir: str) -> pa.Table:
+    """Leading PCA direction of the embedding second-moment matrix by
+    fixed-round integer power iteration
+    (`ops/similarity.pca_power_direction`), dim order."""
+    import ray.data as rd
+
+    from hedonic_ray.context import configure_context
+    from hedonic_ray.ops.similarity import pca_power_direction
+
+    configure_context()
+    return pca_power_direction(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"]))
+
+
 def centroid_classify(sf_dir: str):
     """Exact nearest-centroid label re-assignment over the embeddings
     table (`ops/similarity.centroid_classify`)."""

@@ -181,7 +181,8 @@ SQL_CHECKED = sorted([
     "rel_q11_value", "rel_q12_priority", "rel_q15_top_supplier",
     "rel_q16_partcount", "rel_q19_disjunct", "rel_q20_promo",
     "text_bm25", "text_entropy", "graph_neighborhood", "graph_salsa",
-    "multimodal_audio_energy", "text_bigram_lm",
+    "multimodal_audio_energy", "text_bigram_lm", "sim_pca_power",
+    "graph_eccentricity",
 ])
 
 
