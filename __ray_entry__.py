@@ -1765,6 +1765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_clusters": tx.knn_mutual_clusters,
         "sim_centroid_classify": tx.centroid_classify,
         "sim_pca_power": tx.pca_direction,
+        "sim_greedy_search": tx.greedy_search,
         "multimodal_decode": tx.multimodal_decode,
         "multimodal_resize": tx.multimodal_resize,
         "multimodal_frames": tx.multimodal_frames,
@@ -5825,6 +5826,200 @@ ORDER BY community"""),
             SELECT passage, count(*) AS n_occ,
                    count(DISTINCT doc_id) AS n_docs
             FROM c GROUP BY passage HAVING count(*) > 1
+        """,
+        "sim_greedy_search": """
+            -- greedy routing on the exact 3-NN cosine graph: start at
+            -- vector 0, move to the best of cur + neighbors by the
+            -- packed (score_e6, -id) key; 8 unrolled rounds == the
+            -- engine cap; self-similarity pinned to 1000000
+            WITH scored AS MATERIALIZED (
+                SELECT a.vec_id AS src, b.vec_id AS nbr,
+                       CAST(ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) * 1e6)
+                            AS BIGINT) AS score_e6
+                FROM embeddings a JOIN embeddings b
+                     ON a.vec_id <> b.vec_id),
+            g AS MATERIALIZED (
+                SELECT src, nbr FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY src
+                        ORDER BY score_e6 DESC, nbr) AS rank
+                    FROM scored) WHERE rank <= 3),
+            q AS (SELECT vec_id AS qid FROM embeddings
+                  WHERE vec_id % 25 = 0),
+            qscores AS MATERIALIZED (
+                SELECT q.qid, s.nbr AS node, s.score_e6
+                FROM q JOIN scored s ON s.src = q.qid
+                UNION ALL
+                SELECT qid, qid, CAST(1000000 AS BIGINT) FROM q),
+            c0 AS (SELECT q.qid, CAST(0 AS BIGINT) AS cur,
+                          CAST(0 AS BIGINT) AS hops FROM q),
+            cand1 AS MATERIALIZED (
+                SELECT c.qid, c.cur AS cand FROM c0 c
+                UNION ALL
+                SELECT c.qid, g.nbr FROM c0 c
+                JOIN g ON g.src = c.cur),
+            b1 AS MATERIALIZED (
+                SELECT d.qid,
+                       MAX((qs.score_e6 + 1000001) * 4294967296
+                           + (4294967295 - d.cand)) AS pk
+                FROM cand1 d JOIN qscores qs
+                  ON qs.qid = d.qid AND qs.node = d.cand
+                GROUP BY d.qid),
+            c1 AS MATERIALIZED (
+                SELECT b.qid,
+                       CAST(4294967295 - (b.pk % 4294967296)
+                            AS BIGINT) AS cur,
+                       c.hops + CASE WHEN 4294967295
+                                - (b.pk % 4294967296) <> c.cur
+                                THEN 1 ELSE 0 END AS hops
+                FROM b1 b JOIN c0 c USING (qid)),
+            cand2 AS MATERIALIZED (
+                SELECT c.qid, c.cur AS cand FROM c1 c
+                UNION ALL
+                SELECT c.qid, g.nbr FROM c1 c
+                JOIN g ON g.src = c.cur),
+            b2 AS MATERIALIZED (
+                SELECT d.qid,
+                       MAX((qs.score_e6 + 1000001) * 4294967296
+                           + (4294967295 - d.cand)) AS pk
+                FROM cand2 d JOIN qscores qs
+                  ON qs.qid = d.qid AND qs.node = d.cand
+                GROUP BY d.qid),
+            c2 AS MATERIALIZED (
+                SELECT b.qid,
+                       CAST(4294967295 - (b.pk % 4294967296)
+                            AS BIGINT) AS cur,
+                       c.hops + CASE WHEN 4294967295
+                                - (b.pk % 4294967296) <> c.cur
+                                THEN 1 ELSE 0 END AS hops
+                FROM b2 b JOIN c1 c USING (qid)),
+            cand3 AS MATERIALIZED (
+                SELECT c.qid, c.cur AS cand FROM c2 c
+                UNION ALL
+                SELECT c.qid, g.nbr FROM c2 c
+                JOIN g ON g.src = c.cur),
+            b3 AS MATERIALIZED (
+                SELECT d.qid,
+                       MAX((qs.score_e6 + 1000001) * 4294967296
+                           + (4294967295 - d.cand)) AS pk
+                FROM cand3 d JOIN qscores qs
+                  ON qs.qid = d.qid AND qs.node = d.cand
+                GROUP BY d.qid),
+            c3 AS MATERIALIZED (
+                SELECT b.qid,
+                       CAST(4294967295 - (b.pk % 4294967296)
+                            AS BIGINT) AS cur,
+                       c.hops + CASE WHEN 4294967295
+                                - (b.pk % 4294967296) <> c.cur
+                                THEN 1 ELSE 0 END AS hops
+                FROM b3 b JOIN c2 c USING (qid)),
+            cand4 AS MATERIALIZED (
+                SELECT c.qid, c.cur AS cand FROM c3 c
+                UNION ALL
+                SELECT c.qid, g.nbr FROM c3 c
+                JOIN g ON g.src = c.cur),
+            b4 AS MATERIALIZED (
+                SELECT d.qid,
+                       MAX((qs.score_e6 + 1000001) * 4294967296
+                           + (4294967295 - d.cand)) AS pk
+                FROM cand4 d JOIN qscores qs
+                  ON qs.qid = d.qid AND qs.node = d.cand
+                GROUP BY d.qid),
+            c4 AS MATERIALIZED (
+                SELECT b.qid,
+                       CAST(4294967295 - (b.pk % 4294967296)
+                            AS BIGINT) AS cur,
+                       c.hops + CASE WHEN 4294967295
+                                - (b.pk % 4294967296) <> c.cur
+                                THEN 1 ELSE 0 END AS hops
+                FROM b4 b JOIN c3 c USING (qid)),
+            cand5 AS MATERIALIZED (
+                SELECT c.qid, c.cur AS cand FROM c4 c
+                UNION ALL
+                SELECT c.qid, g.nbr FROM c4 c
+                JOIN g ON g.src = c.cur),
+            b5 AS MATERIALIZED (
+                SELECT d.qid,
+                       MAX((qs.score_e6 + 1000001) * 4294967296
+                           + (4294967295 - d.cand)) AS pk
+                FROM cand5 d JOIN qscores qs
+                  ON qs.qid = d.qid AND qs.node = d.cand
+                GROUP BY d.qid),
+            c5 AS MATERIALIZED (
+                SELECT b.qid,
+                       CAST(4294967295 - (b.pk % 4294967296)
+                            AS BIGINT) AS cur,
+                       c.hops + CASE WHEN 4294967295
+                                - (b.pk % 4294967296) <> c.cur
+                                THEN 1 ELSE 0 END AS hops
+                FROM b5 b JOIN c4 c USING (qid)),
+            cand6 AS MATERIALIZED (
+                SELECT c.qid, c.cur AS cand FROM c5 c
+                UNION ALL
+                SELECT c.qid, g.nbr FROM c5 c
+                JOIN g ON g.src = c.cur),
+            b6 AS MATERIALIZED (
+                SELECT d.qid,
+                       MAX((qs.score_e6 + 1000001) * 4294967296
+                           + (4294967295 - d.cand)) AS pk
+                FROM cand6 d JOIN qscores qs
+                  ON qs.qid = d.qid AND qs.node = d.cand
+                GROUP BY d.qid),
+            c6 AS MATERIALIZED (
+                SELECT b.qid,
+                       CAST(4294967295 - (b.pk % 4294967296)
+                            AS BIGINT) AS cur,
+                       c.hops + CASE WHEN 4294967295
+                                - (b.pk % 4294967296) <> c.cur
+                                THEN 1 ELSE 0 END AS hops
+                FROM b6 b JOIN c5 c USING (qid)),
+            cand7 AS MATERIALIZED (
+                SELECT c.qid, c.cur AS cand FROM c6 c
+                UNION ALL
+                SELECT c.qid, g.nbr FROM c6 c
+                JOIN g ON g.src = c.cur),
+            b7 AS MATERIALIZED (
+                SELECT d.qid,
+                       MAX((qs.score_e6 + 1000001) * 4294967296
+                           + (4294967295 - d.cand)) AS pk
+                FROM cand7 d JOIN qscores qs
+                  ON qs.qid = d.qid AND qs.node = d.cand
+                GROUP BY d.qid),
+            c7 AS MATERIALIZED (
+                SELECT b.qid,
+                       CAST(4294967295 - (b.pk % 4294967296)
+                            AS BIGINT) AS cur,
+                       c.hops + CASE WHEN 4294967295
+                                - (b.pk % 4294967296) <> c.cur
+                                THEN 1 ELSE 0 END AS hops
+                FROM b7 b JOIN c6 c USING (qid)),
+            cand8 AS MATERIALIZED (
+                SELECT c.qid, c.cur AS cand FROM c7 c
+                UNION ALL
+                SELECT c.qid, g.nbr FROM c7 c
+                JOIN g ON g.src = c.cur),
+            b8 AS MATERIALIZED (
+                SELECT d.qid,
+                       MAX((qs.score_e6 + 1000001) * 4294967296
+                           + (4294967295 - d.cand)) AS pk
+                FROM cand8 d JOIN qscores qs
+                  ON qs.qid = d.qid AND qs.node = d.cand
+                GROUP BY d.qid),
+            c8 AS MATERIALIZED (
+                SELECT b.qid,
+                       CAST(4294967295 - (b.pk % 4294967296)
+                            AS BIGINT) AS cur,
+                       c.hops + CASE WHEN 4294967295
+                                - (b.pk % 4294967296) <> c.cur
+                                THEN 1 ELSE 0 END AS hops
+                FROM b8 b JOIN c7 c USING (qid))
+            SELECT c.qid AS query_id, c.cur AS found,
+                   qs.score_e6, c.hops
+            FROM c8 c JOIN qscores qs
+              ON qs.qid = c.qid AND qs.node = c.cur
+            ORDER BY query_id
         """,
         "sim_pca_power": """
             -- leading PCA direction by 4-round integer power

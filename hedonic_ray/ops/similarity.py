@@ -1685,3 +1685,139 @@ def pca_power_direction(ds, *, col="embedding", rounds=4,
         v = np.sign(w) * (np.abs(w) // d)  # trunc == SQL signed //
     return pa.table({"dim": pa.array(np.arange(dim, dtype=np.int64)),
                      "v": pa.array(v)})
+
+
+def greedy_knn_search(emb_ds, *, k: int = 3, query_stride: int = 25,
+                      rounds: int = 8, entry: int = 0,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      query_cap: int = 65_536):
+    """NSW/HNSW-layer-0-style GREEDY ROUTING over the exact k-NN
+    graph — the navigable-graph SERVING path (Malkov & Yashunin
+    2016): every query starts at ``entry`` and each round moves to
+    the best of {cur} ∪ N(cur) by the rounded ×1e6 cosine (ties →
+    lowest id via the packed composite key; self-similarity pinned to
+    literal 1000000 on both engines), stopping when no neighbor
+    improves.  The fixed ``rounds`` cap MUST equal the SQL unroll
+    (early exit ≡ unroll once nothing moves).
+
+    Shape: the routing graph is :func:`knn_graph_ds` (distributed,
+    exact at full nprobe) with each neighbor's vector attached by ONE
+    edges ⋈ embeddings hash join; per round ONE ``map_batches`` over
+    that joined table scores the frontier's adjacency against the
+    broadcast query matrix and emits per-query packed argmax partials
+    — driver state is O(#queries), the corpus never lands on the
+    driver.  The query set is bounded (``query_cap`` assert, the
+    pq_adc posture).  Columns: query_id, found, score_e6, hops."""
+    import ray
+
+    from hedonic_ray.context import drop_empty_blocks
+
+    edges = knn_graph_ds(emb_ds, k=k, id_col=id_col, vec_col=vec_col)
+
+    def pack_vec(t: pa.Table) -> pa.Table:
+        # Ray's hash join rejects list-typed payload columns — ship
+        # the unit vector as one FixedSizeBinary float64 row instead
+        m = np.ascontiguousarray(
+            _normalize(_batch_matrix(t, vec_col, np.float64)))
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(8 * m.shape[1]), len(m),
+            [None, pa.py_buffer(m.tobytes())])
+        return pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                         "vec": fsb})
+
+    packed = emb_ds.map_batches(pack_vec, batch_format="pyarrow")
+    s_e = pa.schema([("src", pa.int64()), ("rank", pa.int64()),
+                     ("nbr", pa.int64()), ("score_e6", pa.int64())])
+    dim_probe = len(emb_ds.take(1)[0][vec_col])
+    s_v = pa.schema([(id_col, pa.int64()),
+                     ("vec", pa.binary(8 * dim_probe))])
+    # materialize ONCE: the rounds loop re-iterates this Dataset, and
+    # an unmaterialized plan would re-run the knn build + join per
+    # round (8x the work)
+    ej = drop_empty_blocks(edges, s_e).join(
+        drop_empty_blocks(packed, s_v), "inner", 8,
+        on=("nbr",), right_on=(id_col,)).select_columns(
+        ["src", "nbr", "vec"]).materialize()
+
+    # bounded query set + the entry vector (driver pulls O(Q) rows)
+    qrows, ventry = [], None
+    for b in emb_ds.iter_batches(batch_size=4096,
+                                 batch_format="pyarrow"):
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        m = _normalize(_batch_matrix(b, vec_col, np.float64))
+        sel = np.flatnonzero(ids % query_stride == 0)
+        if len(sel):
+            qrows.append((ids[sel], m[sel]))
+        e = np.flatnonzero(ids == entry)
+        if len(e):
+            ventry = m[e[0]]
+    assert ventry is not None, f"entry vector {entry} missing"
+    qids = np.concatenate([r[0] for r in qrows])
+    order = np.argsort(qids)
+    qids = qids[order]
+    qmat = np.concatenate([r[1] for r in qrows], axis=0)[order]
+    assert len(qids) <= query_cap, \
+        f"{len(qids)} queries exceed the bounded-serving cap"
+
+    nq = len(qids)
+    cur = np.full(nq, entry, np.int64)
+    cur_score = np.where(qids == entry, 1_000_000,
+                         np.rint((qmat @ ventry) * 1e6)).astype(np.int64)
+    hops = np.zeros(nq, np.int64)
+    shift = np.int64(1_000_001)  # score floor: make packed keys > 0
+
+    def pack(score, node):
+        return ((score + shift) << np.int64(32)) \
+            + (np.int64(0xFFFFFFFF) - node)
+
+    for _ in range(rounds):
+        bref = ray.put((cur, qmat, qids))
+
+        def step(t: pa.Table) -> pa.Table:
+            c, qm, qi = ray.get(bref)
+            src = t.column("src").to_numpy().astype(np.int64)
+            cs = np.unique(c)
+            i = np.searchsorted(cs, src)
+            i[i == len(cs)] = 0
+            sel = np.flatnonzero(cs[i] == src)
+            if not len(sel):
+                return pa.table({"q": pa.array([], pa.int64()),
+                                 "pk": pa.array([], pa.int64())})
+            sub = t.take(pa.array(sel))
+            nbr = sub.column("nbr").to_numpy().astype(np.int64)
+            vcol = sub.column("vec")
+            varr = (vcol.combine_chunks()
+                    if isinstance(vcol, pa.ChunkedArray) else vcol)
+            w = varr.type.byte_width // 8
+            m = np.frombuffer(varr.buffers()[1], dtype=np.float64,
+                              count=len(varr) * w,
+                              offset=varr.offset * 8 * w
+                              ).reshape(len(varr), w)
+            se6 = np.rint((qm @ m.T) * 1e6).astype(np.int64)
+            se6[qi[:, None] == nbr[None, :]] = 1_000_000  # self pin
+            valid = c[:, None] == src[sel][None, :]
+            key = np.where(valid, pack(se6, nbr[None, :]), 0)
+            best = key.max(axis=1)
+            nz = np.flatnonzero(best > 0)
+            return pa.table({"q": pa.array(nz.astype(np.int64)),
+                             "pk": pa.array(best[nz])})
+
+        agg = np.zeros(nq, np.int64)
+        for b in ej.map_batches(step, batch_format="pyarrow") \
+                .iter_batches(batch_size=65536, batch_format="pyarrow"):
+            if b.num_rows:
+                np.maximum.at(agg, b.column("q").to_numpy(),
+                              b.column("pk").to_numpy())
+        stay = pack(cur_score, cur)
+        move = agg > stay
+        if not move.any():
+            break  # converged ≡ the remaining SQL rounds are no-ops
+        cur[move] = np.int64(0xFFFFFFFF) - (agg[move]
+                                            & np.int64(0xFFFFFFFF))
+        cur_score[move] = (agg[move] >> np.int64(32)) - shift
+        hops[move] += 1
+    return pa.table({"query_id": pa.array(qids),
+                     "found": pa.array(cur),
+                     "score_e6": pa.array(cur_score),
+                     "hops": pa.array(hops)})

@@ -1251,6 +1251,20 @@ def pack_plan(sf_dir: str, chunk_tokens: int = 512):
                         chunk_tokens=chunk_tokens).sort("doc_id")
 
 
+def greedy_search(sf_dir: str) -> pa.Table:
+    """Greedy routing over the exact k-NN graph for the stride-25
+    query set (`ops/similarity.greedy_knn_search`), query order."""
+    import ray.data as rd
+
+    from hedonic_ray.context import configure_context
+    from hedonic_ray.ops.similarity import greedy_knn_search
+
+    configure_context()
+    return greedy_knn_search(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]))
+
+
 def pca_direction(sf_dir: str) -> pa.Table:
     """Leading PCA direction of the embedding second-moment matrix by
     fixed-round integer power iteration

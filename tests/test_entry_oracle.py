@@ -182,7 +182,7 @@ SQL_CHECKED = sorted([
     "rel_q16_partcount", "rel_q19_disjunct", "rel_q20_promo",
     "text_bm25", "text_entropy", "graph_neighborhood", "graph_salsa",
     "multimodal_audio_energy", "text_bigram_lm", "sim_pca_power",
-    "graph_eccentricity",
+    "graph_eccentricity", "sim_greedy_search",
 ])
 
 
@@ -256,6 +256,7 @@ FORCED_SCALE = sorted([
     "graph_critical_path",  # resident-shard-state max-plus supersteps
     "graph_trustrank",      # resident-shard-state rank vectors (both)
     "text_bigram_lm",          # bigram s_e6 join path
+    "sim_greedy_search",       # IVF-routed knn edges under force_scale
     "text_lm_score",        # (doc, term, k) ⋈ surprisal hash-join path
     "graph_node2vec",       # edge-membership marker-join path
     "graph_pagerank_refresh",  # warm-start rank0 through the shard spec
