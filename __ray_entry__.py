@@ -1654,6 +1654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q16_partcount": rel.parts_supplier_counts,
         "rel_q19_disjunct": rel.disjunctive_revenue,
         "rel_q20_promo": rel.promotion_share_suppliers,
+        "rel_rolling_active": rel.rolling_active_users,
+        "rel_holt": rel.holt_trend,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
         "rel_pivot": rel.event_type_pivot,
@@ -5192,6 +5194,72 @@ ORDER BY community"""),
             FROM win JOIN supplier s ON s.s_suppkey = win.l_suppkey
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE n.n_regionkey = 0 ORDER BY s.s_suppkey
+        """,
+        "rel_rolling_active": """
+            -- rolling 7-day active users: each distinct (day, user)
+            -- fact supports the 7 target days it falls in
+            WITH du AS MATERIALIZED (
+                SELECT DISTINCT CAST(epoch_us(ts) // 86400000000
+                                     AS BIGINT) AS day, user_id
+                FROM events),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM du GROUP BY 1),
+            exp AS (SELECT DISTINCT du.day + t.j AS day, du.user_id
+                    FROM du, range(7) t(j)),
+            wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+                    FROM exp GROUP BY 1)
+            SELECT d.day, d.dau, w.wau
+            FROM dau d JOIN wau w USING (day) ORDER BY d.day
+        """,
+        "rel_holt": """
+            -- Holt double exponential smoothing of daily revenue,
+            -- alpha=.2 beta=.1 as x1e3 integers; sign-split // since
+            -- the trend goes negative; init l1=x1, b1=x2-x1
+            WITH RECURSIVE d0 AS (
+                SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                            AS BIGINT) AS day,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS x
+                FROM orders GROUP BY 1),
+            d AS MATERIALIZED (
+                SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+                FROM d0),
+            h(rn, l, b) AS (
+                SELECT CAST(1 AS BIGINT), d1.x, d2.x - d1.x
+                FROM d d1, d d2 WHERE d1.rn = 1 AND d2.rn = 2
+                UNION ALL
+                SELECT h.rn + 1,
+                       CASE WHEN 200 * d.x + 800 * (h.l + h.b) >= 0
+                            THEN (200 * d.x + 800 * (h.l + h.b)) // 1000
+                            ELSE -((-(200 * d.x + 800 * (h.l + h.b)))
+                                   // 1000) END,
+                       CASE WHEN 100 * (CASE WHEN 200 * d.x
+                                 + 800 * (h.l + h.b) >= 0
+                                 THEN (200 * d.x + 800 * (h.l + h.b))
+                                      // 1000
+                                 ELSE -((-(200 * d.x
+                                           + 800 * (h.l + h.b)))
+                                        // 1000) END - h.l)
+                            + 900 * h.b >= 0
+                            THEN (100 * (CASE WHEN 200 * d.x
+                                 + 800 * (h.l + h.b) >= 0
+                                 THEN (200 * d.x + 800 * (h.l + h.b))
+                                      // 1000
+                                 ELSE -((-(200 * d.x
+                                           + 800 * (h.l + h.b)))
+                                        // 1000) END - h.l)
+                                  + 900 * h.b) // 1000
+                            ELSE -((-(100 * (CASE WHEN 200 * d.x
+                                 + 800 * (h.l + h.b) >= 0
+                                 THEN (200 * d.x + 800 * (h.l + h.b))
+                                      // 1000
+                                 ELSE -((-(200 * d.x
+                                           + 800 * (h.l + h.b)))
+                                        // 1000) END - h.l)
+                                     + 900 * h.b)) // 1000) END
+                FROM h JOIN d ON d.rn = h.rn + 1)
+            SELECT d.day, h.l AS level_c, h.b AS trend_c
+            FROM h JOIN d USING (rn) ORDER BY d.day
         """,
         "rel_autocorr": """
             -- lag-1 autocorrelation of daily order revenue: exact

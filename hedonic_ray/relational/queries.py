@@ -3860,3 +3860,106 @@ def promotion_share_suppliers(sf_dir: str, *, name_word: str = "large",
         "s_suppkey": pa.array(sk, pa.int64()),
         "s_name": pa.array(nv[i].astype(object) if len(sk) else [],
                            pa.string())})
+
+
+def rolling_active_users(sf_dir: str, *, window: int = 7):
+    """ROLLING 7-DAY ACTIVE USERS (DAU→WAU): per event day, the
+    distinct users of that day and of the trailing ``window``-day
+    range.  Sliding DISTINCT does not pre-aggregate, so the scale
+    shape is the EXPANSION join: each distinct (day, user) fact fans
+    out to the ``window`` target days it supports, one distinct
+    exchange collapses (target_day, user), one groupby counts — the
+    all-to-all carries day·user facts × window, never raw events.
+    Columns: day, dau, wau (days with ≥1 event)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def du_partial(t: pa.Table) -> pa.Table:
+        day = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        uniq = np.unique(np.stack([day, u], axis=1), axis=0)
+        return pa.table({"day": pa.array(uniq[:, 0]),
+                         "user_id": pa.array(uniq[:, 1])})
+
+    du = (ds.map_batches(du_partial, batch_format="pyarrow")
+          .groupby(["day", "user_id"])
+          .aggregate(Count(alias_name="_c")).drop_columns(["_c"]))
+
+    dau_rows = (du.groupby("day").aggregate(Count(alias_name="dau"))
+                .take_all())
+
+    def expand(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy().astype(np.int64)
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        off = np.arange(window, dtype=np.int64)
+        return pa.table({
+            "day": pa.array((day[:, None] + off[None, :]).ravel()),
+            "user_id": pa.array(np.repeat(u, window))})
+
+    wau_rows = (du.map_batches(expand, batch_format="pyarrow")
+                .groupby(["day", "user_id"])
+                .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+                .groupby("day").aggregate(Count(alias_name="wau"))
+                .take_all())
+    dau = {int(r["day"]): int(r["dau"]) for r in dau_rows}
+    wau = {int(r["day"]): int(r["wau"]) for r in wau_rows}
+    days = np.array(sorted(dau), np.int64)
+    return pa.table({
+        "day": pa.array(days),
+        "dau": pa.array([dau[int(d)] for d in days], pa.int64()),
+        "wau": pa.array([wau[int(d)] for d in days], pa.int64())})
+
+
+def holt_trend(sf_dir: str, *, alpha_e3: int = 200, beta_e3: int = 100):
+    """HOLT LINEAR-TREND double exponential smoothing of daily order
+    revenue (cents), exact integers: the classic recurrences
+
+        l_t = (α·x_t + (1−α)·(l + b)) ,  b_t = (β·(l_t − l) + (1−β)·b)
+
+    run with ×1e3 integer coefficients and the SIGN-SPLIT truncating
+    division (numpy floors, SQL truncates — the rel_covariance rule;
+    the trend can go negative).  Daily sums reduce distributed
+    (map_batches partials → one groupby); the recurrence itself is
+    inherently sequential over the ~O(calendar) day vector, a driver
+    scalar loop in exact Python ints — the same O(days) finish as the
+    autocorr/EMA family.  Init: l₁ = x₁, b₁ = x₂ − x₁.
+    Columns: day, level_c, trend_c."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // 86_400_000_000)
+        cents = np.rint(t.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        acc = np.zeros(len(ud), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"day": pa.array(ud), "rev": pa.array(acc)})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("rev", alias_name="rev"))
+            .take_all())
+    rows.sort(key=lambda r: int(r["day"]))
+    days = [int(r["day"]) for r in rows]
+    xs = [int(r["rev"]) for r in rows]
+    assert len(days) >= 2, "Holt needs at least two days"
+
+    def sdiv(v: int, d: int) -> int:  # trunc toward zero == SQL //
+        return v // d if v >= 0 else -((-v) // d)
+
+    lvl, trd = [xs[0]], [xs[1] - xs[0]]
+    for x in xs[1:]:
+        l_prev, b_prev = lvl[-1], trd[-1]
+        l_t = sdiv(alpha_e3 * x + (1000 - alpha_e3) * (l_prev + b_prev),
+                   1000)
+        b_t = sdiv(beta_e3 * (l_t - l_prev) + (1000 - beta_e3) * b_prev,
+                   1000)
+        lvl.append(l_t)
+        trd.append(b_t)
+    return pa.table({"day": pa.array(days, pa.int64()),
+                     "level_c": pa.array(lvl, pa.int64()),
+                     "trend_c": pa.array(trd, pa.int64())})

@@ -182,7 +182,8 @@ SQL_CHECKED = sorted([
     "rel_q16_partcount", "rel_q19_disjunct", "rel_q20_promo",
     "text_bm25", "text_entropy", "graph_neighborhood", "graph_salsa",
     "multimodal_audio_energy", "text_bigram_lm", "sim_pca_power",
-    "graph_eccentricity", "sim_greedy_search",
+    "graph_eccentricity", "sim_greedy_search", "rel_rolling_active",
+    "rel_holt",
 ])
 
 
