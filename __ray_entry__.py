@@ -1655,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q19_disjunct": rel.disjunctive_revenue,
         "rel_q20_promo": rel.promotion_share_suppliers,
         "rel_rolling_active": rel.rolling_active_users,
+        "rel_hll_users": rel.hll_distinct_users,
         "rel_holt": rel.holt_trend,
         "rel_scd_intervals": rel.event_validity_intervals,
         "rel_percentile_cont": rel.quantity_percentile_cont,
@@ -5194,6 +5195,48 @@ ORDER BY community"""),
             FROM win JOIN supplier s ON s.s_suppkey = win.l_suppkey
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             WHERE n.n_regionkey = 0 ORDER BY s.s_suppkey
+        """,
+        "rel_hll_users": """
+            -- HyperLogLog distinct-user audit vs the exact count:
+            -- h = (u*K1+K2) mod 2^64 (HUGEINT), bucket = top 6 bits,
+            -- rho via exact powers-of-two bit length (no float log2);
+            -- estimator (alpha_e6*m^2*2^59) // (1e6*S)
+            WITH RECURSIVE pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL SELECT k + 1, v * 2 FROM pw WHERE k < 60),
+            u AS (SELECT DISTINCT user_id FROM events),
+            h AS (SELECT (CAST(user_id AS HUGEINT)
+                          * 11400714819323198485::HUGEINT
+                          + 1442695040888963407::HUGEINT)
+                         % 18446744073709551616::HUGEINT AS h FROM u),
+            f AS (SELECT h // 288230376151711744::HUGEINT AS bucket,
+                         h % 288230376151711744::HUGEINT AS rest
+                  FROM h),
+            bl AS (SELECT f.bucket,
+                          COALESCE((SELECT MAX(pw.k) + 1 FROM pw
+                                    WHERE pw.k <= 57
+                                      AND pw.v <= f.rest), 0) AS bl
+                   FROM f),
+            reg AS (SELECT bucket,
+                           CAST(MAX(59 - bl) AS BIGINT) AS maxrho
+                    FROM bl GROUP BY 1),
+            allb AS (SELECT t.j AS bucket,
+                            COALESCE(reg.maxrho, 0) AS maxrho
+                     FROM range(64) t(j)
+                     LEFT JOIN reg ON reg.bucket = t.j),
+            S AS (SELECT CAST(SUM((SELECT v FROM pw
+                                   WHERE k = 59 - allb.maxrho))
+                              AS HUGEINT) AS s FROM allb),
+            ex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+            est AS (SELECT CAST((709000::HUGEINT * 64 * 64
+                                 * 576460752303423488::HUGEINT)
+                                // (1000000::HUGEINT * S.s) AS BIGINT)
+                        AS n_est FROM S)
+            SELECT CAST(64 AS BIGINT) AS m, ex.n AS n_exact,
+                   est.n_est,
+                   CAST((1000000 * ABS(est.n_est - ex.n))
+                        // GREATEST(ex.n, 1) AS BIGINT) AS err_e6
+            FROM ex, est
         """,
         "rel_rolling_active": """
             -- rolling 7-day active users: each distinct (day, user)

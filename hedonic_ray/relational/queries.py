@@ -3963,3 +3963,75 @@ def holt_trend(sf_dir: str, *, alpha_e3: int = 200, beta_e3: int = 100):
     return pa.table({"day": pa.array(days, pa.int64()),
                      "level_c": pa.array(lvl, pa.int64()),
                      "trend_c": pa.array(trd, pa.int64())})
+
+
+_HLL_K1 = 11400714819323198485   # 0x9E3779B97F4A7C15 (splitmix inc)
+_HLL_K2 = 1442695040888963407
+
+
+def hll_distinct_users(sf_dir: str, *, p: int = 6,
+                       alpha_e6: int = 709_000):
+    """HYPERLOGLOG DISTINCT-COUNT AUDIT over event users — the
+    mergeable-sketch primitive every 100-TB pipeline dashboards on,
+    with its error measured against the exact distinct count in the
+    same query (the `dedup_bloom` / `sim_recall_audit` audit shape).
+
+    Exact cross-engine contract: hash h = (u·K1 + K2) mod 2^64 (the
+    fingerprint-oracle HUGEINT idiom), bucket = top ``p`` bits via
+    h // 2^(64−p), rho = 1 + leading zeros of the remaining 58-bit
+    field (bit length via a searchsorted against exact powers of two
+    — no float log2, which mis-floors above 2^53).  The register MAX
+    is the mergeable partial (one per batch per bucket, one tiny
+    groupby); the estimator is the classic α·m²/Σ2^(−M_j) as the
+    truncating integer (α_e6·m²·2^59) // (1e6·S) with
+    S = Σ 2^(59−M_j) in exact Python ints.  Columns: m, n_exact,
+    n_est, err_e6."""
+    from ray.data.aggregate import Count, Max
+
+    m = 1 << p
+    rest_bits = 64 - p
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy()).astype(np.uint64)
+        h = u * np.uint64(_HLL_K1) + np.uint64(_HLL_K2)
+        bucket = (h >> np.uint64(rest_bits)).astype(np.int64)
+        rest = h & np.uint64((1 << rest_bits) - 1)
+        powers = (np.uint64(1) << np.arange(rest_bits, dtype=np.uint64))
+        bl = np.searchsorted(powers, rest, side="right")
+        rho = (rest_bits + 1 - bl).astype(np.int64)
+        ub, inv = np.unique(bucket, return_inverse=True)
+        mx = np.zeros(len(ub), np.int64)
+        np.maximum.at(mx, inv, rho)
+        return pa.table({"bucket": pa.array(ub),
+                         "rho": pa.array(mx)})
+
+    reg_rows = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("bucket").aggregate(Max("rho", alias_name="mr"))
+                .take_all())
+    regs = np.zeros(m, np.int64)
+    for r in reg_rows:
+        regs[int(r["bucket"])] = int(r["mr"])
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pa.array(
+            np.unique(t.column("user_id").to_numpy()).astype(np.int64))})
+
+    n_exact = (ds.map_batches(exact_partial, batch_format="pyarrow")
+               .groupby("user_id")
+               .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+               .count())
+    s = sum(1 << (rest_bits + 1 - int(r)) for r in regs)  # Σ 2^(59−M)
+    n_est = (alpha_e6 * m * m * (1 << (rest_bits + 1))) // (1_000_000 * s)
+    v = int((regs == 0).sum())
+    if v > 0 and 2 * n_est <= 5 * m:
+        # standard small-range LINEAR COUNTING correction:
+        # m·ln(m/V) as the floored-ln-of-integer difference
+        ln_m = int(np.floor(1e6 * np.log(m)))
+        ln_v = int(np.floor(1e6 * np.log(v)))
+        n_est = (m * (ln_m - ln_v)) // 1_000_000
+    err = (1_000_000 * abs(n_est - n_exact)) // max(n_exact, 1)
+    return pa.table({"m": pa.array([m], pa.int64()),
+                     "n_exact": pa.array([n_exact], pa.int64()),
+                     "n_est": pa.array([n_est], pa.int64()),
+                     "err_e6": pa.array([err], pa.int64())})
